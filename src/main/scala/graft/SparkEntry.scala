@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.operators.{CandleOps, GapOps, IngestOps}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark-first implementation (built on the graft
+  * operator library) with an ANSI-SQL oracle executed by DuckDB over the
+  * same parquet. Determinism conventions (FIXTURES.md §C): no now()/rand;
+  * double sums go through exact DECIMAL(18,2) accumulation and a single
+  * final cast to double, so aggregation order can never perturb values;
+  * ordered outputs carry total-order tiebreaks.
+  */
 object SparkEntry {
+
+  private val anchor = "2024-01-31 00:00:00" // deterministic "now" (events end 2024-01-30)
+
+  /** Exact product-of-money expression: double arithmetic (IEEE-identical
+    * in Spark and DuckDB for identical input order) cast once to decimal
+    * for order-independent summation.
+    */
+  private def moneyExpr(c: Column): Column = c.cast(DecimalType(25, 8))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_ohlcv_rollup_15m")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- A5 flagship: per-grain OHLCV rollup ------------------------
+    "q_ohlcv_rollup_15m" -> ((s, dir) =>
+      CandleOps.ohlcvRollup(Tables.events(s, dir), Seq("user_id"), "ts", "value", "15 minutes")),
+    "q_ohlcv_rollup_1h" -> ((s, dir) =>
+      CandleOps.ohlcvRollup(Tables.events(s, dir), Seq("event_type", "user_id"), "ts", "value", "1 hour")),
+
+    // ----- A6: cascade re-aggregation (15m rollup -> 1h) --------------
+    "q_rollup_cascade_15m_to_1h" -> ((s, dir) => {
+      val r15 = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "15 minutes", withCarriers = true)
+      val r1h = CandleOps.cascadeRollup(r15, Seq("user_id"), "bucket_ts", "1 hour")
+      CandleOps.finishRollup(r1h, Seq("user_id"))
+    }),
+
+    // ----- B2: last-writer-wins dedup (FINAL) -------------------------
+    "q_dedup_latest" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("minute_ts", date_trunc("minute", col("ts")))
+      CandleOps.latestByKeyAgg(e, Seq("user_id", "minute_ts"), "event_id", Seq("event_type", "value", "ts"))
+    }),
+
+    // ----- B1/W1: recent-window top-k snapshot ------------------------
+    "q_recent_topk" -> ((s, dir) =>
+      CandleOps.recentTopK(Tables.events(s, dir), 400, Seq(col("ts").desc, col("event_id").desc))),
+
+    // ----- B4: latest row per key -------------------------------------
+    "q_latest_per_key" -> ((s, dir) =>
+      CandleOps.latestPerKey(Tables.events(s, dir), Seq("user_id"), "ts", Seq("event_type", "value", "event_id"))),
+
+    // ----- A4: distinct universe --------------------------------------
+    "q_distinct_pairs" -> ((s, dir) =>
+      Tables.events(s, dir).select("user_id", "event_type").distinct()),
+
+    // ----- A3: exact distinct count in a range ------------------------
+    "q_count_distinct_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(date_trunc("minute", col("ts"))).as("n_buckets"))),
+
+    // ----- A1: earliest per key (backfill resume point) ---------------
+    "q_earliest_per_symbol" -> ((s, dir) =>
+      CandleOps.earliestPerKey(
+        Tables.events(s, dir).filter(col("event_type") === "click"), Seq("user_id"), "ts")),
+
+    // ----- A2: available source window --------------------------------
+    "q_minmax_window" -> ((s, dir) =>
+      CandleOps.minMaxWindow(
+        Tables.events(s, dir), col("user_id") === 7 && col("event_type") === "view", "ts")),
+
+    // ----- B5: IN-list + time-range predicate -------------------------
+    "q_filter_in_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id").isin(1, 2, 3, 5, 8, 13) &&
+          col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")),
+
+    // ----- P3: CHECK-constraint validation ----------------------------
+    "q_validate_filter" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val valid = IngestOps.isFinite(col("l_quantity")) && col("l_quantity") > 0 &&
+        IngestOps.isFinite(col("l_extendedprice")) && col("l_extendedprice") >= 0 &&
+        col("l_discount") >= 0 && col("l_discount") <= 1 && col("l_tax") >= 0 &&
+        col("l_returnflag").isin("A", "N", "R") && length(col("l_linestatus")) > 0
+      IngestOps.validate(li, valid)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
+    }),
+
+    // ----- P2: symbol whitelist/substring/blacklist filter ------------
+    "q_symbol_filter" -> ((s, dir) =>
+      IngestOps.filterSymbols(
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_brand", "p_type"),
+        "p_name", whitelist = Seq.empty, symbolType = "ring", blacklist = Seq("small ring"))),
+
+    // ----- G2 flagship #2: expected-grid anti-join --------------------
+    "q_missing_buckets" -> ((s, dir) =>
+      GapOps.missingBuckets(Tables.events(s, dir), Seq("user_id"), "ts", "1 hour")),
+
+    // ----- G3/W4: gaps-and-islands range collapse ---------------------
+    "q_gap_ranges" -> ((s, dir) =>
+      GapOps.islandRanges(Tables.events(s, dir), Seq("user_id"), "ts", "1 hour", 3600L)),
+
+    // ----- G4: freshness watchdog -------------------------------------
+    "q_freshness_lag" -> ((s, dir) =>
+      GapOps.freshnessLag(
+        Tables.events(s, dir), Seq("user_id"), "ts",
+        lit(anchor).cast("timestamp"), 120000000L)),
+
+    // ----- G5: floor-to-grain utilities -------------------------------
+    "q_floor_to_grain" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 5)
+        .select(
+          col("user_id"), col("ts"),
+          CandleOps.floorToGrain(col("ts"), "15 minutes").as("bucket_15m"),
+          date_trunc("hour", col("ts")).as("bucket_1h"),
+          date_trunc("day", col("ts")).as("bucket_1d"))),
+
+    // ----- P4: backfill chunk planner ---------------------------------
+    "q_backfill_chunks" -> ((s, dir) =>
+      GapOps.backfillChunks(
+        Tables.events(s, dir), Seq("user_id"), "ts",
+        lit("2024-01-01 00:00:00").cast("timestamp"), "1 hour", "6 hours")),
+
+    // ----- P5: listing diff (set difference both ways) ----------------
+    "q_listing_diff" -> ((s, dir) => {
+      // Two hour-slice "listing snapshots" of the active-user universe —
+      // sparse enough that both diff directions are non-empty.
+      val e = Tables.events(s, dir)
+      val cur = e.filter(col("ts") >= lit("2024-01-15 12:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 13:00:00").cast("timestamp"))
+      val known = e.filter(col("ts") >= lit("2024-01-15 11:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 12:00:00").cast("timestamp"))
+      GapOps.listingDiff(cur, known, Seq("user_id"))
+    }),
+
+    // ----- Extension: TPC-H-style aggregation + joins (SURVEY §7.2 M6)
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__sp"),
+          sum(moneyExpr(discPrice)).as("__sdp"),
+          sum(moneyExpr(charge)).as("__sc"),
+          sum(col("l_discount").cast(DecimalType(18, 2))).as("__sd"),
+          count(lit(1)).as("count_order"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("__sq").cast(DoubleType).as("sum_qty"),
+          col("__sp").cast(DoubleType).as("sum_base_price"),
+          col("__sdp").cast(DoubleType).as("sum_disc_price"),
+          col("__sc").cast(DoubleType).as("sum_charge"),
+          (col("__sq").cast(DoubleType) / col("count_order")).as("avg_qty"),
+          (col("__sp").cast(DoubleType) / col("count_order")).as("avg_price"),
+          (col("__sd").cast(DoubleType) / col("count_order")).as("avg_disc"),
+          col("count_order"))
+    }),
+
+    "q_join_orders_customer" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          CandleOps.moneySum(col("o_totalprice")).as("total_revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"))),
+
+    "q_join_5way" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val joined = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      joined
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(moneyExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+    }),
+
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_ohlcv_rollup_15m" ->
+      """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         arg_max(value, ts) AS close,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+         count(*) AS trades
+         FROM events GROUP BY 1, 2""",
+    "q_ohlcv_rollup_1h" ->
+      """SELECT event_type, user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         arg_max(value, ts) AS close,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+         count(*) AS trades
+         FROM events GROUP BY 1, 2, 3""",
+    "q_rollup_cascade_15m_to_1h" ->
+      """WITH r15 AS (
+           SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS b,
+                  arg_min(value, ts) AS open, min(ts) AS open_ts,
+                  max(value) AS high, min(value) AS low,
+                  arg_max(value, ts) AS close, max(ts) AS close_ts,
+                  sum(CAST(value AS DECIMAL(18,2))) AS volume_dec, count(*) AS trades
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, time_bucket(INTERVAL '1 hour', b) AS bucket_ts,
+                arg_min(open, open_ts) AS open, max(high) AS high, min(low) AS low,
+                arg_max(close, close_ts) AS close,
+                CAST(sum(volume_dec) AS DOUBLE) AS volume,
+                CAST(sum(trades) AS BIGINT) AS trades
+         FROM r15 GROUP BY 1, 2""",
+    "q_dedup_latest" ->
+      """SELECT user_id, date_trunc('minute', ts) AS minute_ts,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(value, event_id) AS value,
+         arg_max(ts, event_id) AS ts,
+         max(event_id) AS event_id
+         FROM events GROUP BY 1, 2""",
+    "q_recent_topk" ->
+      "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 400",
+    "q_latest_per_key" ->
+      """SELECT user_id, arg_max(event_type, ts) AS event_type,
+         arg_max(value, ts) AS value, arg_max(event_id, ts) AS event_id,
+         max(ts) AS last_ts
+         FROM events GROUP BY 1""",
+    "q_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_count_distinct_range" ->
+      """SELECT user_id, count(DISTINCT date_trunc('minute', ts)) AS n_buckets
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1""",
+    "q_earliest_per_symbol" ->
+      """SELECT user_id, min(ts) AS earliest_ts FROM events
+         WHERE event_type = 'click' GROUP BY 1""",
+    "q_minmax_window" ->
+      """SELECT min(ts) AS window_start, max(ts) AS window_end, count(*) AS n_rows
+         FROM events WHERE user_id = 7 AND event_type = 'view'""",
+    "q_filter_in_range" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE user_id IN (1, 2, 3, 5, 8, 13) AND ts >= TIMESTAMP '2024-01-15 00:00:00'""",
+    "q_validate_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag
+         FROM lineitem
+         WHERE isfinite(l_quantity) AND l_quantity > 0
+           AND isfinite(l_extendedprice) AND l_extendedprice >= 0
+           AND l_discount >= 0 AND l_discount <= 1 AND l_tax >= 0
+           AND l_returnflag IN ('A', 'N', 'R') AND length(l_linestatus) > 0""",
+    "q_symbol_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+         WHERE contains(p_name, 'ring') AND p_name NOT IN ('small ring')
+         ORDER BY p_name""",
+    "q_missing_buckets" ->
+      """WITH obs AS (SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts FROM events),
+         b AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM obs GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts FROM b)
+         SELECT grid.user_id, grid.bucket_ts FROM grid ANTI JOIN obs USING (user_id, bucket_ts)""",
+    "q_gap_ranges" ->
+      """WITH obs AS (SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS b FROM events),
+         x AS (SELECT user_id, b,
+                 CASE WHEN lag(b) OVER w IS NULL OR b - lag(b) OVER w > INTERVAL '1 hour'
+                      THEN 1 ELSE 0 END AS ni
+               FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+         y AS (SELECT user_id, b,
+                 sum(ni) OVER (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS island_id
+               FROM x)
+         SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+                min(b) AS range_start, max(b) AS range_end, count(*) AS n_buckets
+         FROM y GROUP BY 1, 2""",
+    "q_freshness_lag" ->
+      s"""SELECT user_id, max(ts) AS last_ts,
+          epoch_us(TIMESTAMP '$anchor') - epoch_us(max(ts)) AS lag_us,
+          (epoch_us(TIMESTAMP '$anchor') - epoch_us(max(ts))) > 120000000 AS is_stale
+          FROM events GROUP BY 1""",
+    "q_floor_to_grain" ->
+      """SELECT user_id, ts, time_bucket(INTERVAL '15 minutes', ts) AS bucket_15m,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_1h,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_1d
+         FROM events WHERE user_id <= 5""",
+    "q_backfill_chunks" ->
+      """WITH e AS (SELECT user_id, time_bucket(INTERVAL '1 hour', min(ts)) AS earliest FROM events GROUP BY 1),
+         g AS (SELECT user_id, earliest,
+                 unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', earliest, INTERVAL '6 hours')) AS chunk_start
+               FROM e WHERE earliest > TIMESTAMP '2024-01-01 00:00:00')
+         SELECT user_id, chunk_start,
+                least(chunk_start + INTERVAL '6 hours', earliest) AS chunk_end
+         FROM g WHERE chunk_start < earliest""",
+    "q_listing_diff" ->
+      """WITH cur AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 12:00:00' AND ts < TIMESTAMP '2024-01-15 13:00:00'),
+         kn AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 11:00:00' AND ts < TIMESTAMP '2024-01-15 12:00:00')
+         SELECT user_id, 'added' AS status FROM cur ANTI JOIN kn USING (user_id)
+         UNION ALL
+         SELECT user_id, 'removed' AS status FROM kn ANTI JOIN cur USING (user_id)""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY 1, 2""",
+    "q_join_orders_customer" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         count(DISTINCT o_custkey) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q_join_5way" ->
+      """SELECT n_name, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+  )
 }

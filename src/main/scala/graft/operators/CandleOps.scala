@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Core relational operators of the engine, generic over column names.
+  *
+  * All pure `DataFrame => DataFrame`, built only on
+  * `org.apache.spark.sql.functions` (codegen'd, partial-aggregation-
+  * friendly); no UDFs, no collects. Each maps a reference behavior
+  * (SURVEY.md §2 ids in the scaladoc).
+  */
+object CandleOps {
+
+  /** Exact, order-independent sum of a 2-decimal double column: cast to
+    * decimal so partial/final aggregation order cannot perturb the
+    * result, finish back to double. This is what makes double sums
+    * hash-identical between Spark and the DuckDB oracle regardless of
+    * partitioning — the engine-side analog of summing cents.
+    */
+  def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // B2 — last-writer-wins dedup ("FINAL" over ReplacingMergeTree,
+  // reference: app/clickhouse_schema.py:143,145).
+  // ---------------------------------------------------------------------
+
+  /** Keep, per key, the row with the max `versionCol`. Implemented as a
+    * ranked window; Catalyst's InferWindowGroupLimit turns the
+    * rank-then-filter into a per-partition top-1 (no full sort of each
+    * key group materialized). One shuffle on the key — unavoidable, and
+    * at 100 TB it is the same shuffle a groupBy-based dedup would pay.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Same semantics via hash aggregation (`groupBy(keys).max_by(...)`)
+    * — partial aggregation halves shuffle volume vs the window form
+    * when duplicates are common; preferred at scale when only listed
+    * payload columns are needed.
+    */
+  def latestByKeyAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val aggs = payload.map(c => max_by(col(c), col(versionCol)).as(c)) :+
+      max(col(versionCol)).as(versionCol)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // A5 — per-grain OHLCV aggregation (the flagship; reference MV SQL
+  // app/clickhouse_schema.py:167-206, bucket expr :82-91).
+  // ---------------------------------------------------------------------
+
+  /** Tumbling-window OHLCV rollup: argMin(open)/max/min/argMax(close)/
+    * sum(volume)/count. `window(ts, grain)` keeps the bucket expression
+    * inside whole-stage codegen and Catalyst plans a single partial+final
+    * hash aggregate (map-side combine → one shuffle on the group keys).
+    *
+    * With `withCarriers=true` the output keeps `open_ts`/`close_ts`, the
+    * argmin/argmax carriers that make coarser re-aggregation associative
+    * (the ClickHouse `-State` trick, SURVEY.md §1.3), plus an exact
+    * decimal `volume_dec` for further summation.
+    */
+  def ohlcvRollup(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grain: String,
+      withCarriers: Boolean = false
+  ): DataFrame = {
+    val ts = col(tsCol)
+    val v = col(valueCol)
+    val grouped = df.groupBy(
+      keys.map(col) :+ window(ts, grain).as("__w"): _*
+    )
+    val base = Seq(
+      min_by(v, ts).as("open"),
+      max(v).as("high"),
+      min(v).as("low"),
+      max_by(v, ts).as("close"),
+      count(lit(1)).as("trades")
+    )
+    val extra =
+      if (withCarriers)
+        Seq(
+          min(ts).as("open_ts"),
+          max(ts).as("close_ts"),
+          sum(v.cast(DecimalType(18, 2))).as("volume_dec")
+        )
+      else Seq(moneySum(v).as("volume"))
+    grouped
+      .agg((base ++ extra).head, (base ++ extra).tail: _*)
+      .withColumn("bucket_ts", col("__w.start"))
+      .drop("__w")
+  }
+
+  /** A6 — cascade re-aggregation: coarser rollup from a finer rollup's
+    * carrier columns (reference: app/clickhouse_schema.py:169-177
+    * `-MergeState` cascade 1m→5m→…→1d). Associative merge: the result
+    * is provably identical to rolling the base data up directly (the
+    * commutativity the reference's MV design assumes; unit-tested).
+    */
+  def cascadeRollup(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      grain: String
+  ): DataFrame = {
+    val grouped = rollup.groupBy(
+      keys.map(col) :+ window(col(bucketCol), grain).as("__w"): _*
+    )
+    grouped
+      .agg(
+        min_by(col("open"), col("open_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("close_ts")).as("close"),
+        count(lit(1)).as("buckets"),
+        sum(col("trades")).as("trades"),
+        min(col("open_ts")).as("open_ts"),
+        max(col("close_ts")).as("close_ts"),
+        sum(col("volume_dec")).as("volume_dec")
+      )
+      .withColumn("bucket_ts", col("__w.start"))
+      .drop("__w")
+  }
+
+  /** Finish a carrier rollup to its user-facing shape (drop carriers,
+    * decimal volume → double) — the analog of ClickHouse `-Merge`
+    * read-side finishing (notebooks/ohlcv_views.ipynb cell 2).
+    */
+  def finishRollup(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = keys.map(col) ++ Seq(
+      col("bucket_ts"),
+      col("open"),
+      col("high"),
+      col("low"),
+      col("close"),
+      col("volume_dec").cast(DoubleType).as("volume"),
+      col("trades").cast(LongType).as("trades")
+    )
+    df.select(cols: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshots / lookups (B1, B3-B5, W1; A1-A4)
+  // ---------------------------------------------------------------------
+
+  /** B1/W1 — recent-window snapshot: ORDER BY ts DESC LIMIT n with a
+    * total-order tiebreak. Plans as TakeOrderedAndProjectExec (per-
+    * partition top-k + driver merge; no global sort).
+    */
+  def recentTopK(df: DataFrame, n: Int, ordering: Seq[Column]): DataFrame =
+    df.orderBy(ordering: _*).limit(n)
+
+  /** B4/G4-support — latest row per key via max_by (hash agg, partial
+    * combine; cheaper than window+filter when payload is narrow).
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val aggs = payload.map(c => max_by(col(c), col(tsCol)).as(c)) :+
+      max(col(tsCol)).as(s"last_$tsCol")
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A1 — earliest bucket per key (backfill resume point,
+    * reference: app/load_history.py:277-295).
+    */
+  def earliestPerKey(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(min(col(tsCol)).as(s"earliest_$tsCol"))
+
+  /** A2 — available source window: min/max/count for one key slice
+    * (reference: app/data_quality_check.py:512-521).
+    */
+  def minMaxWindow(df: DataFrame, predicate: Column, tsCol: String): DataFrame =
+    df.filter(predicate)
+      .agg(
+        min(col(tsCol)).as("window_start"),
+        max(col(tsCol)).as("window_end"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** G5 — floor timestamps to a grain (pd.Timestamp.floor analog,
+    * reference: app/data_quality_check.py:309-310).
+    */
+  def floorToGrain(ts: Column, grain: String): Column =
+    window(ts, grain)("start")
+}

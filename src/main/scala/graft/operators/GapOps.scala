@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Gap-detection / time-grid machinery — the Spark-native restatement of
+  * the reference's pandas mini-engine (`find_missing_dates` resample +
+  * isna, app/data_quality_check.py:206-251; `group_missing_ranges`
+  * :264-288; freshness watchdog :111-141; backfill chunk planner
+  * app/load_history.py:374-408).
+  *
+  * Design for scale: grids are generated per key from that key's own
+  * [min,max] bounds (`sequence` + `explode` — distributed, no driver
+  * loop), then anti-joined against observations. Both sides are
+  * pre-bucketed and deduped before the join so the shuffle carries one
+  * row per (key, bucket), not one per raw event.
+  */
+object GapOps {
+
+  /** Distinct observed buckets per key at `grain` (a date_trunc-style
+    * floor). One partial+final aggregate; feeds G2/G3/G4.
+    */
+  def observedBuckets(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      grain: String
+  ): DataFrame =
+    df.select(keys.map(col) :+ CandleOps.floorToGrain(col(tsCol), grain).as("bucket_ts"): _*)
+      .distinct()
+
+  /** G2 — expected-grid anti-join (flagship #2): per key, the grid
+    * buckets between that key's min and max that have no observation.
+    * `sequence()` synthesizes the grid distributively (beats pandas
+    * resample: no single-machine materialization), `left_anti` is the
+    * `.asfreq().isna()` analog.
+    */
+  def missingBuckets(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      grain: String
+  ): DataFrame = {
+    val obs = observedBuckets(df, keys, tsCol, grain)
+    val grid = obs
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("bucket_ts")).as("__lo"), max(col("bucket_ts")).as("__hi"))
+      .select(
+        keys.map(col) :+ explode(
+          sequence(col("__lo"), col("__hi"), expr(s"INTERVAL $grain"))
+        ).as("bucket_ts"): _*
+      )
+    grid.join(obs, keys :+ "bucket_ts", "left_anti")
+  }
+
+  /** W4/G3 — gaps-and-islands: collapse per-key observed buckets into
+    * maximal contiguous runs. lag → new-island flag → running sum as
+    * island id → min/max per island. One shuffle (window partition by
+    * key); the running sum stays in the same window partition, so no
+    * second shuffle.
+    */
+  def islandRanges(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      grain: String,
+      stepSeconds: Long
+  ): DataFrame = {
+    val obs = observedBuckets(df, keys, tsCol, grain)
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket_ts"))
+    val withIsland = obs
+      .withColumn("__prev", lag(col("bucket_ts"), 1).over(byKey))
+      .withColumn(
+        "__new_island",
+        when(
+          col("__prev").isNull ||
+            unix_timestamp(col("bucket_ts")) - unix_timestamp(col("__prev")) > stepSeconds,
+          lit(1)
+        ).otherwise(lit(0))
+      )
+      .withColumn(
+        "island_id",
+        sum(col("__new_island")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+    withIsland
+      .groupBy(keys.map(col) :+ col("island_id"): _*)
+      .agg(
+        min(col("bucket_ts")).as("range_start"),
+        max(col("bucket_ts")).as("range_end"),
+        count(lit(1)).as("n_buckets")
+      )
+  }
+
+  /** G4 — freshness: per key, microseconds of lag between its latest
+    * event and a reference "now" (a literal anchor for determinism —
+    * the reference's hardcoded 2-minute SLO lives at
+    * app/data_quality_check.py:130).
+    */
+  def freshnessLag(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      anchor: Column,
+      staleThresholdUs: Long
+  ): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(max(col(tsCol)).as("last_ts"))
+      .withColumn("lag_us", unix_micros(anchor) - unix_micros(col("last_ts")))
+      .withColumn("is_stale", (col("lag_us") > staleThresholdUs).cast("boolean"))
+
+  /** G6 — expected bucket count for a [start,end) range at a step, the
+    * verification arithmetic of app/data_quality_check.py:495-500.
+    */
+  def expectedBucketCount(rangeStart: Column, rangeEnd: Column, stepSeconds: Long): Column =
+    floor((unix_micros(rangeEnd) - unix_micros(rangeStart)) / lit(stepSeconds * 1000000L))
+      .cast(LongType)
+
+  /** P4 — backfill chunk planner: per key, chunk bounds walking from a
+    * global `startDate` up to the key's earliest observed bucket in
+    * `chunk` steps (reference walks backwards, app/load_history.py:
+    * 374-408; the emitted set of [chunk_start, chunk_end) ranges is
+    * identical either direction). Chunks are synthesized with
+    * `sequence`/`explode` — the planner itself is a distributed query,
+    * not a driver loop.
+    */
+  def backfillChunks(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      startDate: Column,
+      grain: String,
+      chunk: String
+  ): DataFrame = {
+    val earliest = df
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__min_ts"))
+      .select(keys.map(col) :+ CandleOps.floorToGrain(col("__min_ts"), grain).as("earliest_ts"): _*)
+    earliest
+      .filter(col("earliest_ts") > startDate)
+      .select(
+        keys.map(col) :+ col("earliest_ts") :+ explode(
+          sequence(startDate, col("earliest_ts"), expr(s"INTERVAL $chunk"))
+        ).as("chunk_start"): _*
+      )
+      .filter(col("chunk_start") < col("earliest_ts"))
+      .withColumn(
+        "chunk_end",
+        least(col("chunk_start") + expr(s"INTERVAL $chunk"), col("earliest_ts"))
+      )
+      .drop("earliest_ts")
+  }
+
+  /** P5 — listing diff: ids present on one side only, labeled. The
+    * reference's only set operation (`current − known` / `known −
+    * current`, app/data_collector.py:136-137). Two left-anti joins;
+    * both sides deduped first so the join input is minimal.
+    */
+  def listingDiff(
+      current: DataFrame,
+      known: DataFrame,
+      idCols: Seq[String]
+  ): DataFrame = {
+    val cur = current.select(idCols.map(col): _*).distinct()
+    val kn = known.select(idCols.map(col): _*).distinct()
+    val added = cur.join(kn, idCols, "left_anti").withColumn("status", lit("added"))
+    val removed = kn.join(cur, idCols, "left_anti").withColumn("status", lit("removed"))
+    added.unionByName(removed)
+  }
+}
