@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
+import graft.functions.{SimHash64, TextOps, VectorOps}
 import graft.operators.{CandleOps, GapOps, IngestOps}
 import graft.sources.Tables
 
@@ -205,7 +206,53 @@ object SparkEntry {
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
+
+    // ----- Training-data pipeline: deduplication ----------------------
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedupGroups(Tables.documents(s, dir), "doc_id", "text")),
+    "q_doc_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashCandidatePairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3)),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      TextOps.ngramJaccard(docs, "doc_id", "text", pairs, shingleSize = 3)
+    }),
+    "q_doc_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        lower(format_string("%016x",
+          SimHash64.simhash64(TextOps.tokens(col("text"))))).as("simhash"))),
+    "q_simhash_neardup" -> ((s, dir) =>
+      TextOps.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.normalizedFingerprint(col("text")).as("fingerprint"))),
+
+    // ----- Training-data pipeline: text analysis ----------------------
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit(TextOps.TokenRegex), lit(0))).as("__t"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).cast(LongType).as("total_tokens"))),
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // ----- Training-data pipeline: similarity search ------------------
+    "q_knn_topk" -> ((s, dir) =>
+      VectorOps.knnTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", col("vec_id") < 20, k = 5)),
+    "q_knn_ivf_topk" -> ((s, dir) =>
+      VectorOps.knnTopKIvf(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", col("vec_id") < 50, k = 5)),
+    "q_embed_neardup" -> ((s, dir) =>
+      VectorOps.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -356,6 +403,119 @@ object SparkEntry {
          GROUP BY 1""",
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_doc_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q_doc_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+                FROM toks WHERE len(t) >= 3),
+         sig AS (SELECT doc_id,
+                  min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                  min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+                  min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+                  min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+                 FROM sh GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS h FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b USING (band, h)
+         WHERE a.doc_id < b.doc_id""",
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sets AS (SELECT doc_id,
+                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS ss
+                  FROM toks),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS ss_a, b.ss AS ss_b
+                   FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1)
+         SELECT doc_a, doc_b,
+           CASE WHEN len(ss_a) + len(ss_b) - len(list_intersect(ss_a, ss_b)) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(ss_a, ss_b)) AS DOUBLE)
+                     / CAST(len(ss_a) + len(ss_b) - len(list_intersect(ss_a, ss_b)) AS DOUBLE)
+           END AS jaccard
+         FROM pairs""",
+    "q_doc_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+         bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM th, (SELECT unnest(generate_series(0, 63)) AS j) AS js(j) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                  bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS sh
+                FROM bits GROUP BY 1)
+         SELECT doc_id, lower(lpad(to_hex(sh), 16, '0')) AS simhash FROM fp""",
+    "q_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+         bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM th, (SELECT unnest(generate_series(0, 63)) AS j) AS js(j) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                  bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS sh
+                FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, sh, sh >> 48 AS band FROM fp)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM banded a JOIN banded b USING (band)
+         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS text_len,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stopwords,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+           / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
+         FROM documents""",
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens
+         FROM documents GROUP BY 1""",
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+         CASE WHEN len(list_filter(string_split(trim(text), ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'is'))) >= 1
+              THEN 'en' ELSE 'unknown' END AS predicted_lang,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_score
+         FROM documents""",
+    "q_knn_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+         p AS (SELECT query_id, e.vec_id AS neighbor_id, list_cosine_similarity(qemb, e.emb) AS sim
+               FROM q JOIN e ON e.vec_id <> query_id)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM p)
+         WHERE rnk <= 5""",
+    "q_knn_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb FROM e WHERE vec_id < 50),
+         p AS (SELECT query_id, e.vec_id AS neighbor_id, list_cosine_similarity(qemb, e.emb) AS sim
+               FROM q JOIN e ON e.vec_id <> query_id AND e.label = qlabel)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM p)
+         WHERE rnk <= 5""",
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45"""
   )
 }

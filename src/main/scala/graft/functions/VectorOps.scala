@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two numeric arrays as a native Catalyst expression:
+  * `dot(array<float|double>, array<float|double>) -> double`.
+  *
+  * A tight primitive loop over `ArrayData` — roughly an order of
+  * magnitude faster per pair than composing
+  * `aggregate(zip_with(...))` higher-order functions, which evaluate
+  * through interpreted lambdas. This sits in the innermost loop of
+  * similarity search (|queries| × |candidates| evaluations), so it is
+  * the one place the engine drops below the built-in function surface.
+  * Accumulates left-to-right in double, matching the SQL oracle.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val elementIsFloat: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    if (elementIsFloat) {
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    nullSafeEval(a, b)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * SURVEY.md §7.2 M6 / the training-data-pipeline extension surface.
+  *
+  * Scale design: the query set is the broadcast side (top-k search is
+  * almost always "few queries × many candidates"); candidates stream
+  * through a map-side join with no shuffle of the big side; ranking
+  * shuffles only (query_id, candidate, sim) tuples, and the
+  * rank-then-filter shape lets Catalyst's InferWindowGroupLimit keep
+  * per-partition heaps instead of full sorts. The IVF variant prunes
+  * candidates by a coarse partition (cluster/label) before scoring —
+  * the 100 TB path where brute force stops being an option.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** Euclidean norm of a numeric array (computed once per vector, not
+    * once per pair).
+    */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: for each query vector (rows matching
+    * `queryPred`), the k nearest candidates by cosine similarity.
+    * Output: query_id, neighbor_id, rank (1-based).
+    */
+  def knnTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int
+  ): DataFrame = {
+    val withNorm = embeddings
+      .select(col(idCol), col(vecCol))
+      .withColumn("__norm", norm(col(vecCol)))
+    val queries = withNorm
+      .filter(queryPred)
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("__qvec"),
+        col("__norm").as("__qnorm"))
+    val pairs = withNorm
+      .join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .withColumn("__sim", dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+    rankTopK(pairs, idCol, k)
+  }
+
+  /** IVF-style pruned top-k: identical contract to [[knnTopK]] but only
+    * candidates in the same coarse partition (`clusterCol`) as the
+    * query are scored — the scale path: a 64-way clustering cuts the
+    * scored pairs (and the scan) by ~64× at the cost of recall.
+    */
+  def knnTopKIvf(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      queryPred: Column,
+      k: Int
+  ): DataFrame = {
+    val withNorm = embeddings
+      .select(col(idCol), col(vecCol), col(clusterCol))
+      .withColumn("__norm", norm(col(vecCol)))
+    val queries = withNorm
+      .filter(queryPred)
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("__qvec"),
+        col("__norm").as("__qnorm"),
+        col(clusterCol).as("__qcluster"))
+    val pairs = withNorm
+      .join(
+        broadcast(queries),
+        col(idCol) =!= col("query_id") && col(clusterCol) === col("__qcluster"))
+      .withColumn("__sim", dot(col(vecCol), col("__qvec")) / (col("__norm") * col("__qnorm")))
+    rankTopK(pairs, idCol, k)
+  }
+
+  private def rankTopK(pairs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col(idCol))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a coarse partition:
+    * all (a, b) with cosine >= threshold, a < b. The cluster key bounds
+    * the quadratic blow-up to within-partition pairs — at 100 TB the
+    * clusterCol comes from LSH bucketing or k-means assignment, and the
+    * self-join shuffles each cluster to one place instead of crossing
+    * everything with everything.
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val withNorm = embeddings
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        col(clusterCol).as("cluster"))
+      .withColumn("nrm", norm(col("vec")))
+    val a = withNorm.select(
+      col("id").as("id_a"), col("vec").as("vec_a"),
+      col("cluster"), col("nrm").as("norm_a"))
+    val b = withNorm.select(
+      col("id").as("id_b"), col("vec").as("vec_b"),
+      col("cluster"), col("nrm").as("norm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}
