@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextOps, VectorOps}
+
+/** Planted-duplicate tests for the dedup/similarity family: the small-
+  * data correctness the oracle can't see (sf0.01 has no near-dups).
+  */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup = base.replace("green", "dark") // one-token edit
+  private val distinct1 =
+    "completely different content about spark catalyst optimizer rules and physical plan execution strategies"
+  private val distinct2 =
+    "unrelated text mentioning parquet columnar storage compression encodings and predicate pushdown mechanics"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("exactDedupGroups groups identical texts under the min doc_id") {
+    val g = TextOps.exactDedupGroups(docs, "doc_id", "text")
+    assert(g.count() == 4) // 0 and 4 collapse
+    val dupGroup = g.filter($"n_copies" === 2).head()
+    assert(dupGroup.getAs[Long]("keeper_id") == 0L)
+  }
+
+  test("shingles handles short docs (no descending-sequence bug)") {
+    val short = Seq((0L, "one two"), (1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val out = short.select(TextOps.shingles(TextOps.tokens($"text"), 3).as("s"))
+      .select(size($"s")).as[Int].collect().toSeq
+    assert(out == Seq(0, 1, 0))
+  }
+
+  test("minhash LSH finds the exact dup and the near-dup, not the distinct docs") {
+    val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L))) // identical text: all bands collide
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L))) // near-dup caught
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccard: identity = 1.0, near-dup high, distinct = 0") {
+    val pairs = Seq((0L, 4L), (0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val j = TextOps.ngramJaccard(docs, "doc_id", "text", pairs, shingleSize = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 4L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+    assert(j((0L, 2L)) == 0.0)
+  }
+
+  test("simhash: identical docs hamming 0, near-dups close, distinct far") {
+    val fp = docs.select($"doc_id",
+      SimHash64.simhash64(TextOps.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0L), fp(4L)) == 0)
+    assert(hamming(fp(0L), fp(1L)) < 16)
+    assert(hamming(fp(0L), fp(2L)) > 16)
+  }
+
+  test("simhash tokenHash64 equals unsigned parse of first 16 md5 hex chars") {
+    // the contract the SQL oracle depends on
+    val tok = "hello"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    assert(SimHash64.tokenHash64(tok) == java.lang.Long.parseUnsignedLong(hex, 16))
+  }
+
+  test("simhashNearDupPairs surfaces the planted exact dup") {
+    val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("dot/norm/knn: planted nearest vector wins") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),  // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1)    // other cluster
+    ).toDF("vec_id", "embedding", "label")
+    val d = vecs.filter($"vec_id" === 0).select(
+      VectorOps.dot($"embedding", $"embedding").as("d")).as[Double].head()
+    assert(d == 1.0)
+    val knn = VectorOps.knnTopK(vecs, "vec_id", "embedding", $"vec_id" === 0, k = 2)
+      .orderBy("rank").as[(Long, Long, Int)].collect()
+    assert(knn.map(_._2).toSeq == Seq(1L, 2L))
+    // IVF: same-cluster only → vec 3 never a candidate for query 0
+    val ivf = VectorOps.knnTopKIvf(vecs, "vec_id", "embedding", "label",
+      $"vec_id" === 0, k = 3).as[(Long, Long, Int)].collect()
+    assert(!ivf.map(_._2).contains(3L))
+    // near-dup threshold
+    val nd = VectorOps.cosineNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(nd == Set((0L, 1L)))
+  }
+
+  test("textStats and langId compute sane features") {
+    val st = TextOps.textStats(docs, "doc_id", "text")
+      .filter($"doc_id" === 0).head()
+    assert(st.getAs[Long]("n_words") == 18L)
+    assert(st.getAs[Long]("n_stopwords") == 4L) // 'the' x3 + 'and'
+    val li = TextOps.langId(docs, "doc_id", "text", "text")
+      .filter($"doc_id" === 0).head()
+    assert(li.getAs[String]("predicted_lang") == "en")
+  }
+}
