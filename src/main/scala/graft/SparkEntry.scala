@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{SimHash64, TextOps, VectorOps}
-import graft.operators.{CandleOps, GapOps, IngestOps}
+import graft.operators.{CandleOps, GapOps, IngestOps, MultimodalOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -252,7 +252,16 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", col("vec_id") < 50, k = 5)),
     "q_embed_neardup" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
-        Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45))
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45)),
+
+    // ----- Multimodal plumbing (synthetic media; stubbed codec; no SQL
+    // oracle — rows-only check) --------------------------------------
+    "q_media_stats" -> ((s, _) =>
+      MultimodalOps.mediaStats(MultimodalOps.syntheticMedia(s, 500).toDF())),
+    "q_media_features" -> ((s, _) =>
+      MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, 500)).toDF()),
+    "q_frame_samples" -> ((s, _) =>
+      MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, 500).toDF(), everyMs = 500L))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.CandleOps
+
+/** Structured-Streaming restatement of the reference's realtime path
+  * (SURVEY.md §2.8, §3.1): closed candles arrive on a stream, per-grain
+  * OHLCV windows aggregate incrementally, finalized windows append to
+  * the rollup store.
+  *
+  * Semantics mapping (reference → Spark):
+  *   - `candle_closed_only=True` (app/data_collector.py:151): the source
+  *     emits only finalized 1m candles — the stream is already
+  *     event-time-complete per minute.
+  *   - incremental MV cascade (app/clickhouse_schema.py:167-206): here a
+  *     watermarked tumbling-window aggregation per grain; append mode
+  *     emits a bucket exactly once, when the watermark passes its end.
+  *   - no-watermark late data in ClickHouse (merged in place whenever it
+  *     arrives): the reference's real late-data mechanism is the
+  *     reconciliation watchdog (data_quality_check.py:672-681), which we
+  *     keep as the batch gap/repair jobs (GapOps + recompute). The
+  *     streaming watermark handles the hot path; reconciliation handles
+  *     post-watermark stragglers. At-least-once sinks stay correct
+  *     because the store is deduped on read (CandleOps.latestByKey) and
+  *     rollup recompute is idempotent.
+  */
+object StreamingRollup {
+
+  /** Watermarked tumbling OHLCV aggregation over a streaming frame.
+    * Identical aggregate expressions to the batch path (CandleOps
+    * .ohlcvRollup) — the equivalence the tests assert. State size is
+    * bounded by (#keys × windows inside watermark), not by history.
+    */
+  def streamingOhlcv(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grain: String,
+      watermark: String
+  ): DataFrame = {
+    val ts = col(tsCol)
+    val v = col(valueCol)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(keys.map(col) :+ window(ts, grain).as("__w"): _*)
+      .agg(
+        min_by(v, ts).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, ts).as("close"),
+        CandleOps.moneySum(v).as("volume"),
+        count(lit(1)).as("trades"))
+      .withColumn("bucket_ts", col("__w.start"))
+      .drop("__w")
+  }
+
+  /** Append-mode sink into a parquet rollup directory, partitioned by
+    * month of bucket (the reference's `PARTITION BY toYYYYMM`,
+    * app/clickhouse_schema.py:162). foreachBatch → idempotent-by-dedup
+    * appends; exactly-once bookkeeping rides on the checkpoint.
+    */
+  def toParquetSink(
+      rollup: DataFrame,
+      path: String,
+      checkpoint: String
+  ): DataStreamWriter[Row] =
+    rollup
+      .withColumn("bucket_month", date_format(col("bucket_ts"), "yyyyMM"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("bucket_month").parquet(path)
+      }
+
+  /** Convenience: run the sink to completion over currently-available
+    * input (test/backfill harness path).
+    */
+  def runAvailableNow(writer: DataStreamWriter[Row]): StreamingQuery = {
+    val q = writer.start()
+    q.awaitTermination()
+    q
+  }
+}
