@@ -26,17 +26,13 @@ object TextOps {
   val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Contiguous word n-gram shingles (distinct), the near-dup unit.
-    * Docs with fewer than n tokens produce an empty array.
+    * Docs with fewer than n tokens produce an empty array. Native
+    * expression ([[WordShingles]]) — the HOF composition
+    * (`transform`+`element_at`) evaluated interpreted per element and
+    * was ~300x slower.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    // Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
-    // empty, so short docs need an explicit empty-array branch.
-    val idx = sequence(lit(1), size(toks) - (n - 1))
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(grams))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    WordShingles.word_shingles(toks, n)
 
   /** Exact content dedup: group by content hash, elect the smallest
     * doc_id as keeper, count copies. Pure hash-aggregate — one shuffle
