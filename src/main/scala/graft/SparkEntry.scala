@@ -83,6 +83,13 @@ object SparkEntry {
       CandleOps.minMaxWindow(
         Tables.events(s, dir), col("user_id") === 7 && col("event_type") === "view", "ts")),
 
+    // ----- B3: one symbol's full history (pushed-down equality) -------
+    "q_symbol_history" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id") === 42 && col("event_type") === "view")
+        .orderBy(col("ts"))
+        .select("event_id", "ts", "user_id", "event_type", "value")),
+
     // ----- B5: IN-list + time-range predicate -------------------------
     "q_filter_in_range" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -323,6 +330,9 @@ object SparkEntry {
     "q_minmax_window" ->
       """SELECT min(ts) AS window_start, max(ts) AS window_end, count(*) AS n_rows
          FROM events WHERE user_id = 7 AND event_type = 'view'""",
+    "q_symbol_history" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE user_id = 42 AND event_type = 'view' ORDER BY ts""",
     "q_filter_in_range" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
          WHERE user_id IN (1, 2, 3, 5, 8, 13) AND ts >= TIMESTAMP '2024-01-15 00:00:00'""",

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized-rollup maintenance over month-partitioned parquet — the
+  * Spark restatement of the reference's rollup repair machinery:
+  *
+  *   - R2 delete+recompute range: ClickHouse issues an async-mutation
+  *     `ALTER TABLE ... DELETE` then re-inserts re-aggregated rows
+  *     (app/data_quality_check.py:391-457). Parquet has no row deletes;
+  *     the equivalent idempotent repair is dynamic partition overwrite:
+  *     recompute every month partition that intersects the damaged
+  *     window from source truth and atomically swap those partitions.
+  *     Coarser-grained than the reference's range delete but
+  *     deterministic and duplicate-free by construction — strictly
+  *     stronger than the "дубли допустимы" (duplicates tolerated)
+  *     contract the reference settles for
+  *     (app/data_quality_check.py:340-342).
+  *   - R3 verification: count distinct buckets vs expected interval
+  *     arithmetic (app/data_quality_check.py:459-485); the reference's
+  *     `OPTIMIZE TABLE ... FINAL` force-merge has no analog because
+  *     finished rows need no merging.
+  *
+  * Scale notes: overwrite touches only affected month partitions
+  * (partition pruning on both read and write); recompute reads only the
+  * damaged window from the base table (predicate pushdown on `tsCol`);
+  * `partitionOverwriteMode=dynamic` keeps untouched months intact.
+  */
+object RollupStore {
+
+  val PartitionCol = "bucket_month"
+
+  private def withMonth(df: DataFrame): DataFrame =
+    df.withColumn(PartitionCol, date_format(col("bucket_ts"), "yyyyMM"))
+
+  /** Full build: rollup the base table at `grain` and write it
+    * month-partitioned (the initial materialization, G7's empty-rollup
+    * bootstrap path).
+    */
+  def build(
+      base: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grain: String,
+      path: String
+  ): Unit =
+    withMonth(
+      CandleOps.ohlcvRollup(base, keys, tsCol, valueCol, grain))
+      .write
+      .mode("overwrite")
+      .partitionBy(PartitionCol)
+      .parquet(path)
+
+  /** R2 — repair a damaged window: recompute every month partition
+    * intersecting [rangeStart, rangeEnd) from the base table and
+    * overwrite exactly those partitions.
+    */
+  def repairRange(
+      spark: SparkSession,
+      base: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grain: String,
+      path: String,
+      rangeStart: String,
+      rangeEnd: String
+  ): Unit = {
+    val lo = to_timestamp(lit(rangeStart))
+    val hi = to_timestamp(lit(rangeEnd))
+    // widen to full months so each overwritten partition is complete
+    val monthLo = date_trunc("month", lo)
+    val monthHi = date_trunc("month", hi + expr("INTERVAL 1 MONTH")) // exclusive
+    val window = base.filter(col(tsCol) >= monthLo && col(tsCol) < monthHi)
+    val recomputed = withMonth(
+      CandleOps.ohlcvRollup(window, keys, tsCol, valueCol, grain))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try recomputed.write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** R3 — verification: per key, distinct buckets observed in the
+    * stored rollup within [rangeStart, rangeEnd) vs the expected count
+    * from interval arithmetic. Returns keys that fail.
+    */
+  def verifyRange(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      grainSeconds: Long,
+      rangeStart: String,
+      rangeEnd: String
+  ): DataFrame = {
+    val lo = to_timestamp(lit(rangeStart))
+    val hi = to_timestamp(lit(rangeEnd))
+    val expected = GapOps.expectedBucketCount(lo, hi, grainSeconds)
+    spark.read.parquet(path)
+      .filter(col("bucket_ts") >= lo && col("bucket_ts") < hi)
+      .groupBy(keys.map(col): _*)
+      .agg(countDistinct(col("bucket_ts")).as("observed"))
+      .withColumn("expected", expected)
+      .filter(col("observed") < col("expected"))
+  }
+}
