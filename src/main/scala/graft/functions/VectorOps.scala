@@ -21,8 +21,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Accumulates left-to-right in double, matching the SQL oracle.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -51,6 +50,26 @@ case class DotProduct(left: Expression, right: Expression)
     val b = right.eval(input)
     if (b == null) return null
     nullSafeEval(a, b)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val getter = if (elementIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =

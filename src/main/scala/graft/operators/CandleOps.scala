@@ -85,7 +85,7 @@ object CandleOps {
     val ts = col(tsCol)
     val v = col(valueCol)
     val grouped = df.groupBy(
-      keys.map(col) :+ window(ts, grain).as("__w"): _*
+      keys.map(col) :+ graft.functions.TimeBucket.time_bucket(ts, grain).as("bucket_ts"): _*
     )
     val base = Seq(
       min_by(v, ts).as("open"),
@@ -102,10 +102,7 @@ object CandleOps {
           sum(v.cast(DecimalType(18, 2))).as("volume_dec")
         )
       else Seq(moneySum(v).as("volume"))
-    grouped
-      .agg((base ++ extra).head, (base ++ extra).tail: _*)
-      .withColumn("bucket_ts", col("__w.start"))
-      .drop("__w")
+    grouped.agg((base ++ extra).head, (base ++ extra).tail: _*)
   }
 
   /** A6 — cascade re-aggregation: coarser rollup from a finer rollup's
@@ -121,7 +118,7 @@ object CandleOps {
       grain: String
   ): DataFrame = {
     val grouped = rollup.groupBy(
-      keys.map(col) :+ window(col(bucketCol), grain).as("__w"): _*
+      keys.map(col) :+ graft.functions.TimeBucket.time_bucket(col(bucketCol), grain).as("bucket_ts"): _*
     )
     grouped
       .agg(
@@ -135,8 +132,6 @@ object CandleOps {
         max(col("close_ts")).as("close_ts"),
         sum(col("volume_dec")).as("volume_dec")
       )
-      .withColumn("bucket_ts", col("__w.start"))
-      .drop("__w")
   }
 
   /** Finish a carrier rollup to its user-facing shape (drop carriers,
@@ -199,8 +194,9 @@ object CandleOps {
       )
 
   /** G5 — floor timestamps to a grain (pd.Timestamp.floor analog,
-    * reference: app/data_quality_check.py:309-310).
+    * reference: app/data_quality_check.py:309-310). Codegen'd single
+    * expression — no named_struct construction.
     */
   def floorToGrain(ts: Column, grain: String): Column =
-    window(ts, grain)("start")
+    graft.functions.TimeBucket.time_bucket(ts, grain)
 }
