@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{SimHash64, TextOps, VectorOps}
-import graft.operators.{CandleOps, GapOps, IngestOps, MultimodalOps}
+import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -215,6 +215,18 @@ object SparkEntry {
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
 
+    // ----- As-of join (trade -> prevailing quote; Spark has no builtin)
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      AsOfJoin.asof(
+        left = e.filter(col("event_type") === "purchase"),
+        right = e.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), tsCol = "ts",
+        leftPayload = Seq("event_id", "value"),
+        rightPayload = Seq("value"))
+        .select("event_id", "ts", "user_id", "value", "asof_ts", "asof_value")
+    }),
+
     // ----- Training-data pipeline: deduplication ----------------------
     "q_doc_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedupGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -423,6 +435,11 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.ts, p.user_id, p.value, c.ts AS asof_ts, c.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q_doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-03-01 08:00:05"), 1L, 100.0), // after quote@08:00:00
+    ("A", ts("2024-03-01 08:00:10"), 2L, 101.0), // exactly at quote ts (inclusive)
+    ("A", ts("2024-03-01 07:59:00"), 3L, 99.0),  // before any quote -> null
+    ("B", ts("2024-03-01 08:00:05"), 4L, 50.0)   // other key
+  ).toDF("sym", "ts", "trade_id", "px")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-03-01 08:00:00"), 10.0),
+    ("A", ts("2024-03-01 08:00:10"), 11.0),
+    ("A", ts("2024-03-01 08:01:00"), 12.0), // later than all trades
+    ("B", ts("2024-03-01 08:00:01"), 20.0)
+  ).toDF("sym", "ts", "bid")
+
+  test("backward as-of: latest quote at-or-before each trade, per key") {
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts",
+        leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"))
+      .select("trade_id", "asof_ts", "asof_bid")
+      .as[(Long, Option[Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(ts("2024-03-01 08:00:00")), Some(10.0))))
+    assert(out(2L) == ((Some(ts("2024-03-01 08:00:10")), Some(11.0)))) // tie inclusive
+    assert(out(3L) == ((None, None)))                                   // nothing precedes
+    assert(out(4L) == ((Some(ts("2024-03-01 08:00:01")), Some(20.0)))) // keyed
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts",
+        leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"),
+        toleranceUs = Some(4000000L)) // 4s
+      .select("trade_id", "asof_bid")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)          // 5s-old quote > 4s tolerance
+    assert(out(2L).contains(11.0))   // 0s old
+    assert(out(4L).contains(20.0))   // 4s old, within
+  }
+}
