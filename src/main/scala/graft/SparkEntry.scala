@@ -215,6 +215,61 @@ object SparkEntry {
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
 
+    // ----- Window-frame analytics: moving average over rollups --------
+    "q_sma" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour",
+        withCarriers = true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket_ts"))
+        .rowsBetween(-6, 0)
+      r1h.select(
+        col("user_id"), col("bucket_ts"),
+        col("close").as("close"),
+        (sum(col("volume_dec")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("vol_sma7"),
+        count(lit(1)).over(w).cast(LongType).as("n_in_frame"))
+    }),
+
+    // ----- Ranking: volume rank per day ------------------------------
+    "q_rank_by_volume" -> ((s, dir) => {
+      val daily = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day",
+        withCarriers = true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket_ts"))
+        .orderBy(col("volume_dec").desc, col("user_id"))
+      daily.select(
+        col("bucket_ts"), col("user_id"),
+        col("volume_dec").cast(DoubleType).as("volume"),
+        row_number().over(w).as("vol_rank"))
+        .filter(col("vol_rank") <= 10)
+    }),
+
+    // ----- Grouping sets: ROLLUP totals ------------------------------
+    "q_grouping_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          CandleOps.moneySum(col("l_quantity")).as("sum_qty"))),
+
+    // ----- B2 window-form dedup (full-row FINAL) ----------------------
+    "q_dedup_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("minute_ts", date_trunc("minute", col("ts")))
+      CandleOps.latestByKey(e, Seq("user_id", "minute_ts"), "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props", "minute_ts")
+    }),
+
+    // ----- Approximate distinct (HLL sketch; rows-only, sketch values
+    // differ across engines by design) --------------------------------
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
     // ----- As-of join (trade -> prevailing quote; Spark has no builtin)
     "q_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -435,6 +490,40 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_sma" ->
+      """WITH r1h AS (
+           SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                  arg_max(value, ts) AS close,
+                  sum(CAST(value AS DECIMAL(18,2))) AS volume_dec
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, bucket_ts, close,
+                CAST(sum(volume_dec) OVER w AS DOUBLE) / count(*) OVER w AS vol_sma7,
+                CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+         FROM r1h
+         WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "q_rank_by_volume" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                  sum(CAST(value AS DECIMAL(18,2))) AS volume_dec
+           FROM events GROUP BY 1, 2)
+         SELECT bucket_ts, user_id, CAST(volume_dec AS DOUBLE) AS volume, vol_rank FROM (
+           SELECT bucket_ts, user_id, volume_dec,
+                  CAST(row_number() OVER (PARTITION BY bucket_ts
+                       ORDER BY volume_dec DESC, user_id) AS INT) AS vol_rank
+           FROM daily)
+         WHERE vol_rank <= 10""",
+    "q_grouping_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_dedup_window" ->
+      """SELECT event_id, ts, user_id, event_type, value, props, minute_ts FROM (
+           SELECT *, date_trunc('minute', ts) AS minute_ts,
+                  row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                                     ORDER BY event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""",
     "q_asof_join" ->
       """SELECT p.event_id, p.ts, p.user_id, p.value, c.ts AS asof_ts, c.value AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

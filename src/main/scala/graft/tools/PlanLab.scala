@@ -39,6 +39,14 @@ object PlanLab {
         val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
         pairs.explain("formatted")
         time("pairs count")(println(pairs.count()))
+      case "ext" =>
+        graft.GraftExtensions.register(spark)
+        spark.sql(
+          """SELECT simhash64(split('a b c a', ' ')) AS sh,
+                    dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+                    word_shingles(split('a b c', ' '), 2) AS ws,
+                    time_bucket_fixed(TIMESTAMP '2024-01-01 08:22:11', '15m') AS tb""")
+          .show(truncate = false)
       case "bench1" =>
         val name = args(1)
         val sfDir = args(2)

@@ -1,0 +1,38 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox the quick")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs")
+
+    val sh = spark.sql(
+      "SELECT simhash64(split(text, ' ')) AS f FROM ext_docs").as[Long].head()
+    assert(sh != 0L)
+
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").as[Double].head()
+    assert(dp == 11.0)
+
+    val grams = spark.sql(
+      "SELECT word_shingles(split(text, ' '), 2) AS g FROM ext_docs").as[Seq[String]].head()
+    assert(grams.contains("the quick") && grams.contains("quick brown"))
+    assert(grams.count(_ == "the quick") == 1) // distinct
+
+    val tb = spark.sql(
+      """SELECT CAST(time_bucket_fixed(TIMESTAMP '2024-01-01 08:22:11', '15m') AS STRING) AS b,
+                CAST(time_bucket_fixed(TIMESTAMP '2024-01-01 08:22:11', '15 minutes') AS STRING) AS b2""")
+      .as[(String, String)].head()
+    assert(tb._1 == "2024-01-01 08:15:00" && tb._2 == tb._1)
+  }
+
+  test("session built with extensions class resolves the functions") {
+    // simulate spark.sql.extensions wiring on a fresh session in the
+    // same JVM (shares context, separate state)
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT dot_product(array(1.0D), array(2.0D))").head().getDouble(0) == 2.0)
+  }
+}
