@@ -166,6 +166,52 @@ object VectorOps {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
   }
 
+  /** Random-hyperplane LSH bucket id (SimHash for vectors): bit j is
+    * the sign of the dot product with pseudo-random plane j. Vectors
+    * with high cosine similarity agree on most signs, so near-dups
+    * collide in buckets with high probability. Planes are generated
+    * from a fixed seed — deterministic across runs and executors.
+    * This is the LSH-bucketed scale path for embedding near-dup: the
+    * self-join key becomes a 2^nPlanes-way partition instead of a
+    * label/cluster column.
+    */
+  def hyperplaneBucket(
+      vec: Column,
+      dim: Int,
+      nPlanes: Int,
+      seed: Long = 42L
+  ): Column = {
+    require(nPlanes <= 30, s"bucket bits must fit an int: $nPlanes")
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    (0 until nPlanes).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      when(dot(vec, plane) > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Embedding near-dup via hyperplane-LSH buckets: bucket, self-join
+    * within bucket, verify by exact cosine. Same contract as
+    * [[cosineNearDupPairs]] but without needing a precomputed cluster
+    * column — recall is tunable by nPlanes (fewer planes → bigger
+    * buckets → higher recall, more compared pairs).
+    */
+  def lshNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int,
+      threshold: Double,
+      seed: Long = 42L
+  ): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val bucketed = embeddings
+      .select(col(idCol).as("id"), asDouble.as("vec"))
+      .withColumn("cluster", hyperplaneBucket(col("vec"), dim, nPlanes, seed))
+    cosineNearDupPairs(bucketed, "id", "vec", "cluster", threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse partition:
     * all (a, b) with cosine >= threshold, a < b. The cluster key bounds
     * the quadratic blow-up to within-partition pairs — at 100 TB the
