@@ -21,10 +21,14 @@ import graft.functions.{DotProduct, SimHash64, TimeBucket, WordShingles}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // materialized-rollup routing (no-op until routes are registered)
+    ext.injectOptimizerRule(session =>
+      new org.apache.spark.sql.graft.RollupRouter.RouteRule(session))
+  }
 }
 
 object GraftExtensions {

@@ -53,6 +53,25 @@ object RollupStore {
       .partitionBy(PartitionCol)
       .parquet(path)
 
+  /** Carrier build: like [[build]] but keeps the argmin/argmax carrier
+    * timestamps and exact decimal volume — the re-aggregable form the
+    * cascade (A6) and the RollupRouter optimizer rule consume.
+    */
+  def buildWithCarriers(
+      base: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grain: String,
+      path: String
+  ): Unit =
+    withMonth(
+      CandleOps.ohlcvRollup(base, keys, tsCol, valueCol, grain, withCarriers = true))
+      .write
+      .mode("overwrite")
+      .partitionBy(PartitionCol)
+      .parquet(path)
+
   /** R2 — repair a damaged window: recompute every month partition
     * intersecting [rangeStart, rangeEnd) from the base table and
     * overwrite exactly those partitions.

@@ -1,0 +1,248 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TimeBucket
+
+/** Materialized-rollup routing — the engine-owned analog of ClickHouse
+  * materialized-view reads (SURVEY.md §4.3): an optimizer rule that
+  * rewrites an OHLCV aggregate over the BASE candle table into the same
+  * aggregate over the coarsest sufficient materialized rollup, merging
+  * carrier columns instead of raw rows. The reference does this
+  * routing *manually* by table choice (notebooks/ohlcv_views.ipynb
+  * `TABLES` dict); here Catalyst does it transparently.
+  *
+  * Lives under `org.apache.spark.sql` (like most Spark extensions'
+  * internals) for access to `LogicalRelation`.
+  *
+  * Scope (fail-safe: when in doubt, don't rewrite):
+  *   - plan shape `Aggregate [keys..., TimeBucket(ts, G)] over
+  *     (key-only Filter)? (trivial Project)? base relation`;
+  *   - every aggregate is one of argMin/argMax/min/max over the value
+  *     column, an exact decimal sum of it, or count(1)/count(*);
+  *   - G is a multiple of a registered rollup grain (the coarsest such
+  *     grain wins).
+  *
+  * Rewrites: min_by(v,ts)→min_by(open,open_ts), max_by(v,ts)→
+  * max_by(close,close_ts), min(v)→min(low), max(v)→max(high),
+  * sum(cast(v as decimal))→sum(volume_dec) (re-cast to the original
+  * result type), count(1)→sum(trades) (KnownNotNull keeps the output
+  * schema's nullability). Output aliases keep their exprIds, so
+  * downstream operators are untouched.
+  */
+object RollupRouter {
+
+  /** A registered route: base parquet path suffix → rollup tables
+    * (grain seconds → carrier-rollup path written by
+    * `RollupStore.buildWithCarriers`).
+    */
+  final case class Route(
+      basePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grains: Map[Long, String])
+
+  private val routes = TrieMap.empty[String, Route]
+
+  def register(route: Route): Unit = routes.put(route.basePath, route)
+  def clear(): Unit = routes.clear()
+
+  private def routeFor(rel: LogicalRelation): Option[Route] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        val paths = fs.location.rootPaths.map(_.toString)
+        routes.values.find(r => paths.exists(p => p == r.basePath || p.endsWith(r.basePath)))
+      case _ => None
+    }
+
+  /** A pulled-out grouping bucket: PullOutGroupingExpressions hoists
+    * complex grouping expressions into `Alias(TimeBucket(ts, us),
+    * "_groupingexpression")` in a Project below the Aggregate.
+    */
+  private final case class PulledBucket(
+      aliasId: ExprId, name: String, tsId: ExprId, bucketUs: Long)
+
+  /** Strip projects inserted by column pruning (attribute-only) or by
+    * PullOutGroupingExpressions (attributes + one TimeBucket alias).
+    */
+  private def stripTrivial(
+      plan: LogicalPlan
+  ): Option[(Option[Expression], Option[PulledBucket], LogicalRelation)] =
+    plan match {
+      case rel: LogicalRelation => Some((None, None, rel))
+      case Project(pl, child) =>
+        val nonAttrs = pl.filterNot(_.isInstanceOf[AttributeReference])
+        val pulled = nonAttrs match {
+          case Seq() => Some(None)
+          case Seq(a @ Alias(TimeBucket(t: AttributeReference, us), _)) =>
+            Some(Some(PulledBucket(a.exprId, a.name, t.exprId, us)))
+          case _ => None
+        }
+        pulled.flatMap { pb =>
+          stripTrivial(child).flatMap {
+            case (f, None, rel) => Some((f, pb, rel))
+            case _ => None // one bucket-project max
+          }
+        }
+      case Filter(cond, child) =>
+        stripTrivial(child).flatMap {
+          case (None, None, rel) => Some((Some(cond), None, rel))
+          case _ => None // one filter max, below any bucket project
+        }
+      case _ => None
+    }
+
+  final class RouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (routes.isEmpty) return plan
+      plan.transformUp {
+        case agg @ Aggregate(grouping, resultExprs, child, _) =>
+          (for {
+            (filterOpt, pulledOpt, rel) <- stripTrivial(child)
+            route <- routeFor(rel)
+            rewritten <- tryRewrite(agg, grouping, resultExprs, filterOpt, pulledOpt, rel, route)
+          } yield rewritten).getOrElse(agg)
+      }
+    }
+
+    private def tryRewrite(
+        agg: Aggregate,
+        grouping: Seq[Expression],
+        resultExprs: Seq[NamedExpression],
+        filterOpt: Option[Expression],
+        pulledOpt: Option[PulledBucket],
+        rel: LogicalRelation,
+        route: Route
+    ): Option[LogicalPlan] = {
+      val attrByName = rel.output.map(a => a.name -> a).toMap
+      val tsAttr = attrByName.get(route.tsCol)
+      val valAttr = attrByName.get(route.valueCol)
+      if (tsAttr.isEmpty || valAttr.isEmpty) return None
+      val ts = tsAttr.get
+      val v = valAttr.get
+      val keyAttrs = route.keyCols.flatMap(attrByName.get)
+      if (keyAttrs.size != route.keyCols.size) return None
+
+      // the single TimeBucket (inline or pulled out) decides the grain
+      val queryUs = pulledOpt match {
+        case Some(pb) =>
+          if (pb.tsId != ts.exprId) return None
+          pb.bucketUs
+        case None =>
+          val buckets = grouping.flatMap(_.collect {
+            case tb @ TimeBucket(a: AttributeReference, _) if a.exprId == ts.exprId => tb
+          })
+          if (buckets.size != 1) return None
+          buckets.head.bucketUs
+      }
+      if (queryUs % 1000000L != 0) return None
+      val querySec = queryUs / 1000000L
+      val grainSec = route.grains.keys.filter(g => querySec % g == 0)
+        .reduceOption(_ max _).getOrElse(return None)
+      val rollupPath = route.grains(grainSec)
+
+      // non-bucket grouping exprs and the filter may reference keys only
+      val allowedIds = (keyAttrs.map(_.exprId) :+ ts.exprId).toSet ++
+        pulledOpt.map(_.aliasId)
+      val groupRefsOk = grouping.forall(_.references.forall(r => allowedIds.contains(r.exprId)))
+      val filterOk = filterOpt.forall(_.references.forall(r =>
+        keyAttrs.exists(_.exprId == r.exprId)))
+      if (!groupRefsOk || !filterOk) return None
+
+      // resolve the rollup relation (fresh attribute ids)
+      val rollupPlan = spark.read.parquet(rollupPath).queryExecution.analyzed
+      val rOut = rollupPlan.output.map(a => a.name -> a).toMap
+      val needed = Seq("bucket_ts", "open", "open_ts", "high", "low", "close",
+        "close_ts", "volume_dec", "trades") ++ route.keyCols
+      if (!needed.forall(rOut.contains)) return None
+
+      val keyMap: Map[ExprId, Attribute] =
+        route.keyCols.map(k => attrByName(k).exprId -> rOut(k)).toMap
+
+      var rewriteFailed = false
+
+      def rewriteExpr(e: Expression): Expression = e.transformUp {
+        case tb @ TimeBucket(a: AttributeReference, us) if a.exprId == ts.exprId =>
+          TimeBucket(rOut("bucket_ts"), us)
+        case ae @ AggregateExpression(fn, mode, isDistinct, filter, _) =>
+          if (isDistinct || filter.nonEmpty) { rewriteFailed = true; ae }
+          else {
+            val newFn: Option[AggregateFunction] = fn match {
+              case MinBy(a: AttributeReference, o: AttributeReference)
+                  if a.exprId == v.exprId && o.exprId == ts.exprId =>
+                Some(MinBy(rOut("open"), rOut("open_ts")))
+              case MaxBy(a: AttributeReference, o: AttributeReference)
+                  if a.exprId == v.exprId && o.exprId == ts.exprId =>
+                Some(MaxBy(rOut("close"), rOut("close_ts")))
+              case Min(a: AttributeReference) if a.exprId == v.exprId =>
+                Some(Min(rOut("low")))
+              case Max(a: AttributeReference) if a.exprId == v.exprId =>
+                Some(Max(rOut("high")))
+              case Sum(Cast(a: AttributeReference, _: DecimalType, _, _), _)
+                  if a.exprId == v.exprId =>
+                Some(Sum(rOut("volume_dec")))
+              case Count(Seq(Literal(_, _))) =>
+                Some(Sum(rOut("trades")))
+              case _ => None
+            }
+            newFn match {
+              case Some(f) =>
+                val rewrapped = ae.copy(aggregateFunction = f)
+                // preserve the original result type and nullability
+                val adjusted: Expression =
+                  if (f.dataType == fn.dataType) rewrapped
+                  else Cast(rewrapped, fn.dataType)
+                if (ae.dataType == adjusted.dataType && !fn.nullable && adjusted.nullable)
+                  KnownNotNull(adjusted)
+                else adjusted
+              case None => rewriteFailed = true; ae
+            }
+          }
+        case a: AttributeReference if keyMap.contains(a.exprId) => keyMap(a.exprId)
+      }
+
+      val newGrouping = grouping.map(rewriteExpr)
+      val newResult = resultExprs.map { ne =>
+        rewriteExpr(ne) match {
+          // substituted pass-through key: keep the original output id
+          case a: AttributeReference if a.exprId != ne.exprId =>
+            Alias(a, ne.name)(exprId = ne.exprId)
+          case n: NamedExpression if n.exprId == ne.exprId => n
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+      // any base attr leaking through means an unsupported shape (the
+      // pulled bucket alias is produced below, so it is not a leak)
+      val leaked = (newGrouping ++ newResult).exists(_.references.exists(r =>
+        rel.outputSet.contains(r)))
+      if (rewriteFailed || leaked) return None
+
+      val newFilter = filterOpt.map(rewriteExpr)
+      val filtered: LogicalPlan = newFilter match {
+        case Some(cond) => Filter(cond, rollupPlan)
+        case None => rollupPlan
+      }
+      // pulled-out shape: reproduce the bucket-alias Project (same
+      // exprId) over the rollup, keeping the normalized Aggregate form
+      val source: LogicalPlan = pulledOpt match {
+        case Some(pb) =>
+          Project(
+            rollupPlan.output :+
+              Alias(TimeBucket(rOut("bucket_ts"), pb.bucketUs), pb.name)(exprId = pb.aliasId),
+            filtered)
+        case None => filtered
+      }
+      Some(Aggregate(newGrouping, newResult, source))
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RollupRouter
+
+import graft.operators.{CandleOps, RollupStore}
+
+/** The MV-routing optimizer rule: an OHLCV aggregate over the base
+  * table silently reads the coarsest sufficient materialized rollup —
+  * same results, rollup-sized scan.
+  */
+class RollupRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("aggregates over the base path are routed to the 1h rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    val basePath = s"$dir/base"
+    val rollupPath = s"$dir/rollup_1h"
+
+    val base = (for {
+      sym <- Seq("BTC", "ETH"); m <- 0 until 24 * 60
+    } yield (sym, new Timestamp(ts("2024-03-01 00:00:00").getTime + m * 60000L),
+      100.0 + (m * 13 % 31))).toDF("symbol", "t", "price")
+    base.write.mode("overwrite").parquet(basePath)
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 hour", rollupPath)
+
+    RollupRouter.clear()
+    RollupRouter.register(RollupRouter.Route(
+      basePath, Seq("symbol"), "t", "price", Map(3600L -> rollupPath)))
+    val rule = new RollupRouter.RouteRule(spark)
+    spark.experimental.extraOptimizations = Seq(rule)
+    try {
+      val q = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath), Seq("symbol"), "t", "price", "2 hours")
+      val planFiles = q.queryExecution.executedPlan.toString()
+      assert(planFiles.contains("rollup_1h"), s"expected routed scan, got:\n$planFiles")
+      assert(!planFiles.contains("/base"), s"base still scanned:\n$planFiles")
+
+      // routed result == unrouted ground truth
+      spark.experimental.extraOptimizations = Nil
+      val want = CandleOps.ohlcvRollup(
+          spark.read.parquet(basePath), Seq("symbol"), "t", "price", "2 hours")
+        .orderBy("symbol", "bucket_ts").collect()
+      spark.experimental.extraOptimizations = Seq(rule)
+      val got = q.orderBy("symbol", "bucket_ts").collect()
+      assert(got.sameElements(want))
+      assert(got.length == 24) // 2 symbols x 12 two-hour buckets
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouter.clear()
+    }
+  }
+
+  test("non-divisible grains and unregistered paths are left alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route2").toString
+    val basePath = s"$dir/base"
+    val rollupPath = s"$dir/rollup_1h"
+    val base = (0 until 600).map(m =>
+      ("X", new Timestamp(ts("2024-03-01 00:00:00").getTime + m * 60000L), m.toDouble))
+      .toDF("symbol", "t", "price")
+    base.write.mode("overwrite").parquet(basePath)
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 hour", rollupPath)
+    RollupRouter.clear()
+    RollupRouter.register(RollupRouter.Route(
+      basePath, Seq("symbol"), "t", "price", Map(3600L -> rollupPath)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouter.RouteRule(spark))
+    try {
+      // 90 minutes is not a multiple of 1h -> must scan the base
+      val q = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath), Seq("symbol"), "t", "price", "90 minutes")
+      assert(!q.queryExecution.executedPlan.toString().contains("rollup_1h"))
+      assert(q.count() == 7) // 600 minutes / 90
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouter.clear()
+    }
+  }
+}
