@@ -317,6 +317,37 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
+    // ----- Quality scoring: composite from text features --------------
+    "q_quality_score" -> ((s, dir) => {
+      val st = TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
+      st.select(
+        col("doc_id"),
+        // deterministic composite: long-enough, low punctuation, some
+        // stopword mass — each term a double in [0,1]
+        (least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+          least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3).as("quality_score"))
+    }),
+
+    // ----- Sessionization: 30-minute-gap sessions per user ------------
+    "q_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val sessions = e
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("__new"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      sessions.groupBy(col("user_id"), col("session_id").cast(LongType).as("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          CandleOps.moneySum(col("value")).as("session_value"))
+    }),
+
     // ----- Training-data pipeline: similarity search ------------------
     "q_knn_topk" -> ((s, dir) =>
       VectorOps.knnTopK(
@@ -617,6 +648,32 @@ object SparkEntry {
          CAST(len(list_filter(string_split(trim(text), ' '),
                 x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_score
          FROM documents""",
+    "q_quality_score" ->
+      """SELECT doc_id,
+           least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                    / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) * 5.0, 1.0)) * 0.3
+           + least(CAST(len(list_filter(string_split(trim(text), ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 10.0, 1.0) * 0.3
+           AS quality_score
+         FROM documents""",
+    "q_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts, value,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM y GROUP BY 1, 2""",
     "q_knn_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),

@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Candle, Timeframe}
+import graft.operators.{CandleOps, GapOps, IngestOps}
+
+/** The user-facing facade: one object that gives a reference-service
+  * user everything their ClickHouse tables + watchdog gave them, as
+  * composable lazy DataFrames.
+  *
+  * {{{
+  * val candles = CandleTable.fromParquet(spark, "/data/candles_raw_1m")
+  * val clean   = candles.validated.deduped          // CHECK + FINAL
+  * clean.rollup("15m")                              // A5
+  * clean.missingBuckets("1m")                       // the watchdog's gap scan
+  * clean.freshness(lit(ts), staleAfter = "2m")      // the 2-minute SLO
+  * }}}
+  *
+  * All methods return lazy plans — nothing executes until an action, so
+  * chains optimize as one Catalyst plan.
+  */
+final class CandleTable private (
+    val df: DataFrame,
+    val keys: Seq[String],
+    val tsCol: String
+) {
+
+  private def rekey(newDf: DataFrame): CandleTable =
+    new CandleTable(newDf, keys, tsCol)
+
+  /** P3 — drop rows violating the reference's CHECK constraints. */
+  def validated: CandleTable = rekey(
+    IngestOps.validate(df, IngestOps.candleChecks(
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume"), col("close_unixtime"),
+      keys.map(col))))
+
+  /** B2 — last-writer-wins dedup (the `FINAL` read). */
+  def deduped: CandleTable = rekey(
+    CandleOps.latestByKey(df, keys :+ tsCol, "receipt_timestamp"))
+
+  /** A5 — OHLCV rollup at a timeframe ('15m', '1h', ... — the
+    * reference grammar) keyed by (exchange, symbol): the exact MV
+    * aggregation of app/clickhouse_schema.py:179-185 —
+    * argMin(open,start), max(high), min(low), argMax(close,start),
+    * sum(volume), sum(trades).
+    */
+  def rollup(timeframe: String): DataFrame = {
+    val tf = Timeframe.parse(timeframe)
+    val groupKeys = keys.filterNot(_ == "interval").map(col) :+
+      graft.functions.TimeBucket.time_bucket(col(tsCol), tf.sparkInterval).as("bucket_ts")
+    df.groupBy(groupKeys: _*)
+      .agg(
+        min_by(col("open"), col(tsCol)).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col(tsCol)).as("close"),
+        CandleOps.moneySum(col("volume")).as("volume"),
+        sum(col("trades").cast("long")).as("trades"))
+  }
+
+  /** G2 — grid buckets with no candle, per key. */
+  def missingBuckets(timeframe: String): DataFrame =
+    GapOps.missingBuckets(df, keys.filterNot(_ == "interval"), tsCol,
+      Timeframe.parse(timeframe).sparkInterval)
+
+  /** G3 — contiguous runs of present buckets, per key. */
+  def gapRanges(timeframe: String): DataFrame = {
+    val tf = Timeframe.parse(timeframe)
+    GapOps.islandRanges(df, keys.filterNot(_ == "interval"), tsCol,
+      tf.sparkInterval, tf.seconds)
+  }
+
+  /** G4 — staleness per key against an anchor "now". */
+  def freshness(anchor: org.apache.spark.sql.Column, staleAfter: String = "2m"): DataFrame =
+    GapOps.freshnessLag(df, keys.filterNot(_ == "interval"), tsCol, anchor,
+      Timeframe.parse(staleAfter).seconds * 1000000L)
+
+  /** P4 — backfill chunks from `startDate` up to each key's earliest
+    * candle.
+    */
+  def backfillPlan(startDate: String, timeframe: String, chunkOf: Int): DataFrame = {
+    val tf = Timeframe.parse(timeframe)
+    GapOps.backfillChunks(df, keys.filterNot(_ == "interval"), tsCol,
+      lit(startDate).cast("timestamp"), tf.sparkInterval,
+      s"${chunkOf * tf.seconds} seconds")
+  }
+
+  /** Typed view for case-class-level logic. */
+  def typed(implicit spark: SparkSession): Dataset[Candle] = {
+    import spark.implicits._
+    df.as[Candle]
+  }
+}
+
+object CandleTable {
+
+  /** Wrap an existing candle DataFrame (must carry the Candle schema
+    * columns).
+    */
+  def apply(df: DataFrame): CandleTable =
+    new CandleTable(df, Seq("exchange", "symbol", "interval"), "start")
+
+  def fromParquet(spark: SparkSession, path: String): CandleTable =
+    apply(spark.read.parquet(path))
+}

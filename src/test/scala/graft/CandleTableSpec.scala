@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.CandleTable
+import graft.model.Candle
+
+/** The user-facing facade end-to-end: validate → dedup → rollup →
+  * gaps/freshness on one chained lazy plan.
+  */
+class CandleTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def mk(sym: String, start: String, o: Double, receipt: String = null,
+      h: Double = Double.NaN): Candle = {
+    val st = ts(start)
+    val stop = new Timestamp(st.getTime + 60000)
+    val hi = if (h.isNaN) o + 2 else h
+    Candle("BINANCE", sym, "1m", st, stop, stop.getTime / 1000, 3,
+      o, hi, o - 1, o + 1, 10.0, stop, if (receipt == null) stop else ts(receipt))
+  }
+
+  private lazy val raw: Seq[Candle] =
+    (0 until 120).map(m => mk("BTC", f"2024-03-01 ${8 + m / 60}%02d:${m % 60}%02d:00", 100.0 + m)) ++
+      Seq(
+        mk("BTC", "2024-03-01 08:30:00", 555.0, receipt = "2024-03-01 10:00:00"), // dup, later writer
+        mk("BTC", "2024-03-01 08:31:00", 1.0, h = 0.5)                            // CHECK-violating (high < open)
+      )
+
+  test("validate -> dedup -> rollup chains into correct OHLCV") {
+    val t = CandleTable(raw.toDF()).validated.deduped
+    assert(t.df.count() == 120) // dup collapsed, invalid row dropped... but 08:31 original remains
+    val r = t.rollup("1h").orderBy("bucket_ts").collect()
+    assert(r.length == 2)
+    val h0 = r(0)
+    assert(h0.getAs[Double]("open") == 100.0)
+    assert(h0.getAs[Double]("high") == 557.0)   // dup winner's high = 555+2
+    assert(h0.getAs[Long]("trades") == 60 * 3L)
+    assert(h0.getAs[Double]("volume") == 600.0)
+  }
+
+  test("gap scan and freshness on the deduped view") {
+    val holes = raw.filterNot(c =>
+      c.start == ts("2024-03-01 08:10:00") || c.start == ts("2024-03-01 08:11:00"))
+    val t = CandleTable(holes.toDF()).validated.deduped
+    val missing = t.missingBuckets("1m").select("bucket_ts").as[Timestamp].collect().toSet
+    assert(missing == Set(ts("2024-03-01 08:10:00"), ts("2024-03-01 08:11:00")))
+    val stale = t.freshness(lit("2024-03-01 10:00:00").cast("timestamp"))
+      .select("is_stale").as[Boolean].head()
+    assert(!stale) // last candle starts 09:59 → 1 min lag < the 2-min SLO
+    val stale2 = t.freshness(lit("2024-03-01 10:05:00").cast("timestamp"))
+      .select("is_stale").as[Boolean].head()
+    assert(stale2) // 6 min lag > SLO
+  }
+
+  test("backfill plan tiles from start date to earliest candle") {
+    val t = CandleTable(raw.toDF())
+    val plan = t.backfillPlan("2024-03-01 06:00:00", "1m", chunkOf = 30)
+    assert(plan.count() == 4) // 06:00→08:00 in 30-minute chunks
+  }
+}
