@@ -359,6 +359,17 @@ object SparkEntry {
       VectorOps.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45)),
 
+    // ----- Winnowing fingerprints (rolling-hash dedup; engine-defined
+    // hash — rows-only check, invariants unit-tested) ------------------
+    "q_doc_winnow" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        explode(graft.functions.Winnowing.winnow(
+          TextOps.tokens(col("text")), 4, 4)).as("fingerprint"))),
+    "q_winnow_neardup" -> ((s, dir) =>
+      graft.functions.Winnowing.winnowNearDupPairs(
+        Tables.documents(s, dir), "doc_id", "text", k = 4, w = 4, minShared = 2)),
+
     // ----- Multimodal plumbing (synthetic media; stubbed codec; no SQL
     // oracle — rows-only check) --------------------------------------
     "q_media_stats" -> ((s, _) =>
