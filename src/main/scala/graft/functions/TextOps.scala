@@ -132,15 +132,19 @@ object TextOps {
     val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
     val stop = size(expr(
       s"filter(split(trim($textCol), ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))"))
+    // ANSI mode: guard zero denominators (empty/whitespace-only docs)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
     docs.select(
       col(idCol),
       length(t).cast("long").as("text_len"),
       words.cast("long").as("n_words"),
       toks.cast("long").as("n_tokens"),
       punct.cast("long").as("n_punct"),
-      (punct.cast(DoubleType) / toks.cast(DoubleType)).as("punct_ratio"),
+      ratio(punct, toks).as("punct_ratio"),
       stop.cast("long").as("n_stopwords"),
-      (stop.cast(DoubleType) / words.cast(DoubleType)).as("stopword_ratio"))
+      ratio(stop, words).as("stopword_ratio"))
   }
 
   /** Language-ID heuristic: score = count of language-marker stopwords;

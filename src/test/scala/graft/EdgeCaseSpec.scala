@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{AsOfJoin, CandleOps, GapOps}
+
+/** Degenerate-input robustness: empty tables, single rows, all-equal
+  * keys. Operators must return empty/identity results, never throw.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val emptyEvents: DataFrame =
+    Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "t", "value")
+
+  test("rollup/dedup/gaps on empty input are empty, not errors") {
+    assert(CandleOps.ohlcvRollup(emptyEvents, Seq("user_id"), "t", "value", "15 minutes").count() == 0)
+    assert(CandleOps.latestByKey(emptyEvents, Seq("user_id"), "t").count() == 0)
+    assert(GapOps.missingBuckets(emptyEvents, Seq("user_id"), "t", "1 hour").count() == 0)
+    assert(GapOps.islandRanges(emptyEvents, Seq("user_id"), "t", "1 hour", 3600L).count() == 0)
+    assert(GapOps.backfillChunks(emptyEvents, Seq("user_id"), "t",
+      lit("2024-01-01 00:00:00").cast("timestamp"), "1 hour", "6 hours").count() == 0)
+  }
+
+  test("single-row input: rollup of one point is that point") {
+    val one = Seq((1L, ts("2024-01-01 08:07:00"), 42.0)).toDF("user_id", "t", "value")
+    val r = CandleOps.ohlcvRollup(one, Seq("user_id"), "t", "value", "15 minutes").head()
+    assert(r.getAs[Double]("open") == 42.0 && r.getAs[Double]("close") == 42.0)
+    assert(r.getAs[Double]("high") == 42.0 && r.getAs[Double]("low") == 42.0)
+    assert(r.getAs[Timestamp]("bucket_ts") == ts("2024-01-01 08:00:00"))
+    // no gaps in a single bucket
+    assert(GapOps.missingBuckets(one, Seq("user_id"), "t", "15 minutes").count() == 0)
+  }
+
+  test("all-duplicate keys collapse to one winner") {
+    val dups = (1 to 50).map(i =>
+      (7L, ts("2024-01-01 08:00:00"), i.toDouble, i.toLong))
+      .toDF("user_id", "t", "value", "version")
+    val out = CandleOps.latestByKey(dups, Seq("user_id", "t"), "version")
+    assert(out.count() == 1)
+    assert(out.head().getAs[Double]("value") == 50.0)
+  }
+
+  test("as-of join with empty right side yields all-null matches") {
+    val l = Seq((1L, ts("2024-01-01 08:00:00"), 5.0)).toDF("k", "ts", "px")
+    val r = Seq.empty[(Long, Timestamp, Double)].toDF("k", "ts", "bid")
+    val out = AsOfJoin.asof(l, r, Seq("k"), "ts", Seq("px"), Seq("bid"))
+    assert(out.count() == 1)
+    assert(out.head().isNullAt(out.head().fieldIndex("asof_bid")))
+  }
+
+  test("text ops on empty and whitespace-only docs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    assert(TextOps.exactDedupGroups(docs, "doc_id", "text").count() == 3)
+    val stats = TextOps.textStats(docs, "doc_id", "text").collect()
+    assert(stats.length == 3) // ratios may be null/NaN but rows survive
+    assert(TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3).count() == 0)
+  }
+
+  test("knn with k larger than candidate count returns all candidates") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.knnTopK(vecs, "vec_id", "embedding", $"vec_id" === 0, k = 10)
+    assert(out.count() == 2)
+  }
+
+  test("listing diff of identical sets is empty") {
+    val a = Seq(1L, 2L).toDF("user_id")
+    assert(GapOps.listingDiff(a, a, Seq("user_id")).count() == 0)
+  }
+}
