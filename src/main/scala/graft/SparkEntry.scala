@@ -317,6 +317,36 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
+    // ----- Percentiles (exact, interpolated) --------------------------
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"),
+          count(lit(1)).as("n"))),
+
+    // ----- Moment statistics via exact decimal sums -------------------
+    // stddev/avg computed from order-independent decimal accumulations
+    // (Welford order-sensitivity would break oracle hashing)
+    "q_price_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val x = col("l_extendedprice")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          sum(x.cast(DecimalType(18, 2))).as("__s"),
+          sum((x.cast(DecimalType(18, 2)) * x.cast(DecimalType(18, 2)))).as("__s2"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"), col("n"),
+          (col("__s").cast(DoubleType) / col("n")).as("avg_price"),
+          sqrt(
+            (col("__s2").cast(DoubleType) -
+              col("__s").cast(DoubleType) * col("__s").cast(DoubleType) / col("n")) /
+              (col("n") - 1)).as("stddev_price"))
+    }),
+
     // ----- Quality scoring: composite from text features --------------
     "q_quality_score" -> ((s, dir) => {
       val st = TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
@@ -659,6 +689,21 @@ object SparkEntry {
          CAST(len(list_filter(string_split(trim(text), ' '),
                 x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_score
          FROM documents""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50_qty,
+         quantile_cont(l_extendedprice, 0.9) AS p90_price,
+         quantile_cont(l_extendedprice, 0.99) AS p99_price,
+         count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q_price_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+              / (count(*) - 1)) AS stddev_price
+         FROM lineitem GROUP BY 1""",
     "q_quality_score" ->
       """SELECT doc_id,
            least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
