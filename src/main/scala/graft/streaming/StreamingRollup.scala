@@ -87,4 +87,31 @@ object StreamingRollup {
     q.awaitTermination()
     q
   }
+
+  /** R1 — the full cascade as streaming: fan one candle stream out to
+    * every grain, each as its own independent query + sink +
+    * checkpoint (so one slow grain never backpressures another; the
+    * reference's MV cascade is similarly per-view). Returns
+    * grain-label → writer; caller starts/awaits them.
+    *
+    * Each grain aggregates the RAW stream rather than the previous
+    * grain's sink (unlike ClickHouse's chained MVs): chaining streaming
+    * aggregations would stack watermark delays per level, and the A6
+    * commutativity (cascade ≡ direct, unit-tested) makes direct
+    * aggregation semantically identical.
+    */
+  def streamAllGrains(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      watermark: String,
+      basePath: String,
+      grains: Seq[graft.model.Timeframe] = graft.model.Timeframe.RollupGrains
+  ): Map[String, DataStreamWriter[Row]] =
+    grains.map { g =>
+      val agg = streamingOhlcv(stream, keys, tsCol, valueCol, g.sparkInterval, watermark)
+      g.label -> toParquetSink(agg,
+        s"$basePath/rollup_${g.label}", s"$basePath/ckpt_${g.label}")
+    }.toMap
 }

@@ -58,6 +58,70 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("multi-grain fan-out: every grain's sink matches its batch rollup") {
+    // a file source, not MemoryStream: MemoryStream truncates committed
+    // batches (single-consumer), so independent per-grain queries need
+    // a replayable source — exactly the production setup
+    val dir = java.nio.file.Files.createTempDirectory("graft_grains").toString
+    val in = s"$dir/in"
+    (ticks :+ Tick("BTC", ts("2024-03-02 12:00:00"), 1.0)).toDF()
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ticks.toDF().schema).parquet(in)
+    // run twice: AvailableNow finalizes windows crossed by the LAST
+    // batch's watermark only on the next run from the same checkpoint
+    (1 to 2).foreach { _ =>
+      val writers = StreamingRollup.streamAllGrains(
+        stream, Seq("symbol"), "t", "price", "10 minutes", dir,
+        grains = Seq(graft.model.Timeframe.parse("15m"), graft.model.Timeframe.parse("1h")))
+      writers.values.foreach(w => StreamingRollup.runAvailableNow(w))
+    }
+
+    for (label <- Seq("15m", "1h")) {
+      val grain = graft.model.Timeframe.parse(label).sparkInterval
+      val stored = spark.read.parquet(s"$dir/rollup_$label")
+        .filter($"bucket_ts" < ts("2024-03-01 09:00:00"))
+        .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+        .orderBy("symbol", "bucket_ts").collect()
+      val want = CandleOps.ohlcvRollup(ticks.toDF(), Seq("symbol"), "t", "price", grain)
+        .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+        .orderBy("symbol", "bucket_ts").collect()
+      assert(stored.sameElements(want), s"grain $label diverged")
+    }
+  }
+
+  test("late data beyond the watermark is recovered by reconciliation (repairRange)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val source = MemoryStream[Tick]
+    val streamed = StreamingRollup.streamingOhlcv(
+      source.toDF(), Seq("symbol"), "t", "price", "15 minutes", "10 minutes")
+    // first batch: on-time data, then watermark advances far ahead
+    source.addData(ticks)
+    source.addData(Tick("BTC", ts("2024-03-01 12:00:00"), 1.0))
+    val writer = StreamingRollup.toParquetSink(streamed, s"$dir/rollup", s"$dir/ckpt")
+    StreamingRollup.runAvailableNow(writer)
+    // a straggler arrives hours late — the closed window ignores it
+    val late = Tick("BTC", ts("2024-03-01 08:03:30"), 9999.0)
+    source.addData(late)
+    StreamingRollup.runAvailableNow(
+      StreamingRollup.toParquetSink(streamed, s"$dir/rollup", s"$dir/ckpt"))
+    val streamedHigh = spark.read.parquet(s"$dir/rollup")
+      .filter($"symbol" === "BTC" && $"bucket_ts" === ts("2024-03-01 08:00:00"))
+      .agg(max($"high")).as[Double].head()
+    assert(streamedHigh < 9999.0) // dropped, as watermark semantics dictate
+
+    // reconciliation: batch source-of-truth recompute of the window
+    // (the reference's quality-watchdog path: G2 detect -> R2 repair)
+    val truth = (ticks :+ late).toDF()
+    graft.operators.RollupStore.repairRange(
+      spark, truth, Seq("symbol"), "t", "price", "15 minutes",
+      s"$dir/rollup_repaired", "2024-03-01 08:00:00", "2024-03-01 09:00:00")
+    val repairedHigh = spark.read.parquet(s"$dir/rollup_repaired")
+      .filter($"symbol" === "BTC" && $"bucket_ts" === ts("2024-03-01 08:00:00"))
+      .agg(max($"high")).as[Double].head()
+    assert(repairedHigh == 9999.0)
+  }
+
   test("streaming parquet sink writes month-partitioned rollups") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
