@@ -317,6 +317,27 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
+    // ----- Set operations: INTERSECT / EXCEPT / UNION -----------------
+    "q_set_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clickers = e.filter(col("event_type") === "click").select("user_id").distinct()
+      val buyers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val errored = e.filter(col("event_type") === "error").select("user_id").distinct()
+      clickers.intersect(buyers).withColumn("cohort", lit("click_and_buy"))
+        .unionByName(clickers.except(errored).withColumn("cohort", lit("click_no_error")))
+    }),
+
+    // ----- Pivot-style conditional aggregation ------------------------
+    "q_pivot_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).cast(LongType).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).cast(LongType).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast(LongType).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).cast(LongType).as("n_signup"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).cast(LongType).as("n_error"))),
+
     // ----- Percentiles (exact, interpolated) --------------------------
     "q_percentiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -689,6 +710,21 @@ object SparkEntry {
          CAST(len(list_filter(string_split(trim(text), ' '),
                 x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_score
          FROM documents""",
+    "q_set_ops" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         errored AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+         SELECT user_id, 'click_and_buy' AS cohort FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+         UNION ALL
+         SELECT user_id, 'click_no_error' AS cohort FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM errored)""",
+    "q_pivot_counts" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY 1""",
     "q_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.5) AS p50_qty,
