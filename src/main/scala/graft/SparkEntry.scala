@@ -410,6 +410,24 @@ object SparkEntry {
       VectorOps.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45)),
 
+    // ----- IVF over computed k-means clusters (rows-only: engine-
+    // defined clustering has no SQL oracle) ----------------------------
+    "q_knn_kmeans_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clusters = VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 3)
+      val withCluster = emb.join(
+        clusters.withColumnRenamed("id", "vec_id"), "vec_id")
+      VectorOps.knnTopKIvf(withCluster, "vec_id", "embedding", "cluster",
+        col("vec_id") < 20, k = 5)
+    }),
+
+    // ----- Histogram: fixed-width value buckets -----------------------
+    "q_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 25.0).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          CandleOps.moneySum(col("value")).as("bucket_sum"))),
+
     // ----- Winnowing fingerprints (rolling-hash dedup; engine-defined
     // hash — rows-only check, invariants unit-tested) ------------------
     "q_doc_winnow" -> ((s, dir) =>
@@ -710,6 +728,10 @@ object SparkEntry {
          CAST(len(list_filter(string_split(trim(text), ' '),
                 x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_score
          FROM documents""",
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+         FROM events GROUP BY 1""",
     "q_set_ops" ->
       """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
          buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),

@@ -166,6 +166,72 @@ object VectorOps {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
   }
 
+  /** Deterministic distributed k-means (Lloyd's, fixed iterations,
+    * centroids seeded from the first k vector ids): the coarse
+    * quantizer behind a real IVF index when no cluster column exists.
+    * Each iteration is one broadcast of k centroids + one map-side
+    * assignment + one groupBy(cluster) average — no quadratic step,
+    * scales linearly in |vectors| per iteration. Returns (id, cluster).
+    */
+  def kmeansAssign(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(
+      col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+
+    var centroids: Array[(Int, Seq[Double])] = vecs
+      .orderBy("id").limit(k)
+      .as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+
+    def assigned(cents: Array[(Int, Seq[Double])]): DataFrame = {
+      // |v - c|^2 = |v|^2 + |c|^2 - 2 v·c ; dot is the codegen'd
+      // DotProduct expression, |c|^2 a driver-side constant. First
+      // minimum wins ties (strict <), deterministically.
+      val v2 = dot(col("vec"), col("vec"))
+      val dists = cents.sortBy(_._1).map { case (_, c) =>
+        val cLit = array(c.map(lit): _*)
+        v2 + lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("vec"), cLit)
+      }
+      var bestIdx: Column = lit(0)
+      var bestDist: Column = dists(0)
+      var j = 1
+      while (j < dists.length) {
+        bestIdx = when(dists(j) < bestDist, lit(j)).otherwise(bestIdx)
+        bestDist = when(dists(j) < bestDist, dists(j)).otherwise(bestDist)
+        j += 1
+      }
+      vecs.select(col("id"), col("vec"), bestIdx.cast("int").as("cluster"))
+    }
+
+    var cur = assigned(centroids)
+    var it = 1
+    while (it < iterations) {
+      val dim = centroids.head._2.size
+      val meanCols = (0 until dim).map(d => avg(col("vec")(d)).as(s"c$d"))
+      val newCents = cur
+        .groupBy(col("cluster"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), (0 until dim).map(d => r.getDouble(d + 1)): Seq[Double]))
+      // keep empty clusters' old centroids
+      val merged = centroids.map { case (i, old) =>
+        (i, newCents.find(_._1 == i).map(_._2).getOrElse(old))
+      }
+      centroids = merged
+      cur = assigned(centroids)
+      it += 1
+    }
+    cur.select(col("id"), col("cluster"))
+  }
+
   /** Random-hyperplane LSH bucket id (SimHash for vectors): bit j is
     * the sign of the dot product with pseudo-random plane j. Vectors
     * with high cosine similarity agree on most signs, so near-dups

@@ -104,6 +104,35 @@ object RollupStore {
     }
   }
 
+  /** Small-file compaction — the `OPTIMIZE TABLE` analog for streaming
+    * sinks: append-mode foreachBatch writers accumulate one file per
+    * micro-batch per partition; periodically rewrite each month
+    * partition into ~`targetRowsPerFile`-row files. Idempotent and
+    * partition-scoped (dynamic overwrite leaves other months alone).
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      months: Seq[String],
+      targetRowsPerFile: Long = 1000000L
+  ): Unit = {
+    val df = spark.read.parquet(path)
+      .filter(col(PartitionCol).isin(months: _*))
+    // partition values may read back type-inferred (int), not string
+    val counts = df.groupBy(col(PartitionCol)).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val nFiles = math.max(1,
+      math.ceil(counts.values.sum.toDouble / targetRowsPerFile).toInt)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.repartition(nFiles, col(PartitionCol))
+      .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** R3 — verification: per key, distinct buckets observed in the
     * stored rollup within [rangeStart, rangeEnd) vs the expected count
     * from interval arithmetic. Returns keys that fail.
