@@ -200,15 +200,17 @@ object VectorOps {
         val cLit = array(c.map(lit): _*)
         v2 + lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("vec"), cLit)
       }
-      var bestIdx: Column = lit(0)
-      var bestDist: Column = dists(0)
-      var j = 1
-      while (j < dists.length) {
-        bestIdx = when(dists(j) < bestDist, lit(j)).otherwise(bestIdx)
-        bestDist = when(dists(j) < bestDist, dists(j)).otherwise(bestDist)
-        j += 1
-      }
-      vecs.select(col("id"), col("vec"), bestIdx.cast("int").as("cluster"))
+      // materialize distances as columns BEFORE the argmin chain: a
+      // nested when() over raw dist expressions would re-inline each
+      // dot product exponentially (2^k expression copies)
+      val withDists = vecs.select(
+        col("id") +: col("vec") +:
+          dists.zipWithIndex.map { case (d, i) => d.as(s"__d$i") }: _*)
+      val dCols = dists.indices.map(i => col(s"__d$i"))
+      val dArr = array(dCols: _*)
+      // first occurrence of the min → deterministic tie-break
+      val bestIdx = (array_position(dArr, array_min(dArr)) - 1).cast("int")
+      withDists.select(col("id"), col("vec"), bestIdx.as("cluster"))
     }
 
     var cur = assigned(centroids)
