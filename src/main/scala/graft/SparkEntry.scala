@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps}
+import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps, RangeJoin}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -316,6 +316,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("__t")).cast(LongType).as("total_tokens"))),
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // ----- B6: recent-N rollup buckets per key (notebook
+    // fetch_recent_ohlcv) ---------------------------------------------
+    "q_recent_per_key" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket_ts").desc)
+      r1h.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("user_id", "bucket_ts", "open", "high", "low", "close", "volume", "trades", "rn")
+    }),
+
+    // ----- Range join: same-user event pairs within 60 seconds --------
+    "q_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      RangeJoin.timeProximityJoin(
+        purchases, clicks, Seq("user_id"), "ts", toleranceSeconds = 3600L,
+        leftPayload = Seq("event_id"), rightPayload = Seq("event_id"))
+        .select(
+          col("user_id"), col("ts_l"), col("ts_r"),
+          col("l_event_id").as("purchase_id"), col("r_event_id").as("click_id"))
+    }),
 
     // ----- Set operations: INTERSECT / EXCEPT / UNION -----------------
     "q_set_ops" -> ((s, dir) => {
@@ -732,6 +757,26 @@ object SparkEntry {
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
          FROM events GROUP BY 1""",
+    "q_recent_per_key" ->
+      """WITH r1h AS (
+           SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+                  arg_max(value, ts) AS close,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+                  count(*) AS trades
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, bucket_ts, open, high, low, close, volume, trades,
+                CAST(rn AS INT) AS rn
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts DESC) AS rn
+               FROM r1h)
+         WHERE rn <= 20""",
+    "q_range_join" ->
+      """SELECT p.user_id, p.ts AS ts_l, c.ts AS ts_r,
+                p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000""",
     "q_set_ops" ->
       """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
          buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
