@@ -289,6 +289,14 @@ object SparkEntry {
       TextOps.minhashCandidatePairs(
         Tables.documents(s, dir), "doc_id", "text",
         bands = 4, rowsPerBand = 2, shingleSize = 3)),
+    // Full dedup resolution: LSH candidate pairs -> connected
+    // components -> keeper per group (rows-only: iterative graph algo)
+    "q_dedup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate candidate pairs — the
+  * final step of every dedup pipeline: pairs (from MinHash/SimHash/
+  * winnowing/cosine) form a graph; each connected component is one
+  * duplicate group; the minimum id in the component is the keeper.
+  *
+  * Implemented as iterative min-label propagation over DataFrames
+  * (small-star style): every node repeatedly adopts the smallest label
+  * among itself and its neighbors until a fixpoint. Each iteration is
+  * one join + one aggregate; convergence needs at most the graph
+  * diameter rounds (near-dup graphs are shallow — chains longer than a
+  * handful of docs are rare), and the loop exits early when an
+  * iteration changes nothing. Deterministic: labels are ids, min is
+  * order-free.
+  */
+object DedupGroups {
+
+  /** @param pairs columns (doc_a, doc_b) — undirected candidate edges
+    * @return (doc_id, group_id) for every doc appearing in any pair;
+    *         group_id = min doc_id of its connected component
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs.select(
+        col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .cache()
+
+    // localCheckpoint each round: iterative self-referential lineage
+    // otherwise doubles the plan every iteration (exponential plan
+    // size -> analysis/explain OOM long before any data problem)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("group_id", col("doc_id"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("group_id"))
+      val updated = labels.unionByName(neighborLabels)
+        .groupBy("doc_id")
+        .agg(min("group_id").as("group_id"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
+        .filter(col("group_id") =!= col("old"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full dedup resolution: every document keeps its id; members of a
+    * duplicate group point at the group's keeper (min id); singletons
+    * keep themselves.
+    */
+  def resolveKeepers(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIterations: Int = 10
+  ): DataFrame = {
+    val groups = connectedComponents(pairs, maxIterations)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("keeper_id"),
+        (coalesce(col("group_id"), col("doc_id")) === col("doc_id")).as("is_keeper"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.DedupGroups
+
+class DedupGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, cliques, and singletons resolve to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("doc_a", "doc_b")
+    val cc = DedupGroups.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+
+  test("long chain converges within the iteration budget") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = DedupGroups.connectedComponents(pairs, maxIterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 9L).forall(cc(_) == 0L))
+  }
+
+  test("resolveKeepers marks keepers and leaves singletons alone") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupGroups.resolveKeepers(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((4L, true))) // singleton
+    assert(out(5L) == ((5L, true)))
+  }
+
+  test("end-to-end: minhash pairs -> dedup groups on planted dups") {
+    import graft.functions.TextOps
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base), // triple exact dup
+      (4L, "totally different content about catalyst optimizer rules and strategies")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+    val keepers = DedupGroups.resolveKeepers(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(keepers(1L) == 1L && keepers(2L) == 1L && keepers(3L) == 1L)
+    assert(keepers(4L) == 4L)
+  }
+}
