@@ -375,6 +375,26 @@ object SparkEntry {
           col("l_event_id").as("purchase_id"), col("r_event_id").as("click_id"))
     }),
 
+    // ----- JSON extraction from the props column ----------------------
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // ----- String function surface ------------------------------------
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        substring(col("p_name"), 1, 4).as("name_prefix"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowels"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (instr(col("p_name"), " ")).cast(LongType).as("space_pos"))),
+
     // ----- Set operations: INTERSECT / EXCEPT / UNION -----------------
     "q_set_ops" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -809,6 +829,21 @@ object SparkEntry {
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
          FROM events GROUP BY 1""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+         upper(p_name) AS name_upper,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         substr(p_name, 1, 4) AS name_prefix,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowels,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         CAST(strpos(p_name, ' ') AS BIGINT) AS space_pos
+         FROM part""",
     "q_recent_per_key" ->
       """WITH r1h AS (
            SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
