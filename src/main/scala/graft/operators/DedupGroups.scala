@@ -39,6 +39,13 @@ object DedupGroups {
       .withColumn("group_id", col("doc_id"))
       .localCheckpoint(true)
 
+    // convergence check: labels only ever decrease, so the label sum
+    // strictly decreases iff any node changed — one tiny aggregate
+    // instead of a join per round
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("group_id")).head().getLong(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -50,11 +57,10 @@ object DedupGroups {
         .groupBy("doc_id")
         .agg(min("group_id").as("group_id"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
-        .filter(col("group_id") =!= col("old"))
-        .limit(1).count() > 0
+      val curSum = labelSum(updated)
       labels = updated
-      converged = !changed
+      converged = curSum == prevSum
+      prevSum = curSum
       it += 1
     }
     edges.unpersist()
