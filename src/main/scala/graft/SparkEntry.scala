@@ -440,10 +440,12 @@ object SparkEntry {
         .select(
           col("l_returnflag"), col("n"),
           (col("__s").cast(DoubleType) / col("n")).as("avg_price"),
-          sqrt(
+          // floored micro-units: a last-ulp difference in the decimal->
+          // double cast of the squared sum must not flip the hash
+          floor(sqrt(
             (col("__s2").cast(DoubleType) -
               col("__s").cast(DoubleType) * col("__s").cast(DoubleType) / col("n")) /
-              (col("n") - 1)).as("stddev_price"))
+              (col("n") - 1)) * 1000000.0).cast(LongType).as("stddev_price_micros"))
     }),
 
     // ----- Quality scoring: composite from text features --------------
@@ -889,10 +891,10 @@ object SparkEntry {
     "q_price_stats" ->
       """SELECT l_returnflag, count(*) AS n,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-         sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         CAST(floor(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-              / (count(*) - 1)) AS stddev_price
+              / (count(*) - 1)) * 1000000.0) AS BIGINT) AS stddev_price_micros
          FROM lineitem GROUP BY 1""",
     "q_quality_score" ->
       """SELECT doc_id,
