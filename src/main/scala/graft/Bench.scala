@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * A query that throws is NOT silently folded into the total: its
+  * wall-time still appears in `queries` (so the driver's schema is
+  * unchanged) but the name and error are listed in `errors`, `ok`
+  * is false, and the process exits non-zero — a regression can't
+  * hide behind a green-looking bench line.
+  *
+  * Optional CLI args are query names: `runMain graft.Bench q_sma
+  * q_knn_topk` runs just those two (dev iteration aid; the driver
+  * passes none and gets the full suite).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,22 +22,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup outside the timed loop (codegen, parquet
-    // footer caches, shuffle infra) so the first query isn't charged
-    // several seconds of spin-up
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // footer caches, shuffle infra, JIT of the md5/shingle/dot-product
+    // hot loops) so the first query to touch each code path isn't
+    // charged 5-25 s of spin-up. Warmup runs at sf0.001 — same code
+    // paths, ~1% of the data.
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q_ohlcv_rollup_15m", "q_dedup_groups", "q_knn_kmeans_ivf",
+      "q_simhash_neardup", "q_winnow_neardup").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
+    var errors = List.empty[(String, String)]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          errors ::= (name, msg)
+      }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val ok = errors.isEmpty
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (!ok) sys.exit(1)
   }
 }

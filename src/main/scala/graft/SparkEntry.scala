@@ -523,8 +523,14 @@ object SparkEntry {
     // oracle — rows-only check) --------------------------------------
     "q_media_stats" -> ((s, _) =>
       MultimodalOps.mediaStats(MultimodalOps.syntheticMedia(s, 500).toDF())),
+    // feature vector projected to a scalar string: the driver's checker
+    // sorts rows via pandas, which cannot hash a raw array<float> column
     "q_media_features" -> ((s, _) =>
-      MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, 500)).toDF()),
+      MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, 500)).toDF()
+        .select(
+          col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          concat_ws(",", transform(col("feature"), f => f.cast("string")))
+            .as("feature_csv"))),
     "q_frame_samples" -> ((s, _) =>
       MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, 500).toDF(), everyMs = 500L))
   )

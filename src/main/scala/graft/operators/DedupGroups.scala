@@ -33,7 +33,11 @@ object DedupGroups {
 
     // localCheckpoint each round: iterative self-referential lineage
     // otherwise doubles the plan every iteration (exponential plan
-    // size -> analysis/explain OOM long before any data problem)
+    // size -> analysis/explain OOM long before any data problem).
+    // Checkpoints are EAGER on purpose: lazy checkpoints (materialized
+    // by the convergence-sum action) measured consistently 1.5-3x
+    // slower under AQE — the sum then recomputes the final stage
+    // instead of scanning persisted blocks.
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("group_id", col("doc_id"))

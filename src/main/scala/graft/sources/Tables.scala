@@ -39,6 +39,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  // NOTE on split counts: these test tables are single parquet files,
+  // so compute-heavy text/vector stages run in few tasks. Measured
+  // (local[32], sf0.1): explicitly repartitioning them up to core count
+  // made every downstream query 5-8x SLOWER — the work (~2 s of md5)
+  // is far smaller than 32-way shuffle+task overhead. At 100 TB the
+  // scan yields thousands of splits and parallelism comes for free; do
+  // not force it here.
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }
