@@ -489,6 +489,13 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45)),
+    // Hyperplane-LSH bucketed variant (rows-only: the seeded random
+    // planes are engine-defined, not SQL-reproducible). Few planes ->
+    // big buckets -> high recall at this tiny SF.
+    "q_lsh_neardup" -> ((s, dir) =>
+      VectorOps.lshNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nPlanes = 4, threshold = 0.45)),
 
     // ----- IVF over computed k-means clusters (rows-only: engine-
     // defined clustering has no SQL oracle) ----------------------------
@@ -767,6 +774,40 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b USING (band, h)
          WHERE a.doc_id < b.doc_id""",
+    // Connected components via transitive closure: DuckDB's recursive
+    // CTE accumulates every (node, reachable-label) pair; min per node
+    // is the component minimum — same contract as the distributed
+    // min-label propagation loop in DedupGroups.
+    "q_dedup_groups" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+                FROM toks WHERE len(t) >= 3),
+         sig AS (SELECT doc_id,
+                  min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                  min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+                  min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+                  min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+                 FROM sh GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS h FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b USING (band, h)
+                  WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS keeper_id,
+                coalesce(g.group_id, d.doc_id) = d.doc_id AS is_keeper
+         FROM documents d LEFT JOIN grp g USING (doc_id)""",
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          sets AS (SELECT doc_id,
@@ -799,10 +840,14 @@ object SparkEntry {
                   bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
                               ELSE CAST(0 AS UBIGINT) END) AS sh
                 FROM bits GROUP BY 1),
-         banded AS (SELECT doc_id, sh, sh >> 48 AS band FROM fp)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         banded AS (SELECT doc_id, sh, bs.band,
+                      (sh >> (bs.band * 16)) & 65535 AS h
+                    FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+         kept AS (SELECT band, h FROM banded GROUP BY band, h HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, h))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-         FROM banded a JOIN banded b USING (band)
+         FROM guarded a JOIN guarded b USING (band, h)
          WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3""",
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -169,27 +169,55 @@ object TextOps {
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom
-    * expression), band by the top 16 bits to bound the self-join, then
-    * filter by hamming distance. At 100 TB the banding would use 4
-    * rotated 16-bit keys to guarantee recall at distance<=3 (the
-    * standard simhash table trick); one band demonstrates the shape.
+    * expression), band by FOUR disjoint 16-bit keys (the standard
+    * rotated-table trick), self-join within each band bucket, filter by
+    * hamming distance, dedup pairs found in multiple bands.
+    *
+    * Recall guarantee: a pair at hamming distance <= 3 differs in at
+    * most 3 bits, which can touch at most 3 of the 4 bands — so the
+    * pair agrees EXACTLY on at least one full 16-bit band and is always
+    * a join candidate (pigeonhole).
+    *
+    * Skew guard: a degenerate band value (e.g. thousands of near-empty
+    * docs with identical fingerprint bits) would go quadratic inside
+    * its bucket; buckets larger than `bucketCap` docs are dropped
+    * before the self-join. At the default cap this only fires on
+    * pathological buckets where the quadratic join would dominate the
+    * whole job — the pairs inside a dropped bucket are better served by
+    * exact dedup (they are near-identical by construction).
     */
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int
+      maxHamming: Int,
+      bucketCap: Long = 10000L
   ): DataFrame = {
+    require(maxHamming <= 3, s"4 disjoint 16-bit bands guarantee recall only to hamming 3: $maxHamming")
     val fp = docs.select(
       col(idCol),
       SimHash64.simhash64(tokens(col(textCol))).as("simhash"))
-    val banded = fp.withColumn("band", shiftrightunsigned(col("simhash"), 48))
-    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("band"))
-    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("band"))
-    a.join(b, Seq("band"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("h"))
+    }
+    val banded = fp
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("simhash"), col("__b.band").as("band"), col("__b.h").as("h"))
+    val keptBuckets = banded
+      .groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= bucketCap)
+      .select(col("band"), col("h"))
+    val guarded = banded.join(keptBuckets, Seq("band", "h"))
+    val a = guarded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("band"), col("h"))
+    val b = guarded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("band"), col("h"))
+    a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -22,15 +21,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * shuffle; the near-dup search then group-joins on fingerprint values.
   */
 case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    Winnowing.winnowArray(input.asInstanceOf[ArrayData], k, w)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Winnowing$$.MODULE$$.winnowArray($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprints =
+    copy(child = newChild)
+}
+
+object Winnowing {
+  private val Mod = (1L << 61) - 1 // Mersenne prime 2^61-1
+  private val Base = 1000003L
+
+  /** Row-local winnowing kernel — called from both the interpreted eval
+    * and the generated code.
+    */
+  def winnowArray(toks: ArrayData, k: Int, w: Int): ArrayData = {
     val m = toks.numElements()
     if (m < k) return new GenericArrayData(Array.empty[Any])
 
@@ -41,7 +64,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     var i = 0
     while (i < m) {
       val t = toks.getUTF8String(i)
-      tokHash(i) = if (t == null) 0L else Winnowing.mix(t.hashCode().toLong)
+      tokHash(i) = if (t == null) 0L else mix(t.hashCode().toLong)
       i += 1
     }
     var g = 0
@@ -49,7 +72,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
       var h = 0L
       var j = 0
       while (j < k) {
-        h = Winnowing.polyStep(h, tokHash(g + j))
+        h = polyStep(h, tokHash(g + j))
         j += 1
       }
       gramHash(g) = h
@@ -77,19 +100,6 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     }
     new GenericArrayData(out.toArray)
   }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprints =
-    copy(child = newChild)
-}
-
-object Winnowing {
-  private val Mod = (1L << 61) - 1 // Mersenne prime 2^61-1
-  private val Base = 1000003L
 
   /** Avalanche a 64-bit value into [0, Mod). */
   def mix(x: Long): Long = {

@@ -76,6 +76,37 @@ class TextVectorSpec extends SparkSpec {
     val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L))) // near-dup: multi-band recall
+  }
+
+  test("simhash 4-band recall: every hamming<=3 pair is a candidate regardless of bit position") {
+    // identical docs => hamming 0; the multi-band guarantee is about
+    // WHICH band differing bits land in, so check pairs via raw
+    // fingerprints: for every pair of docs in a larger corpus whose
+    // hamming is <= 3, simhashNearDupPairs must emit it.
+    val corpus = (0L until 40L).map(i =>
+      (i, s"shared common prefix tokens ${"x" * (i % 5).toInt} tail $i variant ${i % 7}"))
+      .toDF("doc_id", "text")
+    val fps = corpus.select($"doc_id",
+      SimHash64.simhash64(TextOps.tokens($"text")).as("sh")).as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- fps; (b, sb) <- fps if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = TextOps.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("simhash bucket cap drops a planted hot band bucket") {
+    // 50 identical docs -> every band bucket has 50 members; with a cap
+    // below 50 the hot buckets are dropped and no pairs survive, while
+    // an uncapped run returns all 50*49/2 pairs.
+    val hot = (0L until 50L).map(i => (i, base)).toDF("doc_id", "text")
+    val uncapped = TextOps.simhashNearDupPairs(hot, "doc_id", "text", 3)
+    assert(uncapped.count() == 50L * 49 / 2)
+    val capped = TextOps.simhashNearDupPairs(hot, "doc_id", "text", 3, bucketCap = 49L)
+    assert(capped.count() == 0)
   }
 
   test("dot/norm/knn: planted nearest vector wins") {
