@@ -122,6 +122,13 @@ object SparkEntry {
     "q_gap_ranges" -> ((s, dir) =>
       GapOps.islandRanges(Tables.events(s, dir), Seq("user_id"), "ts", "1 hour", 3600L)),
 
+    // ----- R4/R5: the reference's per-grain data-quality loop over all
+    // 8 maintained rollup grains, as one query ------------------------
+    "q_rollup_gap_scan" -> ((s, dir) =>
+      GapOps.multiGrainGapScan(
+        Tables.events(s, dir), Seq("user_id"), "ts",
+        graft.model.Timeframe.RollupGrains)),
+
     // ----- G4: freshness watchdog -------------------------------------
     "q_freshness_lag" -> ((s, dir) =>
       GapOps.freshnessLag(
@@ -545,7 +552,33 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Oracle for q_rollup_gap_scan, generated per grain: bucket events
+    * once at 1m, re-bucket per grain, grid anti-join, collapse missing
+    * runs — the same cascade shape as the Spark side.
+    */
+  private def gapScanOracleSql: String = {
+    val grains = graft.model.Timeframe.RollupGrains
+    val ctes = grains.map { g =>
+      val l = g.label; val i = g.sparkInterval
+      s"""o_$l AS (SELECT DISTINCT user_id, time_bucket(INTERVAL '$i', b0) AS b FROM obs0),
+         x_$l AS (SELECT user_id, b, lag(b) OVER (PARTITION BY user_id ORDER BY b) AS prev
+                  FROM o_$l)"""
+    }
+    val stepUs = (g: graft.model.Timeframe) => g.seconds * 1000000L
+    val selects = grains.map { g =>
+      s"""SELECT user_id, '${g.label}' AS grain,
+          prev + INTERVAL '${g.sparkInterval}' AS range_start,
+          b - INTERVAL '${g.sparkInterval}' AS range_end,
+          CAST((epoch_us(b) - epoch_us(prev)) // ${stepUs(g)} - 1 AS BIGINT) AS n_missing
+          FROM x_${g.label}
+          WHERE prev IS NOT NULL AND epoch_us(b) - epoch_us(prev) > ${stepUs(g)}"""
+    }
+    "WITH obs0 AS (SELECT DISTINCT user_id, time_bucket(INTERVAL '1 minute', ts) AS b0 FROM events),\n" +
+      ctes.mkString(",\n") + "\n" + selects.mkString("\nUNION ALL\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_rollup_gap_scan" -> gapScanOracleSql,
     "q_ohlcv_rollup_15m" ->
       """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,

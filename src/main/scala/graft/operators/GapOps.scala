@@ -152,6 +152,63 @@ object GapOps {
       .drop("earliest_ts")
   }
 
+  /** R4/R5 — the reference's full data-quality loop as ONE query: for
+    * every maintained rollup grain, the missing-bucket ranges per key
+    * (reference: app/data_quality_check.py:583-633 runs the gap scan
+    * per rollup table every cycle).
+    *
+    * Scale design: the raw events are bucketed ONCE at the finest
+    * grain (distinct (key, bucket) — the same shape as the 1m rollup
+    * store); every coarser grain re-buckets that already-tiny set, the
+    * cascade trick applied to gap scanning. 8 grains cost one scan of
+    * the events plus 8 aggregations of rollup-sized data — not 8 scans
+    * of the raw table.
+    *
+    * Output: (keys..., grain, range_start, range_end, n_missing), one
+    * row per maximal run of missing buckets per key per grain.
+    */
+  def multiGrainGapScan(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      grains: Seq[graft.model.Timeframe]
+  ): DataFrame = {
+    val finest = grains.minBy(_.seconds)
+    require(grains.forall(g => finest.divides(g)),
+      s"all grains must be integer multiples of the finest (${finest.label})")
+    val obsFinest = observedBuckets(df, keys, tsCol, finest.sparkInterval)
+      .withColumnRenamed("bucket_ts", "__fb")
+      .cache()
+    val perGrain = grains.map { g =>
+      val obs =
+        if (g.seconds == finest.seconds)
+          obsFinest.select(keys.map(col) :+ col("__fb").as("bucket_ts"): _*)
+        else
+          obsFinest
+            .select(keys.map(col) :+
+              CandleOps.floorToGrain(col("__fb"), g.sparkInterval).as("bucket_ts"): _*)
+            .distinct()
+      // a missing range is exactly the space between two CONSECUTIVE
+      // observed buckets more than one step apart — one lag over the
+      // rollup-sized observed set. Never materialize the missing grid:
+      // a sparse key at a fine grain would explode it (measured 6M+
+      // grid rows and a window over all of them at sf0.01).
+      val stepUs = g.seconds * 1000000L
+      val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket_ts"))
+      obs
+        .withColumn("__prev", lag(col("bucket_ts"), 1).over(byKey))
+        .filter(col("__prev").isNotNull &&
+          unix_micros(col("bucket_ts")) - unix_micros(col("__prev")) > stepUs)
+        .select(
+          keys.map(col) :+ lit(g.label).as("grain") :+
+            (col("__prev") + expr(s"INTERVAL ${g.sparkInterval}")).as("range_start") :+
+            (col("bucket_ts") - expr(s"INTERVAL ${g.sparkInterval}")).as("range_end") :+
+            (((unix_micros(col("bucket_ts")) - unix_micros(col("__prev"))) / stepUs) - 1L)
+              .cast(LongType).as("n_missing"): _*)
+    }
+    perGrain.reduce(_ unionByName _)
+  }
+
   /** P5 — listing diff: ids present on one side only, labeled. The
     * reference's only set operation (`current − known` / `known −
     * current`, app/data_collector.py:136-137). Two left-anti joins;

@@ -82,6 +82,37 @@ class GapOpsSpec extends SparkSpec {
     assert(out == Set(("A", "added"), ("D", "removed")))
   }
 
+  test("R4/R5 multiGrainGapScan finds the holes at every grain, consistent with a materialized rollup store") {
+    import graft.model.Timeframe
+    // minutes 08:00-09:59 with a 12-minute hole [08:30, 08:41]
+    val rows = ((0 until 30) ++ (42 until 120))
+      .map(m => ("A", ts(f"2024-03-01 ${8 + m / 60}%02d:${m % 60}%02d:00"), 1.0))
+      .toDF("symbol", "t", "v")
+    val grains = Seq(Timeframe.parse("1m"), Timeframe.parse("5m"), Timeframe.parse("15m"))
+    val scan = GapOps.multiGrainGapScan(rows, Seq("symbol"), "t", grains)
+      .select("grain", "range_start", "range_end", "n_missing")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+    // 1m: missing run [08:30, 08:41], 12 buckets
+    // 5m: buckets 08:30/08:35 fully inside the hole -> [08:30, 08:35], 2
+    // 15m: every 15m bucket has at least one event -> no gaps
+    assert(scan == Set(
+      ("1m", ts("2024-03-01 08:30:00"), ts("2024-03-01 08:41:00"), 12L),
+      ("5m", ts("2024-03-01 08:30:00"), ts("2024-03-01 08:35:00"), 2L)))
+
+    // the scan over raw events must agree with scanning each grain's
+    // materialized rollup (one row per (key, bucket) with data) —
+    // the shape the reference's quality loop actually reads
+    for (g <- grains) {
+      val rollup = graft.operators.CandleOps.ohlcvRollup(
+        rows, Seq("symbol"), "t", "v", g.sparkInterval)
+      val fromStore = GapOps.multiGrainGapScan(
+        rollup, Seq("symbol"), "bucket_ts", Seq(g))
+        .select("grain", "range_start", "range_end", "n_missing")
+        .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(fromStore == scan.filter(_._1 == g.label))
+    }
+  }
+
   test("G6 expectedBucketCount arithmetic") {
     val df = Seq(1).toDF("x").select(
       GapOps.expectedBucketCount(
