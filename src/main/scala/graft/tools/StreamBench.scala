@@ -1,0 +1,72 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.CandleOps
+import graft.streaming.StreamingRollup
+
+/** Streaming-cascade benchmark: run the full 8-grain streaming fan-out
+  * (StreamingRollup.streamAllGrains) over the sf events as a file
+  * stream with Trigger.AvailableNow, measure wall time, and assert
+  * equivalence with the batch rollup.
+  *
+  * AvailableNow append-mode gotcha: windows whose end is behind the
+  * final watermark flush only on the NEXT run from the same checkpoint,
+  * so the cascade runs twice; buckets still open at the final watermark
+  * (the last bucket of each grain per key) legitimately never emit and
+  * are excluded from the completeness check.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = Files.createTempDirectory("graft_streambench").toString
+    // events.parquet is TIMESTAMP(NANOS); materialize the micros
+    // conversion once so the file stream reads a plain schema
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "value")
+    events.repartition(8).write.parquet(s"$work/input")
+    val schema = spark.read.parquet(s"$work/input").schema
+
+    val t0 = System.nanoTime()
+    (1 to 2).foreach { _ =>
+      val stream = spark.readStream.schema(schema).parquet(s"$work/input")
+      val writers = StreamingRollup.streamAllGrains(
+        stream, Seq("user_id"), "ts", "value", "1 minute", s"$work/out")
+      val queries = writers.values.map(_.start()).toSeq
+      queries.foreach(_.awaitTermination())
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // equivalence on the 1h grain: everything streamed must match the
+    // batch rollup bit-for-bit; every closed bucket must have streamed
+    val cols = Seq("user_id", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+    val got = spark.read.parquet(s"$work/out/rollup_1h")
+      .select(cols.map(col): _*)
+    val want = CandleOps.ohlcvRollup(events, Seq("user_id"), "ts", "value", "1 hour")
+      .select(cols.map(col): _*)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime // millis
+    // closed = bucket end at least (watermark delay + slack) before max event time
+    val closedCutoffMs = maxTs - (60L + 120L) * 1000L
+    val wantClosed = want.filter(
+      (unix_timestamp(col("bucket_ts")) + 3600L) * 1000L < closedCutoffMs)
+
+    val wrong = got.exceptAll(want).count()
+    val missing = wantClosed.exceptAll(got).count()
+    val rows = got.count()
+    println(s"""STREAM_BENCH {"wall_sec":$wallSec,"grains":8,"rollup_1h_rows":$rows,"wrong_rows":$wrong,"missing_closed_rows":$missing,"sf":"$sfDir"}""")
+    spark.stop()
+    if (wrong != 0 || missing != 0) sys.exit(1)
+  }
+}

@@ -101,7 +101,17 @@ object RollupRouter {
       case _ => None
     }
 
-  final class RouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  /** A foldable timestamp operand (literal, or cast-of-literal before
+    * constant folding), evaluated to epoch micros.
+    */
+  private object FoldableTs {
+    def unapply(e: Expression): Option[Long] =
+      if (e.foldable && e.dataType == org.apache.spark.sql.types.TimestampType)
+        Option(e.eval(null)).map(_.asInstanceOf[Long])
+      else None
+  }
+
+  final class RouteRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (routes.isEmpty) return plan
@@ -147,17 +157,74 @@ object RollupRouter {
       }
       if (queryUs % 1000000L != 0) return None
       val querySec = queryUs / 1000000L
-      val grainSec = route.grains.keys.filter(g => querySec % g == 0)
-        .reduceOption(_ max _).getOrElse(return None)
+
+      // classify filter conjuncts; each must be one of
+      //   (a) key-only — rewritten by attribute substitution;
+      //   (b) an aligned half-open ts range (ts >= L / ts < L, either
+      //       operand order) — routable because a grain-aligned bound
+      //       never splits a bucket: rows with ts >= L are exactly the
+      //       rows of buckets >= L;
+      //   (c) ts referenced only through TimeBucket(ts, us) — routable
+      //       whenever the chosen grain divides us (the bucket function
+      //       factors through the rollup's bucket_ts).
+      // Anything else (unaligned bounds, strict > / <=, value-column
+      // predicates) blocks routing — fail-safe.
+      val conjuncts = filterOpt.toSeq.flatMap(splitConjunctivePredicates)
+      val isKeyRef = (r: Attribute) => keyAttrs.exists(_.exprId == r.exprId)
+      var keyConjs = List.empty[Expression]
+      var tsRangeConjs = List.empty[(Expression, Long)] // conjunct + bound micros
+      var bucketConjs = List.empty[Expression]
+      var bucketUsInFilter = List.empty[Long]
+      conjuncts.foreach { c =>
+        val refs = c.references.toSeq
+        if (refs.forall(isKeyRef)) keyConjs ::= c
+        else {
+          val refsOk = refs.forall(r => isKeyRef(r) || r.exprId == ts.exprId)
+          if (!refsOk) return None
+          c match {
+            // InferFiltersFromConstraints adds isnotnull(ts); a bucket
+            // is null iff its ts is null, so substitute directly (no
+            // alignment constraint: bound 0 divides every grain)
+            case IsNotNull(a: AttributeReference) if a.exprId == ts.exprId =>
+              tsRangeConjs ::= (c, 0L)
+            case GreaterThanOrEqual(a: AttributeReference, FoldableTs(us)) if a.exprId == ts.exprId =>
+              tsRangeConjs ::= (c, us)
+            case LessThan(a: AttributeReference, FoldableTs(us)) if a.exprId == ts.exprId =>
+              tsRangeConjs ::= (c, us)
+            case LessThanOrEqual(FoldableTs(us), a: AttributeReference) if a.exprId == ts.exprId =>
+              tsRangeConjs ::= (c, us)
+            case GreaterThan(FoldableTs(us), a: AttributeReference) if a.exprId == ts.exprId =>
+              tsRangeConjs ::= (c, us)
+            case _ =>
+              val buckets = c.collect {
+                case TimeBucket(a: AttributeReference, us) if a.exprId == ts.exprId => us
+              }
+              val rawTsRefs = c.collect {
+                case a: AttributeReference if a.exprId == ts.exprId => a
+              }
+              // every raw ts occurrence must sit inside a TimeBucket
+              if (rawTsRefs.size != buckets.size || buckets.isEmpty) return None
+              bucketConjs ::= c
+              bucketUsInFilter = buckets.toList ::: bucketUsInFilter
+          }
+        }
+      }
+
+      // coarsest registered grain that divides the query bucket AND
+      // every filter alignment (range bounds and bucket widths)
+      val grainSec = route.grains.keys.filter { g =>
+        val gus = g * 1000000L
+        querySec % g == 0 &&
+          tsRangeConjs.forall(_._2 % gus == 0) &&
+          bucketUsInFilter.forall(_ % gus == 0)
+      }.reduceOption(_ max _).getOrElse(return None)
       val rollupPath = route.grains(grainSec)
 
-      // non-bucket grouping exprs and the filter may reference keys only
+      // non-bucket grouping exprs may reference keys only
       val allowedIds = (keyAttrs.map(_.exprId) :+ ts.exprId).toSet ++
         pulledOpt.map(_.aliasId)
       val groupRefsOk = grouping.forall(_.references.forall(r => allowedIds.contains(r.exprId)))
-      val filterOk = filterOpt.forall(_.references.forall(r =>
-        keyAttrs.exists(_.exprId == r.exprId)))
-      if (!groupRefsOk || !filterOk) return None
+      if (!groupRefsOk) return None
 
       // resolve the rollup relation (fresh attribute ids)
       val rollupPlan = spark.read.parquet(rollupPath).queryExecution.analyzed
@@ -221,13 +288,24 @@ object RollupRouter {
           case other => Alias(other, ne.name)(exprId = ne.exprId)
         }
       }
+      val newFilter = {
+        val rewrittenKey = keyConjs.map(rewriteExpr)
+        val rewrittenBuckets = bucketConjs.map(rewriteExpr)
+        // aligned range bounds: substitute ts -> bucket_ts directly
+        val rewrittenRanges = tsRangeConjs.map { case (c, _) =>
+          c.transformUp {
+            case a: AttributeReference if a.exprId == ts.exprId => rOut("bucket_ts")
+          }
+        }
+        (rewrittenKey ++ rewrittenBuckets ++ rewrittenRanges).reduceOption(And)
+      }
+
       // any base attr leaking through means an unsupported shape (the
       // pulled bucket alias is produced below, so it is not a leak)
-      val leaked = (newGrouping ++ newResult).exists(_.references.exists(r =>
+      val leaked = (newGrouping ++ newResult ++ newFilter.toSeq).exists(_.references.exists(r =>
         rel.outputSet.contains(r)))
       if (rewriteFailed || leaked) return None
 
-      val newFilter = filterOpt.map(rewriteExpr)
       val filtered: LogicalPlan = newFilter match {
         case Some(cond) => Filter(cond, rollupPlan)
         case None => rollupPlan

@@ -56,6 +56,95 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  private def routedFixture(tag: String): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_route_$tag").toString
+    val basePath = s"$dir/base"
+    val rollupPath = s"$dir/rollup_1h"
+    val base = (for {
+      sym <- Seq("BTC", "ETH"); m <- 0 until 24 * 60
+    } yield (sym, new Timestamp(ts("2024-03-01 00:00:00").getTime + m * 60000L),
+      100.0 + (m * 13 % 31))).toDF("symbol", "t", "price")
+    base.write.mode("overwrite").parquet(basePath)
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 hour", rollupPath)
+    RollupRouter.clear()
+    RollupRouter.register(RollupRouter.Route(
+      basePath, Seq("symbol"), "t", "price", Map(3600L -> rollupPath)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouter.RouteRule(spark))
+    (basePath, rollupPath)
+  }
+
+  private def teardownRouting(): Unit = {
+    spark.experimental.extraOptimizations = Nil
+    RollupRouter.clear()
+  }
+
+  /** Run `q` routed, assert the plan reads (or does not read) the
+    * rollup, and compare to the unrouted ground truth.
+    */
+  private def assertRouted(
+      q: org.apache.spark.sql.DataFrame,
+      build: () => org.apache.spark.sql.DataFrame,
+      expectRouted: Boolean
+  ): Unit = {
+    val plan = q.queryExecution.executedPlan.toString()
+    if (expectRouted) {
+      assert(plan.contains("rollup_1h"), s"expected routed scan, got:\n$plan")
+      assert(!plan.contains("/base"), s"base still scanned:\n$plan")
+    } else {
+      assert(!plan.contains("rollup_1h"), s"unexpected routing:\n$plan")
+    }
+    val got = q.orderBy(q.columns.map(col): _*).collect()
+    spark.experimental.extraOptimizations = Nil
+    val want = build().orderBy(q.columns.map(col): _*).collect()
+    spark.experimental.extraOptimizations = Seq(new RollupRouter.RouteRule(spark))
+    assert(got.sameElements(want), s"routed result differs: got ${got.length} rows, want ${want.length}")
+  }
+
+  test("aligned half-open time-range filters route through to the rollup") {
+    val (basePath, _) = routedFixture("range")
+    try {
+      def q() = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath)
+          .filter(col("t") >= lit("2024-03-01 06:00:00").cast("timestamp") &&
+            col("t") < lit("2024-03-01 18:00:00").cast("timestamp")),
+        Seq("symbol"), "t", "price", "2 hours")
+      assertRouted(q(), () => q(), expectRouted = true)
+      assert(q().count() == 12) // 2 symbols x 6 two-hour buckets
+    } finally teardownRouting()
+  }
+
+  test("key filter combined with aligned range routes; unaligned bound does not") {
+    val (basePath, _) = routedFixture("combo")
+    try {
+      def routed() = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath)
+          .filter(col("symbol") === "BTC" &&
+            col("t") >= lit("2024-03-01 06:00:00").cast("timestamp")),
+        Seq("symbol"), "t", "price", "1 hour")
+      assertRouted(routed(), () => routed(), expectRouted = true)
+
+      // 06:30 does not align to the 1h grain: bucket 06:00 would be
+      // half-included -> must not route
+      def unaligned() = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath)
+          .filter(col("t") >= lit("2024-03-01 06:30:00").cast("timestamp")),
+        Seq("symbol"), "t", "price", "1 hour")
+      assertRouted(unaligned(), () => unaligned(), expectRouted = false)
+    } finally teardownRouting()
+  }
+
+  test("HAVING over a routed aggregate still routes the scan") {
+    val (basePath, _) = routedFixture("having")
+    try {
+      def q() = CandleOps.ohlcvRollup(
+          spark.read.parquet(basePath), Seq("symbol"), "t", "price", "2 hours")
+        .filter(col("trades") > 0 && col("high") >= 100.0)
+      assertRouted(q(), () => q(), expectRouted = true)
+      assert(q().count() == 24)
+    } finally teardownRouting()
+  }
+
   test("non-divisible grains and unregistered paths are left alone") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route2").toString
     val basePath = s"$dir/base"
