@@ -129,6 +129,15 @@ object SparkEntry {
         Tables.events(s, dir), Seq("user_id"), "ts",
         graft.model.Timeframe.RollupGrains)),
 
+    // ----- S7: quality-alert feed (gap + staleness findings as alert
+    // rows; the reference's notifier messages as data) ----------------
+    "q_alerts" -> ((s, dir) =>
+      graft.operators.AlertOps.qualityAlerts(
+        Tables.events(s, dir), Seq("user_id"), "ts",
+        graft.model.Timeframe.RollupGrains,
+        lit(anchor).cast("timestamp"),
+        staleThresholdUs = 120000000L, minMissing = 60L)),
+
     // ----- G4: freshness watchdog -------------------------------------
     "q_freshness_lag" -> ((s, dir) =>
       GapOps.freshnessLag(
@@ -579,6 +588,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rollup_gap_scan" -> gapScanOracleSql,
+    "q_alerts" ->
+      s"""WITH gaps AS (
+         $gapScanOracleSql
+         ),
+         fresh AS (SELECT user_id, max(ts) AS last_ts,
+                     epoch_us(TIMESTAMP '$anchor') - epoch_us(max(ts)) AS lag_us
+                   FROM events GROUP BY 1)
+         SELECT 'gap' AS alert_type, 'warn' AS severity,
+                CAST(user_id AS VARCHAR) AS entity, grain, n_missing AS n,
+                printf('missing %d buckets from %s to %s', n_missing,
+                  strftime(range_start, '%Y-%m-%d %H:%M:%S'),
+                  strftime(range_end, '%Y-%m-%d %H:%M:%S')) AS detail
+         FROM gaps WHERE n_missing >= 60
+         UNION ALL
+         SELECT 'stale', 'crit', CAST(user_id AS VARCHAR),
+                CAST(NULL AS VARCHAR), lag_us,
+                printf('no data since %s (lag %d s)',
+                  strftime(last_ts, '%Y-%m-%d %H:%M:%S'), lag_us // 1000000)
+         FROM fresh WHERE lag_us > 120000000""",
     "q_ohlcv_rollup_15m" ->
       """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
