@@ -169,9 +169,18 @@ object VectorOps {
   /** Deterministic distributed k-means (Lloyd's, fixed iterations,
     * centroids seeded from the first k vector ids): the coarse
     * quantizer behind a real IVF index when no cluster column exists.
-    * Each iteration is one broadcast of k centroids + one map-side
-    * assignment + one groupBy(cluster) average — no quadratic step,
-    * scales linearly in |vectors| per iteration. Returns (id, cluster).
+    *
+    * Scale design (k up to thousands, D up to thousands): centroids
+    * travel as a BROADCAST variable, not as plan literals — plan size
+    * is O(1) in k and D (the previous k-distance-columns formulation
+    * codegen'd k dot products per row and D avg columns per iteration;
+    * fine at k=8, impossible at k=4096×D=1024). Assignment is a tight
+    * per-partition loop (`mapPartitions` — genuine per-partition
+    * imperative logic over a broadcast matrix); the centroid update
+    * pre-aggregates (cluster, count, sumVec) per PARTITION, so the
+    * shuffle carries at most k×P tiny rows, never the vectors.
+    * Each iteration: one broadcast + one job. First minimum wins ties
+    * (strict <) — deterministic. Returns (id, cluster).
     */
   def kmeansAssign(
       embeddings: DataFrame,
@@ -183,55 +192,85 @@ object VectorOps {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(
-      col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
 
-    var centroids: Array[(Int, Seq[Double])] = vecs
+    var centroids: Array[Array[Double]] = vecs
       .orderBy("id").limit(k)
-      .as[(Long, Seq[Double])].collect()
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+      .collect()
+      .map(_._2)
 
-    def assigned(cents: Array[(Int, Seq[Double])]): DataFrame = {
-      // |v - c|^2 = |v|^2 + |c|^2 - 2 v·c ; dot is the codegen'd
-      // DotProduct expression, |c|^2 a driver-side constant. First
-      // minimum wins ties (strict <), deterministically.
-      val v2 = dot(col("vec"), col("vec"))
-      val dists = cents.sortBy(_._1).map { case (_, c) =>
-        val cLit = array(c.map(lit): _*)
-        v2 + lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("vec"), cLit)
+    // |v - c|^2 = |v|^2 + |c|^2 - 2 v·c; |c|^2 precomputed once per
+    // partition, |v|^2 constant across centroids (dropped from argmin)
+    def bestCluster(v: Array[Double], cents: Array[Array[Double]], c2: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(v.length, c.length)
+        while (d < n) { dot += v(d) * c(d); d += 1 }
+        val dist = c2(j) - 2.0 * dot
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
       }
-      // materialize distances as columns BEFORE the argmin chain: a
-      // nested when() over raw dist expressions would re-inline each
-      // dot product exponentially (2^k expression copies)
-      val withDists = vecs.select(
-        col("id") +: col("vec") +:
-          dists.zipWithIndex.map { case (d, i) => d.as(s"__d$i") }: _*)
-      val dCols = dists.indices.map(i => col(s"__d$i"))
-      val dArr = array(dCols: _*)
-      // first occurrence of the min → deterministic tie-break
-      val bestIdx = (array_position(dArr, array_min(dArr)) - 1).cast("int")
-      withDists.select(col("id"), col("vec"), bestIdx.as("cluster"))
+      best
     }
 
-    var cur = assigned(centroids)
+    def assignWith(cents: Array[Array[Double]]): org.apache.spark.sql.Dataset[(Long, Array[Double], Int)] = {
+      val bc = spark.sparkContext.broadcast(cents)
+      vecs.mapPartitions { iter =>
+        val cs = bc.value
+        val c2 = cs.map(c => c.map(x => x * x).sum)
+        iter.map { case (id, v) => (id, v, bestCluster(v, cs, c2)) }
+      }
+    }
+
     var it = 1
     while (it < iterations) {
-      val dim = centroids.head._2.size
-      val meanCols = (0 until dim).map(d => avg(col("vec")(d)).as(s"c$d"))
-      val newCents = cur
-        .groupBy(col("cluster"))
-        .agg(meanCols.head, meanCols.tail: _*)
+      val dim = centroids.head.length
+      val kk = centroids.length
+      val bc = spark.sparkContext.broadcast(centroids)
+      // one job: per-partition (cluster → count, sumVec) combiner, then
+      // a k-row reduce — the vectors themselves never shuffle
+      val partials = vecs.mapPartitions { iter =>
+        val cs = bc.value
+        val c2 = cs.map(c => c.map(x => x * x).sum)
+        val counts = new Array[Long](kk)
+        val sums = Array.ofDim[Double](kk, dim)
+        iter.foreach { case (_, v) =>
+          val j = bestCluster(v, cs, c2)
+          counts(j) += 1
+          var d = 0
+          val n = math.min(v.length, dim)
+          while (d < n) { sums(j)(d) += v(d); d += 1 }
+        }
+        (0 until kk).iterator.filter(counts(_) > 0).map(j => (j, (counts(j), sums(j))))
+      }
+      val totals = partials
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (ca, sa) = a._2; val (cb, sb) = b._2
+          val s = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { s(d) = sa(d) + sb(d); d += 1 }
+          (a._1, (ca + cb, s))
+        }
+        .map { case (j, (_, (c, s))) => (j, c, s) }
         .collect()
-        .map(r => (r.getInt(0), (0 until dim).map(d => r.getDouble(d + 1)): Seq[Double]))
-      // keep empty clusters' old centroids
-      val merged = centroids.map { case (i, old) =>
-        (i, newCents.find(_._1 == i).map(_._2).getOrElse(old))
+      bc.destroy()
+      // new centroid = mean; empty clusters keep their old centroid
+      val merged = centroids.clone()
+      totals.foreach { case (j, c, s) =>
+        merged(j) = s.map(_ / c)
       }
       centroids = merged
-      cur = assigned(centroids)
       it += 1
     }
-    cur.select(col("id"), col("cluster"))
+    assignWith(centroids).map { case (id, _, cl) => (id, cl) }.toDF("id", "cluster")
   }
 
   /** Random-hyperplane LSH bucket id (SimHash for vectors): bit j is

@@ -53,13 +53,29 @@ object DedupGroups {
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("group_id"))
-      val updated = labels.unionByName(neighborLabels)
-        .groupBy("doc_id")
-        .agg(min("group_id").as("group_id"))
+      // each node adopts min(own label, neighbors' labels) — left join
+      // + least() rather than union+groupBy (a Union above shared join
+      // lineage trips constraint rewriting in the later self-join)
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id")), "dst")
+        .groupBy(col("src"))
+        .agg(min("group_id").as("__nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("group_id"), coalesce(col("__nmin"), col("group_id"))).as("group_id"))
+      // pointer doubling: label(u) <- label(label(u)). Labels are
+      // always doc ids present in the table, so the self-join is
+      // total. One extra shuffle of the (small) label table per round
+      // turns convergence from O(diameter) rounds into O(log diameter)
+      // — a pathological 1000-doc duplicate chain converges in ~10
+      // rounds instead of 1000.
+      val updated = propagated.as("a")
+        .join(
+          propagated.select(col("doc_id").as("__l"), col("group_id").as("__lg")),
+          col("a.group_id") === col("__l"))
+        .select(col("a.doc_id").as("doc_id"), col("__lg").as("group_id"))
         .localCheckpoint(true)
       val curSum = labelSum(updated)
       labels = updated

@@ -39,6 +39,17 @@ class DedupGroupsSpec extends SparkSpec {
     assert(out(5L) == ((5L, true)))
   }
 
+  test("pointer doubling: a 100-link chain converges within 10 rounds") {
+    // worst case for plain min-label propagation (needs diameter =
+    // 100 rounds); with label compression it must finish inside the
+    // default maxIterations = 10 (~log2 diameter)
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = DedupGroups.connectedComponents(chain, maxIterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 101)
+    assert((0L to 100L).forall(cc(_) == 0L))
+  }
+
   test("end-to-end: minhash pairs -> dedup groups on planted dups") {
     import graft.functions.TextOps
     val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
