@@ -357,6 +357,16 @@ object SparkEntry {
     // ----- Training-data pipeline: text analysis ----------------------
     "q_text_stats" -> ((s, dir) =>
       TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
+    "q_repetition_stats" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+    "q_redact_pii" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
+    "q_split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.splitAssign(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))),
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("lang"),
@@ -561,6 +571,38 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared CTE chain reproducing the MinHash signature + LSH banding
+    * pipeline in DuckDB: one md5 per shingle reduced mod 2^61-1, the
+    * same (a_j, b_j) permutation constants as the Spark expression
+    * (inlined as literals), HUGEINT mulmod, minima per doc, bands of 2
+    * consecutive signature entries. Ends with CTEs `bands` defined.
+    */
+  private def minhashSigCtes: String = {
+    val (a, b) = graft.functions.MinHashSig.params(8)
+    val p = graft.functions.MinHashSig.P
+    val hs = (0 until 8).map(j =>
+      s"min(CAST((CAST(x AS HUGEINT) * ${a(j)} + ${b(j)}) % $p AS BIGINT)) AS h$j")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(bnd =>
+      if (bnd == 0) s"SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sig"
+      else s"SELECT doc_id, $bnd, h${bnd * 2}, h${bnd * 2 + 1} FROM sig")
+      .mkString("\n           UNION ALL ")
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+              FROM toks WHERE len(t) >= 3),
+       xs AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) % CAST($p AS UBIGINT) AS x
+              FROM sh),
+       sig AS (SELECT doc_id, $hs FROM xs GROUP BY 1),
+       bands AS ($bandRows)"""
+  }
+
+  private val minhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b USING (band, k0, k1)
+       WHERE a.doc_id < b.doc_id"""
+
   /** Oracle for q_rollup_gap_scan, generated per grain: bucket events
     * once at 1m, re-bucket per grain, grid anti-join, collapse missing
     * runs — the same cascade shape as the Spark side.
@@ -817,48 +859,16 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "q_doc_minhash_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
-                FROM toks WHERE len(t) >= 3),
-         sig AS (SELECT doc_id,
-                  min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-                  min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-                  min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-                  min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-                 FROM sh GROUP BY 1),
-         bands AS (
-           SELECT doc_id, 0 AS band, md5(h0 || h1) AS h FROM sig
-           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b USING (band, h)
-         WHERE a.doc_id < b.doc_id""",
+      s"""WITH $minhashSigCtes
+         $minhashPairsSelect""",
     // Connected components via transitive closure: DuckDB's recursive
     // CTE accumulates every (node, reachable-label) pair; min per node
     // is the component minimum — same contract as the distributed
     // min-label propagation loop in DedupGroups.
     "q_dedup_groups" ->
-      """WITH RECURSIVE
-         toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
-                FROM toks WHERE len(t) >= 3),
-         sig AS (SELECT doc_id,
-                  min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-                  min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-                  min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-                  min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-                 FROM sh GROUP BY 1),
-         bands AS (
-           SELECT doc_id, 0 AS band, md5(h0 || h1) AS h FROM sig
-           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b USING (band, h)
-                  WHERE a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE
+         $minhashSigCtes,
+         cand AS ($minhashPairsSelect),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                    UNION SELECT doc_b, doc_a FROM cand),
          reach(doc_id, lbl) AS (
@@ -927,6 +937,43 @@ object SparkEntry {
               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
            / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents""",
+    "q_repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
+                        string_split(text, chr(10)) AS l
+                      FROM documents),
+         base AS (SELECT doc_id,
+                    CAST(len(l) AS BIGINT) AS n_lines,
+                    CASE WHEN len(l) = 0 THEN NULL
+                         ELSE CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l) END AS dup_line_ratio,
+                    CAST(len(t) AS BIGINT) AS n_tokens,
+                    CASE WHEN len(t) = 0 THEN NULL
+                         ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) END AS dup_token_ratio
+                  FROM toks),
+         bg AS (SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS g
+                FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS top_bigram_n,
+                   CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+                 FROM cnt GROUP BY 1)
+         SELECT base.doc_id, n_lines, dup_line_ratio, n_tokens, dup_token_ratio,
+                top_bigram_n, top_bigram_frac
+         FROM base LEFT JOIN top USING (doc_id)""",
+    "q_redact_pii" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{10,}', '<NUM>', 'g') AS redacted
+         FROM documents""",
+    "q_split_assign" -> {
+      // cutoffs computed with the same arithmetic as TextOps.splitAssign
+      val cuts = Seq(0.9, 0.05, 0.05).scanLeft(0.0)(_ + _).tail.map(c => (c * 65536).toInt)
+      s"""SELECT doc_id,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(0)} THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(1)} THEN 'val'
+               ELSE 'test' END AS split
+          FROM documents"""
+    },
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens

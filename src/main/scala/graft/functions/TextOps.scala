@@ -45,11 +45,14 @@ object TextOps {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature columns h0..h{k-1}: min over shingles of
-    * md5(j + ":" + shingle). The min of a cryptographic hash over a set
-    * is a uniform sample of the set — equal mins between docs estimate
-    * Jaccard similarity. md5-hex (not xxhash) so the SQL oracle can
-    * reproduce signatures byte-for-byte.
+  /** Per-doc MinHash signature (array column `sig`, k entries): one
+    * md5 per DISTINCT shingle reduced mod 2^61-1, then k universal-
+    * hash permutations, minima accumulated row-locally in a single
+    * codegen'd expression ([[MinHashSig]]) — the signature stage is a
+    * pure projection with NO shuffle (the previous explode + k
+    * min-aggregates formulation shuffled one row per shingle and ran k
+    * md5s per shingle: 8x the hashing plus a corpus-sized exchange).
+    * Docs too short to shingle have a null signature and drop out.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -57,19 +60,19 @@ object TextOps {
       textCol: String,
       numHashes: Int,
       shingleSize: Int
-  ): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleSize)).as("__s"))
-    val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("__s")))).as(s"h$j"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        MinHashSig.minhash_sig(
+          shingles(tokens(col(textCol)), shingleSize), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
-  /** LSH banding: group r consecutive signature rows per band, hash the
-    * band, self-join on (band, hash) → candidate near-dup pairs
+  /** LSH banding: r consecutive signature entries form a band key;
+    * self-join on (band, sig values) → candidate near-dup pairs
     * (doc_a < doc_b, distinct). Probability a pair with Jaccard s
     * becomes a candidate: 1 - (1 - s^r)^b — the classic S-curve. The
-    * join key is (band, 16-byte hash): collisions shuffle only doc ids.
+    * join key is (band, r longs): collisions shuffle only doc ids.
     */
   def minhashCandidatePairs(
       docs: DataFrame,
@@ -81,15 +84,18 @@ object TextOps {
   ): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand, shingleSize)
     val bandStructs = (0 until bands).map { b =>
-      val h = md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-      struct(lit(b).as("band"), h.as("h"))
+      val ks = (0 until rowsPerBand).map(r =>
+        col("sig")(b * rowsPerBand + r).as(s"k$r"))
+      struct(lit(b).as("band") +: ks: _*)
     }
+    val keyCols = (0 until rowsPerBand).map(r => s"k$r")
     val banded = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("__bh"))
-      .select(col(idCol), col("__bh.band").as("band"), col("__bh.h").as("h"))
-    val a = banded.select(col(idCol).as("doc_a"), col("band"), col("h"))
-    val b = banded.select(col(idCol).as("doc_b"), col("band"), col("h"))
-    a.join(b, Seq("band", "h"))
+      .select(col(idCol) +: col("__bh.band").as("band") +:
+        keyCols.map(k => col(s"__bh.$k").as(k)): _*)
+    val a = banded.select(col(idCol).as("doc_a") +: col("band") +: keyCols.map(col): _*)
+    val b = banded.select(col(idCol).as("doc_b") +: col("band") +: keyCols.map(col): _*)
+    a.join(b, "band" +: keyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -167,6 +173,64 @@ object TextOps {
     */
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Repetition-quality signals (the Gopher-rule family): duplicate
+    * line and token fractions as projections, plus the most frequent
+    * bigram's share of all bigrams (one doc-local groupBy — the
+    * shuffle carries (doc, bigram) counts, never text bodies).
+    * Low-quality machine-generated text scores high on all three.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val lines = split(t, "\n")
+    val toks = tokens(t)
+    val base = docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      ratio(size(lines) - size(array_distinct(lines)), size(lines)).as("dup_line_ratio"),
+      size(toks).cast("long").as("n_tokens"),
+      ratio(size(toks) - size(array_distinct(toks)), size(toks)).as("dup_token_ratio"))
+    val bigrams = docs.select(
+        col(idCol),
+        explode(WordShingles.word_shingles_all(tokens(t), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("top_bigram_n"), sum(col("__c")).as("n_bigrams"))
+      .select(col(idCol), col("top_bigram_n"),
+        ratio(col("top_bigram_n"), col("n_bigrams")).as("top_bigram_frac"))
+    base.join(bigrams, Seq(idCol), "left")
+  }
+
+  /** PII redaction: emails then long digit runs replaced by typed
+    * placeholders — deterministic regexes shared with the SQL oracle.
+    * The pattern set is a seam; a production pass would extend it.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val longDigits = "[0-9]{10,}"
+    regexp_replace(regexp_replace(text, email, "<EMAIL>"), longDigits, "<NUM>")
+  }
+
+  /** Deterministic train/val/test assignment by content-independent id
+    * hash: the first 4 md5 hex chars of the id as a uniform 16-bit
+    * value against cumulative weight cutoffs. Pure projection —
+    * reproducible across engines, runs, and partitionings (never
+    * rand()).
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+    val cutoffs = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.zip(cutoffs).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), other) =>
+        when(bucket < lit((cut * 65536).toInt), lit(name)).otherwise(other)
+    }
+  }
 
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom
     * expression), band by FOUR disjoint 16-bit keys (the standard

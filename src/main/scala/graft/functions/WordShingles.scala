@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * subtrees, which made shingling ~300x slower than this loop. Output
   * set is identical (the oracle only depends on the shingle *set*).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, dedup: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1: $n")
@@ -26,7 +26,8 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.shingleArray(input.asInstanceOf[ArrayData], n)
+    if (dedup) WordShingles.shingleArray(input.asInstanceOf[ArrayData], n)
+    else WordShingles.shingleArrayAll(input.asInstanceOf[ArrayData], n)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -36,9 +37,11 @@ case class WordShingles(child: Expression, n: Int)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
-  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = if (dedup) "shingleArray" else "shingleArrayAll"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles$$.MODULE$$.shingleArray($c, $n);")
+      s"${ev.value} = graft.functions.WordShingles$$.MODULE$$.$kernel($c, $n);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -73,6 +76,31 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
+  /** All contiguous n-grams in order, duplicates kept — the counting
+    * form behind repetition-quality signals.
+    */
+  def shingleArrayAll(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        window(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def word_shingles(tokens: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(tokens), n))
+
+  def word_shingles_all(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(tokens), n, dedup = false))
 }

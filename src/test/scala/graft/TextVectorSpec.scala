@@ -109,6 +109,45 @@ class TextVectorSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("repetitionStats flags repeated content and leaves clean text alone") {
+    val d = Seq(
+      (1L, "a a a a a a"),
+      (2L, "unique words only here"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(d, "doc_id", "text")
+      .select("doc_id", "n_tokens", "dup_token_ratio", "top_bigram_n", "top_bigram_frac")
+      .as[(Long, Long, Option[Double], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((6L, Some(5.0 / 6), Some(5L), Some(1.0))))
+    assert(got(2L) == ((4L, Some(0.0), Some(1L), Some(1.0 / 3))))
+    assert(got(3L) == ((1L, Some(0.0), None, None))) // no bigrams
+  }
+
+  test("redactPii masks planted emails and long digit runs") {
+    val d = Seq((1L, "contact bob@example.com or call 12345678901 now; short 123 stays"))
+      .toDF("doc_id", "text")
+    val out = d.select(TextOps.redactPii($"text")).as[String].head()
+    assert(out == "contact <EMAIL> or call <NUM> now; short 123 stays")
+  }
+
+  test("splitAssign is deterministic and proportional") {
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val counts = ids.select(TextOps.splitAssign($"id", splits).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1700 && counts("train") < 1890)
+    assert(counts("val") > 60 && counts("val") < 140)
+    assert(counts("test") > 60 && counts("test") < 140)
+    // repartitioning cannot change an id's assignment
+    val a = ids.select($"id", TextOps.splitAssign($"id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = ids.repartition(13).select($"id", TextOps.splitAssign($"id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("dot/norm/knn: planted nearest vector wins") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
