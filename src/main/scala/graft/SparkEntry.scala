@@ -367,6 +367,32 @@ object SparkEntry {
         col("doc_id"),
         TextOps.splitAssign(col("doc_id"),
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))),
+
+    // ----- The full training-data pipeline as ONE query: redact ->
+    // exact-dedup keepers -> quality gates -> deterministic split ->
+    // per-(split, lang) counts. Every stage is an operator above; the
+    // composition is what a real corpus build runs. ------------------
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val redacted = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), TextOps.redactPii(col("text")).as("text"))
+      val keepers = TextOps.exactDedupGroups(redacted, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val stats = TextOps.textStats(redacted, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      val rep = TextOps.repetitionStats(redacted, "doc_id", "text")
+        .select(col("doc_id"), col("dup_token_ratio"))
+      redacted
+        .join(keepers, Seq("doc_id")) // drop non-keeper duplicates
+        .join(stats, Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .filter(col("n_tokens") >= 10 &&
+          (col("dup_token_ratio").isNull || col("dup_token_ratio") <= 0.5))
+        .select(col("lang"),
+          TextOps.splitAssign(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("lang"),
@@ -973,6 +999,28 @@ object SparkEntry {
                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(1)} THEN 'val'
                ELSE 'test' END AS split
           FROM documents"""
+    },
+    "q_pipeline_e2e" -> {
+      val cuts = Seq(0.9, 0.05, 0.05).scanLeft(0.0)(_ + _).tail.map(c => (c * 65536).toInt)
+      s"""WITH red AS (SELECT doc_id, lang,
+              regexp_replace(
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{10,}', '<NUM>', 'g') AS text
+            FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)),
+         gated AS (SELECT r.doc_id, r.lang,
+                     len(regexp_extract_all(r.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                     string_split(trim(r.text), ' ') AS t
+                   FROM red r JOIN keep USING (doc_id)),
+         kept AS (SELECT doc_id, lang FROM gated
+                  WHERE n_tokens >= 10 AND
+                    (len(t) = 0 OR
+                     CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) <= 0.5))
+         SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(0)} THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(1)} THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM kept GROUP BY 1, 2"""
     },
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,

@@ -55,4 +55,22 @@ class KmeansCompactionSpec extends SparkSpec {
     val afterData = spark.read.parquet(path).orderBy("bucket_ts").collect()
     assert(afterData.sameElements(beforeData))
   }
+
+  test("kmeans handles large k and D (broadcast centroids, no plan blowup)") {
+    // the previous formulation codegen'd k distance columns and D avg
+    // columns per iteration — at k=64, D=128 it stopped compiling in
+    // reasonable time; the broadcast/mapPartitions form must just run
+    val dim = 128
+    val vecs = (0L until 1000L)
+      .map(i => (i, Array.tabulate(dim)(d => ((i * 31 + d * 7) % 97).toFloat)))
+      .toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val out = VectorOps.kmeansAssign(vecs, "vec_id", "embedding", k = 64, iterations = 3)
+      .as[(Long, Int)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 1000)
+    assert(out.map(_._2).distinct.length <= 64)
+    assert(out.forall(a => a._2 >= 0 && a._2 < 64))
+    assert(secs < 60, s"large-k assignment took $secs s")
+  }
 }
