@@ -591,7 +591,11 @@ object SparkEntry {
           concat_ws(",", transform(col("feature"), f => f.cast("string")))
             .as("feature_csv"))),
     "q_frame_samples" -> ((s, _) =>
-      MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, 500).toDF(), everyMs = 500L))
+      MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, 500).toDF(), everyMs = 500L)),
+    "q_media_resize" -> ((s, _) =>
+      MultimodalOps.resizeImages(MultimodalOps.syntheticMedia(s, 500), 224, 224).toDF()
+        .groupBy("kind", "width", "height")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("payload_bytes")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -105,6 +105,26 @@ object MultimodalOps {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_ts_ms")
 
+  /** Resize transform for image rows: per-partition batched reshape —
+    * the same mapPartitions shape as [[extractFeatures]], with the
+    * pixel work behind the codec seam. The STUB "resampler" carries
+    * payload bytes through and rewrites the typed metadata (the real
+    * dimensions contract); a real implementation decodes, resamples,
+    * and re-encodes inside the same iterator without materializing the
+    * partition. Non-image rows pass through untouched.
+    */
+  def resizeImages(
+      media: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int
+  ): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind == "image") r.copy(width = targetW, height = targetH)
+      else r
+    })
+  }
+
   /** Metadata-only projection: the common pruned read path — never
     * touches payload bytes (column pruning keeps the binary column out
     * of the scan entirely).

@@ -55,4 +55,14 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.values.sum == 30)
     assert(rows.keySet == Set("image", "audio", "video"))
   }
+
+  test("resizeImages rewrites image dimensions, passes other modalities through") {
+    val out = MultimodalOps.resizeImages(media, 224, 224).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      if (r.kind == "image") assert(r.width == 224 && r.height == 224)
+      else assert(r.width == 0 && r.height == 0) // untouched
+      assert(r.payload != null && r.payload.nonEmpty) // payload carried through
+    }
+  }
 }

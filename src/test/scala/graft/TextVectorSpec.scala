@@ -72,6 +72,12 @@ class TextVectorSpec extends SparkSpec {
     assert(SimHash64.tokenHash64(tok) == java.lang.Long.parseUnsignedLong(hex, 16))
   }
 
+  test("minhash signature stage plans as a pure projection (no Exchange)") {
+    val plan = TextOps.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
+  }
+
   test("simhashNearDupPairs surfaces the planted exact dup") {
     val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
