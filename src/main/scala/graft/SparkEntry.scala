@@ -658,8 +658,44 @@ object SparkEntry {
       ctes.mkString(",\n") + "\n" + selects.mkString("\nUNION ALL\n")
   }
 
+  /** The synthetic media table is pure arithmetic over the id
+    * (MultimodalOps.syntheticMedia), so DuckDB reproduces it from
+    * generate_series with no parquet input — which upgrades the
+    * metadata-shaped media queries from rows-only to full hash checks.
+    * (Feature extraction stays rows-only: its checksum walks payload
+    * bytes through Java wrapping arithmetic.)
+    */
+  private val syntheticMediaCte: String =
+    """m AS (
+       SELECT g.id AS media_id,
+         CASE WHEN g.id % 3 = 0 THEN 'image'
+              WHEN g.id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN g.id % 3 = 0 THEN 0 ELSE 1000 + (g.id % 9000) END AS duration_ms,
+         CASE WHEN g.id % 3 = 0 THEN 640 ELSE 0 END AS width,
+         CASE WHEN g.id % 3 = 0 THEN 480 ELSE 0 END AS height,
+         64 + (g.id % 64) AS n_payload
+       FROM generate_series(0, 499) AS g(id))"""
+
   def oracleSql: Map[String, String] = Map(
     "q_rollup_gap_scan" -> gapScanOracleSql,
+    "q_media_stats" ->
+      s"""WITH $syntheticMediaCte
+         SELECT kind, count(*) AS n_items,
+                CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+                avg(width * height) AS avg_pixels
+         FROM m GROUP BY 1""",
+    "q_frame_samples" ->
+      s"""WITH $syntheticMediaCte
+         SELECT media_id, CAST(f // 500 AS INT) AS frame_no, f AS frame_ts_ms
+         FROM (SELECT media_id, unnest(generate_series(0, duration_ms - 1, 500)) AS f
+               FROM m WHERE kind IN ('video', 'audio') AND duration_ms > 0)""",
+    "q_media_resize" ->
+      s"""WITH $syntheticMediaCte
+         SELECT kind,
+                CASE WHEN kind = 'image' THEN 224 ELSE 0 END AS width,
+                CASE WHEN kind = 'image' THEN 224 ELSE 0 END AS height,
+                count(*) AS n, CAST(sum(n_payload) AS BIGINT) AS payload_bytes
+         FROM m GROUP BY 1, 2, 3""",
     "q_alerts" ->
       s"""WITH gaps AS (
          $gapScanOracleSql
