@@ -676,8 +676,56 @@ object SparkEntry {
          64 + (g.id % 64) AS n_payload
        FROM generate_series(0, 499) AS g(id))"""
 
+  /** Winnowing pipeline in DuckDB: md5-based token hashes (shared base
+    * hash with MinHash), rolling 4-gram polynomial mod 2^61-1
+    * (HUGEINT), rightmost-min window selection via a framed arg_min on
+    * the composite key gh·2^20 − gi (smaller hash wins, ties to the
+    * rightmost index; gi < 2^20 always holds for document-sized
+    * inputs). Distinct selected indices ARE the dedup-consecutive
+    * picks: an index can only be re-picked while still covered, so
+    * repeats are always adjacent. Ends with CTE `fp`.
+    */
+  private val winnowFpCtes: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       tok_rows AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks),
+       th AS (SELECT doc_id, i - 1 AS ti,
+                CAST(CAST(('0x' || substr(md5(t[i]), 1, 16)) AS UBIGINT)
+                     % CAST(2305843009213693951 AS UBIGINT) AS BIGINT) AS th
+              FROM tok_rows),
+       grams AS (SELECT doc_id, ti AS gi,
+                   CAST((((
+                     ((((CAST(th AS HUGEINT) * 1000003 + th1) % 2305843009213693951)
+                        * 1000003 + th2) % 2305843009213693951)
+                     * 1000003 + th3) % 2305843009213693951)) AS BIGINT) AS gh
+                 FROM (SELECT doc_id, ti, th,
+                         lead(th, 1) OVER w AS th1, lead(th, 2) OVER w AS th2,
+                         lead(th, 3) OVER w AS th3,
+                         count(*) OVER (PARTITION BY doc_id) AS nt
+                       FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY ti))
+                 WHERE ti + 3 < nt),
+       keyed AS (SELECT doc_id, gi, gh,
+                   CAST(gh AS HUGEINT) * 1048576 - gi AS key,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+                 FROM grams),
+       wins AS (SELECT doc_id, gi, ng,
+                  arg_min(gi, key) OVER (PARTITION BY doc_id ORDER BY gi
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                FROM keyed),
+       picked AS (SELECT DISTINCT doc_id, sel FROM wins WHERE gi <= greatest(ng - 4, 0)),
+       fp AS (SELECT p.doc_id, g.gh AS fingerprint
+              FROM picked p JOIN grams g ON g.doc_id = p.doc_id AND g.gi = p.sel)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_rollup_gap_scan" -> gapScanOracleSql,
+    "q_doc_winnow" ->
+      s"""$winnowFpCtes
+         SELECT doc_id, fingerprint FROM fp""",
+    "q_winnow_neardup" ->
+      s"""$winnowFpCtes,
+         dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM dfp a JOIN dfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q_media_stats" ->
       s"""WITH $syntheticMediaCte
          SELECT kind, count(*) AS n_items,
@@ -689,6 +737,36 @@ object SparkEntry {
          SELECT media_id, CAST(f // 500 AS INT) AS frame_no, f AS frame_ts_ms
          FROM (SELECT media_id, unnest(generate_series(0, duration_ms - 1, 500)) AS f
                FROM m WHERE kind IN ('video', 'audio') AND duration_ms > 0)""",
+    // the StubCodec's rolling checksum emulated with HUGEINT wrap
+    // arithmetic (Java long overflow ≡ mod 2^64, signed view at the
+    // end); float-to-string renderings verified identical across both
+    // engines for all 256 possible feature byte values
+    "q_media_features" ->
+      """WITH m AS (SELECT g.id AS media_id,
+              CASE WHEN g.id % 3 = 0 THEN 'image' WHEN g.id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+              64 + (g.id % 64) AS nb
+            FROM generate_series(0, 499) AS g(id)),
+         ck AS (SELECT media_id, kind, nb,
+            list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+              list_transform(generate_series(0, nb - 1), i ->
+                CAST(CASE WHEN (media_id * 31 + i) % 251 >= 128
+                          THEN (media_id * 31 + i) % 251 - 256
+                          ELSE (media_id * 31 + i) % 251 END AS HUGEINT))),
+              (h, b) -> (((31 * h + b) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616) AS u
+            FROM m)
+         SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS checksum,
+           concat_ws(',',
+             CAST(CAST((u // 1 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 256 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 65536 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 16777216 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 4294967296 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 1099511627776 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 281474976710656 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR),
+             CAST(CAST((u // 72057594037927936 % 256) AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR)
+           ) AS feature_csv
+         FROM ck""",
     "q_media_resize" ->
       s"""WITH $syntheticMediaCte
          SELECT kind,

@@ -57,14 +57,17 @@ object Winnowing {
     val m = toks.numElements()
     if (m < k) return new GenericArrayData(Array.empty[Any])
 
-    // rolling polynomial gram hashes over token hashes
+    // rolling polynomial gram hashes over token hashes. Token hash =
+    // md5-derived base hash (shared with MinHash): already avalanched,
+    // and — unlike UTF8String.hashCode's murmur3 — bit-for-bit
+    // reproducible by the SQL oracle.
     val nGrams = m - k + 1
     val gramHash = new Array[Long](nGrams)
     val tokHash = new Array[Long](m)
     var i = 0
     while (i < m) {
       val t = toks.getUTF8String(i)
-      tokHash(i) = if (t == null) 0L else mix(t.hashCode().toLong)
+      tokHash(i) = if (t == null) 0L else MinHashSig.baseHash(t.getBytes)
       i += 1
     }
     var g = 0
@@ -99,15 +102,6 @@ object Winnowing {
       start += 1
     }
     new GenericArrayData(out.toArray)
-  }
-
-  /** Avalanche a 64-bit value into [0, Mod). */
-  def mix(x: Long): Long = {
-    var h = x
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    java.lang.Math.floorMod(h, Mod)
   }
 
   /** One polynomial step h*B + t (mod 2^61-1), using the Mersenne
