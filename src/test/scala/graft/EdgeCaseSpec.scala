@@ -75,4 +75,42 @@ class EdgeCaseSpec extends SparkSpec {
     val a = Seq(1L, 2L).toDF("user_id")
     assert(GapOps.listingDiff(a, a, Seq("user_id")).count() == 0)
   }
+
+  test("round-2 text ops survive empty/whitespace/short docs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b")).toDF("doc_id", "text")
+    // repetition stats: rows survive; no bigrams for docs under 2 tokens
+    val rep = TextOps.repetitionStats(docs, "doc_id", "text").collect()
+    assert(rep.length == 4)
+    // redaction of PII-free text is identity
+    val red = docs.select($"doc_id", TextOps.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(red(2L) == "   " && red(3L) == "one")
+    // winnowing on short docs: no fingerprints, no crash
+    assert(docs.select($"doc_id",
+      explode(graft.functions.Winnowing.winnow(TextOps.tokens($"text"), 4, 4)))
+      .count() == 0)
+    // simhash neardup on a tiny corpus does not error
+    assert(TextOps.simhashNearDupPairs(docs, "doc_id", "text", 3).count() >= 0)
+  }
+
+  test("splitAssign sends a null id deterministically to the last split") {
+    val ids = Seq(Some(1L), None).toDF("id")
+    val out = ids.select(TextOps.splitAssign($"id",
+        Seq("train" -> 0.5, "test" -> 0.5)).as("s"))
+      .as[String].collect().toSet
+    // null md5 -> every when() false -> otherwise branch (last split)
+    assert(out.contains("test"))
+  }
+
+  test("multi-grain gap scan on a single observation emits no ranges") {
+    val one = Seq(("A", java.sql.Timestamp.valueOf("2024-03-01 08:00:00"))).toDF("sym", "t")
+    assert(GapOps.multiGrainGapScan(one, Seq("sym"), "t",
+      Seq(graft.model.Timeframe.parse("1m"))).count() == 0)
+  }
+
+  test("salted join with empty sides is empty, not an error") {
+    val big = Seq(("A", 1L)).toDF("sym", "v").filter($"v" < 0)
+    val small = Seq(("A", 2)).toDF("sym", "meta")
+    assert(graft.operators.SkewOps.saltedJoin(big, small, Seq("sym"), 4).count() == 0)
+  }
 }
