@@ -176,6 +176,10 @@ object RollupRouter {
       var bucketConjs = List.empty[Expression]
       var bucketUsInFilter = List.empty[Long]
       conjuncts.foreach { c =>
+        // subquery predicates can hide correlated references to base
+        // columns (invisible in c.references); non-deterministic
+        // predicates don't commute with pre-aggregation. Both bail.
+        if (c.exists(_.isInstanceOf[SubqueryExpression]) || !c.deterministic) return None
         val refs = c.references.toSeq
         if (refs.forall(isKeyRef)) keyConjs ::= c
         else {

@@ -134,6 +134,29 @@ class RollupRoutingSpec extends SparkSpec {
     } finally teardownRouting()
   }
 
+  test("non-deterministic and subquery filters block routing (fail-safe)") {
+    val (basePath, _) = routedFixture("unsafe")
+    try {
+      // selective non-deterministic filter: must not route (an
+      // always-true rand() predicate gets eliminated by Spark itself
+      // before routing, which is fine — this one survives)
+      def nondet() = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath).filter(rand(7) < 0.5),
+        Seq("symbol"), "t", "price", "1 hour")
+      assert(!nondet().queryExecution.executedPlan.toString().contains("rollup_1h"))
+
+      spark.read.parquet(basePath).select("symbol").distinct()
+        .createOrReplaceTempView("route_syms")
+      def subq() = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath)
+          .filter(col("symbol").isin()
+            || expr("symbol IN (SELECT symbol FROM route_syms)")),
+        Seq("symbol"), "t", "price", "1 hour")
+      assert(!subq().queryExecution.executedPlan.toString().contains("rollup_1h"))
+      assert(subq().count() == 48) // still correct, just unrouted
+    } finally teardownRouting()
+  }
+
   test("HAVING over a routed aggregate still routes the scan") {
     val (basePath, _) = routedFixture("having")
     try {
