@@ -625,12 +625,14 @@ object SparkEntry {
                 CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) % CAST($p AS UBIGINT) AS x
               FROM sh),
        sig AS (SELECT doc_id, $hs FROM xs GROUP BY 1),
-       bands AS ($bandRows)"""
+       bands AS ($bandRows),
+       gbands AS (SELECT * FROM bands
+                  QUALIFY count(*) OVER (PARTITION BY band, k0, k1) <= 10000)"""
   }
 
   private val minhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       FROM bands a JOIN bands b USING (band, k0, k1)
+       FROM gbands a JOIN gbands b USING (band, k0, k1)
        WHERE a.doc_id < b.doc_id"""
 
   /** Oracle for q_rollup_gap_scan, generated per grain: bucket events
@@ -722,9 +724,11 @@ object SparkEntry {
          SELECT doc_id, fingerprint FROM fp""",
     "q_winnow_neardup" ->
       s"""$winnowFpCtes,
-         dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+         dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp),
+         gfp AS (SELECT * FROM dfp
+                 QUALIFY count(*) OVER (PARTITION BY fingerprint) <= 10000)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         FROM dfp a JOIN dfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         FROM gfp a JOIN gfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q_media_stats" ->
       s"""WITH $syntheticMediaCte

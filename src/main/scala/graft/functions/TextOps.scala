@@ -19,6 +19,26 @@ object TextOps {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
+  /** Hot-bucket guard shared by every banded self-join (simhash bands,
+    * minhash bands, winnowing fingerprints): drop rows whose bucket key
+    * holds more than `cap` members BEFORE the within-bucket self-join.
+    *
+    * One degenerate key (boilerplate or near-empty docs hashing alike)
+    * turns a bucketed join quadratic at scale; members of such a bucket
+    * are near-identical by construction and better served by exact
+    * dedup. Implemented as a count window over exactly the partitioning
+    * the self-join shuffles on — the window's exchange satisfies the
+    * join's distribution requirement, so the guard adds NO extra
+    * shuffle (the groupBy-count + join-back formulation it replaces
+    * re-shuffled the full frame twice).
+    */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
+  }
+
   /** BPE-ish token segmentation: runs of letters, runs of digits, or
     * single other non-space chars — the word-count heuristic used for
     * token-count accounting before a real tokenizer runs.
@@ -73,6 +93,11 @@ object TextOps {
     * (doc_a < doc_b, distinct). Probability a pair with Jaccard s
     * becomes a candidate: 1 - (1 - s^r)^b — the classic S-curve. The
     * join key is (band, r longs): collisions shuffle only doc ids.
+    *
+    * Buckets over `bucketCap` members (degenerate band values from
+    * boilerplate/near-empty docs) are dropped before the self-join —
+    * see [[capBuckets]]; within-bucket pairs there would be quadratic
+    * and are better handled by exact dedup.
     */
   def minhashCandidatePairs(
       docs: DataFrame,
@@ -80,7 +105,8 @@ object TextOps {
       textCol: String,
       bands: Int,
       rowsPerBand: Int,
-      shingleSize: Int
+      shingleSize: Int,
+      bucketCap: Long = 10000L
   ): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand, shingleSize)
     val bandStructs = (0 until bands).map { b =>
@@ -93,8 +119,9 @@ object TextOps {
       .select(col(idCol), explode(array(bandStructs: _*)).as("__bh"))
       .select(col(idCol) +: col("__bh.band").as("band") +:
         keyCols.map(k => col(s"__bh.$k").as(k)): _*)
-    val a = banded.select(col(idCol).as("doc_a") +: col("band") +: keyCols.map(col): _*)
-    val b = banded.select(col(idCol).as("doc_b") +: col("band") +: keyCols.map(col): _*)
+    val guarded = capBuckets(banded, "band" +: keyCols, bucketCap)
+    val a = guarded.select(col(idCol).as("doc_a") +: col("band") +: keyCols.map(col): _*)
+    val b = guarded.select(col(idCol).as("doc_b") +: col("band") +: keyCols.map(col): _*)
     a.join(b, "band" +: keyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -269,12 +296,7 @@ object TextOps {
     val banded = fp
       .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col("simhash"), col("__b.band").as("band"), col("__b.h").as("h"))
-    val keptBuckets = banded
-      .groupBy(col("band"), col("h"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= bucketCap)
-      .select(col("band"), col("h"))
-    val guarded = banded.join(keptBuckets, Seq("band", "h"))
+    val guarded = capBuckets(banded, Seq("band", "h"), bucketCap)
     val a = guarded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("band"), col("h"))
     val b = guarded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("band"), col("h"))
     a.join(b, Seq("band", "h"))

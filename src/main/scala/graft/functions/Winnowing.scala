@@ -125,7 +125,12 @@ object Winnowing {
 
   /** Candidate near-dup pairs: documents sharing >= minShared winnowing
     * fingerprints. explode → group-join on the fingerprint value →
-    * count per pair. Same shuffle shape as the MinHash band join.
+    * count per pair. Same shuffle shape as the MinHash band join, and
+    * the same degenerate-bucket exposure: one fingerprint shared by
+    * thousands of boilerplate docs makes the self-join quadratic, so
+    * fingerprints held by more than `bucketCap` docs are dropped before
+    * the join (TextOps.capBuckets — a count window over the join's own
+    * shuffle, no extra exchange).
     */
   def winnowNearDupPairs(
       docs: org.apache.spark.sql.DataFrame,
@@ -133,15 +138,17 @@ object Winnowing {
       textCol: String,
       k: Int,
       w: Int,
-      minShared: Int
+      minShared: Int,
+      bucketCap: Long = 10000L
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val fps = docs.select(
       col(idCol),
       explode(winnow(TextOps.tokens(col(textCol)), k, w)).as("fp"))
       .distinct()
-    val a = fps.select(col(idCol).as("doc_a"), col("fp"))
-    val b = fps.select(col(idCol).as("doc_b"), col("fp"))
+    val guarded = TextOps.capBuckets(fps, Seq("fp"), bucketCap)
+    val a = guarded.select(col(idCol).as("doc_a"), col("fp"))
+    val b = guarded.select(col(idCol).as("doc_b"), col("fp"))
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -115,6 +115,35 @@ class TextVectorSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("minhash bucket cap drops a planted hot band bucket, keeps normal pairs") {
+    // 50 identical docs share every band bucket (size 50); two near-dup
+    // docs occupy small buckets. Capping below 50 kills the quadratic
+    // hot buckets but must keep the ordinary near-dup pair.
+    val hot = (0L until 50L).map(i => (i, distinct1)) :+
+      (100L, base) :+ (101L, nearDup)
+    val corpus = hot.toDF("doc_id", "text")
+    val uncapped = TextOps.minhashCandidatePairs(corpus, "doc_id", "text", 4, 2, 3)
+    assert(uncapped.filter($"doc_a" < 100).count() == 50L * 49 / 2)
+    val capped = TextOps.minhashCandidatePairs(corpus, "doc_id", "text", 4, 2, 3,
+      bucketCap = 49L).as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 < 100L))
+    assert(capped.contains((100L, 101L)))
+  }
+
+  test("winnowing bucket cap drops a planted hot fingerprint bucket, keeps normal pairs") {
+    val hot = (0L until 50L).map(i => (i, distinct1)) :+
+      (100L, base) :+ (101L, base)
+    val corpus = hot.toDF("doc_id", "text")
+    val uncapped = graft.functions.Winnowing.winnowNearDupPairs(
+      corpus, "doc_id", "text", k = 4, w = 4, minShared = 2)
+    assert(uncapped.filter($"doc_a" < 100).count() == 50L * 49 / 2)
+    val capped = graft.functions.Winnowing.winnowNearDupPairs(
+      corpus, "doc_id", "text", k = 4, w = 4, minShared = 2, bucketCap = 49L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 < 100L))
+    assert(capped.contains((100L, 101L)))
+  }
+
   test("repetitionStats flags repeated content and leaves clean text alone") {
     val d = Seq(
       (1L, "a a a a a a"),
