@@ -81,6 +81,50 @@ object MultimodalOps {
       }
   }
 
+  /** REAL image codec on the same seam, zero external dependencies:
+    * `javax.imageio` ships in the JDK and decodes PNG/BMP/GIF/JPEG.
+    * Features come from actual pixels — mean R/G/B (exact integer sums
+    * divided in float), normalized dimensions, aspect ratio — plus the
+    * same payload checksum as the stub. Rows ImageIO cannot decode
+    * (audio/video/corrupt payloads) degrade to metadata-only features
+    * rather than failing the partition.
+    */
+  object ImageIoCodec extends Codec {
+    override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        var h = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        val img =
+          if (r.kind == "image" && bytes.nonEmpty)
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          else null
+        val feat =
+          if (img == null) Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+          else {
+            val (w, ht) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < ht) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * ht
+            Array(
+              sr.toFloat / n / 255f, sg.toFloat / n / 255f, sb.toFloat / n / 255f,
+              w / 4096f, ht / 4096f, w.toFloat / ht,
+              (sr + sg + sb).toFloat / (3L * n) / 255f, 1f)
+          }
+        MediaFeatures(r.media_id, r.kind, bytes.length.toLong, h, feat)
+      }
+  }
+
   /** Decode/feature-extract: per-partition batched transform, no
     * shuffle — each executor streams its partition through the codec.
     */
@@ -125,6 +169,91 @@ object MultimodalOps {
     })
   }
 
+  /** Per-image pixel statistics from a REAL decode ([[ImageIoCodec]]'s
+    * pixel walk, integer-exact outputs so a SQL oracle can replay it):
+    * decoded dimensions, channel sums over all pixels, and channel-R
+    * sum over a nearest-neighbor downsample to (rw × rh) — the resample
+    * arithmetic (`src = dst * srcDim / dstDim`, integer division) is
+    * the deterministic contract a production thumbnailer would
+    * implement in SIMD. One mapPartitions, no shuffle; rows that fail
+    * to decode are dropped (count the difference to alert on corrupt
+    * payloads).
+    */
+  def decodeImageStats(media: Dataset[MediaRow], rw: Int, rh: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val img =
+        if (r.kind == "image" && r.payload != null && r.payload.nonEmpty)
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        else null
+      if (img == null) Iterator.empty
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        var srr = 0L
+        var ry = 0
+        while (ry < rh) {
+          var rx = 0
+          while (rx < rw) {
+            val p = img.getRGB(rx * w / rw, ry * h / rh)
+            srr += (p >> 16) & 0xff
+            rx += 1
+          }
+          ry += 1
+        }
+        Iterator((r.media_id, w, h, w.toLong * h, sr, sg, sb, srr))
+      }
+    }).toDF("media_id", "img_w", "img_h", "n_px", "sum_r", "sum_g", "sum_b", "sum_r_resized")
+  }
+
+  /** Real image resize behind the same seam: decode, nearest-neighbor
+    * resample (same integer mapping as [[decodeImageStats]]), re-encode
+    * PNG, rewrite the typed metadata. Deterministic — no Graphics2D
+    * interpolation, whose rounding is implementation-defined. Non-image
+    * and undecodable rows pass through untouched.
+    */
+  def resizeImagesReal(
+      media: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int
+  ): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        if (r.kind == "image" && r.payload != null && r.payload.nonEmpty)
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        else null
+      if (img == null) r
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y, img.getRGB(x * w / targetW, y * h / targetH))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        r.copy(payload = bos.toByteArray, width = targetW, height = targetH)
+      }
+    })
+  }
+
   /** Metadata-only projection: the common pruned read path — never
     * touches payload bytes (column pruning keeps the binary column out
     * of the scan entirely).
@@ -134,6 +263,42 @@ object MultimodalOps {
       count(lit(1)).as("n_items"),
       sum(col("duration_ms")).as("total_duration_ms"),
       avg(col("width") * col("height")).as("avg_pixels"))
+
+  /** Synthesize real PNG images (test/demo input for the REAL decode
+    * path): every payload is a valid 32×24 PNG whose pixel (x, y) is
+    * pure arithmetic over (id, x, y) — chosen to wrap mod 256 so the
+    * oracle exercises real byte behavior. PNG is lossless and
+    * `TYPE_INT_RGB` carries sRGB ints verbatim, so decode returns
+    * exactly these values; a SQL oracle reproduces channel sums from
+    * `generate_series` with no image library.
+    */
+  val SynthW = 32
+  val SynthH = 24
+  def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 3 + x * 5) % 256).toInt, ((id * 7 + y * 11) % 256).toInt,
+      ((id + x * y) % 256).toInt)
+
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val img = new java.awt.image.BufferedImage(
+        SynthW, SynthH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < SynthH) {
+        var x = 0
+        while (x < SynthW) {
+          val (r, g, b) = synthPixel(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, "image", s"mem://img/$id", bos.toByteArray,
+        width = SynthW, height = SynthH, duration_ms = 0L, sample_rate = 0)
+    }
+  }
 
   /** Synthesize a deterministic media table (test/demo input): payload
     * bytes derived from the id so every row is reproducible.

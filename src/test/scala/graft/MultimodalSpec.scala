@@ -56,6 +56,51 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.keySet == Set("image", "audio", "video"))
   }
 
+  test("ImageIoCodec decodes a generated PNG byte array back to its exact pixels") {
+    // single image encoded locally, decoded through the codec seam
+    val img = MultimodalOps.syntheticImages(spark, 3).filter(_.media_id == 2L).head()
+    assert(img.payload.take(8).map(_ & 0xff).sameElements(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))) // real PNG magic
+    val feat = MultimodalOps.ImageIoCodec.decodeBatch(Iterator(img)).next()
+    // expected channel means from the pixel formula
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until MultimodalOps.SynthH; x <- 0 until MultimodalOps.SynthW) {
+      val (r, g, b) = MultimodalOps.synthPixel(2L, x, y)
+      sr += r; sg += g; sb += b
+    }
+    val n = MultimodalOps.SynthW.toLong * MultimodalOps.SynthH
+    assert(feat.feature(0) == sr.toFloat / n / 255f)
+    assert(feat.feature(1) == sg.toFloat / n / 255f)
+    assert(feat.feature(2) == sb.toFloat / n / 255f)
+    assert(feat.feature(3) == MultimodalOps.SynthW / 4096f)
+    // a corrupt payload degrades, never throws
+    val bad = img.copy(payload = Array[Byte](1, 2, 3))
+    assert(MultimodalOps.ImageIoCodec.decodeBatch(Iterator(bad)).next().feature.sum == 0f)
+  }
+
+  test("decodeImageStats: distributed decode matches the pixel formula; real resize roundtrips") {
+    val stats = MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(spark, 10), 8, 6)
+      .as[(Long, Int, Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.size == 10)
+    val s3 = stats(3L)
+    var sr = 0L
+    for (y <- 0 until 24; x <- 0 until 32) sr += MultimodalOps.synthPixel(3L, x, y)._1
+    var srr = 0L
+    for (ry <- 0 until 6; rx <- 0 until 8) srr += MultimodalOps.synthPixel(3L, rx * 4, ry * 4)._1
+    assert(s3._2 == 32 && s3._3 == 24 && s3._4 == 768L)
+    assert(s3._5 == sr && s3._8 == srr)
+    // resizeImagesReal: re-encoded payload decodes to the sampled grid
+    val resized = MultimodalOps.resizeImagesReal(MultimodalOps.syntheticImages(spark, 4), 8, 6)
+      .filter(_.media_id == 1L).head()
+    assert(resized.width == 8 && resized.height == 6)
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.payload))
+    assert(rimg.getWidth == 8 && rimg.getHeight == 6)
+    val (er, eg, eb) = MultimodalOps.synthPixel(1L, 2 * 4, 3 * 4)
+    val p = rimg.getRGB(2, 3)
+    assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((er, eg, eb)))
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
