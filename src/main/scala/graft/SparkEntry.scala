@@ -393,6 +393,39 @@ object SparkEntry {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // ----- The pipeline with the NEAR-dup stage composed in: redact ->
+    // exact-dedup keepers -> minhash+LSH candidates -> connected-
+    // components keeper resolution -> quality gates -> split -> counts.
+    // This is the full corpus build; q_pipeline_e2e remains the
+    // exact-only ablation. ------------------------------------------
+    "q_pipeline_neardup" -> ((s, dir) => {
+      val redacted = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), TextOps.redactPii(col("text")).as("text"))
+      val exactKeepers = TextOps.exactDedupGroups(redacted, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val exactKept = redacted.join(exactKeepers, Seq("doc_id"))
+      val pairs = TextOps.minhashCandidatePairs(exactKept, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3)
+      val ndKeepers = graft.operators.DedupGroups
+        .resolveKeepers(exactKept, "doc_id", pairs)
+        .filter(col("is_keeper")).select("doc_id")
+      val kept = exactKept.join(ndKeepers, Seq("doc_id"))
+      val stats = TextOps.textStats(kept, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      val rep = TextOps.repetitionStats(kept, "doc_id", "text")
+        .select(col("doc_id"), col("dup_token_ratio"))
+      kept
+        .join(stats, Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .filter(col("n_tokens") >= 10 &&
+          (col("dup_token_ratio").isNull || col("dup_token_ratio") <= 0.5))
+        .select(col("lang"),
+          TextOps.splitAssign(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("lang"),
@@ -476,6 +509,21 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5)").as("p50_qty"),
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
           expr("percentile(l_extendedprice, 0.99)").as("p99_price"),
+          count(lit(1)).as("n"))),
+
+    // ----- Approximate percentiles (rows-only: sketch internals are
+    // engine-defined). The 100 TB variant of q_percentiles: exact
+    // `percentile` buffers every group's values in memory, while the
+    // Greenwald-Khanna sketch behind approx_percentile is fixed-size
+    // and mergeable — partial aggregation works and no group can OOM
+    // an executor. accuracy=10000 → ~0.01% rank error. --------------
+    "q_approx_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"),
           count(lit(1)).as("n"))),
 
     // ----- Moment statistics via exact decimal sums -------------------
@@ -595,7 +643,15 @@ object SparkEntry {
     "q_media_resize" -> ((s, _) =>
       MultimodalOps.resizeImages(MultimodalOps.syntheticMedia(s, 500), 224, 224).toDF()
         .groupBy("kind", "width", "height")
-        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("payload_bytes")))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("payload_bytes"))),
+
+    // ----- REAL image decode: payloads are genuine PNGs, stats come
+    // from javax.imageio-decoded pixels (channel sums + a nearest-
+    // neighbor 8x6 downsample), and the oracle replays the pixel
+    // arithmetic from generate_series — a full hash check on an
+    // actual codec path. -------------------------------------------
+    "q_media_decode" -> ((s, _) =>
+      MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(s, 200), 8, 6))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,7 +663,7 @@ object SparkEntry {
     * (inlined as literals), HUGEINT mulmod, minima per doc, bands of 2
     * consecutive signature entries. Ends with CTEs `bands` defined.
     */
-  private def minhashSigCtes: String = {
+  private def minhashSigCtes(src: String = "documents"): String = {
     val (a, b) = graft.functions.MinHashSig.params(8)
     val p = graft.functions.MinHashSig.P
     val hs = (0 until 8).map(j =>
@@ -617,7 +673,7 @@ object SparkEntry {
       if (bnd == 0) s"SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sig"
       else s"SELECT doc_id, $bnd, h${bnd * 2}, h${bnd * 2 + 1} FROM sig")
       .mkString("\n           UNION ALL ")
-    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src),
        sh AS (SELECT DISTINCT doc_id,
                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
               FROM toks WHERE len(t) >= 3),
@@ -778,6 +834,31 @@ object SparkEntry {
                 CASE WHEN kind = 'image' THEN 224 ELSE 0 END AS height,
                 count(*) AS n, CAST(sum(n_payload) AS BIGINT) AS payload_bytes
          FROM m GROUP BY 1, 2, 3""",
+    // replays MultimodalOps.synthPixel over the 32x24 grid (PNG decode
+    // is lossless, so decoded pixels ARE the formula); the 8x6 resize
+    // samples src = dst*srcDim//dstDim = dst*4 on both axes
+    "q_media_decode" ->
+      """WITH px AS (
+           SELECT g.id AS media_id,
+                  CAST((g.id * 3 + x.x * 5) % 256 AS BIGINT) AS r,
+                  CAST((g.id * 7 + y.y * 11) % 256 AS BIGINT) AS gch,
+                  CAST((g.id + x.x * y.y) % 256 AS BIGINT) AS b
+           FROM generate_series(0, 199) AS g(id)
+           CROSS JOIN generate_series(0, 31) AS x(x)
+           CROSS JOIN generate_series(0, 23) AS y(y)),
+         f AS (SELECT media_id, CAST(sum(r) AS BIGINT) AS sum_r,
+                      CAST(sum(gch) AS BIGINT) AS sum_g,
+                      CAST(sum(b) AS BIGINT) AS sum_b
+               FROM px GROUP BY 1),
+         rz AS (SELECT g.id AS media_id,
+                       CAST(sum((g.id * 3 + (rx.rx * 4) * 5) % 256) AS BIGINT) AS sum_r_resized
+                FROM generate_series(0, 199) AS g(id)
+                CROSS JOIN generate_series(0, 7) AS rx(rx)
+                CROSS JOIN generate_series(0, 5) AS ry(ry)
+                GROUP BY 1)
+         SELECT f.media_id, 32 AS img_w, 24 AS img_h, CAST(768 AS BIGINT) AS n_px,
+                sum_r, sum_g, sum_b, sum_r_resized
+         FROM f JOIN rz USING (media_id)""",
     "q_alerts" ->
       s"""WITH gaps AS (
          $gapScanOracleSql
@@ -1007,7 +1088,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "q_doc_minhash_pairs" ->
-      s"""WITH $minhashSigCtes
+      s"""WITH ${minhashSigCtes()}
          $minhashPairsSelect""",
     // Connected components via transitive closure: DuckDB's recursive
     // CTE accumulates every (node, reachable-label) pair; min per node
@@ -1015,7 +1096,7 @@ object SparkEntry {
     // min-label propagation loop in DedupGroups.
     "q_dedup_groups" ->
       s"""WITH RECURSIVE
-         $minhashSigCtes,
+         ${minhashSigCtes()},
          cand AS ($minhashPairsSelect),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                    UNION SELECT doc_b, doc_a FROM cand),
@@ -1144,6 +1225,42 @@ object SparkEntry {
                 lang, count(*) AS n_docs
          FROM kept GROUP BY 1, 2"""
     },
+    "q_pipeline_neardup" -> {
+      val cuts = Seq(0.9, 0.05, 0.05).scanLeft(0.0)(_ + _).tail.map(c => (c * 65536).toInt)
+      s"""WITH RECURSIVE red AS (SELECT doc_id, lang,
+              regexp_replace(
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{10,}', '<NUM>', 'g') AS text
+            FROM documents),
+         keep1 AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)),
+         kdocs AS (SELECT r.doc_id, r.lang, r.text FROM red r JOIN keep1 USING (doc_id)),
+         ${minhashSigCtes("kdocs")},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         kept2 AS (SELECT k.doc_id, k.lang, k.text
+                   FROM kdocs k LEFT JOIN grp g USING (doc_id)
+                   WHERE coalesce(g.group_id, k.doc_id) = k.doc_id),
+         gated AS (SELECT doc_id, lang,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                     string_split(trim(text), ' ') AS t
+                   FROM kept2),
+         kept AS (SELECT doc_id, lang FROM gated
+                  WHERE n_tokens >= 10 AND
+                    (len(t) = 0 OR
+                     CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) <= 0.5))
+         SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(0)} THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < ${cuts(1)} THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM kept GROUP BY 1, 2"""
+    },
+
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens
