@@ -52,13 +52,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact line: millisecond precision and a short sf label keep the
+    // full per-query map inside the driver's output-tail capture (the
+    // round-2 artifact clipped the first entries of a ~2.6 KB line).
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ok = errors.isEmpty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","ok":$ok,"errors":$errJson,"queries":$qs,"sf":"$sfLabel"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

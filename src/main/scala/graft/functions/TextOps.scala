@@ -131,21 +131,37 @@ object TextOps {
   /** Exact n-gram Jaccard similarity for given candidate pairs: join
     * each side to its distinct shingle set, |A∩B| / |A∪B|. Candidates
     * bound the quadratic; this is the verify step after LSH.
+    *
+    * `salt >= 2` routes the doc_a-side join through
+    * [[graft.operators.SkewOps.saltedJoin]]: after LSH, one template
+    * document can appear in a large share of the candidate pairs, and
+    * plain hash partitioning sends every one of its pairs (each
+    * dragging a full shingle array) to a single task. Salting scatters
+    * the hot doc's pairs across `salt` partitions at the cost of
+    * reading the shingle-set side `salt` times — result is
+    * bit-identical to the unsalted join (content-derived salt,
+    * SkewOps.scala). doc_b stays unsalted: pair order puts the
+    * hot/template doc on the a-side in the common case, and one
+    * balanced join is enough to break the straggler.
     */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       pairs: DataFrame, // columns doc_a, doc_b
-      shingleSize: Int
+      shingleSize: Int,
+      salt: Int = 1
   ): DataFrame = {
     val sets = docs.select(
       col(idCol),
       shingles(tokens(col(textCol)), shingleSize).as("ss"))
     val inter = size(array_intersect(col("ss_a"), col("ss_b")))
     val union = size(col("ss_a")) + size(col("ss_b")) - inter
-    pairs
-      .join(sets.select(col(idCol).as("doc_a"), col("ss").as("ss_a")), "doc_a")
+    val setsA = sets.select(col(idCol).as("doc_a"), col("ss").as("ss_a"))
+    val joinedA =
+      if (salt >= 2) graft.operators.SkewOps.saltedJoin(pairs, setsA, Seq("doc_a"), salt)
+      else pairs.join(setsA, "doc_a")
+    joinedA
       .join(sets.select(col(idCol).as("doc_b"), col("ss").as("ss_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),

@@ -76,6 +76,46 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket id as a single expression: bit j of
+  * the result is the sign of `vec · planes(j)`. The plane matrix rides
+  * along as expression DATA (a codegen reference object serialized once
+  * per task binary), not as dim × nPlanes literal expressions — plan
+  * size is O(1) in both dimensions, the same scale fix the k-means
+  * quantizer got for its centroids. Input must be `array<double>`.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 30,
+    s"bucket bits must fit an int: ${planes.length}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.hyperplaneBucketKernel(input.asInstanceOf[ArrayData], planes)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps$$.MODULE$$.hyperplaneBucketKernel($c, $ref);")
+  }
+
+  // the matrix is payload, not structure — keep plan strings O(1)
+  override def toString: String =
+    s"hyperplane_bucket($child, planes=${planes.length}x${planes.head.length})"
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** Similarity search over an embedding column (`array<float>`) —
   * SURVEY.md §7.2 M6 / the training-data-pipeline extension surface.
   *
@@ -273,11 +313,34 @@ object VectorOps {
     assignWith(centroids).map { case (id, _, cl) => (id, cl) }.toDF("id", "cluster")
   }
 
+  /** Row-local bucket kernel shared by interpreted eval and generated
+    * code: bit j set iff `v · planes(j) > 0` (strict, matching the
+    * original `when(dot > 0)` formulation).
+    */
+  def hyperplaneBucketKernel(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += v.getDouble(d) * p(d); d += 1 }
+      if (acc > 0.0) bucket |= 1 << j
+      j += 1
+    }
+    bucket
+  }
+
   /** Random-hyperplane LSH bucket id (SimHash for vectors): bit j is
     * the sign of the dot product with pseudo-random plane j. Vectors
     * with high cosine similarity agree on most signs, so near-dups
     * collide in buckets with high probability. Planes are generated
-    * from a fixed seed — deterministic across runs and executors.
+    * from a fixed seed — deterministic across runs and executors — and
+    * travel as expression data ([[HyperplaneBucket]]), so the plan is
+    * O(1) in dim × nPlanes (at production sizes, 1024-dim × 16 planes,
+    * the literal-per-weight formulation this replaces would bloat every
+    * plan by ~16k expression nodes). `vec` must be `array<double>`.
     * This is the LSH-bucketed scale path for embedding near-dup: the
     * self-join key becomes a 2^nPlanes-way partition instead of a
     * label/cluster column.
@@ -288,13 +351,10 @@ object VectorOps {
       nPlanes: Int,
       seed: Long = 42L
   ): Column = {
-    require(nPlanes <= 30, s"bucket bits must fit an int: $nPlanes")
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-    (0 until nPlanes).map { j =>
-      val plane = array(planes(j).map(lit): _*)
-      when(dot(vec, plane) > 0d, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes))
   }
 
   /** Embedding near-dup via hyperplane-LSH buckets: bucket, self-join

@@ -44,4 +44,33 @@ class BucketedStoreSpec extends SparkSpec {
     // random vectors in 16-dim almost never reach cosine 0.99
     assert(pairs.size <= 2)
   }
+
+  test("hyperplane bucket expression matches the literal-plane formulation, plan O(1) in dim") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val vecs = (0L until 40L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(16)(r.nextGaussian()))
+    }.toDF("id", "vec")
+    // the exact plane matrix hyperplaneBucket(seed=42) generates
+    val rng = new scala.util.Random(42L)
+    val planes = Array.fill(6)(Array.fill(16)(rng.nextGaussian()))
+    val viaExpr = vecs.select($"id", VectorOps.hyperplaneBucket($"vec", 16, 6).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val viaLits = vecs.select($"id",
+      (0 until 6).map { j =>
+        when(VectorOps.dot($"vec", array(planes(j).map(lit): _*)) > 0d, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _).as("b")).as[(Long, Int)].collect().toMap
+    assert(viaExpr == viaLits)
+    assert(viaExpr.values.toSet.size > 1) // buckets actually split
+    // plan size must not grow with dim x nPlanes (the matrix is
+    // expression data, not literal nodes)
+    def planLen(dim: Int, n: Int): Int = {
+      val v = (0L until 2L).map(i => (i, Array.fill(dim)(0.5))).toDF("id", "vec")
+      v.select(VectorOps.hyperplaneBucket($"vec", dim, n))
+        .queryExecution.analyzed.toString.length
+    }
+    assert(math.abs(planLen(1024, 16) - planLen(16, 4)) < 200)
+  }
 }

@@ -54,6 +54,18 @@ class TextVectorSpec extends SparkSpec {
     assert(j((0L, 2L)) == 0.0)
   }
 
+  test("ngramJaccard salted join is bit-identical to unsalted at salt 2 and 8") {
+    // a hot doc_a (doc 0 in every pair) — the skew shape salting fixes
+    val corpus = (0L until 30L).map(i => (i, s"$base tail token $i")).toDF("doc_id", "text")
+    val pairs = (1L until 30L).map(b => (0L, b)).toDF("doc_a", "doc_b")
+    def run(salt: Int) = TextOps.ngramJaccard(corpus, "doc_id", "text", pairs, 3, salt)
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = run(1)
+    assert(plain.size == 29)
+    assert(run(2) == plain)
+    assert(run(8) == plain)
+  }
+
   test("simhash: identical docs hamming 0, near-dups close, distinct far") {
     val fp = docs.select($"doc_id",
       SimHash64.simhash64(TextOps.tokens($"text")).as("sh"))
