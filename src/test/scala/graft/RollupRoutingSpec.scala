@@ -168,6 +168,43 @@ class RollupRoutingSpec extends SparkSpec {
     } finally teardownRouting()
   }
 
+  test("recent-N window rank over the base-table rollup routes to the rollup scan") {
+    // the notebook shape (fetch_recent_ohlcv): per-key newest N buckets
+    // of an OHLCV rollup — the reference picks the rollup TABLE by
+    // hand; here the router must swap the scan under the window rank.
+    val (basePath, _) = routedFixture("recentn")
+    try {
+      def q() = {
+        val r = CandleOps.ohlcvRollup(
+          spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 hour")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("symbol")).orderBy(col("bucket_ts").desc)
+        r.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades", "rn")
+      }
+      assertRouted(q(), () => q(), expectRouted = true)
+      assert(q().count() == 10) // 2 symbols x 5 newest hourly buckets
+    } finally teardownRouting()
+  }
+
+  test("recent-N with an aligned range filter below the rollup also routes") {
+    val (basePath, _) = routedFixture("recentnf")
+    try {
+      def q() = {
+        val r = CandleOps.ohlcvRollup(
+          spark.read.parquet(basePath)
+            .filter(col("t") >= lit("2024-03-01 04:00:00").cast("timestamp")),
+          Seq("symbol"), "t", "price", "2 hours")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("symbol")).orderBy(col("bucket_ts").desc)
+        r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      }
+      assertRouted(q(), () => q(), expectRouted = true)
+      assert(q().count() == 6)
+    } finally teardownRouting()
+  }
+
   test("non-divisible grains and unregistered paths are left alone") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route2").toString
     val basePath = s"$dir/base"
