@@ -104,6 +104,51 @@ object RollupStore {
     }
   }
 
+  /** Keyed upsert — the MERGE / ReplacingMergeTree-write analog for a
+    * plain-parquet store: last-writer-wins by `versionCol` per key,
+    * applied with work proportional to the DATA TOUCHED, not the table.
+    *
+    * Only the month partitions present in the incoming batch are read
+    * (partition pruning), merged (union + latest-per-key) and
+    * atomically swapped back (dynamic partition overwrite); every other
+    * partition's files are untouched. This gives the same read
+    * contract as the reference's dedup-on-merge table with bounded
+    * write amplification: a batch touching one month rewrites one
+    * month. The month list collected to the driver is bounded by the
+    * batch's time span (same driver-bounded pattern as
+    * [[compactPartitions]]).
+    */
+  def upsertByKey(
+      spark: SparkSession,
+      path: String,
+      incoming: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      versionCol: String
+  ): Unit = {
+    val inc = incoming.withColumn(PartitionCol, date_format(col(tsCol), "yyyyMM"))
+    val exists = new java.io.File(path).exists()
+    val merged =
+      if (!exists) CandleOps.latestByKey(inc, keys, versionCol)
+      else {
+        val months = inc.select(PartitionCol).distinct()
+          .collect().map(_.get(0).toString).toSeq
+        val existing = spark.read.parquet(path)
+          .filter(col(PartitionCol).isin(months: _*))
+          // partition values read back type-inferred — renormalize
+          .withColumn(PartitionCol, col(PartitionCol).cast("string"))
+        CandleOps.latestByKey(existing.unionByName(inc), keys, versionCol)
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode(if (exists) "overwrite" else "errorifexists")
+      .partitionBy(PartitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Small-file compaction — the `OPTIMIZE TABLE` analog for streaming
     * sinks: append-mode foreachBatch writers accumulate one file per
     * micro-batch per partition; periodically rewrite each month

@@ -54,6 +54,45 @@ class RollupStoreSpec extends SparkSpec {
       .sameElements(fresh.select(cols.map(col): _*).orderBy("bucket_ts").collect()))
   }
 
+  test("upsertByKey merges last-writer-wins and rewrites only touched months") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val path = s"$dir/store"
+    def row(sym: String, t: String, price: Double, ver: Long) =
+      (sym, ts(t), price, ver)
+    val v1 = Seq(
+      row("BTC", "2024-01-10 00:00:00", 100.0, 1L),
+      row("BTC", "2024-02-10 00:00:00", 200.0, 1L),
+      row("ETH", "2024-01-15 00:00:00", 10.0, 1L)
+    ).toDF("symbol", "t", "price", "ver")
+    RollupStore.upsertByKey(spark, path, v1, Seq("symbol", "t"), "t", "ver")
+    assert(spark.read.parquet(path).count() == 3)
+    val febFilesBefore = new java.io.File(s"$path/bucket_month=202402")
+      .listFiles().map(_.getName).toSet
+
+    // batch 2: update one January row, insert one new January row —
+    // February must not be rewritten
+    val v2 = Seq(
+      row("BTC", "2024-01-10 00:00:00", 111.0, 2L),
+      row("SOL", "2024-01-20 00:00:00", 5.0, 2L)
+    ).toDF("symbol", "t", "price", "ver")
+    RollupStore.upsertByKey(spark, path, v2, Seq("symbol", "t"), "t", "ver")
+
+    val after = spark.read.parquet(path)
+    assert(after.count() == 4) // 3 + 1 insert, update deduped
+    val btcJan = after.filter($"symbol" === "BTC" && $"bucket_month" === 202401).head()
+    assert(btcJan.getAs[Double]("price") == 111.0 && btcJan.getAs[Long]("ver") == 2L)
+    val febFilesAfter = new java.io.File(s"$path/bucket_month=202402")
+      .listFiles().map(_.getName).toSet
+    assert(febFilesAfter == febFilesBefore, "untouched month was rewritten")
+
+    // idempotent: replaying the same batch changes nothing
+    RollupStore.upsertByKey(spark, path, v2, Seq("symbol", "t"), "t", "ver")
+    assert(spark.read.parquet(path).count() == 4)
+    assert(spark.read.parquet(path)
+      .filter($"symbol" === "BTC" && $"bucket_month" === 202401)
+      .head().getAs[Double]("price") == 111.0)
+  }
+
   test("R3 verifyRange flags shortfalls and passes complete ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup3").toString
     val path = s"$dir/rollup_1h"
