@@ -359,6 +359,8 @@ object SparkEntry {
       TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
     "q_repetition_stats" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+    "q_gopher_quality" -> ((s, dir) =>
+      TextOps.gopherQualitySignals(Tables.documents(s, dir), "doc_id", "text")),
     "q_redact_pii" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
@@ -606,6 +608,19 @@ object SparkEntry {
         clusters.withColumnRenamed("id", "vec_id"), "vec_id")
       VectorOps.knnTopKIvf(withCluster, "vec_id", "embedding", "cluster",
         col("vec_id") < 20, k = 5)
+    }),
+
+    // ----- Multi-probe IVF over computed k-means clusters (rows-only:
+    // engine-defined clustering; nprobe=2 probes each query's two
+    // nearest centroids — the recall knob of a production IVF index) --
+    "q_knn_ivf_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
+      val withCluster = emb.join(
+        VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 3)
+          .withColumnRenamed("id", "vec_id"), "vec_id")
+      VectorOps.knnTopKIvfProbe(withCluster, "vec_id", "embedding", "cluster",
+        VectorOps.centroidsDF(s, cents), col("vec_id") < 20, k = 5, nprobe = 2)
     }),
 
     // ----- Histogram: fixed-width value buckets -----------------------
@@ -1188,6 +1203,26 @@ object SparkEntry {
          SELECT base.doc_id, n_lines, dup_line_ratio, n_tokens, dup_token_ratio,
                 top_bigram_n, top_bigram_frac
          FROM base LEFT JOIN top USING (doc_id)""",
+    "q_gopher_quality" ->
+      """WITH x AS (SELECT doc_id,
+             string_split(trim(text), ' ') AS w,
+             string_split(text, chr(10)) AS l,
+             length(replace(trim(text), ' ', '')) AS nonspace_len,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN NULL
+                ELSE CAST(nonspace_len AS DOUBLE) / len(w) END AS mean_word_len,
+           CASE WHEN len(w) = 0 THEN NULL
+                ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) END AS frac_alpha_words,
+           CASE WHEN len(w) = 0 THEN NULL
+                ELSE CAST(hashes + ellipses AS DOUBLE) / len(w) END AS symbol_word_ratio,
+           CASE WHEN len(l) = 0 THEN NULL
+                ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(l) END AS bullet_line_frac,
+           CASE WHEN len(l) = 0 THEN NULL
+                ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(l) END AS ellipsis_line_frac
+         FROM x""",
     "q_redact_pii" ->
       """SELECT doc_id,
          regexp_replace(

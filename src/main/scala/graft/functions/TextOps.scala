@@ -248,6 +248,40 @@ object TextOps {
     base.join(bigrams, Seq(idCol), "left")
   }
 
+  /** The remaining Gopher-rule quality signals (Rae et al. 2021 §A1.1,
+    * complementing [[textStats]] and [[repetitionStats]]): mean word
+    * length, fraction of words with an alphabetic character, symbol-
+    * to-word ratio (# and ellipsis), and bullet/ellipsis line
+    * fractions. All row-local projections — no shuffle. The two
+    * word-level fractions go through `filter` higher-order functions
+    * (interpreted per element); a corpus-scale deployment would move
+    * them into a codegen'd expression like [[WordShingles]] — the
+    * operator contract is what matters here.
+    */
+  def gopherQualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val words = tokens(t)
+    val nWords = size(words)
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val nonspaceLen = length(regexp_replace(trim(t), " ", ""))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    docs.select(
+      col(idCol),
+      ratio(nonspaceLen, nWords).as("mean_word_len"),
+      ratio(alphaWords, nWords).as("frac_alpha_words"),
+      ratio(hashes + ellipses, nWords).as("symbol_word_ratio"),
+      ratio(bulletLines, nLines).as("bullet_line_frac"),
+      ratio(ellipsisLines, nLines).as("ellipsis_line_frac"))
+  }
+
   /** PII redaction: emails then long digit runs replaced by typed
     * placeholders — deterministic regexes shared with the SQL oracle.
     * The pattern set is a seam; a production pass would extend it.

@@ -198,6 +198,55 @@ object VectorOps {
     rankTopK(pairs, idCol, k)
   }
 
+  /** Multi-probe IVF top-k: like [[knnTopKIvf]] but each query probes
+    * its `nprobe` NEAREST clusters by centroid distance — recovering
+    * the recall a single-probe IVF loses when a query sits near a
+    * cluster boundary (the standard nprobe knob of a production IVF
+    * index). `centroids` is a k-row (cluster, centroid array<double>)
+    * frame; the probe list (|queries| × nprobe rows) joins broadcast,
+    * so candidates still never shuffle and only probed clusters are
+    * scored.
+    */
+  def knnTopKIvfProbe(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      centroids: DataFrame, // columns: cluster, centroid
+      queryPred: Column,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val withNorm = embeddings
+      .select(col(idCol), col(vecCol), col(clusterCol))
+      .withColumn("__norm", norm(col(vecCol)))
+    val queries = withNorm
+      .filter(queryPred)
+      .select(
+        col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__qvec"),
+        col("__norm").as("__qnorm"))
+    // |q - c|^2 argmin ≡ argmin of |c|^2 - 2 q·c (|q|^2 constant/query)
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cdist"), col("cluster"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("__qvec"), col("centroid")))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qvec"), col("__qnorm"),
+        col("cluster").as("__probe_cluster")) // avoid clash when clusterCol == "cluster"
+    val pairs = withNorm
+      .join(
+        broadcast(probes),
+        col(idCol) =!= col("query_id") && col(clusterCol) === col("__probe_cluster"))
+      .withColumn("__sim",
+        dot(transform(col(vecCol), x => x.cast("double")), col("__qvec")) /
+          (col("__norm") * col("__qnorm")))
+    rankTopK(pairs, idCol, k)
+  }
+
   private def rankTopK(pairs: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col(idCol))
     pairs
@@ -222,6 +271,38 @@ object VectorOps {
     * Each iteration: one broadcast + one job. First minimum wins ties
     * (strict <) — deterministic. Returns (id, cluster).
     */
+  private def toVecs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+  }
+
+  // |v - c|^2 = |v|^2 + |c|^2 - 2 v·c; |c|^2 precomputed once per
+  // partition, |v|^2 constant across centroids (dropped from argmin)
+  private def bestCluster(v: Array[Double], cents: Array[Array[Double]], c2: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(v.length, c.length)
+      while (d < n) { dot += v(d) * c(d); d += 1 }
+      val dist = c2(j) - 2.0 * dot
+      if (dist < bestD) { bestD = dist; best = j }
+      j += 1
+    }
+    best
+  }
+
   def kmeansAssign(
       embeddings: DataFrame,
       idCol: String,
@@ -231,43 +312,35 @@ object VectorOps {
   ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val vecs = embeddings.select(
-        col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .as[(Long, Array[Double])]
+    val vecs = toVecs(embeddings, idCol, vecCol)
+    val centroids = kmeansCentroids(embeddings, idCol, vecCol, k, iterations)
+    val bc = spark.sparkContext.broadcast(centroids)
+    vecs.mapPartitions { iter =>
+      val cs = bc.value
+      val c2 = cs.map(c => c.map(x => x * x).sum)
+      iter.map { case (id, v) => (id, bestCluster(v, cs, c2)) }
+    }.toDF("id", "cluster")
+  }
+
+  /** The fitted centroid matrix alone (index = cluster id) — the input
+    * a multi-probe IVF search ([[knnTopKIvfProbe]]) needs. Same
+    * deterministic Lloyd's loop as [[kmeansAssign]].
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int
+  ): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = toVecs(embeddings, idCol, vecCol)
 
     var centroids: Array[Array[Double]] = vecs
       .orderBy("id").limit(k)
       .collect()
       .map(_._2)
-
-    // |v - c|^2 = |v|^2 + |c|^2 - 2 v·c; |c|^2 precomputed once per
-    // partition, |v|^2 constant across centroids (dropped from argmin)
-    def bestCluster(v: Array[Double], cents: Array[Array[Double]], c2: Array[Double]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var j = 0
-      while (j < cents.length) {
-        val c = cents(j)
-        var dot = 0.0
-        var d = 0
-        val n = math.min(v.length, c.length)
-        while (d < n) { dot += v(d) * c(d); d += 1 }
-        val dist = c2(j) - 2.0 * dot
-        if (dist < bestD) { bestD = dist; best = j }
-        j += 1
-      }
-      best
-    }
-
-    def assignWith(cents: Array[Array[Double]]): org.apache.spark.sql.Dataset[(Long, Array[Double], Int)] = {
-      val bc = spark.sparkContext.broadcast(cents)
-      vecs.mapPartitions { iter =>
-        val cs = bc.value
-        val c2 = cs.map(c => c.map(x => x * x).sum)
-        iter.map { case (id, v) => (id, v, bestCluster(v, cs, c2)) }
-      }
-    }
 
     var it = 1
     while (it < iterations) {
@@ -310,7 +383,17 @@ object VectorOps {
       centroids = merged
       it += 1
     }
-    assignWith(centroids).map { case (id, _, cl) => (id, cl) }.toDF("id", "cluster")
+    centroids
+  }
+
+  /** Centroids as the k-row (cluster, centroid) frame
+    * [[knnTopKIvfProbe]] consumes.
+    */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, j) => (j, c) }.toSeq
+      .toDF("cluster", "centroid")
   }
 
   /** Row-local bucket kernel shared by interpreted eval and generated

@@ -171,6 +171,20 @@ class TextVectorSpec extends SparkSpec {
     assert(got(3L) == ((1L, Some(0.0), None, None))) // no bigrams
   }
 
+  test("gopherQualitySignals: planted bullets, ellipses, and symbol-only docs") {
+    val d = Seq(
+      (1L, "- item one\n- item two\nplain line..."),
+      (2L, "123 456 !!!")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherQualitySignals(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Double]("bullet_line_frac") == 2.0 / 3)
+    assert(got(1L).getAs[Double]("ellipsis_line_frac") == 1.0 / 3)
+    assert(got(2L).getAs[Double]("frac_alpha_words") == 0.0)
+    assert(got(2L).getAs[Double]("mean_word_len") == 3.0)
+    assert(got(2L).getAs[Double]("symbol_word_ratio") == 0.0)
+  }
+
   test("redactPii masks planted emails and long digit runs") {
     val d = Seq((1L, "contact bob@example.com or call 12345678901 now; short 123 stays"))
       .toDF("doc_id", "text")
@@ -216,6 +230,23 @@ class TextVectorSpec extends SparkSpec {
     val nd = VectorOps.cosineNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
       .as[(Long, Long)].collect().toSet
     assert(nd == Set((0L, 1L)))
+  }
+
+  test("multi-probe IVF recovers the boundary neighbor single-probe misses") {
+    import graft.functions.VectorOps
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 0f), 0),  // query, assigned cluster 0
+      (1L, Array(0.95f, 0.3f, 0f), 1),  // true nearest, but in cluster 1
+      (2L, Array(0.0f, 1.0f, 0f), 1),
+      (3L, Array(0.8f, -0.6f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Array(1.0, -0.1, 0.0)), (1, Array(0.5, 0.85, 0.0)))
+      .toDF("cluster", "centroid")
+    def top1(nprobe: Int) = VectorOps.knnTopKIvfProbe(
+        vecs, "vec_id", "embedding", "label", cents, $"vec_id" === 0, k = 1, nprobe)
+      .select("neighbor_id").as[Long].head()
+    assert(top1(1) == 3L) // only cluster 0 probed
+    assert(top1(2) == 1L) // boundary neighbor recovered
   }
 
   test("textStats and langId compute sane features") {
