@@ -88,6 +88,28 @@ object StreamingRollup {
     q
   }
 
+  /** Streaming exact dedup at ingest — the streaming half of the
+    * ReplacingMergeTree contract (the reference relies on the table
+    * engine to collapse re-delivered candles; we drop them before the
+    * sink): duplicate key rows arriving within the watermark horizon
+    * are suppressed, so an at-least-once upstream (reconnect replays,
+    * producer retries) yields exactly-once rows downstream.
+    * `dropDuplicatesWithinWatermark` keeps dedup state bounded by the
+    * watermark (plain `dropDuplicates` on a stream retains every key
+    * seen FOREVER — unusable at 100 TB/day); duplicates farther apart
+    * than the watermark fall through to the store's dedup-on-read,
+    * same as late data falls through to reconciliation.
+    */
+  def streamingDedup(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** R1 — the full cascade as streaming: fan one candle stream out to
     * every grain, each as its own independent query + sink +
     * checkpoint (so one slow grain never backpressures another; the

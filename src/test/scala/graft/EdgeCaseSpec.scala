@@ -113,4 +113,37 @@ class EdgeCaseSpec extends SparkSpec {
     val small = Seq(("A", 2)).toDF("sym", "meta")
     assert(graft.operators.SkewOps.saltedJoin(big, small, Seq("sym"), 4).count() == 0)
   }
+
+  test("round-3 ops survive empty/degenerate inputs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b")).toDF("doc_id", "text")
+    val empty = docs.filter($"doc_id" < 0)
+    // gopher signals: whitespace-only and empty docs get rows, not errors
+    assert(TextOps.gopherQualitySignals(docs, "doc_id", "text").count() == 4)
+    // capped near-dup paths on empty corpora are empty, not errors
+    assert(TextOps.minhashCandidatePairs(empty, "doc_id", "text", 4, 2, 3).count() == 0)
+    assert(graft.functions.Winnowing.winnowNearDupPairs(
+      empty, "doc_id", "text", 4, 4, 2).count() == 0)
+    // bucketCap = 0 drops everything rather than erroring
+    assert(TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3,
+      bucketCap = 0L).count() == 0)
+    // decode stats on non-image/corrupt payloads: rows dropped, no crash
+    val junk = Seq(
+      graft.operators.MultimodalOps.MediaRow(1L, "image", null, Array[Byte](9, 9, 9), 0, 0, 0L, 0),
+      graft.operators.MultimodalOps.MediaRow(2L, "audio", null, Array[Byte](1), 0, 0, 5L, 8000),
+      graft.operators.MultimodalOps.MediaRow(3L, "image", null, null, 0, 0, 0L, 0)
+    ).toDS()
+    assert(graft.operators.MultimodalOps.decodeImageStats(junk, 8, 6).count() == 0)
+  }
+
+  test("multi-probe IVF with nprobe exceeding cluster count equals brute force within clusters") {
+    import graft.functions.VectorOps
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 1), (2L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0))).toDF("cluster", "centroid")
+    val all = VectorOps.knnTopKIvfProbe(
+        vecs, "vec_id", "embedding", "label", cents, $"vec_id" === 0, k = 5, nprobe = 99)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L)) // every non-query candidate reachable
+  }
 }

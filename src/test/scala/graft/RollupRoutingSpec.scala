@@ -205,6 +205,45 @@ class RollupRoutingSpec extends SparkSpec {
     } finally teardownRouting()
   }
 
+  test("with multiple registered grains the coarsest sufficient one wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_multi").toString
+    val basePath = s"$dir/base"
+    val r1h = s"$dir/rollup_1h"
+    val r6h = s"$dir/rollup_6h"
+    val base = (for {
+      sym <- Seq("BTC", "ETH"); m <- 0 until 2 * 24 * 60
+    } yield (sym, new Timestamp(ts("2024-03-01 00:00:00").getTime + m * 60000L),
+      100.0 + (m * 13 % 31))).toDF("symbol", "t", "price")
+    base.write.mode("overwrite").parquet(basePath)
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 hour", r1h)
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price", "6 hours", r6h)
+    RollupRouter.clear()
+    RollupRouter.register(RollupRouter.Route(
+      basePath, Seq("symbol"), "t", "price",
+      Map(3600L -> r1h, 21600L -> r6h)))
+    spark.experimental.extraOptimizations = Seq(new RollupRouter.RouteRule(spark))
+    try {
+      // 1-day buckets: both grains divide, 6h must win (36x fewer rows)
+      val daily = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 day")
+      val dailyPlan = daily.queryExecution.executedPlan.toString()
+      assert(dailyPlan.contains("rollup_6h"), s"expected 6h route:\n$dailyPlan")
+      assert(daily.count() == 4) // 2 symbols x 2 days
+      // 2-hour buckets: only 1h divides
+      val two = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath), Seq("symbol"), "t", "price", "2 hours")
+      val twoPlan = two.queryExecution.executedPlan.toString()
+      assert(twoPlan.contains("rollup_1h") && !twoPlan.contains("rollup_6h"),
+        s"expected 1h route:\n$twoPlan")
+      assert(two.count() == 48)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouter.clear()
+    }
+  }
+
   test("non-divisible grains and unregistered paths are left alone") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route2").toString
     val basePath = s"$dir/base"

@@ -58,6 +58,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streamingDedup suppresses re-delivered rows within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val deduped = StreamingRollup.streamingDedup(
+      source.toDF(), Seq("symbol", "t"), "t", "10 minutes")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    try {
+      source.addData(ticks)
+      q.processAllAvailable()
+      source.addData(ticks.take(30)) // an at-least-once replay
+      q.processAllAvailable()
+      source.addData(Tick("BTC", ts("2024-03-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out")
+    // every (symbol, t) appears exactly once despite the replay
+    assert(got.count() == ticks.length + 1)
+    assert(got.groupBy("symbol", "t").count().filter($"count" > 1).count() == 0)
+  }
+
   test("multi-grain fan-out: every grain's sink matches its batch rollup") {
     // a file source, not MemoryStream: MemoryStream truncates committed
     // batches (single-consumer), so independent per-grain queries need
