@@ -83,7 +83,7 @@ object RollupRouter {
         val nonAttrs = pl.filterNot(_.isInstanceOf[AttributeReference])
         val pulled = nonAttrs match {
           case Seq() => Some(None)
-          case Seq(a @ Alias(TimeBucket(t: AttributeReference, us), _)) =>
+          case Seq(a @ Alias(FixedBucket(t, us), _)) =>
             Some(Some(PulledBucket(a.exprId, a.name, t.exprId, us)))
           case _ => None
         }
@@ -109,6 +109,37 @@ object RollupRouter {
       if (e.foldable && e.dataType == org.apache.spark.sql.types.TimestampType)
         Option(e.eval(null)).map(_.asInstanceOf[Long])
       else None
+  }
+
+  /** Any fixed-width epoch-aligned bucketing of a timestamp attribute:
+    * the engine's own `TimeBucket`, or SQL `date_trunc` when its unit
+    * is fixed-width AND the truncation grid equals the epoch grid —
+    * 'minute'/'second' in any real zone (every zone offset is a whole
+    * minute), 'hour'/'day' only under UTC (a +05:45 zone's hour-trunc
+    * is NOT epoch-hour-aligned). Week/month/quarter/year are not
+    * fixed-width and never match. Value-equal matches may be rewritten
+    * to `TimeBucket(bucket_ts, us)` regardless of original form.
+    */
+  private object FixedBucket {
+    private def unitUs(u: String): Option[Long] = u.toLowerCase match {
+      case "second" => Some(1000000L)
+      case "minute" => Some(60000000L)
+      case "hour" => Some(3600000000L)
+      case "day" | "dd" => Some(86400000000L)
+      case _ => None
+    }
+    private def isUtc(tz: Option[String]): Boolean = tz.exists { z =>
+      try java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    }
+    def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case TimeBucket(a: AttributeReference, us) => Some((a, us))
+      case tt @ TruncTimestamp(Literal(fmt, org.apache.spark.sql.types.StringType),
+          a: AttributeReference, _) if fmt != null =>
+        unitUs(fmt.toString).filter(us => us <= 60000000L || isUtc(tt.timeZoneId))
+          .map(us => (a, us))
+      case _ => None
+    }
   }
 
   final class RouteRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
@@ -150,10 +181,10 @@ object RollupRouter {
           pb.bucketUs
         case None =>
           val buckets = grouping.flatMap(_.collect {
-            case tb @ TimeBucket(a: AttributeReference, _) if a.exprId == ts.exprId => tb
+            case e @ FixedBucket(a, us) if a.exprId == ts.exprId => us
           })
           if (buckets.size != 1) return None
-          buckets.head.bucketUs
+          buckets.head
       }
       if (queryUs % 1000000L != 0) return None
       val querySec = queryUs / 1000000L
@@ -201,12 +232,12 @@ object RollupRouter {
               tsRangeConjs ::= (c, us)
             case _ =>
               val buckets = c.collect {
-                case TimeBucket(a: AttributeReference, us) if a.exprId == ts.exprId => us
+                case FixedBucket(a, us) if a.exprId == ts.exprId => us
               }
               val rawTsRefs = c.collect {
                 case a: AttributeReference if a.exprId == ts.exprId => a
               }
-              // every raw ts occurrence must sit inside a TimeBucket
+              // every raw ts occurrence must sit inside a fixed bucket
               if (rawTsRefs.size != buckets.size || buckets.isEmpty) return None
               bucketConjs ::= c
               bucketUsInFilter = buckets.toList ::: bucketUsInFilter
@@ -243,7 +274,11 @@ object RollupRouter {
       var rewriteFailed = false
 
       def rewriteExpr(e: Expression): Expression = e.transformUp {
-        case tb @ TimeBucket(a: AttributeReference, us) if a.exprId == ts.exprId =>
+        // TimeBucket and epoch-aligned date_trunc alike become
+        // TimeBucket over the rollup's bucket_ts (value-equal by the
+        // FixedBucket contract; re-bucketing a finer bucket start at a
+        // coarser aligned grain is exact)
+        case fb @ FixedBucket(a, us) if a.exprId == ts.exprId =>
           TimeBucket(rOut("bucket_ts"), us)
         case ae @ AggregateExpression(fn, mode, isDistinct, filter, _) =>
           if (isDistinct || filter.nonEmpty) { rewriteFailed = true; ae }

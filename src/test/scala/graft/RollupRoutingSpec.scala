@@ -205,6 +205,26 @@ class RollupRoutingSpec extends SparkSpec {
     } finally teardownRouting()
   }
 
+  test("SQL date_trunc('hour'/'day') grouping routes like TimeBucket; week does not") {
+    val (basePath, _) = routedFixture("trunc")
+    try {
+      def q(unit: String) = spark.read.parquet(basePath)
+        .groupBy(col("symbol"), date_trunc(unit, col("t")).as("bucket_ts"))
+        .agg(
+          min_by(col("price"), col("t")).as("open"),
+          max(col("price")).as("high"),
+          min(col("price")).as("low"),
+          max_by(col("price"), col("t")).as("close"),
+          count(lit(1)).as("trades"))
+      assertRouted(q("hour"), () => q("hour"), expectRouted = true)
+      assert(q("hour").count() == 48)
+      assertRouted(q("day"), () => q("day"), expectRouted = true)
+      assert(q("day").count() == 2)
+      // week truncation is not epoch-fixed-width — never routed
+      assertRouted(q("week"), () => q("week"), expectRouted = false)
+    } finally teardownRouting()
+  }
+
   test("with multiple registered grains the coarsest sufficient one wins") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route_multi").toString
     val basePath = s"$dir/base"
