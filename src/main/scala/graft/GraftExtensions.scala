@@ -69,7 +69,31 @@ object GraftExtensions {
     "time_bucket_fixed" -> ((
       new ExpressionInfo(classOf[TimeBucket].getName, "time_bucket_fixed"),
       (args: Seq[Expression]) =>
-        TimeBucket(args(0), specMicros(literalString(args(1), "time_bucket_fixed")))))
+        TimeBucket(args(0), specMicros(literalString(args(1), "time_bucket_fixed"))))),
+    "minhash_sig" -> ((
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        val (a, b) = graft.functions.MinHashSig.params(literalInt(args(1), "minhash_sig"))
+        graft.functions.MinHashSig(args(0), a, b)
+      })),
+    "winnow" -> ((
+      new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow"),
+      (args: Seq[Expression]) =>
+        graft.functions.WinnowingFingerprints(args(0),
+          literalInt(args(1), "winnow"), literalInt(args(2), "winnow")))),
+    "hyperplane_bucket" -> ((
+      new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "hyperplane_bucket"),
+      (args: Seq[Expression]) => {
+        // hyperplane_bucket(vec, dim, nPlanes[, seed]) — planes are
+        // regenerated deterministically from the seed, exactly like the
+        // Scala API (VectorOps.hyperplaneBucket)
+        val dim = literalInt(args(1), "hyperplane_bucket")
+        val nPlanes = literalInt(args(2), "hyperplane_bucket")
+        val seed = if (args.length > 3) literalInt(args(3), "hyperplane_bucket").toLong else 42L
+        val rng = new scala.util.Random(seed)
+        val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+        graft.functions.HyperplaneBucket(args(0), planes)
+      }))
   )
 
   /** Runtime registration on an existing session (no extensions conf

@@ -252,35 +252,21 @@ object TextOps {
     * complementing [[textStats]] and [[repetitionStats]]): mean word
     * length, fraction of words with an alphabetic character, symbol-
     * to-word ratio (# and ellipsis), and bullet/ellipsis line
-    * fractions. All row-local projections — no shuffle. The two
-    * word-level fractions go through `filter` higher-order functions
-    * (interpreted per element); a corpus-scale deployment would move
-    * them into a codegen'd expression like [[WordShingles]] — the
-    * operator contract is what matters here.
+    * fractions. One codegen'd char scan per document ([[TextSignals]]
+    * — the column-composition equivalent walked the text ~7 times with
+    * two interpreted higher-order filters; equivalence is
+    * spec-asserted). Row-local, no shuffle.
     */
-  def gopherQualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    def ratio(num: Column, den: Column): Column =
-      when(den === 0, lit(null).cast(DoubleType))
-        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
-    val words = tokens(t)
-    val nWords = size(words)
-    val lines = split(t, "\n")
-    val nLines = size(lines)
-    val nonspaceLen = length(regexp_replace(trim(t), " ", ""))
-    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
-    val hashes = length(t) - length(regexp_replace(t, "#", ""))
-    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
-    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
-    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
-    docs.select(
-      col(idCol),
-      ratio(nonspaceLen, nWords).as("mean_word_len"),
-      ratio(alphaWords, nWords).as("frac_alpha_words"),
-      ratio(hashes + ellipses, nWords).as("symbol_word_ratio"),
-      ratio(bulletLines, nLines).as("bullet_line_frac"),
-      ratio(ellipsisLines, nLines).as("ellipsis_line_frac"))
-  }
+  def gopherQualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextSignals.text_signals(col(textCol)).as("__sig"))
+      .select(
+        col(idCol),
+        col("__sig.mean_word_len").as("mean_word_len"),
+        col("__sig.frac_alpha_words").as("frac_alpha_words"),
+        col("__sig.symbol_word_ratio").as("symbol_word_ratio"),
+        col("__sig.bullet_line_frac").as("bullet_line_frac"),
+        col("__sig.ellipsis_line_frac").as("ellipsis_line_frac"))
 
   /** PII redaction: emails then long digit runs replaced by typed
     * placeholders — deterministic regexes shared with the SQL oracle.

@@ -26,6 +26,22 @@ class GraftExtensionsSpec extends SparkSpec {
                 CAST(time_bucket_fixed(TIMESTAMP '2024-01-01 08:22:11', '15 minutes') AS STRING) AS b2""")
       .as[(String, String)].head()
     assert(tb._1 == "2024-01-01 08:15:00" && tb._2 == tb._1)
+
+    // round-3 additions: signature, winnowing, and LSH bucket from SQL
+    val sig = spark.sql(
+      "SELECT minhash_sig(word_shingles(split(text, ' '), 3), 8) AS s FROM ext_docs")
+      .as[Seq[Long]].head()
+    assert(sig.length == 8 && sig.forall(_ >= 0))
+    val fp = spark.sql(
+      "SELECT winnow(split('a b c d e f g h i j', ' '), 4, 4) AS w").as[Seq[Long]].head()
+    assert(fp.nonEmpty)
+    val hb = spark.sql(
+      "SELECT hyperplane_bucket(array(1.0D, 0.0D), 2, 4) AS b").as[Int].head()
+    assert(hb >= 0 && hb < 16)
+    // seed-stable across calls
+    val hb2 = spark.sql(
+      "SELECT hyperplane_bucket(array(1.0D, 0.0D), 2, 4) AS b").as[Int].head()
+    assert(hb == hb2)
   }
 
   test("session built with extensions class resolves the functions") {

@@ -171,6 +171,38 @@ class TextVectorSpec extends SparkSpec {
     assert(got(3L) == ((1L, Some(0.0), None, None))) // no bigrams
   }
 
+  test("TextSignals expression equals the column-composition formulation") {
+    import org.apache.spark.sql.types.DoubleType
+    // a corpus exercising every code path: bullets, ellipses (incl.
+    // runs of 4-6 dots), unicode … and •, hashes, whitespace tails,
+    // empty/whitespace-only docs, no-alpha docs, multi-space gaps
+    val d = ((0L until 40L).map(i =>
+      (i, s"doc $i with some words ${"#" * (i % 4).toInt} trailing ${"." * (i % 7).toInt}")) ++ Seq(
+      (100L, ""), (101L, "   "), (102L, "123 456 !!!"),
+      (103L, "- a\n* b\n• c\nd ...\ne …  \n...mid... end"),
+      (104L, "a  b   c"), (105L, "....... ### ..")
+    )).toDF("doc_id", "text")
+    val viaExpr = TextOps.gopherQualitySignals(d, "doc_id", "text")
+    // the original column formulation, verbatim
+    val t = col("text")
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val words = TextOps.tokens(t)
+    val lines = split(t, "\n")
+    val viaCols = d.select(
+      col("doc_id"),
+      ratio(length(regexp_replace(trim(t), " ", "")), size(words)).as("mean_word_len"),
+      ratio(size(filter(words, w => w.rlike("[A-Za-z]"))), size(words)).as("frac_alpha_words"),
+      ratio(length(t) - length(regexp_replace(t, "#", "")) +
+        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3, size(words)).as("symbol_word_ratio"),
+      ratio(size(filter(lines, l => l.rlike("^\\s*[-*•]"))), size(lines)).as("bullet_line_frac"),
+      ratio(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))), size(lines)).as("ellipsis_line_frac"))
+    val a = viaExpr.orderBy("doc_id").collect()
+    val b = viaCols.orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("gopherQualitySignals: planted bullets, ellipses, and symbol-only docs") {
     val d = Seq(
       (1L, "- item one\n- item two\nplain line..."),
