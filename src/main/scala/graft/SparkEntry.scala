@@ -666,7 +666,14 @@ object SparkEntry {
     // arithmetic from generate_series — a full hash check on an
     // actual codec path. -------------------------------------------
     "q_media_decode" -> ((s, _) =>
-      MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(s, 200), 8, 6))
+      MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(s, 200), 8, 6)),
+
+    // ----- REAL audio decode: payloads are genuine RIFF/PCM WAVs,
+    // stats come from javax.sound.sampled-decoded samples; the oracle
+    // replays the sample arithmetic (PCM is uncompressed, decode is
+    // verbatim). ----------------------------------------------------
+    "q_media_audio" -> ((s, _) =>
+      MultimodalOps.decodeAudioStats(MultimodalOps.syntheticWavs(s, 200)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -874,6 +881,21 @@ object SparkEntry {
          SELECT f.media_id, 32 AS img_w, 24 AS img_h, CAST(768 AS BIGINT) AS n_px,
                 sum_r, sum_g, sum_b, sum_r_resized
          FROM f JOIN rz USING (media_id)""",
+    "q_media_audio" ->
+      """WITH s AS (
+           SELECT g.id AS media_id, i.i AS i,
+                  CAST((g.id * 31 + i.i * 7) % 65536 - 32768 AS BIGINT) AS smp,
+                  64 + (g.id % 64) AS ns
+           FROM generate_series(0, 199) AS g(id)
+           CROSS JOIN generate_series(0, 127) AS i(i)
+           WHERE i.i < 64 + (g.id % 64))
+         SELECT media_id, 8000 AS sample_rate,
+                CAST(max(ns) AS BIGINT) AS n_samples,
+                CAST(sum(smp) AS BIGINT) AS sum_s,
+                CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+                CAST(min(smp) AS INT) AS min_s,
+                CAST(max(smp) AS INT) AS max_s
+         FROM s GROUP BY 1""",
     "q_alerts" ->
       s"""WITH gaps AS (
          $gapScanOracleSql

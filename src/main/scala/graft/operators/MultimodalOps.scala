@@ -254,6 +254,75 @@ object MultimodalOps {
     })
   }
 
+  /** Synthesize real WAV payloads (RIFF/PCM 16-bit mono): sample i of
+    * clip id is `((id * 31 + i * 7) % 65536) - 32768` — pure arithmetic
+    * a SQL oracle can replay — wrapped in a hand-built 44-byte RIFF
+    * header. PCM is uncompressed, so decode returns the samples
+    * verbatim.
+    */
+  val WavRate = 8000
+  def synthSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7) % 65536).toInt) - 32768
+
+  def syntheticWavs(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val nSamples = 64 + (id % 64).toInt
+      val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(WavRate).putInt(WavRate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+      var i = 0
+      while (i < nSamples) { bb.putShort(synthSample(id, i).toShort); i += 1 }
+      MediaRow(id, "audio", s"mem://wav/$id", bb.array(),
+        width = 0, height = 0,
+        duration_ms = nSamples.toLong * 1000 / WavRate, sample_rate = WavRate)
+    }
+  }
+
+  /** Per-clip sample statistics from a REAL audio decode
+    * (`javax.sound.sampled` — JDK-only, pure parsing, no audio device):
+    * decoded format fields plus integer-exact sample aggregates (sum,
+    * min, max, sum of absolute values) so a SQL oracle can replay them.
+    * Same mapPartitions shape as [[decodeImageStats]]; undecodable rows
+    * are dropped.
+    */
+  def decodeAudioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) Iterator.empty
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var (sum, sumAbs) = (0L, 0L)
+          var (mn, mx) = (Int.MaxValue, Int.MinValue)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = (hi << 8) | lo
+            sum += s; sumAbs += math.abs(s)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            i += 1
+          }
+          Iterator((r.media_id, fmt.getSampleRate.toInt, n.toLong, sum, sumAbs, mn, mx))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException =>
+          Iterator.empty
+      }
+    }).toDF("media_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "min_s", "max_s")
+  }
+
   /** Metadata-only projection: the common pruned read path — never
     * touches payload bytes (column pruning keeps the binary column out
     * of the scan entirely).

@@ -101,6 +101,31 @@ class MultimodalSpec extends SparkSpec {
     assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((er, eg, eb)))
   }
 
+  test("decodeAudioStats: javax.sound decode of generated WAVs matches the sample formula") {
+    val wav = MultimodalOps.syntheticWavs(spark, 3).filter(_.media_id == 2L).head()
+    assert(new String(wav.payload.take(4), "US-ASCII") == "RIFF") // real RIFF magic
+    // direct decode through the same JDK codec the operator uses
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav.payload))
+    assert(in.getFormat.getSampleRate == 8000f && in.getFormat.getChannels == 1)
+
+    val stats = MultimodalOps.decodeAudioStats(MultimodalOps.syntheticWavs(spark, 10))
+      .as[(Long, Int, Long, Long, Long, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.size == 10)
+    val s7 = stats(7L)
+    val ns = 64 + 7 % 64
+    val samples = (0 until ns).map(i => MultimodalOps.synthSample(7L, i))
+    assert(s7._2 == 8000 && s7._3 == ns.toLong)
+    assert(s7._4 == samples.map(_.toLong).sum)
+    assert(s7._5 == samples.map(s => math.abs(s).toLong).sum)
+    assert(s7._6 == samples.min && s7._7 == samples.max)
+    // junk payload is dropped, not an error
+    val junk = Seq(MultimodalOps.MediaRow(99L, "audio", null,
+      Array[Byte](1, 2, 3, 4), 0, 0, 0L, 8000)).toDS()
+    assert(MultimodalOps.decodeAudioStats(junk).count() == 0)
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
