@@ -673,7 +673,14 @@ object SparkEntry {
     // replays the sample arithmetic (PCM is uncompressed, decode is
     // verbatim). ----------------------------------------------------
     "q_media_audio" -> ((s, _) =>
-      MultimodalOps.decodeAudioStats(MultimodalOps.syntheticWavs(s, 200)))
+      MultimodalOps.decodeAudioStats(MultimodalOps.syntheticWavs(s, 200))),
+
+    // ----- Video demux + per-frame REAL PNG decode: the container is
+    // a documented frame-table stand-in (no mp4 demuxer in the JDK),
+    // the per-frame codec is genuine ImageIO; the oracle replays the
+    // frame pixel arithmetic. ----------------------------------------
+    "q_media_video_frames" -> ((s, _) =>
+      MultimodalOps.decodeVideoFrameStats(MultimodalOps.syntheticVideos(s, 150)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -881,6 +888,22 @@ object SparkEntry {
          SELECT f.media_id, 32 AS img_w, 24 AS img_h, CAST(768 AS BIGINT) AS n_px,
                 sum_r, sum_g, sum_b, sum_r_resized
          FROM f JOIN rz USING (media_id)""",
+    "q_media_video_frames" ->
+      """WITH px AS (
+           SELECT g.id AS media_id, f.f AS frame_no,
+                  CAST((g.id * 3 + f.f * 7 + x.x * 5) % 256 AS BIGINT) AS r,
+                  CAST((g.id * 5 + f.f * 11 + y.y * 3) % 256 AS BIGINT) AS gc,
+                  CAST((g.id + f.f + x.x * y.y) % 256 AS BIGINT) AS b
+           FROM generate_series(0, 149) AS g(id)
+           CROSS JOIN generate_series(0, 5) AS f(f)
+           CROSS JOIN generate_series(0, 15) AS x(x)
+           CROSS JOIN generate_series(0, 11) AS y(y)
+           WHERE f.f < 2 + (g.id % 4))
+         SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(gc) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b
+         FROM px GROUP BY 1, 2""",
     "q_media_audio" ->
       """WITH s AS (
            SELECT g.id AS media_id, i.i AS i,

@@ -126,6 +126,32 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.decodeAudioStats(junk).count() == 0)
   }
 
+  test("decodeVideoFrameStats: demux + per-frame PNG decode matches the pixel formula") {
+    val stats = MultimodalOps.decodeVideoFrameStats(MultimodalOps.syntheticVideos(spark, 8))
+      .as[(Long, Int, Long, Long, Long)].collect()
+    // clip id has 2 + id%4 frames
+    val byClip = stats.groupBy(_._1)
+    assert(byClip.keySet == (0L until 8L).toSet)
+    byClip.foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until (2 + (id % 4).toInt)))
+    }
+    // spot-check one frame's channel sums against the formula
+    // (clip 6 has 2 + 6%4 = 4 frames, so frame 3 exists)
+    val r63 = stats.find(s => s._1 == 6L && s._2 == 3).get
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until MultimodalOps.VideoH; x <- 0 until MultimodalOps.VideoW) {
+      val (r, g, b) = MultimodalOps.videoPixel(6L, 3, x, y)
+      er += r; eg += g; eb += b
+    }
+    assert((r63._3, r63._4, r63._5) == ((er, eg, eb)))
+    // truncated/corrupt containers are dropped, not errors
+    val bad = Seq(
+      MultimodalOps.MediaRow(90L, "video", null, "GFV1".getBytes("US-ASCII"), 0, 0, 0L, 0),
+      MultimodalOps.MediaRow(91L, "video", null, Array[Byte](1, 2), 0, 0, 0L, 0)
+    ).toDS()
+    assert(MultimodalOps.decodeVideoFrameStats(bad).count() == 0)
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)

@@ -40,6 +40,37 @@ class WinnowingSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("property: any shared run >= k+w-1 tokens yields a shared fingerprint (500 random cases)") {
+    // the MOSS guarantee, fuzzed at the kernel level (row-local, no
+    // Spark needed): random vocab, random prefixes/suffixes, random
+    // (k, w), shared run of exactly k + w - 1 tokens — the minimum the
+    // guarantee covers
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def winnowSet(tokens: Seq[String], k: Int, w: Int): Set[Long] = {
+      val arr = new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t): Any).toArray)
+      val out = Winnowing.winnowArray(arr, k, w)
+      (0 until out.numElements()).map(out.getLong).toSet
+    }
+    val rng = new scala.util.Random(20240312L)
+    for (trial <- 0 until 500) {
+      val k = 2 + rng.nextInt(4)
+      val w = 2 + rng.nextInt(4)
+      val vocab = Vector.tabulate(30)(j => s"t$j")
+      def randToks(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      val shared = randToks(k + w - 1)
+      val a = randToks(rng.nextInt(8)) ++ shared ++ randToks(rng.nextInt(8))
+      val b = randToks(rng.nextInt(8)) ++ shared ++ randToks(rng.nextInt(8))
+      val (fa, fb) = (winnowSet(a, k, w), winnowSet(b, k, w))
+      assert(fa.intersect(fb).nonEmpty,
+        s"trial $trial k=$k w=$w: no shared fingerprint\nA=$a\nB=$b")
+      // density: far sparser than one fingerprint per gram
+      val nGramsA = a.length - k + 1
+      assert(fa.size <= nGramsA)
+    }
+  }
+
   test("winnowNearDupPairs surfaces overlapping docs only") {
     val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docA)).toDF("doc_id", "text")
     val pairs = Winnowing.winnowNearDupPairs(docs, "doc_id", "text", 4, 4, minShared = 2)
