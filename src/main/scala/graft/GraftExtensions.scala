@@ -81,6 +81,12 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         graft.functions.WinnowingFingerprints(args(0),
           literalInt(args(1), "winnow"), literalInt(args(2), "winnow")))),
+    "topk_items" -> ((
+      new ExpressionInfo(classOf[graft.functions.TopKItems].getName, "topk_items"),
+      (args: Seq[Expression]) =>
+        graft.functions.TopKItems(args(0),
+          literalInt(args(1), "topk_items"),
+          literalInt(args(2), "topk_items")).toAggregateExpression())),
     "hyperplane_bucket" -> ((
       new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "hyperplane_bucket"),
       (args: Seq[Expression]) => {

@@ -623,6 +623,18 @@ object SparkEntry {
         VectorOps.centroidsDF(s, cents), col("vec_id") < 20, k = 5, nprobe = 2)
     }),
 
+    // ----- Heavy hitters via the space-saving sketch (ClickHouse topK
+    // analog). capacity 4096 >= distinct users at test SFs, so the
+    // sketch is EXACT here and fully hash-checked against the exact
+    // group-count oracle; at 100 TB the same aggregate runs with the
+    // same fixed memory where an exact groupBy may not. --------------
+    "q_topk_sketch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("u"))
+        .agg(graft.functions.TopKItems.topk_items(col("u"), 10, 4096).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("user_id"), col("t.cnt").as("n_events"))),
+
     // ----- Histogram: fixed-width value buckets -----------------------
     "q_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1353,6 +1365,10 @@ object SparkEntry {
          CAST(len(list_filter(string_split(trim(text), ' '),
                 x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS en_score
          FROM documents""",
+    "q_topk_sketch" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n_events
+         FROM events GROUP BY 1
+         ORDER BY n_events DESC, user_id LIMIT 10""",
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum

@@ -42,6 +42,11 @@ class GraftExtensionsSpec extends SparkSpec {
     val hb2 = spark.sql(
       "SELECT hyperplane_bucket(array(1.0D, 0.0D), 2, 4) AS b").as[Int].head()
     assert(hb == hb2)
+
+    val tk = spark.sql(
+      """SELECT topk_items(x, 1, 8) AS t
+         FROM VALUES ('a'), ('b'), ('a') AS v(x)""").head().getSeq[Any](0)
+    assert(tk.length == 1)
   }
 
   test("session built with extensions class resolves the functions") {

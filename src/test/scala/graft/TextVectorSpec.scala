@@ -281,6 +281,29 @@ class TextVectorSpec extends SparkSpec {
     assert(top1(2) == 1L) // boundary neighbor recovered
   }
 
+  test("topk_items: exact when capacity suffices, space-saving guarantees under eviction") {
+    import graft.functions.TopKItems
+    // exact regime across many partitions: merge must preserve counts
+    val items = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"u$i"))
+    val df = items.toDF("u").repartition(8)
+    val got = df.agg(TopKItems.topk_items($"u", 5, 1024).as("t"))
+      .select(explode($"t").as("x"))
+      .select($"x.item", $"x.cnt", $"x.err")
+      .as[(String, Long, Long)].collect()
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (i, c) => (-c, i) }.take(5)
+    assert(got.map(r => (r._1, r._2)).toSeq == exact)
+    assert(got.forall(_._3 == 0L)) // no evictions -> zero error
+    // eviction regime: a true heavy hitter (freq > N/capacity) survives
+    val skewed = (Seq.fill(500)("hot") ++ (1 to 300).map(i => s"cold$i")).toDF("u")
+      .repartition(4)
+    val top = skewed.agg(TopKItems.topk_items($"u", 3, 16).as("t"))
+      .select(explode($"t").as("x")).select($"x.item", $"x.cnt")
+      .as[(String, Long)].collect()
+    assert(top.head._1 == "hot")
+    assert(top.head._2 >= 500L) // space-saving never undercounts
+  }
+
   test("textStats and langId compute sane features") {
     val st = TextOps.textStats(docs, "doc_id", "text")
       .filter($"doc_id" === 0).head()
