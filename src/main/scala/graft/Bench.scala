@@ -52,10 +52,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Compact line: millisecond precision and a short sf label keep the
-    // full per-query map inside the driver's output-tail capture (the
-    // round-2 artifact clipped the first entries of a ~2.6 KB line).
-    def sec(v: Double): String = f"$v%.3f"
+    // Compact line: centisecond precision and a short sf label keep the
+    // full per-query map inside the driver's ~2 KB output-tail capture
+    // (the round-2 artifact clipped the first entries of a ~2.6 KB
+    // line; 79 queries at 3 decimals measured 1960 chars — too close).
+    def sec(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
