@@ -361,6 +361,26 @@ object SparkEntry {
       TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
     "q_gopher_quality" -> ((s, dir) =>
       TextOps.gopherQualitySignals(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ----- Benchmark decontamination: every 50th doc plays the "eval
+    // set"; overlap = shared distinct 3-gram shingles ----------------
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.contaminationCheck(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        shingleSize = 3, minShared = 2)
+    }),
+
+    // ----- Dataset-version diff: current corpus vs its redacted
+    // prior — 'changed' rows are exactly the PII-bearing docs --------
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prior = docs
+        .filter(col("doc_id") % 7 =!= 0) // every 7th doc is "new"
+        .select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
+      TextOps.corpusDiff(docs, prior, "doc_id", "text")
+    }),
     "q_redact_pii" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
@@ -1280,6 +1300,34 @@ object SparkEntry {
            CASE WHEN len(l) = 0 THEN NULL
                 ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(l) END AS ellipsis_line_frac
          FROM x""",
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+                FROM toks WHERE len(t) >= 3),
+         p AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 50 = 0)
+         SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+         FROM sh c JOIN p ON c.s = p.s
+         WHERE c.doc_id <> p.probe_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "q_corpus_diff" ->
+      """WITH c AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fc
+           FROM documents),
+         k AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{10,}', '<NUM>', 'g'))), '\s+', ' ', 'g')) AS fk
+           FROM documents WHERE doc_id % 7 <> 0)
+         SELECT COALESCE(c.doc_id, k.doc_id) AS doc_id,
+                CASE WHEN k.fk IS NULL THEN 'added'
+                     WHEN c.fc IS NULL THEN 'removed'
+                     WHEN c.fc <> k.fk THEN 'changed' END AS status
+         FROM c FULL OUTER JOIN k ON c.doc_id = k.doc_id
+         WHERE (CASE WHEN k.fk IS NULL THEN 'added'
+                     WHEN c.fc IS NULL THEN 'removed'
+                     WHEN c.fc <> k.fk THEN 'changed' END) IS NOT NULL""",
     "q_redact_pii" ->
       """SELECT doc_id,
          regexp_replace(

@@ -295,6 +295,65 @@ object TextOps {
     }
   }
 
+  /** Benchmark decontamination: per (corpus doc, probe doc) count of
+    * shared distinct n-gram shingles — the standard check that an eval/
+    * benchmark set has not leaked into training data. The probe side
+    * (eval sets: thousands of docs) is BROADCAST, so the corpus never
+    * shuffles for the join; only (doc, probe, partial count) rows reach
+    * the one aggregation exchange, with map-side combine. Shingle sets
+    * are distinct per side, so `count(*)` of join hits IS the distinct
+    * overlap.
+    */
+  def contaminationCheck(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      shingleSize: Int,
+      minShared: Long
+  ): DataFrame = {
+    val corpusSh = corpus.select(
+      col(idCol).as("doc_id"),
+      explode(shingles(tokens(col(textCol)), shingleSize)).as("__s"))
+    val probeSh = probes.select(
+      col(probeIdCol).as("probe_id"),
+      explode(shingles(tokens(col(probeTextCol)), shingleSize)).as("__s"))
+    corpusSh
+      .join(broadcast(probeSh), Seq("__s"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus diff between two dataset versions, by id and content
+    * fingerprint: 'added' (id only in `cur`), 'removed' (id only in
+    * `known`), 'changed' (both, but normalized content differs).
+    * The dataset-versioning analog of the reference's listing diff
+    * (GapOps.listingDiff) applied to document content — one full outer
+    * join on the id carrying 16-byte fingerprints, never text.
+    */
+  def corpusDiff(
+      cur: DataFrame,
+      known: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val c = cur.select(col(idCol).as("doc_id"),
+      normalizedFingerprint(col(textCol)).as("__fc"))
+    val k = known.select(col(idCol).as("doc_id"),
+      normalizedFingerprint(col(textCol)).as("__fk"))
+    c.join(k, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__fk").isNull, lit("added"))
+          .when(col("__fc").isNull, lit("removed"))
+          .when(col("__fc") =!= col("__fk"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom
     * expression), band by FOUR disjoint 16-bit keys (the standard
     * rotated-table trick), self-join within each band bucket, filter by

@@ -302,6 +302,33 @@ class TextVectorSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(top.head._1 == "hot")
     assert(top.head._2 >= 500L) // space-saving never undercounts
+    // partial aggregation must run map-side (ObjectHashAggregate, not a
+    // sort-based fallback): the shuffle carries sketches, not items
+    val plan = skewed.agg(TopKItems.topk_items($"u", 3, 16))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+  }
+
+  test("contaminationCheck flags the planted leak; corpusDiff classifies add/remove/change") {
+    val corpus = Seq(
+      (1L, base),                     // leaked: shares a long run with probe
+      (2L, distinct1),
+      (3L, distinct2)
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, base.replace("tonight", "today"))).toDF("doc_id", "text")
+    val hits = TextOps.contaminationCheck(
+        corpus, "doc_id", "text", probes, "doc_id", "text", 3, minShared = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)))
+
+    val cur = Seq((1L, "same text"), (2L, "Same   Text"), (3L, "new doc"), (4L, "edited now"))
+      .toDF("doc_id", "text")
+    val known = Seq((1L, "same text"), (2L, "same text"), (4L, "edited before"), (9L, "gone"))
+      .toDF("doc_id", "text")
+    val diff = TextOps.corpusDiff(cur, known, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // doc 1 identical, doc 2 identical after normalization -> absent
+    assert(diff == Map(3L -> "added", 4L -> "changed", 9L -> "removed"))
   }
 
   test("textStats and langId compute sane features") {
