@@ -381,6 +381,25 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
       TextOps.corpusDiff(docs, prior, "doc_id", "text")
     }),
+    // ----- Span-level dedup: drop 6-token blocks shared by >= 2 docs,
+    // reassemble the survivors ---------------------------------------
+    "q_span_dedup" -> ((s, dir) =>
+      TextOps.spanDedup(Tables.documents(s, dir), "doc_id", "text",
+        blockTokens = 6, minDocs = 2)),
+
+    // ----- Training-mix sampling: per-source keep rates, id-hash
+    // deterministic ---------------------------------------------------
+    "q_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "source",
+        rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultRate = 0.05)),
+
+    // ----- Top-5 salient terms per doc, raw-idf TF-IDF ---------------
+    "q_tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minTf = 2L)),
     "q_redact_pii" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
@@ -1328,6 +1347,38 @@ object SparkEntry {
          WHERE (CASE WHEN k.fk IS NULL THEN 'added'
                      WHEN c.fc IS NULL THEN 'removed'
                      WHEN c.fc <> k.fk THEN 'changed' END) IS NOT NULL""",
+    "q_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         bl AS (SELECT doc_id,
+                  unnest([{'bi': i, 'blk': array_to_string(t[(i-1)*6+1:i*6], ' ')}
+                          for i in generate_series(1, CAST(ceil(len(t)/6.0) AS BIGINT))]) AS u
+                FROM toks),
+         b AS (SELECT doc_id, u.bi AS bi, u.blk AS blk, md5(u.blk) AS h FROM bl),
+         dup AS (SELECT h FROM b GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         SELECT doc_id,
+                string_agg(blk, ' ' ORDER BY bi) AS text_clean,
+                count(*) AS n_blocks_kept
+         FROM b WHERE h NOT IN (SELECT h FROM dup)
+         GROUP BY doc_id""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) <
+           CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+                       WHEN 'src2' THEN 16384 WHEN 'src3' THEN 6553
+                       ELSE 3276 END""",
+    "q_tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+               FROM tf JOIN dfq USING (term) CROSS JOIN n
+               WHERE tf.tf >= 2)
+         SELECT doc_id, term, tf, df, score, rank FROM (
+           SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           FROM s) WHERE rank <= 5""",
     "q_redact_pii" ->
       """SELECT doc_id,
          regexp_replace(

@@ -354,6 +354,109 @@ object TextOps {
       .select(col("doc_id"), col("status"))
   }
 
+  /** Span-level corpus dedup (the C4/CCNet "remove duplicated lines
+    * across documents" rule, at fixed token-block granularity since
+    * the segmentation unit is a parameter of the corpus, not the
+    * algorithm): segment each document into consecutive blocks of
+    * `blockTokens` whitespace tokens, drop every block whose exact
+    * content appears in at least `minDocs` DISTINCT documents, and
+    * reassemble the survivors in original order.
+    *
+    * Scale shape: the duplicate-block set is found by one hash
+    * aggregate over 16-byte block hashes (text never enters that
+    * exchange); the anti-join shuffles blocks by hash once; reassembly
+    * shuffles kept blocks by doc once. Documents whose every block is
+    * boilerplate vanish from the output — exactly the rows exact dedup
+    * retires anyway.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int,
+      minDocs: Long
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    // split(trim(x), " ") yields at least [""], so nBlocks >= 1 and the
+    // descending-sequence trap (sequence(1,0) = [1,0]) cannot trigger
+    val nBlocks = ceil(size(col("__t")).cast("double") / blockTokens).cast("int")
+    val blocks = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), nBlocks), i =>
+          array_join(slice(col("__t"), (i - lit(1)) * blockTokens + lit(1), lit(blockTokens)), " ")))
+          .as(Seq("bi", "blk")))
+      .withColumn("__h", md5(col("blk").cast("binary")))
+    val dup = blocks
+      .select(col("__h"), col("doc_id"))
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("__h")
+    blocks
+      .join(dup, Seq("__h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("bi"), col("blk")))), s => s("blk")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_blocks_kept"))
+  }
+
+  /** Deterministic per-stratum downsampling (training-mix construction:
+    * "keep 100% of books, 10% of common-crawl"): a row survives iff its
+    * id's 16-bit md5 bucket falls under its stratum's rate cutoff.
+    * Pure projection+filter — no shuffle, no rand(), reproducible
+    * across runs, retries, and partitionings, and any id kept at rate r
+    * is also kept at every rate > r (nested samples for ablations).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double
+  ): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int")
+    val cutoff = rates.foldRight(lit((defaultRate * 65536).toInt): Column) {
+      case ((stratum, r), other) =>
+        when(col(strataCol) === stratum, lit((r * 65536).toInt)).otherwise(other)
+    }
+    df.filter(bucket < cutoff)
+  }
+
+  /** Per-document top-k salient terms by TF-IDF with the raw idf
+    * variant score = tf * (N / df) — multiplicative idf avoids
+    * transcendental functions, keeping the score bit-reproducible
+    * across engines (one IEEE divide + one multiply; ln() is libm-
+    * dependent). Ties break on the term itself. Term-level rows only
+    * ever shuffle (by term for the df join, by doc for the ranking);
+    * document text stays in the scan stage.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minTf: Long
+  ): DataFrame = {
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.filter(col("tf") >= minTf)
+      .join(docFreq, Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double") * (lit(nDocs).cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom
     * expression), band by FOUR disjoint 16-bit keys (the standard
     * rotated-table trick), self-join within each band bucket, filter by

@@ -331,6 +331,57 @@ class TextVectorSpec extends SparkSpec {
     assert(diff == Map(3L -> "added", 4L -> "changed", 9L -> "removed"))
   }
 
+  test("spanDedup removes cross-doc duplicated blocks and reassembles in order") {
+    // 4-token blocks; "shared boiler plate text" planted in docs 1 and 2
+    val d = Seq(
+      (1L, "shared boiler plate text unique one alpha beta"),
+      (2L, "shared boiler plate text unique two gamma delta"),
+      (3L, "totally separate words here nothing in common at")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(d, "doc_id", "text", blockTokens = 4, minDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 == "unique one alpha beta" && out(0)._3 == 1L)
+    assert(out(1)._2 == "unique two gamma delta")
+    assert(out(2)._2 == "totally separate words here nothing in common at" && out(2)._3 == 2L)
+    // a doc that is ALL boilerplate vanishes
+    val gone = TextOps.spanDedup(
+      Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2)
+    assert(gone.count() == 0)
+  }
+
+  test("stratifiedSample is deterministic, nested across rates, and per-stratum") {
+    val d = (0L until 2000L).map(i => (i, if (i % 2 == 0) "keep_all" else "rare"))
+      .toDF("doc_id", "stratum")
+    val full = TextOps.stratifiedSample(d, "doc_id", "stratum",
+      Seq("keep_all" -> 1.0), defaultRate = 0.1)
+    val kept = full.as[(Long, String)].collect()
+    assert(kept.count(_._2 == "keep_all") == 1000) // rate 1.0 keeps everything
+    val rareN = kept.count(_._2 == "rare")
+    assert(rareN > 50 && rareN < 200, s"~10% of 1000 expected, got $rareN")
+    // nesting: every id kept at 5% is kept at 10%
+    val smaller = TextOps.stratifiedSample(d, "doc_id", "stratum",
+      Seq("keep_all" -> 1.0), defaultRate = 0.05)
+      .filter($"stratum" === "rare").as[(Long, String)].collect().map(_._1).toSet
+    val larger = kept.filter(_._2 == "rare").map(_._1).toSet
+    assert(smaller.subsetOf(larger))
+  }
+
+  test("tfidfTopTerms ranks the doc-specific repeated term above corpus-wide terms") {
+    val d = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "duck duck common common filler"),
+      (3L, "common filler filler other words")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(d, "doc_id", "text", k = 2, minTf = 2L)
+      .filter($"rank" === 1).as[(Long, String, Long, Long, Double, Int)]
+      .collect().sortBy(_._1)
+    // "spark" appears only in doc 1 (df=1, tf=3): score 3*3/1=9 beats "common" 2*3/3=2
+    assert(top.map(t => (t._1, t._2)).toSeq == Seq((1L, "spark"), (2L, "duck"), (3L, "filler")))
+    assert(top(0)._5 == 9.0)
+  }
+
   test("textStats and langId compute sane features") {
     val st = TextOps.textStats(docs, "doc_id", "text")
       .filter($"doc_id" === 0).head()
