@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps, RangeJoin}
+import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -381,6 +381,15 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
       TextOps.corpusDiff(docs, prior, "doc_id", "text")
     }),
+    // ----- Sessionization: 12h-inactivity-gap sessions per user -----
+    "q_sessionize" -> ((s, dir) =>
+      SessionOps.sessionSummaries(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "12 hours")),
+    "q_session_assign" -> ((s, dir) =>
+      SessionOps.assignSessions(
+          Tables.events(s, dir), Seq("user_id"), "ts", gapSeconds = 43200L)
+        .select("event_id", "user_id", "session_n")),
+
     // ----- Span-level dedup: drop 6-token blocks shared by >= 2 docs,
     // reassemble the survivors ---------------------------------------
     "q_span_dedup" -> ((s, dir) =>
@@ -1347,6 +1356,26 @@ object SparkEntry {
          WHERE (CASE WHEN k.fk IS NULL THEN 'added'
                      WHEN c.fc IS NULL THEN 'removed'
                      WHEN c.fc <> k.fk THEN 'changed' END) IS NOT NULL""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, value,
+              sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sn
+            FROM e)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sn""",
+    "q_session_assign" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT event_id, user_id,
+                sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_n
+         FROM e""",
     "q_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          bl AS (SELECT doc_id,

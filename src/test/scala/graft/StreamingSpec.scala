@@ -82,6 +82,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy("symbol", "t").count().filter($"count" > 1).count() == 0)
   }
 
+  test("streaming session_window summaries equal the batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Tick]
+    // two bursts per user separated by a >20min lull → two sessions each
+    val burst = for {
+      u <- Seq("u1", "u2")
+      (h, ms) <- Seq(("08", Seq(0, 2, 5, 9)), ("09", Seq(0, 3, 6)))
+      m <- ms
+    } yield Tick(u, ts(f"2024-03-01 $h:$m%02d:00"), (m + 1).toDouble)
+    val sessioned = graft.operators.SessionOps.streamingSessionSummaries(
+      source.toDF().withColumnRenamed("symbol", "user"),
+      Seq("user"), "t", "price", "20 minutes", "15 minutes")
+    val q = sessioned.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_out")
+      .start()
+    try {
+      source.addData(burst)
+      q.processAllAvailable()
+      // push the watermark far past the last event so every session closes
+      source.addData(Tick("flush", ts("2024-03-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("session_out")
+      .filter($"user" =!= "flush")
+      .orderBy("user", "session_start").collect()
+    val want = graft.operators.SessionOps.sessionSummaries(
+        burst.toDF().withColumnRenamed("symbol", "user"),
+        Seq("user"), "t", "price", "20 minutes")
+      .orderBy("user", "session_start").collect()
+    assert(got.length == 4 && got.sameElements(want)) // 2 users x 2 sessions
+  }
+
   test("multi-grain fan-out: every grain's sink matches its batch rollup") {
     // a file source, not MemoryStream: MemoryStream truncates committed
     // batches (single-consumer), so independent per-grain queries need
