@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.functions.{SimHash64, TextOps, VectorOps}
+import graft.functions.{Bpe, SimHash64, TextOps, VectorOps}
 import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps}
 import graft.sources.Tables
 
@@ -404,6 +404,16 @@ object SparkEntry {
         "doc_id", "source",
         rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
         defaultRate = 0.05)),
+
+    // ----- Real BPE token accounting: train merges on the corpus,
+    // count tokens under the learned vocabulary (rows-only: iterative
+    // training is engine-defined, pinned instead by BpeSpec's
+    // sequential-reference equivalence) ------------------------------
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.train(docs, "text", nMerges = 16)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges)
+    }),
 
     // ----- Top-5 salient terms per doc, raw-idf TF-IDF ---------------
     "q_tfidf_topterms" -> ((s, dir) =>
