@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.functions.{Bpe, SimHash64, TextOps, VectorOps}
+import graft.functions.{Bpe, ProductQuantizer, SimHash64, TextOps, VectorOps}
 import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps}
 import graft.sources.Tables
 
@@ -671,6 +671,17 @@ object SparkEntry {
     // ----- Multi-probe IVF over computed k-means clusters (rows-only:
     // engine-defined clustering; nprobe=2 probes each query's two
     // nearest centroids — the recall knob of a production IVF index) --
+    // ----- PQ-compressed ANN: 64-float vectors scan as 8-byte codes,
+    // ADC lookup-table scoring (rows-only: Lloyd's codebooks are
+    // engine-defined; recall pinned against brute force in PqSpec) ----
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iterations = 4)
+      ProductQuantizer.adcTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, model, k = 10)
+    }),
+
     "q_knn_ivf_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)

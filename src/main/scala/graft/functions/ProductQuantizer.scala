@@ -1,0 +1,246 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fitted product quantizer: `m` subspaces of `dsub` dims, `ksub`
+  * centroids each. `codebooks(j)(c)` is centroid c of subspace j.
+  * Top-level (not nested) so Encoders and broadcast serialization work.
+  */
+final case class PqModel(
+    m: Int,
+    ksub: Int,
+    dsub: Int,
+    codebooks: Array[Array[Array[Double]]]) {
+  /** Per-centroid squared norms, for reconstructed-vector norms. */
+  def centroidNorm2: Array[Array[Double]] =
+    codebooks.map(_.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }))
+}
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-bound ANN scale
+  * path: vectors compress from D floats to m bytes (64×4 B → 8 B here),
+  * so a 100 TB embedding corpus scans as ~3 TB of codes, and query
+  * scoring is m table lookups instead of D multiplies.
+  *
+  * Spark shapes:
+  *  - [[train]]: Lloyd's over ALL m subspaces in one pass — each
+  *    iteration is ONE job whose per-partition combiner accumulates
+  *    (subspace, centroid) → (count, sumVec); the shuffle carries at
+  *    most m×ksub×P tiny rows and the collect is m×ksub rows (bounded
+  *    like k-means' k centroids). Deterministic: seeded from the first
+  *    ksub vectors by id, first-minimum tie-break.
+  *  - [[encode]]: broadcast codebooks + mapPartitions projection,
+  *    (id, m-byte code) out, no shuffle.
+  *  - [[adcTopK]]: queries broadcast; each partition builds per-query
+  *    distance tables once (m×ksub dot products), scans its codes with
+  *    m byte-lookups per row, keeps a local top-k heap, and emits only
+  *    P×k candidate rows to the final per-query ranking — the code
+  *    corpus itself never shuffles.
+  *
+  * Similarity is cosine against the RECONSTRUCTED vector (ADC dot over
+  * lookup tables, norm from per-centroid norms), ranked like
+  * [[VectorOps.knnTopK]] so the exact scan is its recall baseline.
+  */
+object ProductQuantizer {
+
+  def train(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iterations: Int
+  ): PqModel = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+
+    // deterministic seed: subspace j's centroids from the first ksub ids
+    var codebooks: Array[Array[Array[Double]]] = {
+      val seed = vecs.orderBy("id").limit(ksub).collect().map(_._2)
+      Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    }
+
+    var it = 1
+    while (it < iterations) {
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val partials = vecs.mapPartitions { iter =>
+        val cbs = bc.value
+        val c2 = cbs.map(_.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }))
+        val counts = Array.ofDim[Long](m, ksub)
+        val sums = Array.ofDim[Double](m, ksub, dsub)
+        iter.foreach { case (_, v) =>
+          var j = 0
+          while (j < m) {
+            val c = nearestSub(v, j * dsub, dsub, cbs(j), c2(j))
+            counts(j)(c) += 1
+            var d = 0
+            while (d < dsub) { sums(j)(c)(d) += v(j * dsub + d); d += 1 }
+            j += 1
+          }
+        }
+        for {
+          j <- (0 until m).iterator
+          c <- (0 until ksub).iterator if counts(j)(c) > 0
+        } yield (j * ksub + c, (counts(j)(c), sums(j)(c)))
+      }
+      val totals = partials
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](dsub)
+          var d = 0
+          while (d < dsub) { s(d) = a._2._2(d) + b._2._2(d); d += 1 }
+          (a._1, (a._2._1 + b._2._1, s))
+        }
+        .map { case (jc, (_, (n, s))) => (jc, n, s) }
+        .collect()
+      bc.destroy()
+      val merged = codebooks.map(_.map(_.clone()))
+      totals.foreach { case (jc, n, s) =>
+        merged(jc / ksub)(jc % ksub) = s.map(_ / n)
+      }
+      codebooks = merged
+      it += 1
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
+  /** (id, code) — `code` is the m-byte PQ code as a binary column. */
+  def encode(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    embeddings.select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { iter =>
+        val mdl = bc.value
+        val c2 = mdl.centroidNorm2
+        iter.map { case (id, v) => (id, encodeOne(v, mdl, c2)) }
+      }
+      .toDF("id", "code")
+  }
+
+  /** ADC top-k: contract of [[VectorOps.knnTopK]] (query_id,
+    * neighbor_id, rank) but scored over PQ codes.
+    */
+  def adcTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      model: PqModel,
+      k: Int
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val queries: Array[(Long, Array[Double])] = embeddings
+      .filter(queryPred)
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .collect()
+    val bcq = spark.sparkContext.broadcast(queries)
+    val bcm = spark.sparkContext.broadcast(model)
+
+    val candidates = encode(embeddings, idCol, vecCol, model)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val mdl = bcm.value
+        val qs = bcq.value
+        val c2 = mdl.centroidNorm2
+        // per-query lookup tables: dot(q_j, centroid) per (j, centroid)
+        val dt = qs.map { case (_, q) =>
+          Array.tabulate(mdl.m, mdl.ksub) { (j, c) =>
+            val cen = mdl.codebooks(j)(c)
+            var s = 0.0; var d = 0
+            while (d < mdl.dsub) { s += q(j * mdl.dsub + d) * cen(d); d += 1 }
+            s
+          }
+        }
+        val qnorm = qs.map { case (_, q) =>
+          math.sqrt({ var s = 0.0; var i = 0; while (i < q.length) { s += q(i) * q(i); i += 1 }; s })
+        }
+        // local top-k per query; dequeue evicts the least-preferred
+        // candidate (lowest sim, then largest id — matching the final
+        // (sim desc, id asc) ranking so boundary ties survive)
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
+        iter.foreach { case (id, code) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi)._1 != id) {
+              var dot = 0.0; var rec2 = 0.0; var j = 0
+              while (j < mdl.m) {
+                val c = code(j) & 0xff
+                dot += dt(qi)(j)(c)
+                rec2 += c2(j)(c)
+                j += 1
+              }
+              val sim = if (rec2 == 0.0 || qnorm(qi) == 0.0) 0.0
+                        else dot / (qnorm(qi) * math.sqrt(rec2))
+              val h = heaps(qi)
+              h.enqueue((sim, id))
+              if (h.size > k) h.dequeue()
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (sim, id) => (qs(qi)._1, id, sim) }
+        }
+      }
+      .toDF("query_id", "id", "__sim")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  private[graft] def encodeOne(
+      v: Array[Double], mdl: PqModel, c2: Array[Array[Double]]): Array[Byte] = {
+    val code = new Array[Byte](mdl.m)
+    var j = 0
+    while (j < mdl.m) {
+      code(j) = nearestSub(v, j * mdl.dsub, mdl.dsub, mdl.codebooks(j), c2(j)).toByte
+      j += 1
+    }
+    code
+  }
+
+  // argmin_c |v_sub - c|^2 via |c|^2 - 2 v·c (|v|^2 constant); first
+  // minimum wins — deterministic
+  private def nearestSub(
+      v: Array[Double], off: Int, dsub: Int,
+      cents: Array[Array[Double]], c2: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0
+      var d = 0
+      while (d < dsub) { dot += v(off + d) * cents(c)(d); d += 1 }
+      val dist = c2(c) - 2.0 * dot
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+}
