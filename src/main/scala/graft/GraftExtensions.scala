@@ -87,6 +87,9 @@ object GraftExtensions {
         graft.functions.TopKItems(args(0),
           literalInt(args(1), "topk_items"),
           literalInt(args(2), "topk_items")).toAggregateExpression())),
+    "compress_ratio" -> ((
+      new ExpressionInfo(classOf[graft.functions.CompressRatio].getName, "compress_ratio"),
+      (args: Seq[Expression]) => graft.functions.CompressRatio(args.head))),
     "hyperplane_bucket" -> ((
       new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "hyperplane_bucket"),
       (args: Seq[Expression]) => {

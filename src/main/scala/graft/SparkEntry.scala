@@ -362,6 +362,12 @@ object SparkEntry {
     "q_gopher_quality" -> ((s, dir) =>
       TextOps.gopherQualitySignals(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ----- Compressibility gate (rows-only: deflate has no SQL
+    // counterpart; planted-case behavior pinned in TextVectorSpec) ----
+    "q_compress_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.CompressRatio.compress_ratio(col("text")).as("ratio"))),
+
     // ----- Benchmark decontamination: every 50th doc plays the "eval
     // set"; overlap = shared distinct 3-gram shingles ----------------
     "q_contamination" -> ((s, dir) => {

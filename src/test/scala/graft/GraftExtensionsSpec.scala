@@ -47,6 +47,12 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT topk_items(x, 1, 8) AS t
          FROM VALUES ('a'), ('b'), ('a') AS v(x)""").head().getSeq[Any](0)
     assert(tk.length == 1)
+
+    // compressibility: repetitive text compresses far below mixed text
+    val cr = spark.sql(
+      """SELECT compress_ratio(repeat('spam ham ', 200)) AS rep,
+                compress_ratio('') AS empty""").as[(Double, Double)].head()
+    assert(cr._1 < 0.1 && cr._2 == 1.0)
   }
 
   test("session built with extensions class resolves the functions") {

@@ -382,6 +382,24 @@ class TextVectorSpec extends SparkSpec {
     assert(top(0)._5 == 9.0)
   }
 
+  test("compress_ratio separates repetitive from diverse text, codegen and interpreted") {
+    import graft.functions.CompressRatio.compress_ratio
+    val d = Seq(
+      (1L, "spam ham " * 300),                                  // highly repetitive
+      (2L, (0 until 300).map(i => s"w${i * 7919 % 9973}x${i}").mkString(" ")), // diverse
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id", compress_ratio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.1, s"repetitive should compress hard: ${got(1L)}")
+    assert(got(2L) > 3 * got(1L), s"diverse should compress much less: $got")
+    assert(got(3L) == 1.0)
+    // interpreted eval (no codegen path) agrees bit-for-bit
+    val interp = graft.functions.CompressRatio
+      .ratioKernel(("spam ham " * 300).getBytes("UTF-8"))
+    assert(interp == got(1L))
+  }
+
   test("textStats and langId compute sane features") {
     val st = TextOps.textStats(docs, "doc_id", "text")
       .filter($"doc_id" === 0).head()
