@@ -421,6 +421,16 @@ object SparkEntry {
       Bpe.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // ----- Feature-hashing TF vectors (sparse) + inverted-index
+    // cosine search: a model-free text embedding and exact top-k over
+    // it, both fully hash-checked ------------------------------------
+    "q_hashing_tf" -> ((s, dir) =>
+      TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64)),
+    "q_text_knn" -> ((s, dir) =>
+      TextOps.sparseCosineTopK(
+        TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64),
+        col("doc_id") % 50 === 0, k = 5)),
+
     // ----- Top-5 salient terms per doc, raw-idf TF-IDF ---------------
     "q_tfidf_topterms" -> ((s, dir) =>
       TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
@@ -1422,6 +1432,37 @@ object SparkEntry {
            CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
                        WHEN 'src2' THEN 16384 WHEN 'src3' THEN 6553
                        ELSE 3276 END""",
+    "q_hashing_tf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents),
+         b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+                 count(*) AS c
+               FROM t WHERE tok <> '' GROUP BY 1, 2)
+         SELECT doc_id, bucket, c,
+                CAST(c AS DOUBLE) / sqrt(CAST(sum(c * c) OVER (PARTITION BY doc_id) AS DOUBLE)) AS w
+         FROM b""",
+    "q_text_knn" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents),
+         b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+                 count(*) AS c
+               FROM t WHERE tok <> '' GROUP BY 1, 2),
+         n2 AS (SELECT doc_id, sum(c * c) AS n2 FROM b GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, bucket, c AS qc FROM b WHERE doc_id % 50 = 0),
+         d AS (SELECT q.query_id, b.doc_id, sum(b.c * q.qc) AS dot
+               FROM b JOIN q USING (bucket)
+               WHERE b.doc_id <> q.query_id
+               GROUP BY 1, 2),
+         s AS (SELECT d.query_id, d.doc_id,
+                 CAST(d.dot AS DOUBLE) /
+                   (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS sim
+               FROM d JOIN n2 nc ON nc.doc_id = d.doc_id
+                      JOIN n2 nq ON nq.doc_id = d.query_id)
+         SELECT query_id, doc_id AS neighbor_id, sim, rank FROM (
+           SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+           FROM s) WHERE rank <= 5""",
     "q_tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
                     FROM documents),

@@ -457,6 +457,72 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Feature-hashing TF vectors in SPARSE form — (doc_id, bucket,
+    * weight) rows with L2-normalized weights — the model-free text
+    * embedding (hashing trick): token → md5-derived bucket in [0, dim),
+    * weight = in-doc count / L2 norm. Sparse is the scale shape: a doc
+    * touches at most min(#tokens, dim) buckets, so the frame is
+    * corpus-token-bounded regardless of dim, and downstream similarity
+    * joins on `bucket` ARE an inverted index. All built-ins (codegen'd);
+    * the md5-prefix bucket is oracle-reproducible.
+    */
+  def hashingTfSparse(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"), lit(dim))
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w",
+        col("c").cast("double") / sqrt(sum(col("c") * col("c")).over(w).cast("double")))
+      .select(col("doc_id"), col("bucket"), col("c"), col("w"))
+  }
+
+  /** Exact cosine top-k over the sparse TF frame via its inverted
+    * index: the query docs' rows are BROADCAST, candidates join on
+    * `bucket` (each query row meets only candidates sharing a bucket —
+    * never all-pairs). The dot product sums exact INTEGER counts
+    * (order-independent by construction — no float accumulation
+    * anywhere), and cosine divides by the two L2 norms once at the end:
+    * bit-reproducible across engines, partitionings, and runs.
+    */
+  def sparseCosineTopK(
+      tf: DataFrame,
+      queryPred: Column,
+      k: Int
+  ): DataFrame = {
+    val n2 = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("__n2"))
+    val queries = tf.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("bucket"), col("c").as("__qc"))
+    val qn2 = n2.join(
+        queries.select(col("query_id")).distinct(),
+        col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("__n2").as("__qn2"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("doc_id"))
+    tf.join(broadcast(queries), Seq("bucket"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c") * col("__qc")).as("__dot"))
+      .join(n2, Seq("doc_id"))
+      .join(broadcast(qn2), Seq("query_id"))
+      .withColumn("sim",
+        col("__dot").cast("double") /
+          (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double"))))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom
     * expression), band by FOUR disjoint 16-bit keys (the standard
     * rotated-table trick), self-join within each band bucket, filter by

@@ -382,6 +382,18 @@ class TextVectorSpec extends SparkSpec {
     assert(top(0)._5 == 9.0)
   }
 
+  test("hashingTfSparse is L2-normalized; sparseCosineTopK puts the exact dup at sim~1") {
+    val tf = TextOps.hashingTfSparse(docs, "doc_id", "text", dim = 32)
+    val norms = tf.groupBy($"doc_id")
+      .agg(sum($"w" * $"w").as("n2")).as[(Long, Double)].collect()
+    norms.foreach { case (id, n2) => assert(math.abs(n2 - 1.0) < 1e-9, s"doc $id norm $n2") }
+
+    val knn = TextOps.sparseCosineTopK(tf, $"doc_id" === 0, k = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // doc 4 is an exact copy of doc 0 → cosine 1 at rank 1
+    assert(knn.head._2 == 4L && math.abs(knn.head._3 - 1.0) < 1e-9)
+  }
+
   test("compress_ratio separates repetitive from diverse text, codegen and interpreted") {
     import graft.functions.CompressRatio.compress_ratio
     val d = Seq(
