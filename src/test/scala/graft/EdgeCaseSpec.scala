@@ -135,6 +135,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.MultimodalOps.decodeImageStats(junk, 8, 6).count() == 0)
   }
 
+  test("session-10 ops survive empty/degenerate inputs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b")).toDF("doc_id", "text")
+    val empty = docs.filter($"doc_id" < 0)
+    // span dedup: the two whitespace-only docs share their single
+    // (empty) block -> both vanish as all-boilerplate; real docs stay
+    assert(TextOps.spanDedup(docs, "doc_id", "text", 4, 2).count() == 2)
+    assert(TextOps.spanDedup(empty, "doc_id", "text", 4, 2).count() == 0)
+    // stratified sample at rate 0 keeps nothing; missing stratum uses default
+    val d = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "src")
+    assert(TextOps.stratifiedSample(d, "doc_id", "src",
+      Seq("a" -> 0.0), defaultRate = 0.0).count() == 0)
+    assert(TextOps.stratifiedSample(d, "doc_id", "src",
+      Seq("a" -> 1.0), defaultRate = 1.0).count() == 2)
+    // tfidf: empty corpus and all-empty docs yield empty, not errors
+    assert(TextOps.tfidfTopTerms(empty, "doc_id", "text", 3, 1L).count() == 0)
+    assert(TextOps.tfidfTopTerms(
+      Seq((1L, " ")).toDF("doc_id", "text"), "doc_id", "text", 3, 1L).count() == 0)
+    // contamination with an empty probe set is empty
+    assert(TextOps.contaminationCheck(docs, "doc_id", "text",
+      empty, "doc_id", "text", 2, 1L).count() == 0)
+    // corpus diff of a table against itself is empty
+    assert(TextOps.corpusDiff(docs, docs, "doc_id", "text").count() == 0)
+    // hashing TF: empty/whitespace docs emit no rows; others normalized
+    assert(TextOps.hashingTfSparse(docs, "doc_id", "text", 16)
+      .filter($"doc_id" <= 2).count() == 0)
+    // sessionization on empty input
+    val emptyEv = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "value")
+    assert(graft.operators.SessionOps.sessionSummaries(
+      emptyEv, Seq("user_id"), "ts", "value", "30 minutes").count() == 0)
+    assert(graft.operators.SessionOps.assignSessions(
+      emptyEv, Seq("user_id"), "ts", 1800L).count() == 0)
+    // BPE on a corpus with no repeatable pair learns nothing and still encodes
+    val m = graft.functions.Bpe.train(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), "text", 8)
+    assert(m.isEmpty)
+    val enc = graft.functions.Bpe.tokenCounts(docs, "doc_id", "text", m)
+      .as[(Long, Long)].collect().toMap
+    assert(enc(1L) == 0L && enc(3L) == 3L && enc(4L) == 2L) // chars when no merges
+    // compress_ratio on empty is 1.0 by convention (tested in TextVectorSpec)
+  }
+
   test("multi-probe IVF with nprobe exceeding cluster count equals brute force within clusters") {
     import graft.functions.VectorOps
     val vecs = Seq(
