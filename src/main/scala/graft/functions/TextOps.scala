@@ -494,14 +494,26 @@ object TextOps {
     * (order-independent by construction — no float accumulation
     * anywhere), and cosine divides by the two L2 norms once at the end:
     * bit-reproducible across engines, partitionings, and runs.
+    *
+    * `maxBucketDocs > 0` enables stop-bucket pruning — the inverted-
+    * index analog of the banded self-joins' [[capBuckets]] guard: a
+    * bucket touched by more than that many documents (a stop word at
+    * corpus scale) is excluded from candidate generation AND from the
+    * dot product, bounding the join fan-out per query row. Norms keep
+    * all buckets, so pruned similarity is a strict underestimate of
+    * exact cosine (never inflated). 0 = exact.
     */
   def sparseCosineTopK(
       tf: DataFrame,
       queryPred: Column,
-      k: Int
+      k: Int,
+      maxBucketDocs: Long = 0L
   ): DataFrame = {
     val n2 = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("__n2"))
-    val queries = tf.filter(queryPred)
+    val scored =
+      if (maxBucketDocs <= 0L) tf
+      else capBuckets(tf, Seq("bucket"), maxBucketDocs)
+    val queries = scored.filter(queryPred)
       .select(col("doc_id").as("query_id"), col("bucket"), col("c").as("__qc"))
     val qn2 = n2.join(
         queries.select(col("query_id")).distinct(),
@@ -509,7 +521,7 @@ object TextOps {
       .select(col("query_id"), col("__n2").as("__qn2"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("doc_id"))
-    tf.join(broadcast(queries), Seq("bucket"))
+    scored.join(broadcast(queries), Seq("bucket"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c") * col("__qc")).as("__dot"))

@@ -394,6 +394,39 @@ class TextVectorSpec extends SparkSpec {
     assert(knn.head._2 == 4L && math.abs(knn.head._3 - 1.0) < 1e-9)
   }
 
+  test("sparseCosineTopK stop-bucket cap drops the universal token, keeps the near-dup") {
+    // "the" appears in every doc (stop bucket); distinctive words are rare
+    val d = Seq(
+      (0L, "the alpha beta gamma delta"),
+      (1L, "the alpha beta gamma delta"), // exact dup of 0
+      (2L, "the zeta eta theta iota"),
+      (3L, "the kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val tf = TextOps.hashingTfSparse(d, "doc_id", "text", dim = 1024)
+    val capped = TextOps.sparseCosineTopK(tf, $"doc_id" === 0, k = 3, maxBucketDocs = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // the stop bucket (4 docs > cap 3) is gone; dup still wins on the
+    // 4 distinctive shared buckets, and docs 2/3 score zero overlap
+    assert(capped.head._2 == 1L)
+    assert(capped.length == 1, s"docs sharing only the stop word must vanish: ${capped.toSeq}")
+    // exact (cap off) still ranks the dup first at sim 1
+    val exact = TextOps.sparseCosineTopK(tf, $"doc_id" === 0, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(exact.head._2 == 1L && math.abs(exact.head._3 - 1.0) < 1e-9)
+    assert(exact.length == 3) // stop word links every doc when uncapped
+  }
+
+  test("contamination and sparse-knn plans broadcast the probe side") {
+    val plan1 = TextOps.contaminationCheck(
+        docs, "doc_id", "text", docs.filter($"doc_id" === 0), "doc_id", "text", 3, 1L)
+      .queryExecution.executedPlan.toString()
+    assert(plan1.contains("BroadcastHashJoin"), s"probe join should broadcast:\n$plan1")
+    val plan2 = TextOps.sparseCosineTopK(
+        TextOps.hashingTfSparse(docs, "doc_id", "text", 64), $"doc_id" === 0, 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan2.contains("BroadcastHashJoin"), s"query side should broadcast:\n$plan2")
+  }
+
   test("compress_ratio separates repetitive from diverse text, codegen and interpreted") {
     import graft.functions.CompressRatio.compress_ratio
     val d = Seq(
