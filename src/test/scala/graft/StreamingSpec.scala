@@ -117,6 +117,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 4 && got.sameElements(want)) // 2 users x 2 sessions
   }
 
+  test("chained stateful ops: replayed ticks dedup upstream of streaming sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val burst = for {
+      u <- Seq("u1", "u2")
+      (h, ms) <- Seq(("08", Seq(0, 2, 5, 9)), ("09", Seq(0, 3, 6)))
+      m <- ms
+    } yield Tick(u, ts(f"2024-03-01 $h:$m%02d:00"), (m + 1).toDouble)
+    // dedup (watermark-bounded state) feeding session_window — two
+    // stateful operators composed in ONE append-mode streaming query
+    val deduped = StreamingRollup.streamingDedup(
+      source.toDF().withColumnRenamed("symbol", "user"),
+      Seq("user", "t"), "t", "15 minutes")
+    val sessioned = graft.operators.SessionOps.sessionSummaries(
+      deduped, Seq("user"), "t", "price", "20 minutes")
+    val q = sessioned.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_session_out")
+      .start()
+    try {
+      source.addData(burst)
+      q.processAllAvailable()
+      source.addData(burst.take(6)) // at-least-once replay inside the watermark
+      q.processAllAvailable()
+      source.addData(Tick("flush", ts("2024-03-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("dedup_session_out")
+      .filter($"user" =!= "flush")
+      .orderBy("user", "session_start").collect()
+    val want = graft.operators.SessionOps.sessionSummaries(
+        burst.toDF().withColumnRenamed("symbol", "user"),
+        Seq("user"), "t", "price", "20 minutes")
+      .orderBy("user", "session_start").collect()
+    // replayed rows were suppressed: counts and value totals match the
+    // replay-free batch exactly
+    assert(got.length == 4 && got.sameElements(want))
+  }
+
   test("multi-grain fan-out: every grain's sink matches its batch rollup") {
     // a file source, not MemoryStream: MemoryStream truncates committed
     // batches (single-consumer), so independent per-grain queries need
