@@ -402,6 +402,22 @@ object SparkEntry {
       TextOps.spanDedup(Tables.documents(s, dir), "doc_id", "text",
         blockTokens = 6, minDocs = 2)),
 
+    // ----- Composed: span dedup -> per-language corpus stats (how
+    // much boilerplate removal changed the token budget) -------------
+    "q_span_quality" -> ((s, dir) => {
+      val cleaned = TextOps.spanDedup(Tables.documents(s, dir), "doc_id", "text",
+        blockTokens = 6, minDocs = 2)
+      cleaned
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"),
+          size(split(trim(col("text_clean")), "\\s+")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .withColumn("avg_tokens",
+          col("total_tokens").cast("double") / col("n_docs").cast("double"))
+    }),
+
     // ----- Training-mix sampling: per-source keep rates, id-hash
     // deterministic ---------------------------------------------------
     "q_stratified_sample" -> ((s, dir) =>
@@ -1426,6 +1442,22 @@ object SparkEntry {
                 count(*) AS n_blocks_kept
          FROM b WHERE h NOT IN (SELECT h FROM dup)
          GROUP BY doc_id""",
+    "q_span_quality" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         bl AS (SELECT doc_id,
+                  unnest([{'bi': i, 'blk': array_to_string(t[(i-1)*6+1:i*6], ' ')}
+                          for i in generate_series(1, CAST(ceil(len(t)/6.0) AS BIGINT))]) AS u
+                FROM toks),
+         b AS (SELECT doc_id, u.bi AS bi, u.blk AS blk, md5(u.blk) AS h FROM bl),
+         dup AS (SELECT h FROM b GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         cleaned AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY bi) AS text_clean
+                     FROM b WHERE h NOT IN (SELECT h FROM dup) GROUP BY doc_id),
+         j AS (SELECT d.lang,
+                 CAST(len(string_split_regex(trim(c.text_clean), '\s+')) AS BIGINT) AS n_tokens
+               FROM cleaned c JOIN documents d USING (doc_id))
+         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+         FROM j GROUP BY lang""",
     "q_stratified_sample" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) <
