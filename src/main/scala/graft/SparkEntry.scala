@@ -714,6 +714,14 @@ object SparkEntry {
         col("vec_id") < 20, model, k = 10)
     }),
 
+    // ----- IVFADC: coarse-cell pruning + residual-PQ ADC, the full
+    // memory-bound ANN index (rows-only: engine-defined codebooks;
+    // recall and cell membership pinned in PqSpec) --------------------
+    "q_ivfadc_topk" -> ((s, dir) =>
+      ProductQuantizer.ivfadcTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 20, kCoarse = 8, coarseIterations = 3,
+        m = 8, ksub = 16, pqIterations = 3, nprobe = 2, k = 10)),
+
     "q_knn_ivf_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)

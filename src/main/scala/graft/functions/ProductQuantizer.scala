@@ -58,6 +58,20 @@ object ProductQuantizer {
         col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
+    trainOnVecs(vecs, m, ksub, iterations)
+  }
+
+  /** Train over an already-typed vector dataset (also the entry point
+    * for residual training in [[ivfadcTopK]]).
+    */
+  private[graft] def trainOnVecs(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      m: Int,
+      ksub: Int,
+      iterations: Int
+  ): PqModel = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
 
     val dim = vecs.head()._2.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -65,7 +79,9 @@ object ProductQuantizer {
 
     // deterministic seed: subspace j's centroids from the first ksub ids
     var codebooks: Array[Array[Array[Double]]] = {
-      val seed = vecs.orderBy("id").limit(ksub).collect().map(_._2)
+      // order by the id column whatever its name (named frames use
+      // "id", tuple-shaped residual datasets use "_1")
+      val seed = vecs.orderBy(vecs.columns.head).limit(ksub).collect().map(_._2)
       Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     }
 
@@ -212,6 +228,147 @@ object ProductQuantizer {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /** IVFADC (the full architecture of Jégou et al. §V): a coarse
+    * k-means quantizer prunes the corpus to `nprobe` probed cells per
+    * query, and PQ codes of the RESIDUAL (vector − coarse centroid)
+    * are scored with ADC inside those cells only. Ranking is by
+    * approximate inner product — dot(q, centroid) + Σ_j dot(q_j,
+    * decode_j) — so every term comes from a lookup table (a cosine
+    * variant would need |centroid + residual| cross-terms; MIPS is the
+    * standard IVFADC contract).
+    *
+    * Scale: scan work ≈ (nprobe / kCoarse) of the code corpus, memory
+    * m bytes/vector, shuffle P×k candidate rows. Training = coarse
+    * Lloyd's (one job/iter) + residual PQ (one job/iter); both collect
+    * only centroid tables.
+    */
+  def ivfadcTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      kCoarse: Int,
+      coarseIterations: Int,
+      m: Int,
+      ksub: Int,
+      pqIterations: Int,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+
+    val coarse = VectorOps.kmeansCentroids(embeddings, idCol, vecCol, kCoarse, coarseIterations)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+
+    // materialized once: residual training iterates over it and the
+    // encode pass reads it again
+    val residuals = vecs.mapPartitions { iter =>
+      val cs = bcCoarse.value
+      val c2 = cs.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+      iter.map { case (id, v) =>
+        val cl = nearestFull(v, cs, c2)
+        val r = new Array[Double](v.length)
+        var d = 0
+        while (d < v.length) { r(d) = v(d) - cs(cl)(d); d += 1 }
+        (id, cl, r)
+      }
+    }.localCheckpoint()
+
+    val model = trainOnVecs(residuals.map(t => (t._1, t._3)), m, ksub, pqIterations)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val coded = residuals.mapPartitions { iter =>
+      val mdl = bcModel.value
+      val c2 = mdl.centroidNorm2
+      iter.map { case (id, cl, r) => (id, cl, encodeOne(r, mdl, c2)) }
+    }
+
+    val queries: Array[(Long, Array[Double])] = embeddings
+      .filter(queryPred)
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .collect()
+    val bcq = spark.sparkContext.broadcast(queries)
+
+    val candidates = coded.mapPartitions { iter =>
+      val mdl = bcModel.value
+      val qs = bcq.value
+      val cs = bcCoarse.value
+      // per query: probed cluster set (top-nprobe by dot, ties → lower
+      // cluster id), coarse dot per probed cluster, residual ADC tables
+      val probed = qs.map { case (_, q) =>
+        val dots = cs.map { c =>
+          var s = 0.0; var d = 0
+          while (d < c.length) { s += q(d) * c(d); d += 1 }
+          s
+        }
+        dots.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(nprobe)
+          .map { case (s, i) => (i, s) }.toMap
+      }
+      val dt = qs.map { case (_, q) =>
+        Array.tabulate(mdl.m, mdl.ksub) { (j, c) =>
+          val cen = mdl.codebooks(j)(c)
+          var s = 0.0; var d = 0
+          while (d < mdl.dsub) { s += q(j * mdl.dsub + d) * cen(d); d += 1 }
+          s
+        }
+      }
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
+      iter.foreach { case (id, cl, code) =>
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._1 != id) {
+            probed(qi).get(cl) match {
+              case Some(coarseDot) =>
+                var s = coarseDot
+                var j = 0
+                while (j < mdl.m) { s += dt(qi)(j)(code(j) & 0xff); j += 1 }
+                val h = heaps(qi)
+                h.enqueue((s, id))
+                if (h.size > k) h.dequeue()
+              case None => ()
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, id) => (qs(qi)._1, id, s) }
+      }
+    }.toDF("query_id", "id", "__sim")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  // argmin over full-dimension centroids (coarse assignment)
+  private def nearestFull(
+      v: Array[Double], cents: Array[Array[Double]], c2: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0.0
+      var d = 0
+      while (d < c.length) { dot += v(d) * c(d); d += 1 }
+      val dist = c2(j) - 2.0 * dot
+      if (dist < bestD) { bestD = dist; best = j }
+      j += 1
+    }
+    best
   }
 
   private[graft] def encodeOne(

@@ -41,6 +41,34 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfadcTopK: probed-cell pruning plus residual ADC recovers exact MIPS neighbors") {
+    val k = 5
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    def exactTop(q: Long): Seq[Long] = {
+      val qv = raw(q)
+      raw.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }
+    val got = ProductQuantizer.ivfadcTopK(vecs, "vec_id", "embedding",
+        col("vec_id") < 3, kCoarse = 3, coarseIterations = 5,
+        m = 4, ksub = 8, pqIterations = 5, nprobe = 1, k = k)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got.keySet == Set(0L, 1L, 2L) && got.values.forall(_.size == k))
+    // nprobe=1 on far-separated clusters: every neighbor from the
+    // query's own cluster, and recall vs exact MIPS stays high because
+    // residual quantization preserves within-cluster ordering better
+    // than raw-vector PQ
+    got.foreach { case (q, ids) => assert(ids.forall(_ % 3 == q % 3)) }
+    val recall = got.map { case (q, ids) =>
+      ids.toSet.intersect(exactTop(q).toSet).size.toDouble / k
+    }.sum / got.size
+    assert(recall >= 0.5, s"IVFADC recall@5 too low: $recall")
+  }
+
   test("adcTopK recall vs brute-force cosine on clustered data") {
     val model = ProductQuantizer.train(vecs, "vec_id", "embedding", m = 4, ksub = 8, iterations = 5)
     val k = 5
