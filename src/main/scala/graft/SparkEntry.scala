@@ -387,8 +387,9 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
       TextOps.corpusDiff(docs, prior, "doc_id", "text")
     }),
-    // ----- Sessionization: 12h-inactivity-gap sessions per user -----
-    "q_sessionize" -> ((s, dir) =>
+    // ----- Sessionization via native session_window (12h gap) — the
+    // lag-based 30-min formulation is the pre-existing q_sessionize --
+    "q_session_windows" -> ((s, dir) =>
       SessionOps.sessionSummaries(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "12 hours")),
     "q_session_assign" -> ((s, dir) =>
@@ -1417,7 +1418,7 @@ object SparkEntry {
          WHERE (CASE WHEN k.fk IS NULL THEN 'added'
                      WHEN c.fc IS NULL THEN 'removed'
                      WHEN c.fc <> k.fk THEN 'changed' END) IS NOT NULL""",
-    "q_sessionize" ->
+    "q_session_windows" ->
       """WITH e AS (SELECT user_id, ts, value,
               CASE WHEN lag(ts) OVER w IS NULL
                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS f
@@ -1435,7 +1436,7 @@ object SparkEntry {
                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS f
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          SELECT event_id, user_id,
-                sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_n
+                CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
          FROM e""",
     "q_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -1463,7 +1464,7 @@ object SparkEntry {
          j AS (SELECT d.lang,
                  CAST(len(string_split_regex(trim(c.text_clean), '\s+')) AS BIGINT) AS n_tokens
                FROM cleaned c JOIN documents d USING (doc_id))
-         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
          FROM j GROUP BY lang""",
     "q_stratified_sample" ->

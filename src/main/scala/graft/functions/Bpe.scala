@@ -156,7 +156,10 @@ object Bpe {
       .mapPartitions { it =>
         val rankOf = bc.value
         it.map { case (id, text) =>
-          val n = text.trim.toLowerCase.split("\\s+").iterator
+          // Locale.ROOT: executor default locale must not change the
+          // vocabulary (Turkish dotless-i would desync from the
+          // locale-independent lower() used at training time)
+          val n = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
             .filter(_.nonEmpty)
             .map(w => encodeWord(w, rankOf).length.toLong)
             .sum

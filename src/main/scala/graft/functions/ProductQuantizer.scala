@@ -77,13 +77,16 @@ object ProductQuantizer {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
 
-    // deterministic seed: subspace j's centroids from the first ksub ids
-    var codebooks: Array[Array[Array[Double]]] = {
-      // order by the id column whatever its name (named frames use
-      // "id", tuple-shaped residual datasets use "_1")
-      val seed = vecs.orderBy(vecs.columns.head).limit(ksub).collect().map(_._2)
+    // deterministic seed: subspace j's centroids from the first ksub
+    // ids; a corpus smaller than ksub clamps the codebook (PqModel.ksub
+    // must equal the real codebook size or ADC tables index past it)
+    // — order by the id column whatever its name (named frames use
+    // "id", tuple-shaped residual datasets use "_1")
+    val seed = vecs.orderBy(vecs.columns.head).limit(ksub).collect().map(_._2)
+    require(seed.nonEmpty, "PQ training needs at least one vector")
+    val ksubEff = seed.length
+    var codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
-    }
 
     var it = 1
     while (it < iterations) {
@@ -91,8 +94,8 @@ object ProductQuantizer {
       val partials = vecs.mapPartitions { iter =>
         val cbs = bc.value
         val c2 = cbs.map(_.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }))
-        val counts = Array.ofDim[Long](m, ksub)
-        val sums = Array.ofDim[Double](m, ksub, dsub)
+        val counts = Array.ofDim[Long](m, ksubEff)
+        val sums = Array.ofDim[Double](m, ksubEff, dsub)
         iter.foreach { case (_, v) =>
           var j = 0
           while (j < m) {
@@ -105,8 +108,8 @@ object ProductQuantizer {
         }
         for {
           j <- (0 until m).iterator
-          c <- (0 until ksub).iterator if counts(j)(c) > 0
-        } yield (j * ksub + c, (counts(j)(c), sums(j)(c)))
+          c <- (0 until ksubEff).iterator if counts(j)(c) > 0
+        } yield (j * ksubEff + c, (counts(j)(c), sums(j)(c)))
       }
       val totals = partials
         .groupByKey(_._1)
@@ -121,12 +124,12 @@ object ProductQuantizer {
       bc.destroy()
       val merged = codebooks.map(_.map(_.clone()))
       totals.foreach { case (jc, n, s) =>
-        merged(jc / ksub)(jc % ksub) = s.map(_ / n)
+        merged(jc / ksubEff)(jc % ksubEff) = s.map(_ / n)
       }
       codebooks = merged
       it += 1
     }
-    PqModel(m, ksub, dsub, codebooks)
+    PqModel(m, ksubEff, dsub, codebooks)
   }
 
   /** (id, code) — `code` is the m-byte PQ code as a binary column. */

@@ -32,6 +32,13 @@ class PqSpec extends SparkSpec {
     val codes = ProductQuantizer.encode(vecs, "vec_id", "embedding", model)
       .as[(Long, Array[Byte])].collect().toMap
     assert(codes.values.forall(_.length == 2))
+    // a corpus smaller than the requested ksub clamps the codebook and
+    // still trains/queries without indexing past it
+    val tiny = vecs.filter($"vec_id" < 5)
+    val small = ProductQuantizer.train(tiny, "vec_id", "embedding", m = 2, ksub = 16, iterations = 3)
+    assert(small.ksub == 5 && small.codebooks.forall(_.length == 5))
+    assert(ProductQuantizer.adcTopK(tiny, "vec_id", "embedding",
+      col("vec_id") === 0, small, k = 3).count() == 3)
     // same-cluster vectors should share codes (clusters are separated
     // far beyond the 0.5-sigma noise)
     val byCluster = codes.groupBy { case (id, _) => id % 3 }
