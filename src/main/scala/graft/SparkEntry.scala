@@ -421,6 +421,10 @@ object SparkEntry {
 
     // ----- Training-mix sampling: per-source keep rates, id-hash
     // deterministic ---------------------------------------------------
+    "q_stratified_take" -> ((s, dir) =>
+      TextOps.stratifiedTake(
+        Tables.documents(s, dir).select("doc_id", "source", "lang"),
+        "doc_id", "source", n = 5)),
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
@@ -1467,6 +1471,10 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
          FROM j GROUP BY lang""",
+    "q_stratified_take" ->
+      """SELECT doc_id, source, lang FROM documents
+         QUALIFY row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""",
     "q_stratified_sample" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) <

@@ -424,6 +424,27 @@ object TextOps {
     df.filter(bucket < cutoff)
   }
 
+  /** Exactly-n-per-stratum deterministic sample — the fixed-quota
+    * complement of [[stratifiedSample]]'s rate-based form (eval-set
+    * carving: "exactly 1000 docs per language"). Rows rank by the md5
+    * of their id within each stratum, so membership is a pure function
+    * of (id, stratum, n): stable across runs and partitionings, and
+    * n' < n yields a strict subset. One shuffle on the stratum.
+    */
+  def stratifiedTake(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      n: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Per-document top-k salient terms by TF-IDF with the raw idf
     * variant score = tf * (N / df) — multiplicative idf avoids
     * transcendental functions, keeping the score bit-reproducible

@@ -368,6 +368,21 @@ class TextVectorSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("stratifiedTake yields exactly n per stratum and nests across n") {
+    val d = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    val take5 = TextOps.stratifiedTake(d, "doc_id", "stratum", 5)
+      .as[(Long, String)].collect()
+    assert(take5.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("s0" -> 5, "s1" -> 5, "s2" -> 5))
+    val take3 = TextOps.stratifiedTake(d, "doc_id", "stratum", 3)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(take3.subsetOf(take5.map(_._1).toSet)) // nested
+    // deterministic across repartitionings
+    val reparted = TextOps.stratifiedTake(d.repartition(7), "doc_id", "stratum", 5)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(reparted == take5.map(_._1).toSet)
+  }
+
   test("tfidfTopTerms ranks the doc-specific repeated term above corpus-wide terms") {
     val d = Seq(
       (1L, "spark spark spark common common"),
