@@ -448,8 +448,12 @@ object SparkEntry {
     "q_hashing_tf" -> ((s, dir) =>
       TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64)),
     "q_text_knn" -> ((s, dir) =>
+      // the TF frame feeds four plan branches (candidates, queries,
+      // both norm sides) — materialize it once instead of re-scanning
+      // and re-exploding the corpus per branch
       TextOps.sparseCosineTopK(
-        TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64),
+        TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64)
+          .localCheckpoint(),
         col("doc_id") % 50 === 0, k = 5)),
 
     // ----- Top-5 salient terms per doc, raw-idf TF-IDF ---------------
