@@ -50,4 +50,29 @@ class CorpusStoreSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(m == want)
   }
+
+  test("pipeline-to-store round trip: dedup + gates + split land partitioned and complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_e2e").toString
+    // small corpus with planted dups and junk the pipeline must drop
+    val raw = (
+      (0L until 60L).map(i => (i, s"unique document number $i with several words", "en")) ++
+      Seq((100L, "copy copy copy", "en"), (101L, "copy copy copy", "en"), // exact dups
+          (102L, "", "en"))                                              // empty -> gated
+    ).toDF("doc_id", "text", "lang")
+
+    val keepers = TextOps.exactDedupGroups(raw, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val cleaned = raw
+      .join(keepers, Seq("doc_id"))
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("split",
+        TextOps.splitAssign(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.2)))
+    CorpusStore.write(cleaned, dir, Seq("split", "lang"), maxRecordsPerFile = 1000L)
+
+    val back = CorpusStore.read(spark, dir)
+    assert(back.count() == 61)                       // 60 uniques + 1 dup keeper
+    assert(back.filter($"doc_id" === 101L).count() == 0) // non-keeper gone
+    assert(back.filter($"doc_id" === 102L).count() == 0) // empty doc gated
+    assert(back.select("split").distinct().count() == 2)
+  }
 }
