@@ -362,6 +362,17 @@ object SparkEntry {
     "q_gopher_quality" -> ((s, dir) =>
       TextOps.gopherQualitySignals(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ----- Incremental ingest dedup: a simulated new batch (every
+    // 10th doc under fresh ids) checked against the standing corpus —
+    // work scales with the batch, never corpus² ----------------------
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      TextOps.minhashCrossPairs(newBatch, "doc_id", "text",
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
+    }),
+
     // ----- Compressibility gate (rows-only: deflate has no SQL
     // counterpart; planted-case behavior pinned in TextVectorSpec) ----
     "q_compress_ratio" -> ((s, dir) =>
@@ -822,26 +833,26 @@ object SparkEntry {
     * (inlined as literals), HUGEINT mulmod, minima per doc, bands of 2
     * consecutive signature entries. Ends with CTEs `bands` defined.
     */
-  private def minhashSigCtes(src: String = "documents"): String = {
+  private def minhashSigCtes(src: String = "documents", sfx: String = ""): String = {
     val (a, b) = graft.functions.MinHashSig.params(8)
     val p = graft.functions.MinHashSig.P
     val hs = (0 until 8).map(j =>
       s"min(CAST((CAST(x AS HUGEINT) * ${a(j)} + ${b(j)}) % $p AS BIGINT)) AS h$j")
       .mkString(", ")
     val bandRows = (0 until 4).map(bnd =>
-      if (bnd == 0) s"SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sig"
-      else s"SELECT doc_id, $bnd, h${bnd * 2}, h${bnd * 2 + 1} FROM sig")
+      if (bnd == 0) s"SELECT doc_id, 0 AS band, h0 AS k0, h1 AS k1 FROM sig$sfx"
+      else s"SELECT doc_id, $bnd, h${bnd * 2}, h${bnd * 2 + 1} FROM sig$sfx")
       .mkString("\n           UNION ALL ")
-    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src),
-       sh AS (SELECT DISTINCT doc_id,
+    s"""toks$sfx AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src),
+       sh$sfx AS (SELECT DISTINCT doc_id,
                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
-              FROM toks WHERE len(t) >= 3),
-       xs AS (SELECT doc_id,
+              FROM toks$sfx WHERE len(t) >= 3),
+       xs$sfx AS (SELECT doc_id,
                 CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) % CAST($p AS UBIGINT) AS x
-              FROM sh),
-       sig AS (SELECT doc_id, $hs FROM xs GROUP BY 1),
-       bands AS ($bandRows),
-       gbands AS (SELECT * FROM bands
+              FROM sh$sfx),
+       sig$sfx AS (SELECT doc_id, $hs FROM xs$sfx GROUP BY 1),
+       bands$sfx AS ($bandRows),
+       gbands$sfx AS (SELECT * FROM bands$sfx
                   QUALIFY count(*) OVER (PARTITION BY band, k0, k1) <= 10000)"""
   }
 
@@ -1280,6 +1291,13 @@ object SparkEntry {
     "q_doc_minhash_pairs" ->
       s"""WITH ${minhashSigCtes()}
          $minhashPairsSelect""",
+    "q_minhash_incremental" ->
+      s"""WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+                           FROM documents WHERE doc_id % 10 = 0),
+         ${minhashSigCtes()},
+         ${minhashSigCtes("newdocs", "_n")}
+         SELECT DISTINCT n.doc_id AS new_id, k.doc_id AS known_id
+         FROM gbands_n n JOIN gbands k USING (band, k0, k1)""",
     // Connected components via transitive closure: DuckDB's recursive
     // CTE accumulates every (node, reachable-label) pair; min per node
     // is the component minimum — same contract as the distributed

@@ -99,15 +99,19 @@ object TextOps {
     * see [[capBuckets]]; within-bucket pairs there would be quadratic
     * and are better handled by exact dedup.
     */
-  def minhashCandidatePairs(
+  /** Banded, hot-bucket-guarded LSH keys: (id, band, k0..k{r-1}). The
+    * shared stage behind the self-join ([[minhashCandidatePairs]]) and
+    * the incremental cross-join ([[minhashCrossPairs]]).
+    */
+  private def minhashBanded(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       bands: Int,
       rowsPerBand: Int,
       shingleSize: Int,
-      bucketCap: Long = 10000L
-  ): DataFrame = {
+      bucketCap: Long
+  ): (DataFrame, Seq[String]) = {
     val sig = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand, shingleSize)
     val bandStructs = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r =>
@@ -119,12 +123,57 @@ object TextOps {
       .select(col(idCol), explode(array(bandStructs: _*)).as("__bh"))
       .select(col(idCol) +: col("__bh.band").as("band") +:
         keyCols.map(k => col(s"__bh.$k").as(k)): _*)
-    val guarded = capBuckets(banded, "band" +: keyCols, bucketCap)
+    (capBuckets(banded, "band" +: keyCols, bucketCap), keyCols)
+  }
+
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    val (guarded, keyCols) =
+      minhashBanded(docs, idCol, textCol, bands, rowsPerBand, shingleSize, bucketCap)
     val a = guarded.select(col(idCol).as("doc_a") +: col("band") +: keyCols.map(col): _*)
     val b = guarded.select(col(idCol).as("doc_b") +: col("band") +: keyCols.map(col): _*)
     a.join(b, "band" +: keyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Incremental near-dup: candidate pairs between a NEW batch and the
+    * EXISTING corpus — the ingest path at scale (a new crawl checks
+    * against the standing corpus without re-deduping it; the self-join
+    * form re-pairs everything). Both sides band with the same
+    * signature parameters and carry the hot-bucket cap independently;
+    * the join is new×known only, so work scales with the batch, not
+    * the corpus². At 100 TB the known side's banded keys are what a
+    * signature store would persist once and reuse per batch.
+    */
+  def minhashCrossPairs(
+      newDocs: DataFrame,
+      newIdCol: String,
+      newTextCol: String,
+      known: DataFrame,
+      knownIdCol: String,
+      knownTextCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    val (n, keyCols) =
+      minhashBanded(newDocs, newIdCol, newTextCol, bands, rowsPerBand, shingleSize, bucketCap)
+    val (k, _) =
+      minhashBanded(known, knownIdCol, knownTextCol, bands, rowsPerBand, shingleSize, bucketCap)
+    n.select(col(newIdCol).as("new_id") +: col("band") +: keyCols.map(col): _*)
+      .join(k.select(col(knownIdCol).as("known_id") +: col("band") +: keyCols.map(col): _*),
+        "band" +: keyCols)
+      .select("new_id", "known_id")
       .distinct()
   }
 

@@ -368,6 +368,18 @@ class TextVectorSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("minhashCrossPairs flags new docs near-duplicating the corpus, not novel ones") {
+    val known = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, nearDup),    // near-dup of known doc 0
+      (101L, distinct2)   // novel
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.minhashCrossPairs(fresh, "doc_id", "text",
+        known, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 0L)))
+  }
+
   test("stratifiedTake yields exactly n per stratum and nests across n") {
     val d = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
     val take5 = TextOps.stratifiedTake(d, "doc_id", "stratum", 5)
