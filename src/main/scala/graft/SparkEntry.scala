@@ -414,6 +414,11 @@ object SparkEntry {
       TextOps.spanDedup(Tables.documents(s, dir), "doc_id", "text",
         blockTokens = 6, minDocs = 2)),
 
+    // ----- Boilerplate mining: the most cross-doc-duplicated blocks --
+    "q_boilerplate_topk" -> ((s, dir) =>
+      TextOps.boilerplateTopK(Tables.documents(s, dir), "doc_id", "text",
+        blockTokens = 6, minDocs = 2, k = 20)),
+
     // ----- Composed: span dedup -> per-language corpus stats (how
     // much boilerplate removal changed the token budget) -------------
     "q_span_quality" -> ((s, dir) => {
@@ -1477,6 +1482,18 @@ object SparkEntry {
                 count(*) AS n_blocks_kept
          FROM b WHERE h NOT IN (SELECT h FROM dup)
          GROUP BY doc_id""",
+    "q_boilerplate_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         bl AS (SELECT doc_id,
+                  unnest([{'bi': i, 'blk': array_to_string(t[(i-1)*6+1:i*6], ' ')}
+                          for i in generate_series(1, CAST(ceil(len(t)/6.0) AS BIGINT))]) AS u
+                FROM toks),
+         b AS (SELECT doc_id, u.blk AS blk FROM bl)
+         SELECT blk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         FROM b GROUP BY blk
+         HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occurrences DESC, blk
+         LIMIT 20""",
     "q_span_quality" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          bl AS (SELECT doc_id,

@@ -418,6 +418,28 @@ object TextOps {
     * boilerplate vanish from the output — exactly the rows exact dedup
     * retires anyway.
     */
+  /** Fixed token blocks per document: (doc_id, bi, blk, __h) — the
+    * segmentation stage shared by [[spanDedup]] and
+    * [[boilerplateTopK]].
+    */
+  private def tokenBlocks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int
+  ): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    // split(trim(x), " ") yields at least [""], so nBlocks >= 1 and the
+    // descending-sequence trap (sequence(1,0) = [1,0]) cannot trigger
+    val nBlocks = ceil(size(col("__t")).cast("double") / blockTokens).cast("int")
+    toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), nBlocks), i =>
+          array_join(slice(col("__t"), (i - lit(1)) * blockTokens + lit(1), lit(blockTokens)), " ")))
+          .as(Seq("bi", "blk")))
+      .withColumn("__h", md5(col("blk").cast("binary")))
+  }
+
   def spanDedup(
       docs: DataFrame,
       idCol: String,
@@ -425,16 +447,7 @@ object TextOps {
       blockTokens: Int,
       minDocs: Long
   ): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
-    // split(trim(x), " ") yields at least [""], so nBlocks >= 1 and the
-    // descending-sequence trap (sequence(1,0) = [1,0]) cannot trigger
-    val nBlocks = ceil(size(col("__t")).cast("double") / blockTokens).cast("int")
-    val blocks = toks
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), nBlocks), i =>
-          array_join(slice(col("__t"), (i - lit(1)) * blockTokens + lit(1), lit(blockTokens)), " ")))
-          .as(Seq("bi", "blk")))
-      .withColumn("__h", md5(col("blk").cast("binary")))
+    val blocks = tokenBlocks(docs, idCol, textCol, blockTokens)
     val dup = blocks
       .select(col("__h"), col("doc_id"))
       .groupBy(col("__h"))
@@ -450,6 +463,30 @@ object TextOps {
           " ").as("text_clean"),
         count(lit(1)).as("n_blocks_kept"))
   }
+
+  /** Boilerplate mining — the analysis complement of [[spanDedup]]:
+    * the k most widely-duplicated token blocks, ranked by distinct
+    * documents touched then total occurrences. What a pipeline owner
+    * reads to decide the dedup threshold (and the removal list a
+    * template-stripping pass would start from). One shuffle of block
+    * hashes + a global top-k — the blocks themselves only reach the
+    * driver for the k winners.
+    */
+  def boilerplateTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int,
+      minDocs: Long,
+      k: Int
+  ): DataFrame =
+    tokenBlocks(docs, idCol, textCol, blockTokens)
+      .groupBy(col("blk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("blk"))
+      .limit(k)
 
   /** Deterministic per-stratum downsampling (training-mix construction:
     * "keep 100% of books, 10% of common-crawl"): a row survives iff its

@@ -380,6 +380,19 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs == Set((100L, 0L)))
   }
 
+  test("boilerplateTopK ranks the planted template block first") {
+    val d = Seq(
+      (1L, "copyright footer text here unique alpha beta gamma"),
+      (2L, "copyright footer text here unique delta epsilon zeta"),
+      (3L, "copyright footer text here something else entirely ok"),
+      (4L, "totally unrelated words with no shared block at")
+    ).toDF("doc_id", "text")
+    val top = TextOps.boilerplateTopK(d, "doc_id", "text", blockTokens = 4, minDocs = 2, k = 5)
+      .as[(String, Long, Long)].collect()
+    assert(top.head == (("copyright footer text here", 3L, 3L)))
+    assert(top.forall(_._2 >= 2))
+  }
+
   test("stratifiedTake yields exactly n per stratum and nests across n") {
     val d = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
     val take5 = TextOps.stratifiedTake(d, "doc_id", "stratum", 5)
