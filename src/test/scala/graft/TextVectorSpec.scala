@@ -380,6 +380,39 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs == Set((100L, 0L)))
   }
 
+  test("spanDedup round-trip: with nothing to drop, reassembly reproduces the text") {
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // random lengths incl. awkward ones around the block size
+    val d = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(20)
+      (i.toLong, (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.spanDedup(d, "doc_id", "text", blockTokens = 6, minDocs = 1000L)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> t._2).toMap
+    val want = d.as[(Long, String)].collect().toMap
+    assert(out == want, "block segmentation + ordered reassembly must be lossless")
+  }
+
+  test("plan shapes: sampling is exchange-free, sessions one exchange, topk is TakeOrdered") {
+    val noShuffle = TextOps.stratifiedSample(docs, "doc_id", "text",
+        Seq.empty, defaultRate = 0.5)
+      .queryExecution.executedPlan.toString()
+    assert(!noShuffle.contains("Exchange"), s"sampling must not shuffle:\n$noShuffle")
+
+    val ev = Seq((1L, new java.sql.Timestamp(0L), 1.0)).toDF("user_id", "ts", "value")
+    val sessPlan = graft.operators.SessionOps
+      .sessionSummaries(ev, Seq("user_id"), "ts", "value", "30 minutes")
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(sessPlan).size == 1,
+      s"session_window should be one shuffle:\n$sessPlan")
+
+    val topkPlan = TextOps.boilerplateTopK(docs, "doc_id", "text", 4, 2, 5)
+      .queryExecution.executedPlan.toString()
+    assert(topkPlan.contains("TakeOrderedAndProject"),
+      s"global top-k should plan as TakeOrdered:\n$topkPlan")
+  }
+
   test("boilerplateTopK ranks the planted template block first") {
     val d = Seq(
       (1L, "copyright footer text here unique alpha beta gamma"),
