@@ -1,0 +1,103 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.DedupGroups
+import graft.sources.CorpusStore
+
+/** The corpus-side facade, mirroring [[CandleTable]] for the
+  * training-data surface: one object that chains the pipeline a corpus
+  * owner actually runs, as composable lazy DataFrames.
+  *
+  * {{{
+  * CorpusTable(docs)
+  *   .redacted                                  // PII masking
+  *   .dedupedExact                              // hash keepers
+  *   .withoutNearDups()                         // minhash+LSH -> CC keepers
+  *   .spanDeduped(blockTokens = 20, minDocs = 2) // boilerplate blocks
+  *   .gated(minTokens = 10)                     // quality floor
+  *   .split(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+  *   .write("/corpus/v2", Seq("split"), maxRecordsPerFile = 1000000)
+  * }}}
+  *
+  * Every step returns a lazy plan; the terminal `write` partitions via
+  * [[CorpusStore]]. Non-text columns ride along untouched.
+  */
+final class CorpusTable private (
+    val df: DataFrame,
+    val idCol: String,
+    val textCol: String
+) {
+
+  private def rewrap(d: DataFrame): CorpusTable = new CorpusTable(d, idCol, textCol)
+
+  /** Mask emails and long digit runs in the text column. */
+  def redacted: CorpusTable = rewrap(
+    df.withColumn(textCol, TextOps.redactPii(col(textCol))))
+
+  /** Keep one document per exact content hash (min id wins). */
+  def dedupedExact: CorpusTable = rewrap(
+    df.join(
+      TextOps.exactDedupGroups(df, idCol, textCol)
+        .select(col("keeper_id").as(idCol)),
+      Seq(idCol)))
+
+  /** Keep one document per near-duplicate group: MinHash+LSH candidate
+    * pairs resolved to keepers by connected components.
+    */
+  def withoutNearDups(
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3
+  ): CorpusTable = {
+    val pairs = TextOps.minhashCandidatePairs(df, idCol, textCol,
+      bands, rowsPerBand, shingleSize)
+    val keepers = DedupGroups.resolveKeepers(df, idCol, pairs)
+      .filter(col("is_keeper"))
+      .select(col("doc_id").as(idCol))
+    rewrap(df.join(keepers, Seq(idCol)))
+  }
+
+  /** Strip cross-document duplicated token blocks; documents that were
+    * entirely boilerplate drop out.
+    */
+  def spanDeduped(blockTokens: Int, minDocs: Long): CorpusTable = {
+    val cleaned = TextOps.spanDedup(df, idCol, textCol, blockTokens, minDocs)
+      .select(col("doc_id").as(idCol), col("text_clean"))
+    rewrap(
+      df.join(cleaned, Seq(idCol))
+        .withColumn(textCol, col("text_clean"))
+        .drop("text_clean"))
+  }
+
+  /** Quality floor: at least `minTokens` whitespace tokens. */
+  def gated(minTokens: Int): CorpusTable = rewrap(
+    df.filter(size(org.apache.spark.sql.functions.split(
+      trim(col(textCol)), "\\s+")) >= minTokens))
+
+  /** Deterministic id-hash split assignment as a `split` column. */
+  def split(weights: Seq[(String, Double)]): CorpusTable = rewrap(
+    df.withColumn("split", TextOps.splitAssign(col(idCol), weights)))
+
+  /** Per-stratum deterministic rate sampling. */
+  def sampled(
+      strataCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double
+  ): CorpusTable = rewrap(
+    TextOps.stratifiedSample(df, idCol, strataCol, rates, defaultRate))
+
+  /** Materialize partitioned with bounded shards. */
+  def write(path: String, partitionCols: Seq[String], maxRecordsPerFile: Long): Unit =
+    CorpusStore.write(df, path, partitionCols, maxRecordsPerFile)
+}
+
+object CorpusTable {
+  def apply(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): CorpusTable =
+    new CorpusTable(df, idCol, textCol)
+
+  def fromParquet(spark: SparkSession, path: String): CorpusTable =
+    apply(spark.read.parquet(path))
+}
