@@ -520,7 +520,11 @@ object SparkEntry {
         col("doc_id"), col("lang"), TextOps.redactPii(col("text")).as("text"))
       val exactKeepers = TextOps.exactDedupGroups(redacted, "doc_id", "text")
         .select(col("keeper_id").as("doc_id"))
-      val exactKept = redacted.join(exactKeepers, Seq("doc_id"))
+      // exactKept feeds six plan branches (banding, CC resolution, the
+      // keeper join, both stats passes, the final gate) — materialize
+      // the redaction+dedup prefix once instead of re-running the
+      // regex-heavy scan per branch
+      val exactKept = redacted.join(exactKeepers, Seq("doc_id")).localCheckpoint()
       val pairs = TextOps.minhashCandidatePairs(exactKept, "doc_id", "text",
         bands = 4, rowsPerBand = 2, shingleSize = 3)
       val ndKeepers = graft.operators.DedupGroups
