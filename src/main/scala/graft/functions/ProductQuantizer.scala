@@ -72,6 +72,10 @@ object ProductQuantizer {
   ): PqModel = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    require(m > 0 && iterations > 0, s"m=$m and iterations=$iterations must be positive")
+    // codes are one byte per subspace — more than 256 centroids would
+    // silently alias under the & 0xff decode
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must be in [1, 256]")
 
     val dim = vecs.head()._2.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")

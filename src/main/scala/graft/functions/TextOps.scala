@@ -428,6 +428,7 @@ object TextOps {
       textCol: String,
       blockTokens: Int
   ): DataFrame = {
+    require(blockTokens > 0, s"blockTokens=$blockTokens must be positive")
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
     // split(trim(x), " ") yields at least [""], so nBlocks >= 1 and the
     // descending-sequence trap (sequence(1,0) = [1,0]) cannot trigger
@@ -502,6 +503,8 @@ object TextOps {
       rates: Seq[(String, Double)],
       defaultRate: Double
   ): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0, 1]: $rates default=$defaultRate")
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int")
     val cutoff = rates.foldRight(lit((defaultRate * 65536).toInt): Column) {
       case ((stratum, r), other) =>
@@ -579,6 +582,7 @@ object TextOps {
       textCol: String,
       dim: Int
   ): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     docs
       .select(col(idCol).as("doc_id"),

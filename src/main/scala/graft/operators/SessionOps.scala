@@ -72,6 +72,7 @@ object SessionOps {
       tsCol: String,
       gapSeconds: Long
   ): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds=$gapSeconds must be positive")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
