@@ -77,6 +77,30 @@ final class CorpusTable private (
     df.filter(size(org.apache.spark.sql.functions.split(
       trim(col(textCol)), "\\s+")) >= minTokens))
 
+  /** Gopher-style signal gates plus the compressibility floor, all
+    * row-local projections (one codegen'd char scan + one deflate per
+    * doc — no shuffle): drop docs that are mostly symbols, mostly
+    * bullet/ellipsis lines, or compress below `minCompressRatio`
+    * (near-pure repetition).
+    */
+  def gatedQuality(
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      minCompressRatio: Double = 0.05
+  ): CorpusTable = {
+    val sig = graft.functions.TextSignals.text_signals(col(textCol))
+    rewrap(
+      df.withColumn("__sig", sig)
+        .withColumn("__cr", graft.functions.CompressRatio.compress_ratio(col(textCol)))
+        .filter(
+          (col("__sig.symbol_word_ratio").isNull ||
+            col("__sig.symbol_word_ratio") <= maxSymbolWordRatio) &&
+          (col("__sig.bullet_line_frac").isNull ||
+            col("__sig.bullet_line_frac") <= maxBulletLineFrac) &&
+          col("__cr") >= minCompressRatio)
+        .drop("__sig", "__cr"))
+  }
+
   /** Deterministic id-hash split assignment as a `split` column. */
   def split(weights: Seq[(String, Double)]): CorpusTable = rewrap(
     df.withColumn("split", TextOps.splitAssign(col(idCol), weights)))

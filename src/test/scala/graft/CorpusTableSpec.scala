@@ -37,4 +37,15 @@ class CorpusTableSpec extends SparkSpec {
     assert(redactedText.contains("<EMAIL>") && !redactedText.contains("alice@"))
     assert(back.columns.contains("split") && back.columns.contains("lang"))
   }
+
+  test("gatedQuality drops symbol soup and pure repetition, keeps prose") {
+    val docs = Seq(
+      (1L, "a perfectly normal sentence with ordinary words and structure here"),
+      (2L, "$$$ ### @@@ %%% ^^^ &&& *** $$$ ### @@@ %%% ^^^"),  // symbol soup
+      (3L, "spam ham " * 400)                                   // compresses to ~nothing
+    ).toDF("doc_id", "text")
+    val kept = CorpusTable(docs).gatedQuality()
+      .df.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }
