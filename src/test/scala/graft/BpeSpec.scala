@@ -63,6 +63,9 @@ class BpeSpec extends SparkSpec {
       val got = Bpe.train(docs, "text", nMerges = 8)
       val want = seqTrain(wordFreqs, 8)
       assert(got == want, s"trial $trial: $got vs $want")
+      // partition-independence: the merge table is a pure function of
+      // the corpus, not of its physical layout
+      assert(Bpe.train(docs.repartition(13), "text", nMerges = 8) == got)
     }
   }
 }
