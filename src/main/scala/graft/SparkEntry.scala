@@ -414,6 +414,20 @@ object SparkEntry {
       TextOps.spanDedup(Tables.documents(s, dir), "doc_id", "text",
         blockTokens = 6, minDocs = 2)),
 
+    // ----- Similarity-threshold tuning: decile histogram of exact
+    // Jaccard over the adjacent-id pair sample ------------------------
+    "q_jaccard_histogram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .withColumn("doc_b", col("doc_a") + 1)
+        .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+        .select("doc_a", "doc_b")
+      TextOps.ngramJaccard(docs, "doc_id", "text", pairs, shingleSize = 3)
+        .select(least(floor(col("jaccard") * 10), lit(9L)).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ----- Boilerplate mining: the most cross-doc-duplicated blocks --
     "q_boilerplate_topk" -> ((s, dir) =>
       TextOps.boilerplateTopK(Tables.documents(s, dir), "doc_id", "text",
@@ -1486,6 +1500,21 @@ object SparkEntry {
                 count(*) AS n_blocks_kept
          FROM b WHERE h NOT IN (SELECT h FROM dup)
          GROUP BY doc_id""",
+    "q_jaccard_histogram" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sets AS (SELECT doc_id,
+                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS ss
+                  FROM toks),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ss AS ss_a, b.ss AS ss_b
+                   FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1),
+         j AS (SELECT
+           CASE WHEN len(ss_a) + len(ss_b) - len(list_intersect(ss_a, ss_b)) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(ss_a, ss_b)) AS DOUBLE)
+                     / CAST(len(ss_a) + len(ss_b) - len(list_intersect(ss_a, ss_b)) AS DOUBLE)
+           END AS jaccard
+           FROM pairs)
+         SELECT LEAST(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin, count(*) AS n_pairs
+         FROM j GROUP BY 1""",
     "q_boilerplate_topk" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          bl AS (SELECT doc_id,
