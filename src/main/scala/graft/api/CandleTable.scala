@@ -88,6 +88,14 @@ final class CandleTable private (
       s"${chunkOf * tf.seconds} seconds")
   }
 
+  /** Inactivity-gap activity sessions per key (native session_window;
+    * a new session starts when the market is quiet for more than
+    * `gap`) — exact decimal-accumulated `valueCol` totals per session.
+    */
+  def sessions(gap: String, valueCol: String = "volume"): DataFrame =
+    graft.operators.SessionOps.sessionSummaries(
+      df, keys.filterNot(_ == "interval"), tsCol, valueCol, gap)
+
   /** Typed view for case-class-level logic. */
   def typed(implicit spark: SparkSession): Dataset[Candle] = {
     import spark.implicits._

@@ -57,6 +57,19 @@ class CandleTableSpec extends SparkSpec {
     assert(stale2) // 6 min lag > SLO
   }
 
+  test("sessions split the continuous stream only at real lulls") {
+    // 120 contiguous minutes -> one session; add a burst 3h later
+    val later = Seq(
+      mk("BTC", "2024-03-01 13:00:00", 200.0),
+      mk("BTC", "2024-03-01 13:01:00", 201.0))
+    val s = CandleTable((raw ++ later).toDF()).validated.deduped
+      .sessions(gap = "30 minutes")
+      .orderBy("session_start")
+      .collect()
+    assert(s.length == 2)
+    assert(s(0).getAs[Long]("n_events") == 120 && s(1).getAs[Long]("n_events") == 2)
+  }
+
   test("backfill plan tiles from start date to earliest candle") {
     val t = CandleTable(raw.toDF())
     val plan = t.backfillPlan("2024-03-01 06:00:00", "1m", chunkOf = 30)
