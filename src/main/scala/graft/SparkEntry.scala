@@ -832,6 +832,15 @@ object SparkEntry {
     "q_media_decode" -> ((s, _) =>
       MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(s, 200), 8, 6)),
 
+    // ----- Perceptual image fingerprints over the REAL decode path:
+    // dHash on the 9x8 nearest-neighbor grid; oracle replays the
+    // synthetic pixel arithmetic bit for bit (hash emitted as hex, the
+    // simhash-oracle convention for 64-bit values) -------------------
+    "q_image_dhash" -> ((s, _) =>
+      MultimodalOps.imageDHashes(MultimodalOps.syntheticImages(s, 200))
+        .select(col("media_id"),
+          lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))),
+
     // ----- REAL audio decode: payloads are genuine RIFF/PCM WAVs,
     // stats come from javax.sound.sampled-decoded samples; the oracle
     // replays the sample arithmetic (PCM is uncompressed, decode is
@@ -1030,6 +1039,23 @@ object SparkEntry {
     // replays MultimodalOps.synthPixel over the 32x24 grid (PNG decode
     // is lossless, so decoded pixels ARE the formula); the 8x6 resize
     // samples src = dst*srcDim//dstDim = dst*4 on both axes
+    "q_image_dhash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         gxs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+         gys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+         g AS (SELECT id, gy, gx,
+                 ((id * 3 + ((gx * 32) // 9) * 5) % 256)
+               + ((id * 7 + ((gy * 24) // 8) * 11) % 256)
+               + ((id + ((gx * 32) // 9) * ((gy * 24) // 8)) % 256) AS gray
+               FROM ids, gxs, gys),
+         b AS (SELECT l.id, l.gy AS y, l.gx AS x
+               FROM g l JOIN g r ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8 AND r.gray > l.gray),
+         fp AS (SELECT id, bit_or(CAST(1 AS UBIGINT) << CAST(y * 8 + x AS INT)) AS h
+                FROM b GROUP BY 1)
+         SELECT ids.id AS media_id,
+                lower(lpad(to_hex(COALESCE(fp.h, CAST(0 AS UBIGINT))), 16, '0')) AS dhash_hex
+         FROM ids LEFT JOIN fp ON fp.id = ids.id""",
     "q_media_decode" ->
       """WITH px AS (
            SELECT g.id AS media_id,

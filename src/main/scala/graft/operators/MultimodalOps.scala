@@ -438,6 +438,83 @@ object MultimodalOps {
     */
   val SynthW = 32
   val SynthH = 24
+  /** Perceptual difference hash (dHash): sample the decoded image on a
+    * 9×8 nearest-neighbor grid (same integer mapping as
+    * [[decodeImageStats]]'s resample — deterministic, no interpolation),
+    * gray = r+g+b (monotone in luminance, division-free), bit (x,y) set
+    * iff the gray gradient is positive leftward-to-rightward. Robust to
+    * re-encoding, scaling, and brightness shifts — the standard cheap
+    * image near-dup fingerprint.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val g = Array.ofDim[Int](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val p = img.getRGB(gx * img.getWidth / gw, gy * img.getHeight / gh)
+        g(gy)(gx) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var h = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** (media_id, dhash) over real decodes; undecodable rows drop. */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val img =
+        if (r.kind == "image" && r.payload != null && r.payload.nonEmpty)
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        else null
+      if (img == null) Iterator.empty else Iterator((r.media_id, dHash64(img)))
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup candidate pairs over dHashes: the same 4×16-bit
+    * disjoint banding as the text SimHash path (pigeonhole: hamming <=
+    * 3 guarantees one clean band), hot buckets capped, verified by
+    * exact hamming distance. Input: (media_id, dhash).
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(65535L)).as("bh"))): _*))
+          .as("__b"))
+      .select(col("media_id"), col("dhash"),
+        col("__b.band").as("band"), col("__b.bh").as("bh"))
+    val guarded = graft.functions.TextOps.capBuckets(banded, Seq("band", "bh"), bucketCap)
+    val a = guarded.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
+      col("band"), col("bh"))
+    val b = guarded.select(col("media_id").as("id_b"), col("dhash").as("h_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
     (((id * 3 + x * 5) % 256).toInt, ((id * 7 + y * 11) % 256).toInt,
       ((id + x * y) % 256).toInt)

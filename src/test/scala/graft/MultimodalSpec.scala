@@ -152,6 +152,35 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.decodeVideoFrameStats(bad).count() == 0)
   }
 
+  test("dHash: perturbed re-encode pairs with its original, distinct images don't") {
+    def img(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    // strong horizontal gradient -> well-defined dHash bits
+    val base = img(32, 24)((x, y) => ((x * 8) << 16) | ((y * 10) << 8) | (x * y % 256))
+    // tiny perturbation: one pixel changed — hamming stays near 0
+    val near = img(32, 24)((x, y) =>
+      if (x == 31 && y == 23) 0 else ((x * 8) << 16) | ((y * 10) << 8) | (x * y % 256))
+    // reversed gradient -> most bits flip
+    val far = img(32, 24)((x, y) => (((31 - x) * 8) << 16) | ((y * 10) << 8) | 0)
+    val rows = Seq(
+      MediaRow(1L, "image", null, base, 32, 24, 0L, 0),
+      MediaRow(2L, "image", null, near, 32, 24, 0L, 0),
+      MediaRow(3L, "image", null, far, 32, 24, 0L, 0)).toDS()
+    val hashes = MultimodalOps.imageDHashes(rows)
+    val pairs = MultimodalOps.imageNearDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // the kernel equals a driver-side recompute on the decoded image
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val h1 = hashes.filter($"media_id" === 1L).select("dhash").as[Long].head()
+    assert(h1 == MultimodalOps.dHash64(decoded))
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
