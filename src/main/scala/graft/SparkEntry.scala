@@ -848,6 +848,13 @@ object SparkEntry {
     "q_media_audio" -> ((s, _) =>
       MultimodalOps.decodeAudioStats(MultimodalOps.syntheticWavs(s, 200))),
 
+    // ----- Audio fingerprints over the REAL WAV decode: 65-window
+    // energy-gradient hash, oracle replays the PCM sample arithmetic --
+    "q_audio_fingerprint" -> ((s, _) =>
+      MultimodalOps.audioFingerprints(MultimodalOps.syntheticWavs(s, 200))
+        .select(col("media_id"),
+          lpad(lower(hex(col("ahash"))), 16, "0").as("ahash_hex"))),
+
     // ----- Video demux + per-frame REAL PNG decode: the container is
     // a documented frame-table stand-in (no mp4 demuxer in the JDK),
     // the per-frame codec is genuine ImageIO; the oracle replays the
@@ -1039,6 +1046,24 @@ object SparkEntry {
     // replays MultimodalOps.synthPixel over the 32x24 grid (PNG decode
     // is lossless, so decoded pixels ARE the formula); the 8x6 resize
     // samples src = dst*srcDim//dstDim = dst*4 on both axes
+    "q_audio_fingerprint" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         n AS (SELECT id, 64 + (id % 64) AS ns FROM ids),
+         s AS (SELECT id, unnest([{'i': i, 'v': abs(((id * 31 + i * 7) % 65536) - 32768)}
+                                  for i in generate_series(0, ns - 1)]) AS u
+               FROM n),
+         sam AS (SELECT id, u.i AS i, u.v AS v FROM s),
+         wsum AS (SELECT sam.id, CAST((i * 65) // n.ns AS INT) AS win, sum(v) AS e
+                  FROM sam JOIN n ON n.id = sam.id GROUP BY 1, 2),
+         grid AS (SELECT n.id, ws.win FROM n, (SELECT unnest(generate_series(0, 64)) AS win) ws),
+         e AS (SELECT grid.id, grid.win, COALESCE(wsum.e, 0) AS e
+               FROM grid LEFT JOIN wsum ON wsum.id = grid.id AND wsum.win = grid.win),
+         b AS (SELECT l.id, l.win AS w FROM e l JOIN e r ON r.id = l.id AND r.win = l.win + 1
+               WHERE l.win < 64 AND r.e > l.e),
+         fp AS (SELECT id, bit_or(CAST(1 AS UBIGINT) << CAST(w AS INT)) AS h FROM b GROUP BY 1)
+         SELECT ids.id AS media_id,
+                lower(lpad(to_hex(COALESCE(fp.h, CAST(0 AS UBIGINT))), 16, '0')) AS ahash_hex
+         FROM ids LEFT JOIN fp ON fp.id = ids.id""",
     "q_image_dhash" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
          gxs AS (SELECT unnest(generate_series(0, 8)) AS gx),

@@ -323,6 +323,55 @@ object MultimodalOps {
     }).toDF("media_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "min_s", "max_s")
   }
 
+  /** Audio analog of [[dHash64]]: bucket the decoded samples into 65
+    * equal windows (integer boundaries — window of sample i is
+    * i*65/n), per-window absolute-amplitude energy, bit w set iff the
+    * energy gradient rises into window w+1. Robust to re-encoding and
+    * level scaling direction; integer-exact, so a SQL oracle replays
+    * it.
+    */
+  def audioGradientHash64(samples: Array[Int]): Long = {
+    val e = new Array[Long](65)
+    val n = samples.length
+    var i = 0
+    while (i < n) { e(i * 65 / n) += math.abs(samples(i)); i += 1 }
+    var h = 0L
+    var w = 0
+    while (w < 64) { if (e(w + 1) > e(w)) h |= 1L << w; w += 1 }
+    h
+  }
+
+  /** (media_id, ahash) over real `javax.sound.sampled` decodes of
+    * 16-bit mono PCM; other rows drop. Near-dup pairing: feed the
+    * renamed hash column through [[imageNearDupPairs]] — the banding
+    * is hash-agnostic.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) Iterator.empty
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            i += 1
+          }
+          Iterator((r.media_id, audioGradientHash64(samples)))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException =>
+          Iterator.empty
+      }
+    }).toDF("media_id", "ahash")
+  }
+
   /** Synthesize "video" payloads: a minimal length-prefixed frame
     * container (magic "GFV1", frame count, then 4-byte-length + PNG
     * bytes per frame) whose frames are real PNGs with arithmetic

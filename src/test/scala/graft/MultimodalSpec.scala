@@ -181,6 +181,18 @@ class MultimodalSpec extends SparkSpec {
     assert(h1 == MultimodalOps.dHash64(decoded))
   }
 
+  test("audio fingerprint: decode equals the sample-arithmetic recompute") {
+    val wavs = MultimodalOps.syntheticWavs(spark, 20)
+    val got = MultimodalOps.audioFingerprints(wavs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 20)
+    (0L until 20L).foreach { id =>
+      val n = 64 + (id % 64).toInt
+      val samples = Array.tabulate(n)(i => MultimodalOps.synthSample(id, i))
+      assert(got(id) == MultimodalOps.audioGradientHash64(samples), s"clip $id")
+    }
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
