@@ -832,6 +832,13 @@ object SparkEntry {
     "q_media_decode" -> ((s, _) =>
       MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(s, 200), 8, 6)),
 
+    // ----- Per-frame video dHashes: demux + real PNG decode + the
+    // image fingerprint, oracle replays the frame pixel arithmetic ----
+    "q_video_dhash" -> ((s, _) =>
+      MultimodalOps.videoFrameDHashes(MultimodalOps.syntheticVideos(s, 200))
+        .select(col("media_id"), col("frame_no"),
+          lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))),
+
     // ----- Perceptual image fingerprints over the REAL decode path:
     // dHash on the 9x8 nearest-neighbor grid; oracle replays the
     // synthetic pixel arithmetic bit for bit (hash emitted as hex, the
@@ -1046,6 +1053,25 @@ object SparkEntry {
     // replays MultimodalOps.synthPixel over the 32x24 grid (PNG decode
     // is lossless, so decoded pixels ARE the formula); the 8x6 resize
     // samples src = dst*srcDim//dstDim = dst*4 on both axes
+    "q_video_dhash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         nf AS (SELECT id, 2 + (id % 4) AS nf FROM ids),
+         fr AS (SELECT id, unnest([f for f in generate_series(0, nf - 1)]) AS f FROM nf),
+         gxs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+         gys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+         g AS (SELECT id, f, gy, gx,
+                 ((id * 3 + f * 7 + ((gx * 16) // 9) * 5) % 256)
+               + ((id * 5 + f * 11 + ((gy * 12) // 8) * 3) % 256)
+               + ((id + f + ((gx * 16) // 9) * ((gy * 12) // 8)) % 256) AS gray
+               FROM fr, gxs, gys),
+         b AS (SELECT l.id, l.f, l.gy AS y, l.gx AS x
+               FROM g l JOIN g r ON r.id = l.id AND r.f = l.f AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8 AND r.gray > l.gray),
+         fp AS (SELECT id, f, bit_or(CAST(1 AS UBIGINT) << CAST(y * 8 + x AS INT)) AS h
+                FROM b GROUP BY 1, 2)
+         SELECT fr.id AS media_id, fr.f AS frame_no,
+                lower(lpad(to_hex(COALESCE(fp.h, CAST(0 AS UBIGINT))), 16, '0')) AS dhash_hex
+         FROM fr LEFT JOIN fp ON fp.id = fr.id AND fp.f = fr.f""",
     "q_audio_fingerprint" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
          n AS (SELECT id, 64 + (id % 64) AS ns FROM ids),

@@ -471,6 +471,41 @@ object MultimodalOps {
     * touches payload bytes (column pruning keeps the binary column out
     * of the scan entirely).
     */
+  /** Per-frame perceptual hashes: demux the container (same streaming
+    * shape as [[decodeVideoFrameStats]] — frames of one clip never
+    * cross executors), REAL PNG decode per frame, [[dHash64]] each.
+    * (media_id, frame_no, dhash) — shot-boundary detection is a lag
+    * over frame_no; clip near-dup is the banding join over frame
+    * hashes.
+    */
+  def videoFrameDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = r.payload
+      if (r.kind != "video" || p == null || p.length < 8 ||
+        new String(p, 0, 4, "US-ASCII") != "GFV1") Iterator.empty
+      else {
+        val bb = java.nio.ByteBuffer.wrap(p)
+        bb.position(4)
+        val nFrames = bb.getInt
+        (0 until nFrames).iterator.flatMap { f =>
+          if (bb.remaining() < 4) Iterator.empty
+          else {
+            val len = bb.getInt
+            if (bb.remaining() < len) Iterator.empty
+            else {
+              val fb = new Array[Byte](len)
+              bb.get(fb)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+              if (img == null) Iterator.empty
+              else Iterator((r.media_id, f, dHash64(img)))
+            }
+          }
+        }
+      }
+    }).toDF("media_id", "frame_no", "dhash")
+  }
+
   def mediaStats(media: DataFrame): DataFrame =
     media.groupBy(col("kind")).agg(
       count(lit(1)).as("n_items"),

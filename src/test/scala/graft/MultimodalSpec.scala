@@ -193,6 +193,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video frame dHashes: one hash per demuxed frame, stable across partitionings") {
+    val vids = MultimodalOps.syntheticVideos(spark, 12)
+    val got = MultimodalOps.videoFrameDHashes(vids)
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(got.length == (0L until 12L).map(id => 2 + (id % 4).toInt).sum)
+    val reparted = MultimodalOps.videoFrameDHashes(vids.repartition(5))
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(got.sameElements(reparted))
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
