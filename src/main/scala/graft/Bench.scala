@@ -60,13 +60,18 @@ object Bench {
     // always fit, carrying the slowest 40 queries (everything
     // meaningful at sf0.1; the omitted tail is sub-0.3 s noise).
     // Only the contract line contains the word "metric".
-    def sec(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // comma-decimal locales (tr/de/fr) would emit invalid JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ok = errors.isEmpty
     val sfLabel = new java.io.File(sfDir).getName
-    val fullMap = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullMap = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     println(s"""{"queries_full":$fullMap,"n":${results.length}}""")
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)

@@ -77,7 +77,9 @@ object ProductQuantizer {
     // silently alias under the & 0xff decode
     require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must be in [1, 256]")
 
-    val dim = vecs.head()._2.length
+    val first = vecs.take(1)
+    require(first.nonEmpty, "PQ training needs at least one vector")
+    val dim = first.head._2.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
 

@@ -54,6 +54,17 @@ object MultimodalOps {
     StructField("duration_ms", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false)))
 
+  /** Decode image bytes, treating corrupt-but-recognized payloads the
+    * same as unrecognized ones: `ImageIO.read` returns null only for
+    * formats it cannot identify, but throws `IIOException` on a
+    * recognized-yet-truncated PNG/JPEG — at 100 TB some payloads WILL
+    * be truncated, and one bad row must degrade (null → caller drops or
+    * falls back to metadata), never fail the task.
+    */
+  private def safeImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+
   /** The codec seam: a real implementation would call into an image/
     * audio library per batch (exactly this iterator shape — one
     * partition in, lazily one decoded stream out, nothing materialized
@@ -98,7 +109,7 @@ object MultimodalOps {
         while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
         val img =
           if (r.kind == "image" && bytes.nonEmpty)
-            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            safeImageRead(bytes)
           else null
         val feat =
           if (img == null) Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
@@ -184,7 +195,7 @@ object MultimodalOps {
     media.mapPartitions(_.flatMap { r =>
       val img =
         if (r.kind == "image" && r.payload != null && r.payload.nonEmpty)
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          safeImageRead(r.payload)
         else null
       if (img == null) Iterator.empty
       else {
@@ -231,7 +242,7 @@ object MultimodalOps {
     media.mapPartitions(_.map { r =>
       val img =
         if (r.kind == "image" && r.payload != null && r.payload.nonEmpty)
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          safeImageRead(r.payload)
         else null
       if (img == null) r
       else {
@@ -444,7 +455,7 @@ object MultimodalOps {
             else {
               val fb = new Array[Byte](len)
               bb.get(fb)
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+              val img = safeImageRead(fb)
               if (img == null) Iterator.empty
               else {
                 var (sr, sg, sb) = (0L, 0L, 0L)
@@ -496,7 +507,7 @@ object MultimodalOps {
             else {
               val fb = new Array[Byte](len)
               bb.get(fb)
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+              val img = safeImageRead(fb)
               if (img == null) Iterator.empty
               else Iterator((r.media_id, f, dHash64(img)))
             }
@@ -562,7 +573,7 @@ object MultimodalOps {
     media.mapPartitions(_.flatMap { r =>
       val img =
         if (r.kind == "image" && r.payload != null && r.payload.nonEmpty)
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          safeImageRead(r.payload)
         else null
       if (img == null) Iterator.empty else Iterator((r.media_id, dHash64(img)))
     }).toDF("media_id", "dhash")

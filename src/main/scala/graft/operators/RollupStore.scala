@@ -127,8 +127,15 @@ object RollupStore {
       versionCol: String
   ): Unit = {
     val inc = incoming.withColumn(PartitionCol, date_format(col(tsCol), "yyyyMM"))
-    val exists = new java.io.File(path).exists()
-    val merged =
+    // Existence via the Hadoop FileSystem of the path's scheme, not
+    // java.io.File — the store may live on HDFS/S3, where a local-FS
+    // probe would always say "missing" and the write below would fail
+    // with errorifexists instead of merging.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(hPath)
+    val merged0 =
       if (!exists) CandleOps.latestByKey(inc, keys, versionCol)
       else {
         val months = inc.select(PartitionCol).distinct()
@@ -139,6 +146,11 @@ object RollupStore {
           .withColumn(PartitionCol, col(PartitionCol).cast("string"))
         CandleOps.latestByKey(existing.unionByName(inc), keys, versionCol)
       }
+    // Break the read→overwrite lineage on the same path: materialize
+    // the merged frame before the dynamic overwrite deletes the files
+    // it was computed from (correct under the default committer's
+    // staging, but not guaranteed across committers).
+    val merged = if (exists) merged0.localCheckpoint(true) else merged0
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(if (exists) "overwrite" else "errorifexists")

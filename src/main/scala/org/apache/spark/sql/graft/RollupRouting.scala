@@ -121,6 +121,14 @@ object RollupRouter {
     * to `TimeBucket(bucket_ts, us)` regardless of original form.
     */
   private object FixedBucket {
+    // ASSUMPTION (minute/second rows): every zone offset is a whole
+    // minute. True for all standardized time (post-1900 everywhere, and
+    // for any data this engine ingests); false only for LMT-era
+    // offsets with seconds components (e.g. America/New_York pre-1883
+    // at -4:56:02), where a minute-trunc is not epoch-aligned. Routing
+    // therefore assumes post-standardization timestamps; hour/day are
+    // additionally gated to UTC-normalized zones below because whole
+    // fractional-hour offsets (+05:45) are real and current.
     private def unitUs(u: String): Option[Long] = u.toLowerCase match {
       case "second" => Some(1000000L)
       case "minute" => Some(60000000L)

@@ -133,6 +133,30 @@ class EdgeCaseSpec extends SparkSpec {
       graft.operators.MultimodalOps.MediaRow(3L, "image", null, null, 0, 0, 0L, 0)
     ).toDS()
     assert(graft.operators.MultimodalOps.decodeImageStats(junk, 8, 6).count() == 0)
+    // TRUNCATED payloads of a RECOGNIZED format: ImageIO.read throws
+    // IIOException here (unlike unrecognized junk, where it returns
+    // null) — every image decode path must degrade, not fail the task
+    val wholePng = {
+      val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val truncated = Seq(
+      graft.operators.MultimodalOps.MediaRow(
+        1L, "image", null, wholePng.take(wholePng.length / 2), 8, 6, 0L, 0),
+      graft.operators.MultimodalOps.MediaRow(2L, "image", null, wholePng, 8, 6, 0L, 0)
+    ).toDS()
+    assert(graft.operators.MultimodalOps.decodeImageStats(truncated, 4, 3)
+      .select("media_id").as[Long].collect().toSeq == Seq(2L))
+    assert(graft.operators.MultimodalOps.imageDHashes(truncated).count() == 1)
+    // degrade-to-metadata contract: codec emits a row for BOTH, the
+    // truncated one with the all-zero feature vector
+    assert(graft.operators.MultimodalOps.extractFeatures(
+      truncated, graft.operators.MultimodalOps.ImageIoCodec).count() == 2)
+    // resize passes an undecodable image through untouched
+    assert(graft.operators.MultimodalOps.resizeImagesReal(truncated, 4, 3)
+      .filter($"media_id" === 1L).head().width == 8)
   }
 
   test("session-10 ops survive empty/degenerate inputs") {
