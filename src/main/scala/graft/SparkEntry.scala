@@ -499,6 +499,17 @@ object SparkEntry {
         TextOps.splitAssign(col("doc_id"),
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))),
 
+    // ----- Tokenizer-coverage gate: OOV rate against the corpus's
+    // deterministic top-16 vocabulary --------------------------------
+    "q_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(Tables.documents(s, dir), "doc_id", "text", vocabSize = 16)),
+
+    // ----- Training-window packing: concat tokens per source shard,
+    // cut every 256 — each doc's offset and window span -------------
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        groupCol = "source", capacity = 256L)),
+
     // ----- The full training-data pipeline as ONE query: redact ->
     // exact-dedup keepers -> quality gates -> deterministic split ->
     // per-(split, lang) counts. Every stage is an operator above; the
@@ -724,6 +735,23 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45)),
+    // SemDeDup-style semantic dedup: cluster-bounded cosine pairs ->
+    // connected components -> keeper per semantic group. The looser
+    // 0.30 threshold grows a real graph (0.45 leaves ~2 pairs at
+    // sf0.01); the label column plays the coarse cluster, exactly as
+    // k-means/LSH buckets would at scale.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = VectorOps.cosineNearDupPairs(
+          emb, "vec_id", "embedding", "label", threshold = 0.30)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.operators.DedupGroups.resolveKeepers(emb, "vec_id", pairs)
+        .select(col("doc_id").as("vec_id"), col("keeper_id"), col("is_keeper"))
+    }),
+    // Storage-side int8 quantization summary (float32 -> int8, the 4x
+    // shrink a 100 TB embedding store takes before indexing) ---------
+    "q_embed_quantize" -> ((s, dir) =>
+      VectorOps.quantizeInt8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")),
     // Hyperplane-LSH bucketed variant (rows-only: the seeded random
     // planes are engine-defined, not SQL-reproducible). Few planes ->
     // big buckets -> high recall at this tiny SF.
@@ -1882,6 +1910,59 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45"""
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45""",
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok
+                                    ORDER BY n DESC, tok LIMIT 16)),
+         known AS (SELECT doc_id, count(*) AS n_known FROM toks
+                   WHERE tok IN (SELECT tok FROM vocab) GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                  FROM documents)
+         SELECT b.doc_id, b.n_tokens,
+                b.n_tokens - coalesce(k.n_known, 0) AS n_oov,
+                CAST(b.n_tokens - coalesce(k.n_known, 0) AS DOUBLE)
+                  / CAST(b.n_tokens AS DOUBLE) AS oov_rate
+         FROM base b LEFT JOIN known k USING (doc_id)""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT source AS grp, doc_id,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT grp, doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+               FROM t)
+         SELECT grp, doc_id, n_tokens, tok_start,
+           CAST(floor(tok_start / 256) AS BIGINT) AS win_first,
+           CAST(floor((tok_start + n_tokens - 1) / 256) AS BIGINT) AS win_last
+         FROM c""",
+    // Same transitive-closure contract as q_dedup_groups, over the
+    // cosine candidate graph instead of the MinHash one.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT g.src, r.lbl FROM edges g JOIN reach r ON r.id = g.dst),
+         grp AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY id)
+         SELECT v.vec_id, coalesce(g.group_id, v.vec_id) AS keeper_id,
+                coalesce(g.group_id, v.vec_id) = v.vec_id AS is_keeper
+         FROM embeddings v LEFT JOIN grp g ON g.id = v.vec_id""",
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         q AS (SELECT vec_id, scale,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS qs
+               FROM s)
+         SELECT vec_id, scale, list_min(qs) AS q_min, list_max(qs) AS q_max,
+                CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum
+         FROM q"""
   )
 }

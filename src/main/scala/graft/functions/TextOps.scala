@@ -534,6 +534,83 @@ object TextOps {
       .drop("__rk")
   }
 
+  /** Out-of-vocabulary rate against a deterministic top-`vocabSize`
+    * corpus vocabulary — the tokenizer-coverage signal a pipeline
+    * owner reads before committing a token budget ("what fraction of
+    * this corpus does a k-entry vocab actually cover?"), and a
+    * per-document quality gate (high OOV = noisy/foreign text).
+    *
+    * Scale shape: ONE aggregate shuffles (token, count) — never text;
+    * the vocabulary is a driver-bounded top-k (count desc, token asc —
+    * fully deterministic under ties) that BROADCASTS into a semi join,
+    * so the corpus token stream is never shuffled for membership. The
+    * rate divides two exact longs once, so values are bit-reproducible
+    * across engines and partitionings.
+    */
+  def oovRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int
+  ): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok"))
+      .limit(vocabSize)
+      .select("tok")
+    val known = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__known"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(known, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__known"), lit(0L))).as("n_oov"),
+        ((col("n_tokens") - coalesce(col("__known"), lit(0L))).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("oov_rate"))
+  }
+
+  /** Training-window packing: lay every document's tokens end-to-end
+    * (deterministic id order within each shard group) and cut the
+    * stream every `capacity` tokens — exactly how LLM pre-training
+    * concatenates documents with separators and slices fixed-length
+    * context windows. Emits each document's absolute token offset and
+    * the first/last window it lands in (a doc may straddle windows —
+    * that IS the training contract).
+    *
+    * Scale shape: one window shuffle keyed on the shard group; the
+    * running offset is an exact-integer cumulative sum over token
+    * COUNTS (one long per doc — text never enters the exchange). The
+    * group column is the parallelism unit: pack per shard/split, not
+    * globally, or the sort degenerates to a single partition.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      capacity: Long
+  ): DataFrame = {
+    require(capacity > 0, s"capacity=$capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tok_start",
+        coalesce(
+          sum(col("n_tokens")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(
+        col("grp"), col("doc_id"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / lit(capacity)).cast("long").as("win_first"),
+        floor((col("tok_start") + col("n_tokens") - 1) / lit(capacity))
+          .cast("long").as("win_last"))
+  }
+
   /** Per-document top-k salient terms by TF-IDF with the raw idf
     * variant score = tf * (N / df) — multiplicative idf avoids
     * transcendental functions, keeping the score bit-reproducible

@@ -494,4 +494,35 @@ object VectorOps {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Symmetric int8 quantization summary per vector — the storage move
+    * that makes a 100 TB embedding store a 25 TB one (float32 → int8 is
+    * the standard 4x shrink before any ANN index is built): per-vector
+    * scale = max|x| / 127, code_i = floor(x_i/scale + 0.5). Emits the
+    * scale plus exact-integer code stats (min/max/sum) rather than the
+    * code arrays so the result stays comparison-friendly; the full code
+    * column is the same `transform` one select away.
+    *
+    * Determinism: scale is one IEEE divide; codes use an explicit
+    * floor(x + 0.5) round so both engines agree on halfway cases
+    * (round() half-away vs half-even differs across engines; floor
+    * doesn't). Pure projection — no shuffle, no UDF.
+    */
+  def quantizeInt8Stats(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0d)
+    val codes = when(scale === 0.0d,
+        transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x / scale + lit(0.5d)).cast("long")))
+    embeddings.select(
+      col(idCol).as("vec_id"),
+      scale.as("scale"),
+      array_min(codes).as("q_min"),
+      array_max(codes).as("q_max"),
+      aggregate(codes, lit(0L), (acc, x) => acc + x).as("q_sum"))
+  }
 }
