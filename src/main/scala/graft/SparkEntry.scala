@@ -510,6 +510,13 @@ object SparkEntry {
       TextOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
         groupCol = "source", capacity = 256L)),
 
+    // ----- Training-mix planning: per-source sampling rates that hit
+    // a 50k-token budget at the requested weights --------------------
+    "q_mix_rates" -> ((s, dir) =>
+      TextOps.sourceMixRates(Tables.documents(s, dir), "doc_id", "text", "source",
+        weights = Seq("src0" -> 0.30, "src1" -> 0.20),
+        defaultWeight = 0.025, budgetTokens = 50000L)),
+
     // ----- The full training-data pipeline as ONE query: redact ->
     // exact-dedup keepers -> quality gates -> deterministic split ->
     // per-(split, lang) counts. Every stage is an operator above; the
@@ -1954,6 +1961,20 @@ object SparkEntry {
          SELECT v.vec_id, coalesce(g.group_id, v.vec_id) AS keeper_id,
                 coalesce(g.group_id, v.vec_id) = v.vec_id AS is_keeper
          FROM embeddings v LEFT JOIN grp g ON g.id = v.vec_id""",
+    "q_mix_rates" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+                      sum(CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS n_tokens
+                    FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CASE source WHEN 'src0' THEN CAST(0.30 AS DOUBLE)
+                             WHEN 'src1' THEN CAST(0.20 AS DOUBLE)
+                             ELSE CAST(0.025 AS DOUBLE) END AS wt
+               FROM t)
+         SELECT source, n_docs, n_tokens,
+                CAST(50000 AS DOUBLE) * wt AS target_tokens,
+                least(CAST(1.0 AS DOUBLE),
+                      CAST(50000 AS DOUBLE) * wt / CAST(n_tokens AS DOUBLE)) AS rate
+         FROM w""",
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),

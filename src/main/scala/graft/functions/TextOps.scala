@@ -611,6 +611,44 @@ object TextOps {
           .cast("long").as("win_last"))
   }
 
+  /** Training-mix planning: given requested per-source weights and a
+    * total token budget, the deterministic sampling rate each source
+    * needs (rate = min(1, budget·weight / source_tokens)) — the number
+    * that feeds [[stratifiedSample]] when building a weighted mix
+    * ("30% of the budget from src0, 20% from src1, ..."). Weights are
+    * taken as given (callers normalize); a source's rate caps at 1
+    * when its allocation exceeds what it has.
+    *
+    * Scale shape: one aggregate of (source, count, token-sum) — output
+    * is #sources rows; text never shuffles. The rate is one IEEE
+    * multiply and one divide on exact inputs, bit-reproducible across
+    * engines.
+    */
+  def sourceMixRates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    require((defaultWeight +: weights.map(_._2)).forall(_ >= 0.0),
+      s"weights must be non-negative: $weights default=$defaultWeight")
+    val w = weights.foldRight(lit(defaultWeight): Column) {
+      case ((s, wt), other) => when(col("source") === s, lit(wt)).otherwise(other)
+    }
+    docs
+      .select(col(srcCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .withColumn("target_tokens", lit(budgetTokens.toDouble) * w)
+      .withColumn("rate",
+        least(lit(1.0d), col("target_tokens") / col("n_tokens").cast(DoubleType)))
+  }
+
   /** Per-document top-k salient terms by TF-IDF with the raw idf
     * variant score = tf * (N / df) — multiplicative idf avoids
     * transcendental functions, keeping the score bit-reproducible

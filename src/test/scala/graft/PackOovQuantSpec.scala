@@ -71,6 +71,21 @@ class PackOovQuantSpec extends SparkSpec {
     assert(qMin >= -127L && qMax <= 127L)
   }
 
+  test("sourceMixRates: weighted allocation, capped at 1 when budget exceeds supply") {
+    val docs = Seq(
+      (0L, "a b c d e", "srcA"), (1L, "a b c d e", "srcA"), // 10 tokens
+      (2L, "a b c d e f g h i j", "srcB"), // 10 tokens
+      (3L, "a b", "srcC") // 2 tokens
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceMixRates(docs, "doc_id", "text", "source",
+        weights = Seq("srcA" -> 0.5, "srcB" -> 0.25), defaultWeight = 0.25,
+        budgetTokens = 16L)
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("srcA") == (("srcA", 2L, 10L, 8.0, 0.8)))
+    assert(out("srcB") == (("srcB", 1L, 10L, 4.0, 0.4)))
+    assert(out("srcC") == (("srcC", 1L, 2L, 4.0, 1.0))) // capped: 4 > 2 available
+  }
+
   test("semantic dedup composition: cosine pairs resolve to component keepers") {
     // cluster 0: vectors 1,2,3 mutually near-identical (chain at least);
     // vector 9 orthogonal. cluster 1: 5 alone.
