@@ -86,6 +86,33 @@ class PackOovQuantSpec extends SparkSpec {
     assert(out("srcC") == (("srcC", 1L, 2L, 4.0, 1.0))) // capped: 4 > 2 available
   }
 
+  test("round-4 ops are partition-invariant (bit-identical under repartitioning)") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11} common word", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for (parts <- Seq(1, 13)) {
+      val d = docs.repartition(parts)
+      assert(canon(TextOps.oovRate(d, "doc_id", "text", 5)) ==
+        canon(TextOps.oovRate(docs, "doc_id", "text", 5)))
+      assert(canon(TextOps.packSequences(d, "doc_id", "text", "source", 16L)) ==
+        canon(TextOps.packSequences(docs, "doc_id", "text", "source", 16L)))
+      assert(canon(TextOps.sourceMixRates(d, "doc_id", "text", "source",
+          Seq("src0" -> 0.5), 0.1, 1000L)) ==
+        canon(TextOps.sourceMixRates(docs, "doc_id", "text", "source",
+          Seq("src0" -> 0.5), 0.1, 1000L)))
+    }
+  }
+
+  test("oovRate plan: vocabulary membership is a broadcast join, not a shuffle of tokens") {
+    val docs = (0L until 50L).map(i => (i, s"a b c tok$i")).toDF("doc_id", "text")
+    val plan = TextOps.oovRate(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast membership join in:\n$plan")
+  }
+
   test("semantic dedup composition: cosine pairs resolve to component keepers") {
     // cluster 0: vectors 1,2,3 mutually near-identical (chain at least);
     // vector 9 orthogonal. cluster 1: 5 alone.
