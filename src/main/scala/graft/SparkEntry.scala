@@ -510,6 +510,22 @@ object SparkEntry {
       TextOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
         groupCol = "source", capacity = 256L)),
 
+    // ----- Z-order layout audit: interleave (user, hour) and report
+    // per-z-bucket extents — the min/max file stats a z-clustered
+    // write would expose for two-dimensional scan pruning ------------
+    "q_zorder_stats" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      e.withColumn("zval",
+          graft.functions.ZValue.z_value(col("user_id"), col("hr")))
+        .select(shiftright(col("zval"), 12).as("z_bucket"),
+          col("user_id"), col("hr"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("hr").as("min_hr"), max("hr").as("max_hr"))
+    }),
+
     // ----- Training-mix planning: per-source sampling rates that hit
     // a 50k-token budget at the requested weights --------------------
     "q_mix_rates" -> ((s, dir) =>
@@ -1961,6 +1977,21 @@ object SparkEntry {
          SELECT v.vec_id, coalesce(g.group_id, v.vec_id) AS keeper_id,
                 coalesce(g.group_id, v.vec_id) = v.vec_id AS is_keeper
          FROM embeddings v LEFT JOIN grp g ON g.id = v.vec_id""",
+    // Bit-interleave restated as a sum of disjoint-bit terms (one per
+    // input bit position) — exactly the spread-merge the codegen'd
+    // ZValue expression computes.
+    "q_zorder_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+         z AS (SELECT user_id, hr,
+                 CAST(list_aggregate(
+                   [(((CAST(user_id AS BIGINT) >> j) & 1) << (2*j)) +
+                    (((CAST(hr AS BIGINT) >> j) & 1) << (2*j + 1))
+                    for j in generate_series(0, 30)], 'sum') AS BIGINT) AS zval
+               FROM e)
+         SELECT zval >> 12 AS z_bucket, count(*) AS n_events,
+                min(user_id) AS min_user, max(user_id) AS max_user,
+                min(hr) AS min_hr, max(hr) AS max_hr
+         FROM z GROUP BY 1""",
     "q_mix_rates" ->
       """WITH t AS (SELECT source, count(*) AS n_docs,
                       sum(CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS n_tokens
