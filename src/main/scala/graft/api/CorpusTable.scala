@@ -113,6 +113,51 @@ final class CorpusTable private (
   ): CorpusTable = rewrap(
     TextOps.stratifiedSample(df, idCol, strataCol, rates, defaultRate))
 
+  /** Sampled at the rates that hit `budgetTokens` under the requested
+    * per-stratum weights — [[TextOps.sourceMixRates]] composed with
+    * [[sampled]]. The rate table is #strata rows, collected once and
+    * folded into the deterministic id-hash filter.
+    */
+  def sampledToBudget(
+      strataCol: String,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double,
+      budgetTokens: Long
+  ): CorpusTable = {
+    val rates = TextOps.sourceMixRates(df, idCol, textCol, strataCol,
+        weights, defaultWeight, budgetTokens)
+      .select(col("source").as(strataCol), col("rate"))
+    // same 16-bit id-hash cutoff as stratifiedSample, but the rate
+    // arrives by broadcast join instead of literals — stays one lazy
+    // plan, works for unbounded strata, no driver round-trip
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    rewrap(
+      df.join(broadcast(rates), Seq(strataCol))
+        .filter(bucket < (col("rate") * 65536).cast("int"))
+        .drop("rate"))
+  }
+
+  /** Out-of-vocabulary rate per document (joined on, as `oov_rate` /
+    * `n_oov` columns) against the corpus's deterministic top-k vocab.
+    */
+  def withOovRate(vocabSize: Int): CorpusTable = rewrap(
+    df.join(
+      TextOps.oovRate(df, idCol, textCol, vocabSize)
+        .select(col("doc_id").as(idCol), col("n_oov"), col("oov_rate")),
+      Seq(idCol)))
+
+  /** Training-window packing columns (`tok_start`, `win_first`,
+    * `win_last`) for a `capacity`-token context, packed per
+    * `groupCol` shard in id order.
+    */
+  def packed(groupCol: String, capacity: Long): CorpusTable = rewrap(
+    df.join(
+      TextOps.packSequences(df, idCol, textCol, groupCol, capacity)
+        .select(col("doc_id").as(idCol), col("tok_start"),
+          col("win_first"), col("win_last")),
+      Seq(idCol)))
+
   /** Materialize partitioned with bounded shards. */
   def write(path: String, partitionCols: Seq[String], maxRecordsPerFile: Long): Unit =
     CorpusStore.write(df, path, partitionCols, maxRecordsPerFile)

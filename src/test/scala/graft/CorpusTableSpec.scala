@@ -38,6 +38,37 @@ class CorpusTableSpec extends SparkSpec {
     assert(back.columns.contains("split") && back.columns.contains("lang"))
   }
 
+  test("sampledToBudget matches explicit stratifiedSample at the computed rates") {
+    val docs = (0L until 200L)
+      .map(i => (i, ("tok " * (5 + (i % 5).toInt)).trim, s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val viaFacade = CorpusTable(docs)
+      .sampledToBudget("source", Seq("src0" -> 0.7, "src1" -> 0.3),
+        defaultWeight = 0.0, budgetTokens = 400L)
+      .df.select("doc_id").as[Long].collect().toSet
+    // explicit path: read the rates, sample with them as literals
+    val rates = graft.functions.TextOps.sourceMixRates(
+        docs, "doc_id", "text", "source",
+        Seq("src0" -> 0.7, "src1" -> 0.3), 0.0, 400L)
+      .select("source", "rate").as[(String, Double)].collect().toSeq
+    val viaLiterals = graft.functions.TextOps.stratifiedSample(
+        docs, "doc_id", "source", rates, 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFacade == viaLiterals && viaFacade.nonEmpty)
+  }
+
+  test("withOovRate and packed join their columns onto the corpus") {
+    val docs = Seq(
+      (0L, "a a b", "g"), (1L, "a b c", "g"), (2L, "x y z", "h")
+    ).toDF("doc_id", "text", "source")
+    val t = CorpusTable(docs).withOovRate(vocabSize = 2).packed("source", 4L)
+    val row = t.df.filter($"doc_id" === 1L).head()
+    assert(t.df.count() == 3)
+    assert(row.getAs[Long]("n_oov") >= 1L) // c is outside the top-2 vocab
+    assert(row.getAs[Long]("tok_start") == 3L) // after doc 0's three tokens
+    assert(t.df.columns.count(_ == "text") == 1) // no duplicated columns
+  }
+
   test("gatedQuality drops symbol soup and pure repetition, keeps prose") {
     val docs = Seq(
       (1L, "a perfectly normal sentence with ordinary words and structure here"),
