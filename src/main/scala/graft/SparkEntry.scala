@@ -490,6 +490,25 @@ object SparkEntry {
     "q_tfidf_topterms" -> ((s, dir) =>
       TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
         k = 5, minTf = 2L)),
+
+    // ----- Corpus n-gram counting: every trigram over a cutoff, the
+    // canonical web-scale counting job (map-side combined) ------------
+    "q_ngram_counts" -> ((s, dir) =>
+      TextOps.ngramCounts(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minCount = 2L, k = 100)),
+
+    // ----- BM25 ranked retrieval (raw-odds idf — transcendental-free
+    // so the score is bit-reproducible in any IEEE engine) ------------
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("dup", "spark", "scan", "window"), k = 50)),
+
+    // ----- Frozen linear quality classifier over hashed bag-of-words:
+    // model inference as a projection (quarter-unit weights keep the
+    // margin an exact dyadic — bit-identical under any partitioning) --
+    "q_linear_quality" -> ((s, dir) =>
+      TextOps.linearQualityScore(Tables.documents(s, dir), "doc_id", "text",
+        dim = 64)),
     "q_redact_pii" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
@@ -1681,6 +1700,54 @@ object SparkEntry {
            CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
                        WHEN 'src2' THEN 16384 WHEN 'src3' THEN 6553
                        ELSE 3276 END""",
+    "q_ngram_counts" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS ngram
+               FROM toks),
+         c AS (SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+               FROM g GROUP BY 1)
+         SELECT ngram, n_docs, n_occurrences FROM c WHERE n_occurrences >= 2
+         ORDER BY n_occurrences DESC, ngram LIMIT 100""",
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+                    FROM documents),
+         corpus AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                      count(*) AS n_docs FROM d),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+                WHERE term IN ('dup', 'spark', 'scan', 'window') GROUP BY 1, 2, 3),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.term,
+                 (CAST(c.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / c.avgdl)) AS s
+               FROM tf JOIN df USING (term) CROSS JOIN corpus c),
+         agg AS (SELECT doc_id,
+                   sum(CASE WHEN term = 'dup' THEN s ELSE 0.0 END) AS s1,
+                   sum(CASE WHEN term = 'spark' THEN s ELSE 0.0 END) AS s2,
+                   sum(CASE WHEN term = 'scan' THEN s ELSE 0.0 END) AS s3,
+                   sum(CASE WHEN term = 'window' THEN s ELSE 0.0 END) AS s4,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+                 FROM s GROUP BY 1)
+         SELECT doc_id, ((s1 + s2) + s3) + s4 AS score, n_terms_matched FROM agg
+         ORDER BY score DESC, doc_id LIMIT 50""",
+    "q_linear_quality" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents),
+         b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM t WHERE tok <> '' GROUP BY 1, 2),
+         w AS (SELECT doc_id, bucket, c,
+                 CAST(CAST(('0x' || substr(md5('w' || bucket), 1, 8)) AS BIGINT) % 7 - 3 AS DOUBLE) / 4.0 AS w
+               FROM b)
+         SELECT doc_id,
+                sum(CAST(c AS DOUBLE) * w) + -0.25 AS margin,
+                (sum(CAST(c AS DOUBLE) * w) + -0.25) > 0.0 AS keep,
+                sum(c) AS n_tokens
+         FROM w GROUP BY 1""",
     "q_hashing_tf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                     FROM documents),

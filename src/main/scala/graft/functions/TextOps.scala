@@ -808,4 +808,144 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
   }
+
+  /** Corpus-level n-gram counts over a cutoff — the canonical
+    * web-scale counting job ("count every 5-gram in the crawl"). One
+    * shuffle of (gram -> partial counts): the explode feeds a hash
+    * aggregate whose map-side combine collapses each partition's grams
+    * before the exchange, and the top-k is a TakeOrdered, so the
+    * driver sees k rows, never the gram table.
+    *
+    * Emits (ngram, n_docs, n_occurrences) for grams in >= `minCount`
+    * occurrences, top `k` by (occurrences desc, gram) — the
+    * deterministic tie-break keeps the LIMIT stable across engines.
+    */
+  def ngramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minCount: Long,
+      k: Int
+  ): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    // sequence(1, size-n+1) descends when size < n (Spark fills
+    // descending sequences) — guard to an empty gram list instead
+    val grams = toks.select(
+      col("doc_id"),
+      explode(
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - n + 1), i =>
+            array_join(slice(col("__t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+    grams
+      .groupBy(col("ngram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** BM25 ranked retrieval for a fixed term set, with the raw-odds
+    * idf variant `(N - df + 0.5) / (df + 0.5)` (the expression inside
+    * BM25's log; transcendental-free so every engine computing IEEE
+    * doubles in this operation order produces bit-identical scores).
+    *
+    * Scale shape: document length is a projection (`size(tokens)` —
+    * no explode); the tf aggregate shuffles only (doc, term) rows for
+    * the |q| query terms, never the corpus's full token stream; df and
+    * the (N, avgdl) scalars are term-table-sized and broadcast. The
+    * per-doc score folds the per-term partials in fixed term order —
+    * one summation tree, reproducible across partitionings.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).cast("long").as("dl"))
+    val corpus = base.select(
+      sum(col("dl")).as("total_dl"), count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__avgdl",
+        col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("__s",
+        col("__idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("__avgdl"))))
+    // fold per-term partials in the caller's term order: each sum sees
+    // at most one non-null row, so the aggregate is exact and the final
+    // addition chain is a fixed left-to-right tree
+    val perTerm = terms.map(t =>
+      sum(when(col("term") === lit(t), col("__s")).otherwise(lit(0.0))).as(s"__s_$t"))
+    val matched = sum(lit(1)).cast("long")
+    scored
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, (perTerm.tail :+ matched.as("n_terms_matched")): _*)
+      .withColumn("score", terms.map(t => col(s"__s_$t")).reduceLeft(_ + _))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score"), col("n_terms_matched"))
+  }
+
+  /** Frozen linear quality classifier over hashed bag-of-words —
+    * model inference as a pure projection+aggregate. Weights are
+    * derived from the bucket id's md5 (a stand-in for a trained
+    * fastText-style model shipped as a literal table): quarter-unit
+    * values in [-3/4, 3/4], so `margin = sum(tf_b * w_b) + bias` is a
+    * sum of exact dyadic rationals — order-independent, bit-identical
+    * under any partitioning, and reproducible in any IEEE engine.
+    *
+    * Scale shape: tokens shuffle once as (doc, bucket) partial counts
+    * (map-side combined, `dim`-bounded per doc); the weight is a
+    * projection of the bucket id, so no weight table joins — at 100 TB
+    * the model rides the scan for free.
+    */
+  def linearQualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int,
+      bias: Double = -0.25
+  ): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val bucket = pmod(
+      conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"), lit(dim))
+    val weight = (pmod(
+      conv(substring(md5(concat(lit("w"), col("bucket"))), 1, 8), 16, 10).cast("long"),
+      lit(7)) - lit(3)).cast("double") / lit(4.0)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col("doc_id"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("__w", weight)
+      .groupBy(col("doc_id"))
+      .agg((sum(col("c").cast("double") * col("__w")) + lit(bias)).as("margin"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("margin"),
+        (col("margin") > lit(0.0)).as("keep"), col("n_tokens"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** The IR/counting trio added in round 4: corpus n-gram counts, BM25
+  * ranked retrieval (raw-odds idf), and the frozen linear quality
+  * classifier. Each is checked against a hand-computed toy case and
+  * for partition invariance (bit-identical results under repartition).
+  */
+class IrOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c a b c"),   // trigrams: "a b c" x2, "b c a", "c a b"
+    (2L, "a b c d"),
+    (3L, "x y"),           // shorter than n=3: contributes nothing
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("ngramCounts counts grams across docs with cutoff and tie-broken top-k") {
+    val got = TextOps.ngramCounts(docs, "doc_id", "text", n = 3, minCount = 2L, k = 10)
+      .as[(String, Long, Long)].collect().toList
+    // "a b c": doc1 twice + doc2 once = 3 occurrences in 2 docs; all
+    // other grams occur once and fall under the cutoff
+    assert(got == List(("a b c", 2L, 3L)))
+  }
+
+  test("ngramCounts is partition-invariant") {
+    val a = TextOps.ngramCounts(docs, "doc_id", "text", 2, 1L, 100)
+      .collect().toSet
+    val b = TextOps.ngramCounts(docs.repartition(7), "doc_id", "text", 2, 1L, 100)
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bm25TopK matches the hand-computed raw-odds formula") {
+    val corpus = Seq(
+      (1L, "x x y z"),
+      (2L, "x q q q"),
+      (3L, "q q q q")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(corpus, "doc_id", "text", Seq("x"), k = 3)
+      .as[(Long, Double, Long)].collect().toList
+    // N=3, avgdl=4, dl=4 for all => length norm = 1 - b + b*dl/avgdl = 1
+    // df(x)=2, idf = (3 - 2 + 0.5) / 2.5 = 0.6
+    // doc1 tf=2: 0.6 * (2*2.2) / (2 + 1.2) = 2.64/3.2 = 0.825
+    // doc2 tf=1: 0.6 * 2.2 / 2.2 = 0.6
+    assert(got.map(_._1) == List(1L, 2L))
+    assert(math.abs(got.head._2 - 0.825) < 1e-12)
+    assert(math.abs(got(1)._2 - 0.6) < 1e-12)
+    assert(got.forall(_._3 == 1L))
+  }
+
+  test("bm25TopK rank order is stable under repartitioning") {
+    val a = TextOps.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), k = 4)
+      .as[(Long, Double, Long)].collect().toList
+    val b = TextOps.bm25TopK(docs.repartition(5), "doc_id", "text", Seq("a", "b"), k = 4)
+      .as[(Long, Double, Long)].collect().toList
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("linearQualityScore margin is an exact dyadic sum (order-independent)") {
+    val many = (1L to 200L)
+      .map(i => (i, Seq.fill((i % 17).toInt + 1)(s"tok${i % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextOps.linearQualityScore(many, "doc_id", "text", dim = 16)
+      .as[(Long, Double, Boolean, Long)].collect().sortBy(_._1).toList
+    val b = TextOps.linearQualityScore(many.repartition(11), "doc_id", "text", dim = 16)
+      .as[(Long, Double, Boolean, Long)].collect().sortBy(_._1).toList
+    // exact equality on the doubles, not approx: dyadic margins must be
+    // bit-identical whatever the partitioning
+    assert(a == b && a.nonEmpty)
+    assert(a.forall { case (_, margin, keep, _) => keep == (margin > 0.0) })
+    // weights are quarters, so every margin is a multiple of 0.25
+    assert(a.forall { case (_, m, _, _) => (m * 4.0) == math.rint(m * 4.0) })
+  }
+
+  test("linearQualityScore matches a manual single-doc computation") {
+    val one = Seq((7L, "hello world hello")).toDF("doc_id", "text")
+    val got = TextOps.linearQualityScore(one, "doc_id", "text", dim = 8)
+      .as[(Long, Double, Boolean, Long)].collect().head
+    def bucket(tok: String, dim: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+      val v = h.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      ((v % dim) + dim) % dim
+    }
+    def weight(b: Long): Double = ((bucket2(s"w$b") % 7 + 7) % 7 - 3) / 4.0
+    def bucket2(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+      h.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val bh = bucket("hello", 8); val bw = bucket("world", 8)
+    val expected =
+      (if (bh == bw) 3.0 * weight(bh)
+       else 2.0 * weight(bh) + 1.0 * weight(bw)) - 0.25
+    assert(got._1 == 7L && got._2 == expected && got._4 == 3L)
+  }
+}
