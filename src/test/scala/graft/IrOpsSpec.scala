@@ -77,6 +77,27 @@ class IrOpsSpec extends SparkSpec {
     assert(a.forall { case (_, m, _, _) => (m * 4.0) == math.rint(m * 4.0) })
   }
 
+  test("plan shapes: top-k is TakeOrdered, bm25 stats broadcast, linear model joins nothing") {
+    val gramPlan = TextOps.ngramCounts(docs, "doc_id", "text", 3, 2L, 10)
+      .queryExecution.executedPlan.toString()
+    assert(gramPlan.contains("TakeOrderedAndProject"),
+      s"gram top-k should plan as TakeOrdered, never a global sort:\n$gramPlan")
+
+    val bmPlan = TextOps.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(bmPlan.contains("BroadcastHashJoin"),
+      s"df stats must broadcast onto the tf frame:\n$bmPlan")
+    assert(bmPlan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should plan as TakeOrdered:\n$bmPlan")
+    assert(!bmPlan.contains("SortMergeJoin"),
+      s"nothing in bm25 should shuffle-join (stats are term-table-sized):\n$bmPlan")
+
+    val linPlan = TextOps.linearQualityScore(docs, "doc_id", "text", dim = 16)
+      .queryExecution.executedPlan.toString()
+    assert(!linPlan.contains("Join"),
+      s"the frozen model is a projection — no weight-table join:\n$linPlan")
+  }
+
   test("linearQualityScore matches a manual single-doc computation") {
     val one = Seq((7L, "hello world hello")).toDF("doc_id", "text")
     val got = TextOps.linearQualityScore(one, "doc_id", "text", dim = 8)
