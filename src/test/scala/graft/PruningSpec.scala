@@ -57,4 +57,39 @@ class PruningSpec extends SparkSpec {
       .flatMap(_.toString().split("\\s+")).filter(_.contains("month="))
     assert(q.count() == 240)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB the fact-fact joins are sort-merge; Spark's
+    // InjectRuntimeFilter turns a selective dim filter into a bloom
+    // filter applied at the fact scan, cutting the shuffle volume.
+    // Prove our parquet store layout is eligible: thresholds lowered to
+    // test scale, broadcast disabled to force the shuffle join.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (0 until 20000).map(i => (i.toLong % 500, s"payload$i"))
+      .toDF("key", "payload").write.mode("overwrite").parquet(s"$dir/fact")
+    (0 until 500).map(i => (i.toLong, s"grp${i % 10}"))
+      .toDF("key", "grp").write.mode("overwrite").parquet(s"$dir/dim")
+
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("grp") === "grp3")
+      val q = fact.join(dim, "key").groupBy(col("grp")).count()
+      val optimized = q.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("might_contain"),
+        s"selective dim filter should inject a bloom filter on the fact scan:\n$optimized")
+      assert(q.collect().map(r => r.getLong(1)).sum == 2000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
