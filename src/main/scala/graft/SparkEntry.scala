@@ -497,6 +497,13 @@ object SparkEntry {
       TextOps.ngramCounts(Tables.documents(s, dir), "doc_id", "text",
         n = 3, minCount = 2L, k = 100)),
 
+    // ----- Content-defined chunking: shift-robust dedup units (an
+    // edit moves fixed blocks, but CDC chunk hashes downstream of the
+    // edit survive — the incremental-crawl complement of span dedup) --
+    "q_cdc_chunks" -> ((s, dir) =>
+      TextOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+        w = 5, modulus = 16)),
+
     // ----- BM25 ranked retrieval (raw-odds idf — transcendental-free
     // so the score is bit-reproducible in any IEEE engine) ------------
     "q_bm25" -> ((s, dir) =>
@@ -1709,6 +1716,20 @@ object SparkEntry {
                FROM g GROUP BY 1)
          SELECT ngram, n_docs, n_occurrences FROM c WHERE n_occurrences >= 2
          ORDER BY n_occurrences DESC, ngram LIMIT 100""",
+    "q_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         c AS (SELECT doc_id, t,
+                 [0] || [i for i in generate_series(5, len(t)-1)
+                         if CAST(('0x' || substr(md5(array_to_string(t[i-4:i], ' ')), 1, 8)) AS BIGINT) % 16 = 0]
+                     || [len(t)] AS cuts
+               FROM d),
+         x AS (SELECT doc_id, unnest([{'ci': k-1, 'chunk': t[cuts[k]+1 : cuts[k+1]]}
+                 for k in generate_series(1, len(cuts)-1)]) AS s FROM c)
+         SELECT doc_id, CAST(s.ci AS BIGINT) AS chunk_idx,
+                md5(array_to_string(s.chunk, ' ')) AS chunk_hash,
+                CAST(len(s.chunk) AS BIGINT) AS n_tokens,
+                array_to_string(s.chunk, ' ') AS chunk_text
+         FROM x""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl

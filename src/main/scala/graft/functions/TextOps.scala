@@ -908,6 +908,60 @@ object TextOps {
       .select(col("doc_id"), col("score"), col("n_terms_matched"))
   }
 
+  /** Content-defined chunking (FastCDC for token streams): cut each
+    * document at positions where the rolling w-gram hash lands on a
+    * chosen residue, so chunk boundaries follow CONTENT, not offsets —
+    * an insertion near the head of a re-crawled page changes only the
+    * chunks it touches, and every later chunk keeps its hash. Chunk-
+    * hash equality across crawls/documents is therefore a shift-robust
+    * dedup unit (the incremental complement of [[spanDedup]]'s fixed
+    * blocks).
+    *
+    * Scale shape: boundary detection, chunk assembly, and hashing are
+    * one row-local projection (array HOFs over the token list — zero
+    * shuffle, zero state); downstream dedup shuffles only 16-byte
+    * chunk hashes. Expected chunk length is `modulus` tokens.
+    *
+    * Emits (doc_id, chunk_idx, chunk_hash, n_tokens, chunk_text).
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      modulus: Int
+  ): DataFrame = {
+    require(w > 0, s"w=$w must be positive")
+    require(modulus > 1, s"modulus=$modulus must exceed 1")
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    // gram ending at i (1-based, i in [w, n-1] — a boundary at n would
+    // open an empty final chunk): boundary iff low hash bits hit 0
+    val gramHash = (i: Column) =>
+      pmod(conv(substring(md5(array_join(
+        slice(col("__t"), i - w + 1, lit(w)), " ").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(modulus))
+    val cuts = toks.withColumn("__cuts",
+      concat(
+        array(lit(0)),
+        when(col("__n") > w,
+          filter(transform(sequence(lit(w), col("__n") - 1), i =>
+            when(gramHash(i) === 0, i).otherwise(lit(null))), x => x.isNotNull))
+          .otherwise(array().cast("array<int>")),
+        array(col("__n"))))
+    cuts
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("__cuts")) - 1), k =>
+          slice(col("__t"),
+            element_at(col("__cuts"), k) + 1,
+            element_at(col("__cuts"), k + 1) - element_at(col("__cuts"), k))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(array_join(col("__chunk"), " ").cast("binary")).as("chunk_hash"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Frozen linear quality classifier over hashed bag-of-words —
     * model inference as a pure projection+aggregate. Weights are
     * derived from the bucket id's md5 (a stand-in for a trained

@@ -98,6 +98,44 @@ class IrOpsSpec extends SparkSpec {
       s"the frozen model is a projection — no weight-table join:\n$linPlan")
   }
 
+  test("cdcChunks: lossless reassembly, bounded cuts, zero shuffle") {
+    val corpus = (1L to 60L)
+      .map(i => (i, (0 until 40).map(j => s"t${(i * 7 + j * 13) % 29}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunks(corpus, "doc_id", "text", w = 4, modulus = 8)
+    val re = chunks.orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id")
+      .agg(array_join(collect_list(col("chunk_text")), " ").as("re"))
+      .as[(Long, String)].collect().toMap
+    val want = corpus.as[(Long, String)].collect().toMap
+    assert(re == want, "chunks must reassemble to the original text")
+
+    val plan = chunks.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"chunking is a row-local projection — no shuffle:\n$plan")
+  }
+
+  test("cdcChunks boundaries are shift-robust: suffix chunks survive a head edit") {
+    val original = (0 until 200).map(j => s"w${(j * 17) % 31}").mkString(" ")
+    val edited = "inserted tokens at the head " + original
+    val two = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val hashes = TextOps.cdcChunks(two, "doc_id", "text", w = 4, modulus = 8)
+      .select("doc_id", "chunk_hash")
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = hashes(1L).intersect(hashes(2L))
+    // a fixed-block scheme would share nothing after a 5-token shift;
+    // content-defined boundaries realign, so most suffix chunks match
+    assert(shared.size >= hashes(1L).size / 2,
+      s"expected most of doc1's ${hashes(1L).size} chunks to survive the head edit, shared=${shared.size}")
+  }
+
+  test("cdcChunks handles docs shorter than the window as one chunk") {
+    val small = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.cdcChunks(small, "doc_id", "text", w = 5, modulus = 4)
+      .as[(Long, Long, String, Long, String)].collect().toList.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._5)) == List((1L, 0L, "a b"), (2L, 0L, "")))
+  }
+
   test("linearQualityScore matches a manual single-doc computation") {
     val one = Seq((7L, "hello world hello")).toDF("doc_id", "text")
     val got = TextOps.linearQualityScore(one, "doc_id", "text", dim = 8)
