@@ -916,6 +916,11 @@ object SparkEntry {
         .select(col("media_id"), col("frame_no"),
           lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))),
 
+    // ----- Scene-change detection: consecutive-frame dHash deltas,
+    // paired inside the demux iterator (zero shuffle) -----------------
+    "q_scene_changes" -> ((s, _) =>
+      MultimodalOps.sceneChanges(MultimodalOps.syntheticVideos(s, 200), minHamming = 12)),
+
     // ----- Perceptual image fingerprints over the REAL decode path:
     // dHash on the 9x8 nearest-neighbor grid; oracle replays the
     // synthetic pixel arithmetic bit for bit (hash emitted as hex, the
@@ -1149,6 +1154,29 @@ object SparkEntry {
          SELECT fr.id AS media_id, fr.f AS frame_no,
                 lower(lpad(to_hex(COALESCE(fp.h, CAST(0 AS UBIGINT))), 16, '0')) AS dhash_hex
          FROM fr LEFT JOIN fp ON fp.id = fr.id AND fp.f = fr.f""",
+    // same frame-pixel replay as q_video_dhash, then consecutive-frame
+    // xor popcount over the cut threshold
+    "q_scene_changes" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         nf AS (SELECT id, 2 + (id % 4) AS nf FROM ids),
+         fr AS (SELECT id, unnest([f for f in generate_series(0, nf - 1)]) AS f FROM nf),
+         gxs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+         gys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+         g AS (SELECT id, f, gy, gx,
+                 ((id * 3 + f * 7 + ((gx * 16) // 9) * 5) % 256)
+               + ((id * 5 + f * 11 + ((gy * 12) // 8) * 3) % 256)
+               + ((id + f + ((gx * 16) // 9) * ((gy * 12) // 8)) % 256) AS gray
+               FROM fr, gxs, gys),
+         b AS (SELECT l.id, l.f, l.gy AS y, l.gx AS x
+               FROM g l JOIN g r ON r.id = l.id AND r.f = l.f AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8 AND r.gray > l.gray),
+         fp0 AS (SELECT id, f, bit_or(CAST(1 AS UBIGINT) << CAST(y * 8 + x AS INT)) AS h
+                 FROM b GROUP BY 1, 2),
+         fp AS (SELECT fr.id, fr.f, COALESCE(fp0.h, CAST(0 AS UBIGINT)) AS h
+                FROM fr LEFT JOIN fp0 ON fp0.id = fr.id AND fp0.f = fr.f),
+         d AS (SELECT a.id, a.f, CAST(bit_count(xor(a.h, p.h)) AS BIGINT) AS hamming
+               FROM fp a JOIN fp p ON p.id = a.id AND p.f = a.f - 1)
+         SELECT id AS media_id, f AS frame_no, hamming FROM d WHERE hamming >= 12""",
     "q_audio_fingerprint" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
          n AS (SELECT id, 64 + (id % 64) AS ns FROM ids),

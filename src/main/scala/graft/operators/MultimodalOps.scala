@@ -517,6 +517,54 @@ object MultimodalOps {
     }).toDF("media_id", "frame_no", "dhash")
   }
 
+  /** Scene-change detection on the real decode path: demux frames,
+    * dHash each, and emit the frames whose fingerprint moved at least
+    * `minHamming` bits from the previous frame (a cut / hard
+    * transition). Consecutive-frame pairing happens INSIDE the demux
+    * iterator — frames of one video never leave their input row's
+    * partition, so the operator is a zero-shuffle projection (the
+    * window-lag formulation would exchange every frame hash by
+    * media_id for an ordering the demux already has).
+    */
+  def sceneChanges(media: Dataset[MediaRow], minHamming: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(minHamming >= 1, s"minHamming=$minHamming must be at least 1")
+    media.mapPartitions(_.flatMap { r =>
+      val p = r.payload
+      if (r.kind != "video" || p == null || p.length < 8 ||
+        new String(p, 0, 4, "US-ASCII") != "GFV1") Iterator.empty
+      else {
+        val bb = java.nio.ByteBuffer.wrap(p)
+        bb.position(4)
+        val nFrames = bb.getInt
+        var prev = 0L
+        var havePrev = false
+        (0 until nFrames).iterator.flatMap { f =>
+          if (bb.remaining() < 4) Iterator.empty
+          else {
+            val len = bb.getInt
+            if (bb.remaining() < len) Iterator.empty
+            else {
+              val fb = new Array[Byte](len)
+              bb.get(fb)
+              val img = safeImageRead(fb)
+              if (img == null) Iterator.empty
+              else {
+                val h = dHash64(img)
+                val ham =
+                  if (havePrev) java.lang.Long.bitCount(prev ^ h) else -1
+                prev = h
+                havePrev = true
+                if (ham >= minHamming) Iterator((r.media_id, f, ham.toLong))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+    }).toDF("media_id", "frame_no", "hamming")
+  }
+
   def mediaStats(media: DataFrame): DataFrame =
     media.groupBy(col("kind")).agg(
       count(lit(1)).as("n_items"),

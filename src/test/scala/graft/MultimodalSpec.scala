@@ -203,6 +203,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.sameElements(reparted))
   }
 
+  test("sceneChanges agrees with pairwise dHash deltas and plans zero shuffles") {
+    // the frame term shifts all pixels by a constant, which only flips
+    // a gradient bit when mod-256 wraps — needs ids large enough to wrap
+    val vids = MultimodalOps.syntheticVideos(spark, 60)
+    // reference: pair consecutive hashes from the proven demux path
+    val hashes = MultimodalOps.videoFrameDHashes(vids)
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2))
+    val want = hashes.groupBy(_._1).flatMap { case (id, fs) =>
+      fs.sortBy(_._2).sliding(2).collect {
+        case Array((_, _, a), (_, f, b))
+          if java.lang.Long.bitCount(a ^ b) >= 4 =>
+            (id, f, java.lang.Long.bitCount(a ^ b).toLong)
+      }
+    }.toSet
+    val scenes = MultimodalOps.sceneChanges(vids, minHamming = 4)
+    val got = scenes.as[(Long, Int, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+
+    val plan = scenes.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"consecutive-frame pairing lives in the demux — no shuffle:\n$plan")
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
