@@ -755,6 +755,22 @@ object SparkEntry {
           least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3).as("quality_score"))
     }),
 
+    // ----- Curriculum binning: per-source quality deciles (what a
+    // curriculum schedule or quality-pruning threshold reads) ---------
+    "q_quality_deciles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val st = TextOps.textStats(docs, "doc_id", "text")
+      val score = st.select(
+        col("doc_id"),
+        (least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+          least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3).as("quality_score"))
+      TextOps.curriculumBins(
+        score.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "doc_id", "source", "quality_score", nBins = 10)
+        .select(col("doc_id"), col("source"), col("quality_score"), col("bin"))
+    }),
+
     // ----- Sessionization: 30-minute-gap sessions per user ------------
     "q_sessionize" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -2009,6 +2025,20 @@ object SparkEntry {
                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 10.0, 1.0) * 0.3
            AS quality_score
          FROM documents""",
+    "q_quality_deciles" ->
+      """WITH q AS (SELECT doc_id,
+           least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                    / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) * 5.0, 1.0)) * 0.3
+           + least(CAST(len(list_filter(string_split(trim(text), ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 10.0, 1.0) * 0.3
+           AS quality_score
+         FROM documents)
+         SELECT q.doc_id, d.source, q.quality_score,
+                CAST(ntile(10) OVER (PARTITION BY d.source
+                                     ORDER BY q.quality_score, q.doc_id) AS BIGINT) AS bin
+         FROM q JOIN documents d ON d.doc_id = q.doc_id""",
     "q_sessionize" ->
       """WITH x AS (
            SELECT user_id, ts, value,

@@ -908,6 +908,27 @@ object TextOps {
       .select(col("doc_id"), col("score"), col("n_terms_matched"))
   }
 
+  /** Curriculum binning: n-tile rank of each row's score WITHIN its
+    * stratum (per-source quality deciles — the table a curriculum
+    * schedule or a quality-pruning threshold reads). Ties break on the
+    * row id, so bin assignment is deterministic across engines and
+    * partitionings. One shuffle on the stratum key; at 100 TB strata
+    * (sources/languages) are many and balanced, and rows carry only
+    * (id, stratum, score) into the exchange.
+    */
+  def curriculumBins(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      scoreCol: String,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins > 0, s"nBins=$nBins must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(scoreCol), col(idCol))
+    df.withColumn("bin", ntile(nBins).over(w).cast("long"))
+  }
+
   /** Content-defined chunking (FastCDC for token streams): cut each
     * document at positions where the rolling w-gram hash lands on a
     * chosen residue, so chunk boundaries follow CONTENT, not offsets —

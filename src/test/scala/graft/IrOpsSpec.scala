@@ -136,6 +136,26 @@ class IrOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._5)) == List((1L, 0L, "a b"), (2L, 0L, "")))
   }
 
+  test("curriculumBins fills n-tiles ANSI-style and is partition-invariant") {
+    val rows = (1L to 23L).map(i => (i, if (i % 2 == 0) "a" else "b", (i * 7 % 13).toDouble))
+      .toDF("doc_id", "source", "score")
+    val got = TextOps.curriculumBins(rows, "doc_id", "source", "score", nBins = 4)
+      .as[(Long, String, Double, Long)].collect()
+    // per stratum: first (n mod bins) bins get the extra row
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("a").length == 11 && bySrc("b").length == 12)
+    val sizesA = bySrc("a").groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizesA == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 2))
+    // bin order follows score order within the stratum
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      assert(sorted.map(_._4).toList == sorted.map(_._4).toList.sorted)
+    }
+    val re = TextOps.curriculumBins(rows.repartition(9), "doc_id", "source", "score", 4)
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1)
+    assert(re.sameElements(got.sortBy(_._1)))
+  }
+
   test("linearQualityScore matches a manual single-doc computation") {
     val one = Seq((7L, "hello world hello")).toDF("doc_id", "text")
     val got = TextOps.linearQualityScore(one, "doc_id", "text", dim = 8)
