@@ -504,6 +504,28 @@ object SparkEntry {
       TextOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
         w = 5, modulus = 16)),
 
+    // ----- CDC re-crawl accounting: chunk a head-edited re-crawl of
+    // every doc and count chunks whose hash survives — the dedupable
+    // fraction an incremental ingest skips. Fixed blocks would reuse
+    // ~nothing after the shift; CDC boundaries realign. -------------
+    "q_cdc_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edited = docs.select(col("doc_id"),
+        concat(lit("edited head "), col("text")).as("text"))
+      val oldChunks = TextOps.cdcChunks(docs, "doc_id", "text", w = 5, modulus = 16)
+        .select(col("doc_id"), col("chunk_hash")).distinct()
+      val newChunks = TextOps.cdcChunks(edited, "doc_id", "text", w = 5, modulus = 16)
+        .select(col("doc_id"), col("chunk_hash"))
+      newChunks
+        .join(oldChunks.withColumn("__hit", lit(1L)),
+          Seq("doc_id", "chunk_hash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_reused"))
+        .withColumn("reuse_frac",
+          col("n_reused").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+    }),
+
     // ----- BM25 ranked retrieval (raw-odds idf — transcendental-free
     // so the score is bit-reproducible in any IEEE engine) ------------
     "q_bm25" -> ((s, dir) =>
@@ -1774,6 +1796,34 @@ object SparkEntry {
                 CAST(len(s.chunk) AS BIGINT) AS n_tokens,
                 array_to_string(s.chunk, ' ') AS chunk_text
          FROM x""",
+    "q_cdc_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         c AS (SELECT doc_id, t,
+                 [0] || [i for i in generate_series(5, len(t)-1)
+                         if CAST(('0x' || substr(md5(array_to_string(t[i-4:i], ' ')), 1, 8)) AS BIGINT) % 16 = 0]
+                     || [len(t)] AS cuts
+               FROM d),
+         oldc AS (SELECT DISTINCT doc_id,
+                    md5(array_to_string(t[cuts[k]+1 : cuts[k+1]], ' ')) AS chunk_hash
+                  FROM c, (SELECT unnest(generate_series(1, 200)) AS k) ks
+                  WHERE k <= len(cuts) - 1),
+         ed AS (SELECT doc_id, string_split(trim('edited head ' || text), ' ') AS t FROM documents),
+         ec AS (SELECT doc_id, t,
+                 [0] || [i for i in generate_series(5, len(t)-1)
+                         if CAST(('0x' || substr(md5(array_to_string(t[i-4:i], ' ')), 1, 8)) AS BIGINT) % 16 = 0]
+                     || [len(t)] AS cuts
+               FROM ed),
+         newc AS (SELECT doc_id,
+                    md5(array_to_string(t[cuts[k]+1 : cuts[k+1]], ' ')) AS chunk_hash
+                  FROM ec, (SELECT unnest(generate_series(1, 200)) AS k) ks
+                  WHERE k <= len(cuts) - 1)
+         SELECT n.doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+                CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS reuse_frac
+         FROM newc n LEFT JOIN oldc o
+           ON o.doc_id = n.doc_id AND o.chunk_hash = n.chunk_hash
+         GROUP BY 1""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
