@@ -968,6 +968,14 @@ object SparkEntry {
         .select(col("media_id"),
           lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))),
 
+    // ----- Perceptual image near-dup pairs: real-decode dHashes into
+    // the shared 4-band hamming self-join (8-byte fingerprints are all
+    // that shuffles; hot fingerprint buckets capped) ------------------
+    "q_image_neardup" -> ((s, _) =>
+      MultimodalOps.imageNearDupPairs(
+        MultimodalOps.imageDHashes(MultimodalOps.syntheticImages(s, 200)),
+        maxHamming = 3)),
+
     // ----- REAL audio decode: payloads are genuine RIFF/PCM WAVs,
     // stats come from javax.sound.sampled-decoded samples; the oracle
     // replays the sample arithmetic (PCM is uncompressed, decode is
@@ -1250,6 +1258,32 @@ object SparkEntry {
          SELECT ids.id AS media_id,
                 lower(lpad(to_hex(COALESCE(fp.h, CAST(0 AS UBIGINT))), 16, '0')) AS dhash_hex
          FROM ids LEFT JOIN fp ON fp.id = ids.id""",
+    // image-dhash replay + the 4x16-bit band guard + hamming verify,
+    // the q_simhash_neardup convention over the image fingerprint
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         gxs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+         gys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+         g AS (SELECT id, gy, gx,
+                 ((id * 3 + ((gx * 32) // 9) * 5) % 256)
+               + ((id * 7 + ((gy * 24) // 8) * 11) % 256)
+               + ((id + ((gx * 32) // 9) * ((gy * 24) // 8)) % 256) AS gray
+               FROM ids, gxs, gys),
+         b AS (SELECT l.id, l.gy AS y, l.gx AS x
+               FROM g l JOIN g r ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8 AND r.gray > l.gray),
+         fp0 AS (SELECT id, bit_or(CAST(1 AS UBIGINT) << CAST(y * 8 + x AS INT)) AS h
+                 FROM b GROUP BY 1),
+         fp AS (SELECT ids.id, COALESCE(fp0.h, CAST(0 AS UBIGINT)) AS h
+                FROM ids LEFT JOIN fp0 ON fp0.id = ids.id),
+         banded AS (SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bh
+                    FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+         kept AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, bh))
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         FROM guarded a JOIN guarded b USING (band, bh)
+         WHERE a.id < b.id AND bit_count(xor(a.h, b.h)) <= 3""",
     "q_media_decode" ->
       """WITH px AS (
            SELECT g.id AS media_id,

@@ -786,26 +786,44 @@ object TextOps {
       maxHamming: Int,
       bucketCap: Long = 10000L
   ): DataFrame = {
-    require(maxHamming <= 3, s"4 disjoint 16-bit bands guarantee recall only to hamming 3: $maxHamming")
     val fp = docs.select(
       col(idCol),
       SimHash64.simhash64(tokens(col(textCol))).as("simhash"))
+    bandedHammingPairs(fp, idCol, "simhash", maxHamming, bucketCap)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
+  }
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column (simhash,
+    * image/video dHash): band into four disjoint 16-bit keys, self-join
+    * within band buckets, keep pairs at hamming <= `maxHamming`. The
+    * pigeonhole recall guarantee (<= 3 flipped bits can touch at most
+    * 3 of 4 bands) and the capBuckets skew guard come with the shape.
+    */
+  private[graft] def bandedHammingPairs(
+      fp: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      bucketCap: Long
+  ): DataFrame = {
+    require(maxHamming <= 3, s"4 disjoint 16-bit bands guarantee recall only to hamming 3: $maxHamming")
     val bandStructs = (0 until 4).map { b =>
       struct(
         lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("h"))
+        shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(65535L)).as("h"))
     }
     val banded = fp
-      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("__b"))
-      .select(col(idCol), col("simhash"), col("__b.band").as("band"), col("__b.h").as("h"))
+      .select(col(idCol), col(hashCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col(hashCol), col("__b.band").as("band"), col("__b.h").as("h"))
     val guarded = capBuckets(banded, Seq("band", "h"), bucketCap)
-    val a = guarded.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("band"), col("h"))
-    val b = guarded.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("band"), col("h"))
+    val a = guarded.select(col(idCol).as("id_a"), col(hashCol).as("fp_a"), col("band"), col("h"))
+    val b = guarded.select(col(idCol).as("id_b"), col(hashCol).as("fp_b"), col("band"), col("h"))
     a.join(b, Seq("band", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
   }
 

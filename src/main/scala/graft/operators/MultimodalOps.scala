@@ -636,27 +636,9 @@ object MultimodalOps {
       hashes: DataFrame,
       maxHamming: Int,
       bucketCap: Long = 10000L
-  ): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val banded = hashes.select(col("media_id"), col("dhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("dhash"), b * 16).bitwiseAND(lit(65535L)).as("bh"))): _*))
-          .as("__b"))
-      .select(col("media_id"), col("dhash"),
-        col("__b.band").as("band"), col("__b.bh").as("bh"))
-    val guarded = graft.functions.TextOps.capBuckets(banded, Seq("band", "bh"), bucketCap)
-    val a = guarded.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
-      col("band"), col("bh"))
-    val b = guarded.select(col("media_id").as("id_b"), col("dhash").as("h_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-      .distinct()
-  }
+  ): DataFrame =
+    graft.functions.TextOps.bandedHammingPairs(
+      hashes, "media_id", "dhash", maxHamming, bucketCap)
 
   def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
     (((id * 3 + x * 5) % 256).toInt, ((id * 7 + y * 11) % 256).toInt,

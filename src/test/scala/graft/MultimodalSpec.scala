@@ -173,7 +173,7 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(3L, "image", null, far, 32, 24, 0L, 0)).toDS()
     val hashes = MultimodalOps.imageDHashes(rows)
     val pairs = MultimodalOps.imageNearDupPairs(hashes, maxHamming = 3)
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     // the kernel equals a driver-side recompute on the decoded image
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
