@@ -990,6 +990,13 @@ object SparkEntry {
         .select(col("media_id"),
           lpad(lower(hex(col("ahash"))), 16, "0").as("ahash_hex"))),
 
+    // ----- Audio near-dup pairs: the shared banded-hamming join over
+    // the energy-gradient hashes ------------------------------------
+    "q_audio_neardup" -> ((s, _) =>
+      MultimodalOps.audioNearDupPairs(
+        MultimodalOps.audioFingerprints(MultimodalOps.syntheticWavs(s, 200)),
+        maxHamming = 3)),
+
     // ----- Video demux + per-frame REAL PNG decode: the container is
     // a documented frame-table stand-in (no mp4 demuxer in the JDK),
     // the per-frame codec is genuine ImageIO; the oracle replays the
@@ -1223,6 +1230,32 @@ object SparkEntry {
          d AS (SELECT a.id, a.f, CAST(bit_count(xor(a.h, p.h)) AS BIGINT) AS hamming
                FROM fp a JOIN fp p ON p.id = a.id AND p.f = a.f - 1)
          SELECT id AS media_id, f AS frame_no, hamming FROM d WHERE hamming >= 12""",
+    // audio energy-gradient replay + the shared band guard + hamming
+    "q_audio_neardup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         n AS (SELECT id, 64 + (id % 64) AS ns FROM ids),
+         s AS (SELECT id, unnest([{'i': i, 'v': abs(((id * 31 + i * 7) % 65536) - 32768)}
+                                  for i in generate_series(0, ns - 1)]) AS u
+               FROM n),
+         sam AS (SELECT id, u.i AS i, u.v AS v FROM s),
+         wsum AS (SELECT sam.id, CAST((i * 65) // n.ns AS INT) AS win, sum(v) AS e
+                  FROM sam JOIN n ON n.id = sam.id GROUP BY 1, 2),
+         grid AS (SELECT n.id, ws.win FROM n, (SELECT unnest(generate_series(0, 64)) AS win) ws),
+         e AS (SELECT grid.id, grid.win, COALESCE(wsum.e, 0) AS e
+               FROM grid LEFT JOIN wsum ON wsum.id = grid.id AND wsum.win = grid.win),
+         b AS (SELECT l.id, l.win AS w FROM e l JOIN e r ON r.id = l.id AND r.win = l.win + 1
+               WHERE l.win < 64 AND r.e > l.e),
+         fp0 AS (SELECT id, bit_or(CAST(1 AS UBIGINT) << CAST(w AS INT)) AS h FROM b GROUP BY 1),
+         fp AS (SELECT n.id, COALESCE(fp0.h, CAST(0 AS UBIGINT)) AS h
+                FROM n LEFT JOIN fp0 ON fp0.id = n.id),
+         banded AS (SELECT id, h, bs.band, (h >> (bs.band * 16)) & 65535 AS bh
+                    FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+         kept AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, bh))
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         FROM guarded a JOIN guarded b USING (band, bh)
+         WHERE a.id < b.id AND bit_count(xor(a.h, b.h)) <= 3""",
     "q_audio_fingerprint" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
          n AS (SELECT id, 64 + (id % 64) AS ns FROM ids),

@@ -640,6 +640,17 @@ object MultimodalOps {
     graft.functions.TextOps.bandedHammingPairs(
       hashes, "media_id", "dhash", maxHamming, bucketCap)
 
+  /** Audio near-dup candidate pairs over the energy-gradient hashes —
+    * the same shared banded-hamming join; only the fingerprint column
+    * differs. */
+  def audioNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame =
+    graft.functions.TextOps.bandedHammingPairs(
+      hashes, "media_id", "ahash", maxHamming, bucketCap)
+
   def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
     (((id * 3 + x * 5) % 256).toInt, ((id * 7 + y * 11) % 256).toInt,
       ((id + x * y) % 256).toInt)
