@@ -990,6 +990,13 @@ object SparkEntry {
         .select(col("media_id"),
           lpad(lower(hex(col("ahash"))), 16, "0").as("ahash_hex"))),
 
+    // ----- Clip-level video near-dup: frame-fingerprint containment
+    // (re-post detection; only 8-byte hashes shuffle) -----------------
+    "q_video_neardup" -> ((s, _) =>
+      MultimodalOps.videoNearDupPairs(
+        MultimodalOps.videoFrameDHashes(MultimodalOps.syntheticVideos(s, 200)),
+        minShared = 2L)),
+
     // ----- Audio near-dup pairs: the shared banded-hamming join over
     // the energy-gradient hashes ------------------------------------
     "q_audio_neardup" -> ((s, _) =>
@@ -1230,6 +1237,37 @@ object SparkEntry {
          d AS (SELECT a.id, a.f, CAST(bit_count(xor(a.h, p.h)) AS BIGINT) AS hamming
                FROM fp a JOIN fp p ON p.id = a.id AND p.f = a.f - 1)
          SELECT id AS media_id, f AS frame_no, hamming FROM d WHERE hamming >= 12""",
+    // frame-dhash replay, then distinct-hash containment between clips
+    "q_video_neardup" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+         nf AS (SELECT id, 2 + (id % 4) AS nf FROM ids),
+         fr AS (SELECT id, unnest([f for f in generate_series(0, nf - 1)]) AS f FROM nf),
+         gxs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+         gys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+         g AS (SELECT id, f, gy, gx,
+                 ((id * 3 + f * 7 + ((gx * 16) // 9) * 5) % 256)
+               + ((id * 5 + f * 11 + ((gy * 12) // 8) * 3) % 256)
+               + ((id + f + ((gx * 16) // 9) * ((gy * 12) // 8)) % 256) AS gray
+               FROM fr, gxs, gys),
+         b AS (SELECT l.id, l.f, l.gy AS y, l.gx AS x
+               FROM g l JOIN g r ON r.id = l.id AND r.f = l.f AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8 AND r.gray > l.gray),
+         fp0 AS (SELECT id, f, bit_or(CAST(1 AS UBIGINT) << CAST(y * 8 + x AS INT)) AS h
+                 FROM b GROUP BY 1, 2),
+         fp AS (SELECT fr.id, fr.f, COALESCE(fp0.h, CAST(0 AS UBIGINT)) AS h
+                FROM fr LEFT JOIN fp0 ON fp0.id = fr.id AND fp0.f = fr.f),
+         uniq AS (SELECT DISTINCT id, h FROM fp),
+         sizes AS (SELECT id, count(*) AS n FROM uniq GROUP BY 1),
+         kept AS (SELECT h FROM uniq GROUP BY h HAVING count(*) <= 10000),
+         guarded AS (SELECT uniq.* FROM uniq JOIN kept USING (h)),
+         pairs AS (SELECT a.id AS media_a, b.id AS media_b, count(*) AS n_shared
+                   FROM guarded a JOIN guarded b ON b.h = a.h AND a.id < b.id
+                   GROUP BY 1, 2)
+         SELECT media_a, media_b, n_shared,
+                CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+         FROM pairs JOIN sizes sa ON sa.id = media_a
+                    JOIN sizes sb ON sb.id = media_b
+         WHERE n_shared >= 2""",
     // audio energy-gradient replay + the shared band guard + hamming
     "q_audio_neardup" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),

@@ -640,6 +640,37 @@ object MultimodalOps {
     graft.functions.TextOps.bandedHammingPairs(
       hashes, "media_id", "dhash", maxHamming, bucketCap)
 
+  /** Clip-level video near-dup: two clips are candidates when they
+    * share at least `minShared` distinct frame fingerprints (re-posted
+    * / re-encoded video detection by frame containment). The self-join
+    * keys on the 8-byte frame hash — payloads never shuffle — and
+    * [[graft.functions.TextOps.capBuckets]] drops degenerate
+    * fingerprints (flat frames hash alike across unrelated clips)
+    * before they go quadratic. Containment = shared / min(|A|, |B|).
+    */
+  def videoNearDupPairs(
+      frameHashes: DataFrame,
+      minShared: Long,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    val uniq = frameHashes.select(col("media_id"), col("dhash")).distinct()
+    val sizes = uniq.groupBy(col("media_id")).agg(count(lit(1)).as("__n"))
+    val guarded = graft.functions.TextOps.capBuckets(uniq, Seq("dhash"), bucketCap)
+    guarded.select(col("media_id").as("media_a"), col("dhash"))
+      .join(guarded.select(col("media_id").as("media_b"), col("dhash")), Seq("dhash"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("media_id", "media_a")
+        .withColumnRenamed("__n", "__na"), Seq("media_a"))
+      .join(sizes.withColumnRenamed("media_id", "media_b")
+        .withColumnRenamed("__n", "__nb"), Seq("media_b"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("__na"), col("__nb")).cast("double"))
+      .select(col("media_a"), col("media_b"), col("n_shared"), col("containment"))
+  }
+
   /** Audio near-dup candidate pairs over the energy-gradient hashes —
     * the same shared banded-hamming join; only the fingerprint column
     * differs. */
