@@ -226,6 +226,25 @@ class MultimodalSpec extends SparkSpec {
       s"consecutive-frame pairing lives in the demux — no shuffle:\n$plan")
   }
 
+  test("videoNearDupPairs: a re-posted clip pairs at containment 1.0") {
+    val vids = MultimodalOps.syntheticVideos(spark, 6)
+    // clip 100 = byte-identical re-post of clip 2's container
+    val repost = vids.filter(_.media_id == 2L).head().copy(media_id = 100L)
+    val all = vids.union(Seq(repost).toDS())
+    // small-id synthetic frames share one dHash per clip (constant
+    // shift), so the re-post overlaps in exactly 1 distinct hash
+    val pairs = MultimodalOps.videoNearDupPairs(
+        MultimodalOps.videoFrameDHashes(all), minShared = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+    val hit = pairs.find(p => p._1 == 2L && p._2 == 100L)
+    assert(hit.isDefined, s"re-post not found in ${pairs.toList}")
+    assert(hit.get._4 == 1.0, s"containment should be exactly 1.0: $hit")
+    // the capBuckets guard kills the join when every clip shares a hash
+    val capped = MultimodalOps.videoNearDupPairs(
+      MultimodalOps.videoFrameDHashes(all), minShared = 1L, bucketCap = 1L)
+    assert(capped.count() == 0L)
+  }
+
   test("resizeImages rewrites image dimensions, passes other modalities through") {
     val out = MultimodalOps.resizeImages(media, 224, 224).collect()
     assert(out.length == 30)
