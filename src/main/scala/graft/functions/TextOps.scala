@@ -968,11 +968,13 @@ object TextOps {
       idCol: String,
       textCol: String,
       w: Int,
-      modulus: Int
+      modulus: Int,
+      carry: Seq[String] = Nil
   ): DataFrame = {
     require(w > 0, s"w=$w must be positive")
     require(modulus > 1, s"modulus=$modulus must exceed 1")
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    val toks = docs.select(
+        col(idCol).as("doc_id") +: carry.map(col) :+ tokens(col(textCol)).as("__t"): _*)
       .withColumn("__n", size(col("__t")))
     // gram ending at i (1-based, i in [w, n-1] — a boundary at n would
     // open an empty final chunk): boundary iff low hash bits hit 0
@@ -989,16 +991,17 @@ object TextOps {
           .otherwise(array().cast("array<int>")),
         array(col("__n"))))
     cuts
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) :+
         posexplode(transform(sequence(lit(1), size(col("__cuts")) - 1), k =>
           slice(col("__t"),
             element_at(col("__cuts"), k) + 1,
             element_at(col("__cuts"), k + 1) - element_at(col("__cuts"), k))))
-          .as(Seq("chunk_idx", "__chunk")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        md5(array_join(col("__chunk"), " ").cast("binary")).as("chunk_hash"),
-        size(col("__chunk")).cast("long").as("n_tokens"),
-        array_join(col("__chunk"), " ").as("chunk_text"))
+          .as(Seq("chunk_idx", "__chunk")): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("chunk_idx").cast("long").as("chunk_idx") :+
+        md5(array_join(col("__chunk"), " ").cast("binary")).as("chunk_hash") :+
+        size(col("__chunk")).cast("long").as("n_tokens") :+
+        array_join(col("__chunk"), " ").as("chunk_text"): _*)
   }
 
   /** Frozen linear quality classifier over hashed bag-of-words —

@@ -57,4 +57,27 @@ object CorpusStream {
       .select(col(idCol), col(tsCol), col("content_hash"),
         col("n_tokens"), col(textCol))
   }
+
+  /** Streaming CDC ingest: chunk each arriving document with
+    * content-defined boundaries ([[TextOps.cdcChunks]] — a stateless
+    * projection, so it runs ahead of any state store), then drop
+    * chunks whose hash was already seen within the watermark. What
+    * survives is the NOVEL content of the stream — a re-crawled page
+    * contributes only the chunks its edit actually changed, at
+    * 16-bytes-per-chunk state cost. Emits (doc_id, tsCol, chunk_idx,
+    * chunk_hash, n_tokens, chunk_text).
+    */
+  def cdcIngest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      w: Int,
+      modulus: Int
+  ): DataFrame = {
+    TextOps.cdcChunks(docs, idCol, textCol, w, modulus, carry = Seq(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("chunk_hash")
+  }
 }

@@ -45,4 +45,39 @@ class CorpusStreamSpec extends SparkSpec {
         Set("doc_id", "t", "content_hash", "n_tokens", "text"))
     } finally q.stop()
   }
+
+  test("cdcIngest emits only novel chunks: a re-crawl's unedited suffix dedups away") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[RawDoc]
+    val out = CorpusStream.cdcIngest(
+      source.toDF(), "doc_id", "text", "t",
+      watermark = "10 minutes", w = 3, modulus = 4)
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("cdc_out").start()
+    try {
+      val body = (0 until 60).map(j => s"w${(j * 17) % 31}").mkString(" ")
+      source.addData(RawDoc(1L, ts("2024-03-01 08:00:00"), body))
+      q.processAllAvailable()
+      val firstChunks = spark.table("cdc_out")
+        .select("chunk_hash").as[String].collect().toSet
+      assert(firstChunks.size >= 3, s"expected several chunks, got $firstChunks")
+
+      // re-crawl with a head edit: only the re-chunked prefix is novel
+      source.addData(RawDoc(2L, ts("2024-03-01 08:01:00"), "edited head " + body))
+      q.processAllAvailable()
+      val second = spark.table("cdc_out")
+        .filter($"doc_id" === 2L).select("chunk_hash").as[String].collect().toSet
+      assert(second.nonEmpty, "the edited prefix must come through as novel chunks")
+      assert(second.intersect(firstChunks).isEmpty,
+        "chunks already in state must not re-emit")
+      // the stream saw doc 2's unedited suffix but deduped it: fewer
+      // novel chunks than the doc has chunks in total
+      val allDoc2 = graft.functions.TextOps.cdcChunks(
+          Seq((2L, "edited head " + body)).toDF("doc_id", "text"),
+          "doc_id", "text", w = 3, modulus = 4)
+        .select("chunk_hash").as[String].collect().toSet
+      assert(second.size < allDoc2.size,
+        s"suffix chunks should have deduped: novel=${second.size} total=${allDoc2.size}")
+    } finally q.stop()
+  }
 }
