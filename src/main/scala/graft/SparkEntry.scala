@@ -491,6 +491,14 @@ object SparkEntry {
       TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
         k = 5, minTf = 2L)),
 
+    // ----- Positional-index phrase search: exact "spark scan"
+    // occurrences by postings adjacency join — the pushed term filter
+    // means only the queried terms' postings ever shuffle (a LIKE scan
+    // would read every byte of a 100 TB text column) ------------------
+    "q_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        phrase = Seq("spark", "scan"))),
+
     // ----- Corpus n-gram counting: every trigram over a cutoff, the
     // canonical web-scale counting job (map-side combined) ------------
     "q_ngram_counts" -> ((s, dir) =>
@@ -1878,6 +1886,17 @@ object SparkEntry {
            CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
                        WHEN 'src2' THEN 16384 WHEN 'src3' THEN 6553
                        ELSE 3276 END""",
+    "q_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         p AS (SELECT doc_id, u.pos, u.term
+               FROM (SELECT doc_id,
+                       unnest([{'pos': i - 1, 'term': t[i]}
+                               for i in generate_series(1, len(t))]) AS u
+                     FROM toks)),
+         s1 AS (SELECT doc_id, pos FROM p WHERE term = 'spark'),
+         s2 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'scan')
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos
+         FROM s1 JOIN s2 USING (doc_id, pos)""",
     "q_ngram_counts" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          g AS (SELECT doc_id,

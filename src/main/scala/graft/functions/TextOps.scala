@@ -926,6 +926,37 @@ object TextOps {
       .select(col("doc_id"), col("score"), col("n_terms_matched"))
   }
 
+  /** Exact phrase search over a positional inverted index: emit
+    * (doc_id, position) for every occurrence of the token phrase.
+    * The corpus's token stream is filtered to the PHRASE'S terms
+    * before anything shuffles (at 100 TB the pushed `isin` means the
+    * postings exchange carries only the queried terms' rows, a
+    * vanishing fraction of the corpus — where a LIKE scan reads every
+    * byte of text). Adjacency is k-1 self-equi-joins on
+    * (doc, pos + offset) — banded, never positional windows over
+    * full documents.
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one token")
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (tok, off)) =>
+      acc.join(
+        postings.filter(col("term") === tok)
+          .select(col("doc_id"), (col("pos") - off).as("pos")),
+        Seq("doc_id", "pos"))
+    }.select(col("doc_id"), col("pos").cast("long").as("pos"))
+  }
+
   /** Curriculum binning: n-tile rank of each row's score WITHIN its
     * stratum (per-source quality deciles — the table a curriculum
     * schedule or a quality-pruning threshold reads). Ties break on the

@@ -136,6 +136,29 @@ class IrOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._5)) == List((1L, 0L, "a b"), (2L, 0L, "")))
   }
 
+  test("phraseSearch finds exact occurrences, overlaps, and repeated-token phrases") {
+    val corpus = Seq(
+      (1L, "x a b a b y"),    // "a b" at 1 and 3
+      (2L, "a a a"),          // "a a" at 0 and 1 (overlapping)
+      (3L, "b a"),            // reversed — no "a b"
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val ab = TextOps.phraseSearch(corpus, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Long)].collect().toSet
+    assert(ab == Set((1L, 1L), (1L, 3L)))
+    val aa = TextOps.phraseSearch(corpus, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toSet
+    assert(aa == Set((2L, 0L), (2L, 1L)))
+    val aba = TextOps.phraseSearch(corpus, "doc_id", "text", Seq("a", "b", "a"))
+      .as[(Long, Long)].collect().toSet
+    assert(aba == Set((1L, 1L)))
+    // the pushed isin keeps non-phrase terms out of the exchange
+    val plan = TextOps.phraseSearch(corpus, "doc_id", "text", Seq("a", "b"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("isin") || plan.contains("IN ("),
+      s"term filter should appear in the plan:\n$plan")
+  }
+
   test("curriculumBins fills n-tiles ANSI-style and is partition-invariant") {
     val rows = (1L to 23L).map(i => (i, if (i % 2 == 0) "a" else "b", (i * 7 % 13).toDouble))
       .toDF("doc_id", "source", "score")
