@@ -534,6 +534,12 @@ object SparkEntry {
           col("n_reused").cast(DoubleType) / col("n_chunks").cast(DoubleType))
     }),
 
+    // ----- Bigram LM statistics: exact continuation probabilities
+    // (what a memorization / contamination audit reads) ---------------
+    "q_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLm(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 5L, k = 100)),
+
     // ----- BM25 ranked retrieval (raw-odds idf — transcendental-free
     // so the score is bit-reproducible in any IEEE engine) ------------
     "q_bm25" -> ((s, dir) =>
@@ -1948,6 +1954,18 @@ object SparkEntry {
          FROM newc n LEFT JOIN oldc o
            ON o.doc_id = n.doc_id AND o.chunk_hash = n.chunk_hash
          GROUP BY 1""",
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+         g AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                              for i in generate_series(1, len(t)-1)]) AS u
+               FROM toks),
+         bi AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS n_pair FROM g GROUP BY 1, 2),
+         uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_prefix FROM bi GROUP BY 1)
+         SELECT bi.w1, bi.w2, bi.n_pair, uni.n_prefix,
+                CAST(bi.n_pair AS DOUBLE) / CAST(uni.n_prefix AS DOUBLE) AS p
+         FROM bi JOIN uni USING (w1)
+         WHERE bi.n_pair >= 5
+         ORDER BY bi.n_pair DESC, bi.w1, bi.w2 LIMIT 100""",
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t,
                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl

@@ -926,6 +926,41 @@ object TextOps {
       .select(col("doc_id"), col("score"), col("n_terms_matched"))
   }
 
+  /** Bigram continuation statistics — the count-based language-model
+    * table a memorization / contamination audit reads: for the top
+    * bigrams, the exact conditional probability p(w2 | w1) =
+    * c(w1 w2) / c(w1 ·). Both counts are exact integers and the
+    * probability is ONE IEEE division, so rows are bit-reproducible.
+    * One gram aggregate (map-side combined) + a broadcast join of the
+    * vocabulary-sized prefix table; top-k is a TakeOrdered.
+    */
+  def bigramLm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int
+  ): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("__t"))
+    val pairs = toks.select(
+      explode(
+        when(size(col("__t")) >= 2,
+          transform(sequence(lit(1), size(col("__t")) - 1), i =>
+            struct(element_at(col("__t"), i).as("w1"),
+              element_at(col("__t"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = bi.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_prefix"))
+    bi.join(broadcast(uni), Seq("w1"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("p",
+        col("n_pair").cast("double") / col("n_prefix").cast("double"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_prefix"), col("p"))
+  }
+
   /** Exact phrase search over a positional inverted index: emit
     * (doc_id, position) for every occurrence of the token phrase.
     * The corpus's token stream is filtered to the PHRASE'S terms
