@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{Bpe, ProductQuantizer, SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, CandleOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps}
+import graft.operators.{AsOfJoin, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1023,7 +1023,35 @@ object SparkEntry {
     // the per-frame codec is genuine ImageIO; the oracle replays the
     // frame pixel arithmetic. ----------------------------------------
     "q_media_video_frames" -> ((s, _) =>
-      MultimodalOps.decodeVideoFrameStats(MultimodalOps.syntheticVideos(s, 150)))
+      MultimodalOps.decodeVideoFrameStats(MultimodalOps.syntheticVideos(s, 150))),
+
+    // ----- Conversion funnel (windowFunnel analog): view -> click ->
+    // purchase within 24h of the earliest view; one exchange on user --
+    "q_funnel_steps" -> ((s, dir) =>
+      EventOps.funnelSteps(Tables.events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), windowUs = 86400000000L)),
+
+    // ----- First-touch retention cohorts: cohort day x activity-day
+    // offset matrix ---------------------------------------------------
+    "q_retention_cohorts" -> ((s, dir) =>
+      EventOps.retentionCohorts(Tables.events(s, dir), "user_id", "ts")),
+
+    // ----- sequenceMatch analog: per-user ordered event-code string
+    // vs regex "view then purchase with no error between" -------------
+    "q_sequence_match" -> ((s, dir) =>
+      EventOps.sequenceMatch(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id", "v[^e]*p")),
+
+    // ----- Exact-integer 3-sigma outliers per event type: anomaly
+    // flags with no sqrt and no float tie -----------------------------
+    "q_sigma_outliers" -> ((s, dir) =>
+      EventOps.sigmaOutliers(Tables.events(s, dir), "event_type", "value", k = 3)
+        .select("event_id", "event_type", "value")),
+
+    // ----- Blocked fuzzy entity resolution over the part-name
+    // dictionary: first/last-token blocking, levenshtein <= 2 ---------
+    "q_fuzzy_match" -> ((s, dir) =>
+      EntityOps.fuzzyNamePairs(Tables.part(s, dir), "p_name", maxDist = 2))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2353,6 +2381,68 @@ object SparkEntry {
                FROM s)
          SELECT vec_id, scale, list_min(qs) AS q_min, list_max(qs) AS q_max,
                 CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum
-         FROM q"""
+         FROM q""",
+    "q_funnel_steps" ->
+      """WITH a AS (SELECT user_id, event_type, ts,
+              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t1
+            FROM events),
+         b AS (SELECT *, min(CASE WHEN event_type = 'click'
+                  AND epoch_us(ts) > t1
+                  AND epoch_us(ts) <= t1 + 86400000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t2
+            FROM a),
+         c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                  AND epoch_us(ts) > t2
+                  AND epoch_us(ts) <= t1 + 86400000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t3
+            FROM b),
+         u AS (SELECT user_id, max(CASE WHEN t3 IS NOT NULL THEN 3
+                                        WHEN t2 IS NOT NULL THEN 2
+                                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS lvl
+            FROM c GROUP BY 1)
+         SELECT s.step, s.step_name, count(*) AS n_users
+         FROM u JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+           s(step, step_name) ON u.lvl >= s.step
+         GROUP BY 1, 2""",
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT f.cohort_date,
+                date_diff('day', f.cohort_date, a.d) AS day_offset,
+                count(*) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2""",
+    "q_sequence_match" ->
+      """SELECT user_id, count(*) AS n_events,
+                regexp_matches(
+                  string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id), 'v[^e]*p') AS matched
+         FROM events GROUP BY user_id""",
+    "q_sigma_outliers" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+                CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         s AS (SELECT event_type, count(*) AS n, sum(v) AS sx, sum(v*v) AS sxx
+            FROM c GROUP BY 1)
+         SELECT c.event_id, c.event_type, c.value
+         FROM c JOIN s ON c.event_type = s.event_type
+         WHERE (s.n*c.v - s.sx)*(s.n*c.v - s.sx) > 9*(s.n*s.sxx - s.sx*s.sx)""",
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+         k AS (SELECT name, split_part(name, ' ', 1) AS b1,
+                 regexp_extract(name, '[^ ]+$') AS b2 FROM n),
+         k1 AS (SELECT * FROM k
+                QUALIFY count(*) OVER (PARTITION BY b1) <= 10000),
+         k2 AS (SELECT * FROM k
+                QUALIFY count(*) OVER (PARTITION BY b2) <= 10000),
+         c AS (SELECT a.name AS name_a, b.name AS name_b
+                 FROM k1 a JOIN k1 b ON a.b1 = b.b1 AND a.name < b.name
+               UNION
+               SELECT a.name, b.name
+                 FROM k2 a JOIN k2 b ON a.b2 = b.b2 AND a.name < b.name)
+         SELECT name_a, name_b,
+                CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         FROM c WHERE levenshtein(name_a, name_b) <= 2"""
   )
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-sequence analytics over the keyed event stream — the
+  * windowFunnel / retention / sequenceMatch family that ClickHouse
+  * ships as first-class aggregate combinators and that any
+  * event-backed analytics service (the reference stores its trade
+  * stream the same way, app/clickhouse_schema.py:131) grows into.
+  * Spark-first formulations:
+  *
+  *  - [[funnelSteps]]: per-user step chain as chained conditional
+  *    window minima — ONE exchange on the user key, no ordering sort
+  *    (all frames are whole-partition), no self-joins.
+  *  - [[retentionCohorts]]: first-touch cohort date x activity-day
+  *    offset matrix from two map-side-combinable aggregates.
+  *  - [[sequenceMatch]]: per-user ordered event-code string matched
+  *    against a regex — `collect_list` + `array_sort` keeps the
+  *    result independent of task scheduling.
+  *  - [[sigmaOutliers]]: k-sigma outlier flags decided in EXACT
+  *    integer arithmetic (|x-mu| > k*sigma squared into cents-scaled
+  *    integers) — no sqrt, no float tie, reproducible across engines
+  *    and partitionings.
+  */
+object EventOps {
+
+  /** Conversion funnel anchored at each user's EARLIEST step-1 event:
+    * step i (i>1) completes at the first step-i event strictly after
+    * step i-1 and within `windowUs` microseconds of the anchor.
+    * Returns one row per step: (step, step_name, n_users) where
+    * n_users counts users whose chain reached at least that step.
+    *
+    * Plan shape: every conditional min runs over the same
+    * whole-partition window (no ORDER BY -> no sort), so Catalyst
+    * plans ONE Exchange on the user key followed by Window + final
+    * aggregate — the event table is shuffled exactly once and rows
+    * never self-join. At 100 TB the shuffle carries (user, ts, type)
+    * triples only; project before calling if the stream is wide.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs > 0, s"windowUs=$windowUs must be positive")
+    val w = Window.partitionBy(col(userCol))
+    val us = unix_micros(col(tsCol))
+    var df = events.select(col(userCol), col(typeCol), col(tsCol))
+      .withColumn("__t1", min(when(col(typeCol) === steps.head, us)).over(w))
+    for (i <- 2 to steps.size) df = df.withColumn(
+      s"__t$i",
+      min(when(
+        col(typeCol) === steps(i - 1) &&
+          us > col(s"__t${i - 1}") &&
+          us <= col("__t1") + windowUs,
+        us)).over(w))
+    // Highest non-null step wins; t_i set implies t_{i-1} set.
+    val level = (1 to steps.size).foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"__t$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    val users = df.groupBy(col(userCol)).agg(max(level).as("__lvl"))
+    val spark = events.sparkSession
+    val stepDim = spark.createDataFrame(
+      steps.zipWithIndex.map { case (n, i) => (i + 1, n) }
+    ).toDF("step", "step_name")
+    users
+      .join(broadcast(stepDim), col("__lvl") >= col("step"))
+      .groupBy(col("step"), col("step_name"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-touch retention: cohort = each user's first activity date,
+    * then for every (cohort_date, day_offset) the count of users from
+    * that cohort active `day_offset` days later. Both inputs are
+    * map-side-combinable aggregates (min-date per user; distinct
+    * (user, day)), so the shuffle carries one row per user-day, never
+    * per event — at 100 TB that is users x retention horizon, which is
+    * the size of the ANSWER, not the stream.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    activity
+      .join(firstDay, Seq(userCol))
+      .groupBy(
+        col("cohort_date"),
+        datediff(col("__day"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) already distinct
+  }
+
+  /** ClickHouse sequenceMatch analog: per user, the single-character
+    * event codes (first letter of the type) concatenated in (ts, id)
+    * order, matched against a Java regex with find-anywhere semantics.
+    * Returns (user, n_events, matched).
+    *
+    * Determinism: `collect_list` order depends on task scheduling, so
+    * the struct array is `array_sort`ed on (ts, id, code) before
+    * joining — bit-stable across partitionings (asserted in
+    * EventOpsSpec). State is one event-code list per user, the same
+    * bound ClickHouse's sequence functions carry; pre-filter the
+    * stream to the relevant time window and event types to keep
+    * per-user state small at scale.
+    */
+  def sequenceMatch(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      pattern: String
+  ): DataFrame =
+    events
+      .select(
+        col(userCol),
+        struct(
+          col(tsCol).as("t"),
+          col(idCol).as("i"),
+          substring(col(typeCol), 1, 1).as("c")).as("__ev"))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(col("__ev"))).as("__evs"))
+      .select(
+        col(userCol),
+        size(col("__evs")).cast("long").as("n_events"),
+        array_join(transform(col("__evs"), e => e.getField("c")), "")
+          .rlike(pattern).as("matched"))
+
+  /** Rows where |x - mu| > k*sigma within their group, decided
+    * EXACTLY: with cents-scaled integer v, n = group count, sx = sum v,
+    * sxx = sum v^2, the condition squares to
+    *   (n*v - sx)^2 > k^2 * (n*sxx - sx^2)
+    * — pure integer arithmetic (carried as decimal(38,0) so products
+    * near 1e36 stay exact), no sqrt, no float comparison to disagree
+    * across engines. The stats side is one row per group, so it
+    * BROADCASTS back onto the stream: flagging 100 TB of events costs
+    * one map-side-combined aggregate plus a broadcast-join projection —
+    * the event table is scanned twice but never shuffled.
+    *
+    * `valueCol` is assumed money-like with <= 2 decimal places (the
+    * reference's price columns); `round(v*100)` recovers the exact
+    * integer both here and in the DuckDB oracle.
+    */
+  def sigmaOutliers(
+      events: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val cents = round(col(valueCol) * 100).cast(DecimalType(38, 0))
+    val stats = events
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("__n"),
+        sum(cents).as("__sx"),
+        sum(cents * cents).as("__sxx"))
+    val dev = col("__n") * cents - col("__sx")
+    events
+      .join(broadcast(stats), Seq(groupCol))
+      .where(dev * dev >
+        lit(k.toLong * k) * (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .drop("__n", "__sx", "__sxx")
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EntityOps, EventOps}
+
+/** Event-sequence analytics: funnel chain semantics (order, window,
+  * anchor), retention offsets, sequence-match determinism under
+  * repartitioning, exact k-sigma boundary behavior, and the blocked
+  * fuzzy matcher's recall/cap contract.
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val H = 3600000000L // one hour in microseconds
+
+  private lazy val funnelEvents = Seq(
+    // u1: full chain inside a 2h window -> level 3
+    (1L, "view", ts("2024-03-01 08:00:00")),
+    (1L, "click", ts("2024-03-01 08:30:00")),
+    (1L, "purchase", ts("2024-03-01 09:30:00")),
+    // u2: purchase lands outside the 2h window -> level 2
+    (2L, "view", ts("2024-03-01 08:00:00")),
+    (2L, "click", ts("2024-03-01 08:10:00")),
+    (2L, "purchase", ts("2024-03-01 10:00:01")),
+    // u3: click BEFORE the first view -> chain stops at level 1
+    (3L, "click", ts("2024-03-01 07:00:00")),
+    (3L, "view", ts("2024-03-01 08:00:00")),
+    // u4: never views -> level 0, appears in no step row
+    (4L, "purchase", ts("2024-03-01 08:00:00")),
+    // u5: anchor is the EARLIEST view; the second view cannot re-anchor
+    (5L, "view", ts("2024-03-01 00:00:00")),
+    (5L, "view", ts("2024-03-01 09:00:00")),
+    (5L, "click", ts("2024-03-01 09:10:00"))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnelSteps: order, window, and earliest-view anchoring") {
+    val got = EventOps
+      .funnelSteps(funnelEvents, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 2 * H)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    // u1,u2,u3,u5 viewed; u1,u2 clicked in-window after the view
+    // (u5's click is 9h after its anchor); u1 purchased in-window.
+    assert(got.toSeq == Seq(
+      (1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnelSteps is invariant to input partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) = EventOps
+      .funnelSteps(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 2 * H)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(run(funnelEvents.repartition(7)) == run(funnelEvents.coalesce(1)))
+  }
+
+  test("retentionCohorts: first-touch cohort x day offset") {
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (1L, ts("2024-03-01 23:00:00")),
+      (1L, ts("2024-03-03 10:00:00")),
+      (2L, ts("2024-03-01 09:00:00")), (2L, ts("2024-03-02 09:00:00")),
+      (3L, ts("2024-03-02 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventOps.retentionCohorts(ev, "user_id", "ts")
+      .select(col("cohort_date").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("2024-03-01", 0L, 2L), // u1, u2 on their first day
+      ("2024-03-01", 1L, 1L), // u2 back next day
+      ("2024-03-01", 2L, 1L), // u1 back on day 2
+      ("2024-03-02", 0L, 1L)  // u3's cohort
+    ))
+  }
+
+  test("sequenceMatch: (ts, id) ordering and find-anywhere regex") {
+    val ev = Seq(
+      // u1: same-ts tie broken by event_id -> "vep" (error between) no match
+      (1L, 10L, "view", ts("2024-03-01 08:00:00")),
+      (1L, 11L, "error", ts("2024-03-01 08:00:00")),
+      (1L, 12L, "purchase", ts("2024-03-01 09:00:00")),
+      // u2: "svp" matches v[^e]*p mid-string
+      (2L, 20L, "signup", ts("2024-03-01 08:00:00")),
+      (2L, 21L, "view", ts("2024-03-01 08:05:00")),
+      (2L, 22L, "purchase", ts("2024-03-01 08:10:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps
+      .sequenceMatch(ev.repartition(5), "user_id", "event_type", "ts",
+        "event_id", "v[^e]*p")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, false), (2L, 3L, true)))
+  }
+
+  test("sigmaOutliers: strict inequality at the exact k-sigma boundary") {
+    // cents {100, 300}: mu=200, sigma=100 -> both are EXACTLY 1 sigma
+    // away; strict > must flag neither at k=1.
+    val boundary = Seq(("a", 1L, 1.00), ("a", 2L, 3.00))
+      .toDF("grp", "id", "value")
+    assert(EventOps.sigmaOutliers(boundary, "grp", "value", k = 1).count() == 0)
+
+    // one planted spike among flat values is >3 sigma out
+    val flat = (1L to 99L).map(i => ("b", i, 5.00)) :+ (("b", 100L, 500.00))
+    val got = EventOps
+      .sigmaOutliers(flat.toDF("grp", "id", "value"), "grp", "value", k = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(100L))
+  }
+
+  test("fuzzyNamePairs: blocking recall, threshold, and bucket cap") {
+    val names = Seq(
+      "cold bolt", "old bolt",   // share last token, dist 1
+      "old ring", "old rings",   // share first token, dist 1
+      "red widget",              // no partner
+      "axx yzz", "bxx wzz"       // dist 2 but share NEITHER token: missed by design
+    ).map(Tuple1(_)).toDF("p_name")
+    val got = EntityOps.fuzzyNamePairs(names, "p_name", maxDist = 2)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("cold bolt", "old bolt", 1L),
+      ("old ring", "old rings", 1L)))
+
+    // cap: every name shares last token "x" -> block of 4 over cap 3 drops
+    val hot = Seq("aa x", "ab x", "ac x", "ad x").map(Tuple1(_)).toDF("p_name")
+    assert(EntityOps.fuzzyNamePairs(hot, "p_name", maxDist = 2, bucketCap = 3)
+      .count() == 0)
+    // first-token blocks (size 1 each) survive but match nothing <= dist
+    assert(EntityOps.fuzzyNamePairs(hot, "p_name", maxDist = 3, bucketCap = 10)
+      .count() == 6)
+  }
+}
