@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{Bpe, ProductQuantizer, SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps}
+import graft.operators.{AsOfJoin, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps, SketchStore}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1051,7 +1051,33 @@ object SparkEntry {
     // ----- Blocked fuzzy entity resolution over the part-name
     // dictionary: first/last-token blocking, levenshtein <= 2 ---------
     "q_fuzzy_match" -> ((s, dir) =>
-      EntityOps.fuzzyNamePairs(Tables.part(s, dir), "p_name", maxDist = 2))
+      EntityOps.fuzzyNamePairs(Tables.part(s, dir), "p_name", maxDist = 2)),
+
+    // ----- AggregatingMergeTree analog: daily HLL sketch parts merged
+    // back to per-type distincts (rows-only: sketch estimates are
+    // engine-defined; merge==direct identity proved in SketchStoreSpec)
+    "q_sketch_store" -> ((s, dir) =>
+      SketchStore.mergedDistinct(
+        SketchStore.dailySketches(
+          Tables.events(s, dir), Seq("event_type"), "ts", "user_id"),
+        Seq("event_type"))),
+
+    // ----- Ranking-function suite over one sorted window: every row
+    // its own peer group (custkey tiebreak) so ranks are exact --------
+    "q_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") % 10 === 0)
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(w).cast(LongType).as("rn"),
+          dense_rank().over(w).cast(LongType).as("drk"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2443,6 +2469,15 @@ object SparkEntry {
                  FROM k2 a JOIN k2 b ON a.b2 = b.b2 AND a.name < b.name)
          SELECT name_a, name_b,
                 CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-         FROM c WHERE levenshtein(name_a, name_b) <= 2"""
+         FROM c WHERE levenshtein(name_a, name_b) <= 2""",
+    "q_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(row_number() OVER w AS BIGINT) AS rn,
+                CAST(dense_rank() OVER w AS BIGINT) AS drk,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM customer WHERE c_custkey % 10 = 0
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"""
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted partial-aggregate states, merged at read — the Spark
+  * rendering of ClickHouse's AggregateFunction columns inside an
+  * AggregatingMergeTree (the natural extension of the reference's
+  * uniq/uniqExact split, app/data_quality_check.py:460): instead of
+  * re-scanning history to count distincts over a growing window, store
+  * one mergeable HLL sketch per (keys, day) and answer any
+  * range/rollup query by unioning sketches.
+  *
+  * Spark-first: the sketch IS `functions.hll_sketch_agg` (Apache
+  * DataSketches), its state a plain binary column any parquet store
+  * can hold, its merge `hll_union_agg` — no custom aggregate needed.
+  * The binary states round-trip through parquet bit-for-bit
+  * (md5-asserted in SketchStoreSpec). The merged ESTIMATE is exact
+  * only about the registers, not the merge tree: DataSketches drops
+  * its order-dependent HIP estimator on union, so a different
+  * partitioning of the parts can move the estimate within the
+  * sketch's error bound — the same contract ClickHouse's uniqState
+  * merge trees give. For a fixed store layout the result is
+  * reproducible; any layout stays within the accuracy bound.
+  *
+  * 100 TB posture: the store shrinks each day's events to one ~KB row
+  * per key; answering "distinct users last quarter per type" scans
+  * days x keys sketch rows instead of the event stream. Both the build
+  * and the merge are map-side-combinable single-shuffle aggregates.
+  */
+object SketchStore {
+
+  /** One HLL sketch (and an exact companion count of rows folded in)
+    * per (keys..., day) — the daily "part" an AggregatingMergeTree
+    * would hold. `lgK` trades size for accuracy (12 -> ~1.6 KB, ~2%).
+    */
+  def dailySketches(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      distinctCol: String,
+      lgK: Int = 12
+  ): DataFrame =
+    events
+      .groupBy(keys.map(col) :+ to_date(col(tsCol)).as("day"): _*)
+      .agg(
+        hll_sketch_agg(col(distinctCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge stored sketches back to one estimate per key group —
+    * arbitrary re-aggregation (drop the day, keep any key subset)
+    * without touching raw events.
+    */
+  def mergedDistinct(
+      store: DataFrame,
+      groupKeys: Seq[String]
+  ): DataFrame =
+    store
+      .groupBy(groupKeys.map(col): _*)
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
+          .as("approx_distinct"),
+        count(lit(1)).as("n_parts"),
+        sum(col("n_rows")).as("n_rows"))
+}
