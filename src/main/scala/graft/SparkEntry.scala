@@ -1048,6 +1048,13 @@ object SparkEntry {
       EventOps.sigmaOutliers(Tables.events(s, dir), "event_type", "value", k = 3)
         .select("event_id", "event_type", "value")),
 
+    // ----- Rolling 50-event 3-sigma monitor per user: "normal" drifts
+    // with the stream; same exact integer arithmetic ------------------
+    "q_rolling_outliers" -> ((s, dir) =>
+      EventOps.rollingSigmaOutliers(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "value", windowRows = 50, k = 3)
+        .select("event_id", "user_id", "value")),
+
     // ----- Blocked fuzzy entity resolution over the part-name
     // dictionary: first/last-token blocking, levenshtein <= 2 ---------
     "q_fuzzy_match" -> ((s, dir) =>
@@ -2454,6 +2461,16 @@ object SparkEntry {
          SELECT c.event_id, c.event_type, c.value
          FROM c JOIN s ON c.event_type = s.event_type
          WHERE (s.n*c.v - s.sx)*(s.n*c.v - s.sx) > 9*(s.n*s.sxx - s.sx*s.sx)""",
+    "q_rolling_outliers" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value,
+                CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         r AS (SELECT event_id, user_id, value, v,
+                count(*) OVER w AS n, sum(v) OVER w AS sx,
+                sum(v*v) OVER w AS sxx
+            FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, value FROM r
+         WHERE (n*v - sx)*(n*v - sx) > 9*(n*sxx - sx*sx)""",
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
          k AS (SELECT name, split_part(name, ' ', 1) AS b1,

@@ -175,4 +175,40 @@ object EventOps {
         lit(k.toLong * k) * (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
       .drop("__n", "__sx", "__sxx")
   }
+
+  /** Rolling-window form of [[sigmaOutliers]]: each row is judged
+    * against the trailing `windowRows` rows of ITS OWN key (itself
+    * included), in the same exact integer arithmetic — the detector a
+    * live monitor runs, where "normal" drifts with the stream. The
+    * window never materializes per-row state beyond the running sums
+    * Catalyst keeps for the frame; the only shuffle is the per-key
+    * sort. Short prefixes (fewer than `windowRows` rows yet) still
+    * judge against what exists — n is the ACTUAL frame size.
+    */
+  def rollingSigmaOutliers(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      windowRows: Int,
+      k: Int
+  ): DataFrame = {
+    require(windowRows > 1, s"windowRows=$windowRows must exceed 1")
+    require(k > 0, s"k=$k must be positive")
+    val cents = round(col(valueCol) * 100).cast(DecimalType(38, 0))
+    // idCol breaks ts ties: a ROWS frame over an ambiguous order would
+    // flag different rows on different runs
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val n = count(lit(1)).over(w).cast(DecimalType(38, 0))
+    val sx = sum(cents).over(w)
+    val sxx = sum(cents * cents).over(w)
+    val dev = n * cents - sx
+    events
+      .withColumn("__flag",
+        dev * dev > lit(k.toLong * k) * (n * sxx - sx * sx))
+      .where(col("__flag"))
+      .drop("__flag")
+  }
 }

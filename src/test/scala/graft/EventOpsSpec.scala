@@ -108,6 +108,48 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq(100L))
   }
 
+  test("funnelSteps plans ONE exchange: all window minima share it") {
+    val plan = EventOps
+      .funnelSteps(funnelEvents, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 2 * H)
+      .queryExecution.executedPlan.toString
+    // the event side is shuffled exactly once (user key); the only
+    // other exchange is the final 4-row step aggregation, and the step
+    // dimension arrives by broadcast
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("rollingSigmaOutliers: drifting baseline flags only the spike") {
+    // key "a": 60 flat values then a spike; the rolling window judges
+    // the spike against the trailing 50 -> flagged. A later value at
+    // the old spike level is NOT flagged once the window has drifted
+    // to include the spike... but here values return to flat, so only
+    // the spike trips.
+    val rows = (1 to 60).map(i => ("a", i.toLong, ts("2024-03-01 08:00:00"), 5.00)) ++
+      Seq(("a", 61L, ts("2024-03-01 09:00:00"), 500.00)) ++
+      (62 to 70).map(i => ("a", i.toLong, ts("2024-03-01 10:00:00"), 5.00))
+    val got = EventOps
+      .rollingSigmaOutliers(rows.toDF("k", "id", "ts", "value"),
+        "k", "ts", "id", "value", windowRows = 50, k = 3)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(61L))
+  }
+
+  test("rollingSigmaOutliers is invariant to input partitioning") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 400).map { i =>
+      (s"k${i % 3}", i.toLong, ts("2024-03-01 08:00:00"),
+        if (rnd.nextInt(40) == 0) 900.00 else rnd.nextInt(1000) / 100.0)
+    }
+    def run(np: Int) = EventOps
+      .rollingSigmaOutliers(rows.toDF("k", "id", "ts", "value").repartition(np),
+        "k", "ts", "id", "value", windowRows = 20, k = 3)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(run(1) == run(13))
+  }
+
   test("fuzzyNamePairs: blocking recall, threshold, and bucket cap") {
     val names = Seq(
       "cold bolt", "old bolt",   // share last token, dist 1
