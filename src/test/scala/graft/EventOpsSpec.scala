@@ -108,6 +108,44 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq(100L))
   }
 
+  test("funnelSteps matches a naive per-user reference on random streams") {
+    val steps = Seq("view", "click", "purchase")
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val base = ts("2024-03-01 08:00:00").getTime
+      val events = (1 to 500).map { _ =>
+        (rnd.nextInt(10).toLong, types(rnd.nextInt(types.size)),
+          new Timestamp(base + rnd.nextInt(20000) * 1000L))
+      }
+      // naive greedy, one user at a time, plain Scala
+      val levels = events.groupBy(_._1).map { case (u, evs) =>
+        val t1s = evs.filter(_._2 == steps.head).map(_._3.getTime)
+        if (t1s.isEmpty) u -> 0
+        else {
+          val anchor = t1s.min
+          var prev = anchor
+          var lvl = 1
+          var go = true
+          for (s <- steps.tail if go) {
+            val cand = evs.filter(e => e._2 == s && e._3.getTime > prev &&
+              e._3.getTime <= anchor + 2 * H / 1000).map(_._3.getTime)
+            if (cand.isEmpty) go = false else { prev = cand.min; lvl += 1 }
+          }
+          u -> lvl
+        }
+      }
+      val expect = (1 to steps.size)
+        .map(s => s -> levels.count(_._2 >= s).toLong)
+        .filter(_._2 > 0).toMap
+      val got = EventOps
+        .funnelSteps(events.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps, windowUs = 2 * H)
+        .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("funnelSteps plans ONE exchange: all window minima share it") {
     val plan = EventOps
       .funnelSteps(funnelEvents, "user_id", "event_type", "ts",

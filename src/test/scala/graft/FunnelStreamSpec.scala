@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.EventOps
+import graft.streaming.FunnelStream
+
+case class UserEvent(user_id: Long, event_type: String, ts: Timestamp)
+
+/** Streaming funnel: levels emit only after the watermark closes the
+  * window, equal the batch operator's levels on the same data, and
+  * stay equal when the same events arrive shuffled across
+  * micro-batches (out-of-order within the watermark).
+  */
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val steps = Seq("view", "click", "purchase")
+  private val H = 3600000000L // 1h in us
+
+  // deterministic random stream over 8 users, 2024-03-01 08:00-16:00
+  private def randomEvents(seed: Int): Seq[UserEvent] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    (1 to 300).map { _ =>
+      UserEvent(
+        rnd.nextInt(8).toLong,
+        types(rnd.nextInt(types.size)),
+        new Timestamp(
+          Timestamp.valueOf("2024-03-01 08:00:00").getTime
+            + rnd.nextInt(8 * 3600) * 1000L))
+    }
+  }
+
+  /** Batch per-user levels via the same public operator: funnelSteps
+    * emits cumulative step counts, so recover the level histogram and
+    * compare that (same information, engine-computed).
+    */
+  private def batchStepCounts(events: Seq[UserEvent]): Map[Int, Long] =
+    EventOps.funnelSteps(events.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps, windowUs = 2 * H)
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+
+  private def streamLevels(
+      batches: Seq[Seq[UserEvent]], flushTo: Timestamp): Map[Long, Int] = {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val name = s"funnel_out_${System.nanoTime()}"
+    val q = FunnelStream.funnelLevels(
+      source.toDF(), "user_id", "event_type", "ts", steps,
+      windowUs = 2 * H, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      // advance the watermark far past every window close
+      source.addData(UserEvent(999999L, "error", flushTo))
+      q.processAllAvailable()
+      source.addData(UserEvent(999998L, "error",
+        new Timestamp(flushTo.getTime + 3600000L)))
+      q.processAllAvailable()
+      // one row per funnel EPISODE; the first episode (min anchor_ts)
+      // is the batch-equivalent window
+      spark.table(name)
+        .select("user_id", "level", "anchor_ts")
+        .as[(Long, Int, Timestamp)].collect()
+        .groupBy(_._1)
+        .map { case (u, rows) => u -> rows.minBy(_._3.getTime)._2 }
+    } finally q.stop()
+  }
+
+  test("streaming levels == batch levels, in-order and shuffled batches") {
+    val events = randomEvents(5)
+    val flush = ts("2024-03-03 00:00:00")
+
+    val batch = batchStepCounts(events)
+
+    // in-order: one batch per 2h slice
+    val inOrder = events.sortBy(_.ts.getTime).grouped(80).toSeq
+    val gotInOrder = streamLevels(inOrder, flush)
+
+    // adversarial within the contract: arrival order = event time plus
+    // bounded jitter (< the 10 min watermark), so events land out of
+    // order across batches but never beyond allowed lateness
+    val rnd = new scala.util.Random(7)
+    // precompute jitter keys: a Random inside sortBy's key function
+    // would be re-drawn per comparison (inconsistent comparator)
+    val jittered = events
+      .map(e => (e, e.ts.getTime + (rnd.nextInt(540) - 270) * 1000L))
+      .sortBy(_._2).map(_._1)
+      .grouped(60).toSeq
+    val gotShuffled = streamLevels(jittered, flush)
+
+    assert(gotInOrder == gotShuffled)
+    // histogram equivalence with the batch operator (batch reports
+    // cumulative users-reaching-step)
+    def cum(levels: Map[Long, Int]): Map[Int, Long] =
+      (1 to steps.size)
+        .map(s => s -> levels.count { case (_, l) => l >= s }.toLong).toMap
+    assert(cum(gotInOrder) == batch)
+  }
+
+  test("no emission before the window can close; GC users never emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[UserEvent]
+    val q = FunnelStream.funnelLevels(
+      source.toDF(), "user_id", "event_type", "ts", steps,
+      windowUs = 2 * H, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_open").start()
+    try {
+      source.addData(
+        UserEvent(1L, "view", ts("2024-03-01 08:00:00")),
+        UserEvent(1L, "click", ts("2024-03-01 08:30:00")),
+        UserEvent(2L, "error", ts("2024-03-01 08:00:00"))) // never steps
+      q.processAllAvailable()
+      assert(spark.table("funnel_open").isEmpty) // window still open
+
+      // watermark moves past u1's close (08:00 + 2h + 10min)
+      source.addData(UserEvent(3L, "view", ts("2024-03-01 11:00:00")))
+      q.processAllAvailable()
+      source.addData(UserEvent(3L, "error", ts("2024-03-01 11:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_open").select("user_id", "level")
+        .as[(Long, Int)].collect().toMap
+      assert(got.get(1L).contains(2)) // view+click, no purchase
+      assert(!got.contains(2L)) // GC'd without emission
+    } finally q.stop()
+  }
+}
