@@ -1055,6 +1055,16 @@ object SparkEntry {
         "event_id", "value", windowRows = 50, k = 3)
         .select("event_id", "user_id", "value")),
 
+    // ----- Path analysis: top-20 3-step event paths ------------------
+    "q_event_paths" -> ((s, dir) =>
+      EventOps.eventPaths(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id", k = 20)),
+
+    // ----- Inter-arrival distribution per type: exact log2 buckets ---
+    "q_interarrival_hist" -> ((s, dir) =>
+      EventOps.interArrivalHistogram(Tables.events(s, dir), "event_type",
+        "ts", "event_id")),
+
     // ----- Blocked fuzzy entity resolution over the part-name
     // dictionary: first/last-token blocking, levenshtein <= 2 ---------
     "q_fuzzy_match" -> ((s, dir) =>
@@ -2461,6 +2471,24 @@ object SparkEntry {
          SELECT c.event_id, c.event_type, c.value
          FROM c JOIN s ON c.event_type = s.event_type
          WHERE (s.n*c.v - s.sx)*(s.n*c.v - s.sx) > 9*(s.n*s.sxx - s.sx*s.sx)""",
+    "q_event_paths" ->
+      """WITH p AS (SELECT event_type AS t0,
+                lead(event_type, 1) OVER w AS t1,
+                lead(event_type, 2) OVER w AS t2
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n_paths
+         FROM p WHERE t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""",
+    "q_interarrival_hist" ->
+      """WITH g AS (SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+            FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         SELECT event_type,
+                CAST(CASE WHEN gap <= 0 THEN -1
+                          ELSE length(bin(gap)) - 1 END AS BIGINT) AS bucket,
+                count(*) AS n_gaps
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY 1, 2""",
     "q_rolling_outliers" ->
       """WITH c AS (SELECT event_id, user_id, ts, value,
                 CAST(round(value * 100) AS BIGINT) AS v FROM events),

@@ -139,6 +139,62 @@ object EventOps {
         array_join(transform(col("__evs"), e => e.getField("c")), "")
           .rlike(pattern).as("matched"))
 
+  /** Top-k most common length-3 event paths — "what do users do next"
+    * (the path-analysis companion to the funnel). One per-key sort
+    * window produces the two lookahead types; the trigram counts are a
+    * map-side-combinable aggregate whose key space is event-type^3 —
+    * tiny at any data scale — and the final top-k is a
+    * TakeOrderedAndProject, never a full sort. Ties break on the path
+    * string so the cut is deterministic.
+    */
+  def eventPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(
+        col(typeCol).as("__t0"),
+        lead(col(typeCol), 1).over(w).as("__t1"),
+        lead(col(typeCol), 2).over(w).as("__t2"))
+      .where(col("__t2").isNotNull)
+      .select(concat_ws(">", col("__t0"), col("__t1"), col("__t2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Inter-arrival gap distribution per group: each gap (microseconds
+    * to the previous event of the same group) lands in its
+    * floor(log2) bucket, computed EXACTLY as length(bin(gap))-1 —
+    * integer bit length, no floating log to straddle a power-of-two
+    * boundary differently across engines. Zero gaps (same timestamp)
+    * get bucket -1. One sort window + one tiny aggregate.
+    */
+  def interArrivalHistogram(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      idCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(idCol))
+    val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    events
+      .select(col(groupCol), gap.as("__gap"))
+      .where(col("__gap").isNotNull)
+      .select(col(groupCol),
+        when(col("__gap") <= 0, lit(-1L))
+          .otherwise(length(bin(col("__gap"))) - 1).cast("long").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
   /** Rows where |x - mu| > k*sigma within their group, decided
     * EXACTLY: with cents-scaled integer v, n = group count, sx = sum v,
     * sxx = sum v^2, the condition squares to

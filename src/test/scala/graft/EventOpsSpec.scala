@@ -188,6 +188,40 @@ class EventOpsSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("eventPaths: trigrams in (ts,id) order, deterministic top-k cut") {
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-03-01 08:00:00")),
+      (1L, 2L, "click", ts("2024-03-01 08:01:00")),
+      (1L, 3L, "purchase", ts("2024-03-01 08:02:00")),
+      (1L, 4L, "view", ts("2024-03-01 08:03:00")),
+      (2L, 5L, "view", ts("2024-03-01 08:00:00")),
+      (2L, 6L, "click", ts("2024-03-01 08:01:00")),
+      (2L, 7L, "purchase", ts("2024-03-01 08:02:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps
+      .eventPaths(ev, "user_id", "event_type", "ts", "event_id", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view>click>purchase", 2L),       // both users
+      ("click>purchase>view", 1L)))      // u1 only; ties broke on path
+  }
+
+  test("interArrivalHistogram: exact log2 buckets incl. zero gaps") {
+    val base = ts("2024-03-01 08:00:00").getTime
+    val ev = Seq(
+      // gaps in seconds: 1 (2^0*1e6 us -> bucket 19), 2 (bucket 20),
+      // and a 0-gap tie broken by id -> bucket -1
+      ("a", 1L, new Timestamp(base)),
+      ("a", 2L, new Timestamp(base + 1000)),
+      ("a", 3L, new Timestamp(base + 3000)),
+      ("a", 4L, new Timestamp(base + 3000))
+    ).toDF("grp", "id", "ts")
+    val got = EventOps.interArrivalHistogram(ev, "grp", "ts", "id")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+    // 1000 ms = 1e6 us: bin length 20 -> bucket 19; 2000 ms -> 20
+    assert(got == Seq(("a", -1L, 1L), ("a", 19L, 1L), ("a", 20L, 1L)))
+  }
+
   test("fuzzyNamePairs: blocking recall, threshold, and bucket cap") {
     val names = Seq(
       "cold bolt", "old bolt",   // share last token, dist 1
