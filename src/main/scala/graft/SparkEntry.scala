@@ -1060,6 +1060,11 @@ object SparkEntry {
       EventOps.eventPaths(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id", k = 20)),
 
+    // ----- Funnel latency: time-to-convert stats per step ------------
+    "q_funnel_latency" -> ((s, dir) =>
+      EventOps.funnelLatency(Tables.events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), windowUs = 86400000000L)),
+
     // ----- Inter-arrival distribution per type: exact log2 buckets ---
     "q_interarrival_hist" -> ((s, dir) =>
       EventOps.interArrivalHistogram(Tables.events(s, dir), "event_type",
@@ -2471,6 +2476,34 @@ object SparkEntry {
          SELECT c.event_id, c.event_type, c.value
          FROM c JOIN s ON c.event_type = s.event_type
          WHERE (s.n*c.v - s.sx)*(s.n*c.v - s.sx) > 9*(s.n*s.sxx - s.sx*s.sx)""",
+    "q_funnel_latency" ->
+      """WITH a AS (SELECT user_id, event_type, ts,
+              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t1
+            FROM events),
+         b AS (SELECT *, min(CASE WHEN event_type = 'click'
+                  AND epoch_us(ts) > t1
+                  AND epoch_us(ts) <= t1 + 86400000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t2
+            FROM a),
+         c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                  AND epoch_us(ts) > t2
+                  AND epoch_us(ts) <= t1 + 86400000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t3
+            FROM b),
+         u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+            FROM c GROUP BY 1),
+         l AS (SELECT s.step, s.step_name,
+                 CASE WHEN s.step = 2 THEN u.t2 - u.t1
+                      ELSE u.t3 - u.t1 END AS lat_us
+               FROM u CROSS JOIN (VALUES (2, 'click'), (3, 'purchase'))
+                 s(step, step_name))
+         SELECT step, step_name, count(*) AS n_users,
+                min(lat_us) AS min_us, max(lat_us) AS max_us,
+                CAST(sum(lat_us) AS BIGINT) AS sum_us,
+                CAST(sum(lat_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_us
+         FROM l WHERE lat_us IS NOT NULL
+         GROUP BY 1, 2""",
     "q_event_paths" ->
       """WITH p AS (SELECT event_type AS t0,
                 lead(event_type, 1) OVER w AS t1,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Event-sequence analytics over the keyed event stream — the
   * windowFunnel / retention / sequenceMatch family that ClickHouse
@@ -138,6 +138,61 @@ object EventOps {
         size(col("__evs")).cast("long").as("n_events"),
         array_join(transform(col("__evs"), e => e.getField("c")), "")
           .rlike(pattern).as("matched"))
+
+  /** Time-to-convert statistics per funnel step: for users whose chain
+    * reached step i, the microseconds from anchor to step i's
+    * completion — count, min, max, and mean (mean as an exact
+    * decimal-of-integer-sum divided once at the end, so engines agree
+    * bit-for-bit). Same single-exchange chain as [[funnelSteps]].
+    */
+  def funnelLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    require(steps.size >= 2, "latency needs at least two steps")
+    require(windowUs > 0, s"windowUs=$windowUs must be positive")
+    val w = Window.partitionBy(col(userCol))
+    val us = unix_micros(col(tsCol))
+    var df = events.select(col(userCol), col(typeCol), col(tsCol))
+      .withColumn("__t1", min(when(col(typeCol) === steps.head, us)).over(w))
+    for (i <- 2 to steps.size) df = df.withColumn(
+      s"__t$i",
+      min(when(
+        col(typeCol) === steps(i - 1) &&
+          us > col(s"__t${i - 1}") &&
+          us <= col("__t1") + windowUs,
+        us)).over(w))
+    val users = df.groupBy(col(userCol))
+      .agg(max(col("__t1")).as("t1"),
+        (2 to steps.size).map(i => max(col(s"__t$i")).as(s"t$i")): _*)
+    val spark = events.sparkSession
+    val stepDim = spark.createDataFrame(
+      (2 to steps.size).map(i => (i, steps(i - 1)))
+    ).toDF("step", "step_name")
+    val latCol = (2 to steps.size)
+      .map(i => when(col("step") === i, col(s"t$i") - col("t1")))
+      .reduce(coalesce(_, _))
+    val lat = users
+      .join(broadcast(stepDim), lit(true))
+      .select(col("step"), col("step_name"), latCol.as("lat_us"))
+      .where(col("lat_us").isNotNull)
+    lat.groupBy(col("step"), col("step_name"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("lat_us")).as("min_us"),
+        max(col("lat_us")).as("max_us"),
+        sum(col("lat_us")).as("sum_us"),
+        // one IEEE division of two exactly-represented integers —
+        // bit-equal across engines while sum_us < 2^53 (microsecond
+        // latencies bounded by the window keep that true far past any
+        // realistic user count)
+        (sum(col("lat_us")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_us"))
+  }
 
   /** Top-k most common length-3 event paths — "what do users do next"
     * (the path-analysis companion to the funnel). One per-key sort

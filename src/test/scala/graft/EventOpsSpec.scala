@@ -188,6 +188,19 @@ class EventOpsSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("funnelLatency: per-step time-to-convert from the same chain") {
+    val got = EventOps
+      .funnelLatency(funnelEvents, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 2 * H)
+      .select("step", "n_users", "min_us", "max_us")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // click latencies: u1 30min, u2 10min -> min 10min, max 30min;
+    // purchase: u1 only, 90min
+    assert(got == Seq(
+      (2, 2L, 600000000L, 1800000000L),
+      (3, 1L, 5400000000L, 5400000000L)))
+  }
+
   test("eventPaths: trigrams in (ts,id) order, deterministic top-k cut") {
     val ev = Seq(
       (1L, 1L, "view", ts("2024-03-01 08:00:00")),
