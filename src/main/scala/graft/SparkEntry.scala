@@ -1070,6 +1070,26 @@ object SparkEntry {
       EventOps.interArrivalHistogram(Tables.events(s, dir), "event_type",
         "ts", "event_id")),
 
+    // ----- Weekly lifecycle: new / retained / resurrected / churning -
+    "q_user_lifecycle" -> ((s, dir) =>
+      EventOps.userLifecycle(Tables.events(s, dir), "user_id", "ts")),
+
+    // ----- A/B readout: deterministic 50/50 id-hash split, exact
+    // decimal metric sums per arm over purchase events ----------------
+    "q_ab_metrics" -> ((s, dir) => {
+      val v = col("value").cast(DecimalType(18, 2))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("variant",
+          TextOps.splitAssign(col("user_id"), Seq("a" -> 0.5, "b" -> 0.5)))
+        .groupBy(col("variant"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(v).cast(DoubleType).as("total_value"),
+          sum(v * v).cast(DoubleType).as("total_value_sq"))
+    }),
+
     // ----- Blocked fuzzy entity resolution over the part-name
     // dictionary: first/last-token blocking, levenshtein <= 2 ---------
     "q_fuzzy_match" -> ((s, dir) =>
@@ -2504,6 +2524,35 @@ object SparkEntry {
                 CAST(sum(lat_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_us
          FROM l WHERE lat_us IS NOT NULL
          GROUP BY 1, 2""",
+    "q_user_lifecycle" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS week_start
+            FROM events),
+         cl AS (SELECT week_start,
+                CASE WHEN lag(week_start) OVER w IS NULL THEN 'new'
+                     WHEN date_diff('day', lag(week_start) OVER w, week_start) = 7
+                       THEN 'retained'
+                     ELSE 'resurrected' END AS status,
+                (lead(week_start) OVER w IS NULL
+                  OR date_diff('day', week_start, lead(week_start) OVER w) > 7)
+                  AS churning
+            FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY week_start))
+         SELECT week_start, count(*) AS n_active,
+                count(*) FILTER (WHERE status = 'new') AS n_new,
+                count(*) FILTER (WHERE status = 'retained') AS n_retained,
+                count(*) FILTER (WHERE status = 'resurrected') AS n_resurrected,
+                count(*) FILTER (WHERE churning) AS n_churning
+         FROM cl GROUP BY 1""",
+    "q_ab_metrics" ->
+      """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+                       < 32768 THEN 'a' ELSE 'b' END AS variant,
+                count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value_sq
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1""",
     "q_event_paths" ->
       """WITH p AS (SELECT event_type AS t0,
                 lead(event_type, 1) OVER w AS t1,

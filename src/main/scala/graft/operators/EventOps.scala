@@ -250,6 +250,43 @@ object EventOps {
       .agg(count(lit(1)).as("n_gaps"))
   }
 
+  /** Weekly user-lifecycle accounting — per week, how many active
+    * users are new (first week ever), retained (also active the week
+    * before), or resurrected (active before, but not last week), plus
+    * how many of this week's actives go silent next week (churning).
+    * Two shuffles total: the distinct (user, week) activity set, then
+    * one per-user sort window for the lag/lead classification; the
+    * final count is map-side-combinable. The shuffle carries one row
+    * per user-week — the answer's own size.
+    */
+  def userLifecycle(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val weekly = events
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("week_start"))
+      .distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("week_start"))
+    val prev = lag(col("week_start"), 1).over(w)
+    val next = lead(col("week_start"), 1).over(w)
+    weekly
+      .withColumn("__status",
+        when(prev.isNull, "new")
+          .when(datediff(col("week_start"), prev) === 7, "retained")
+          .otherwise("resurrected"))
+      .withColumn("__churning",
+        next.isNull || datediff(next, col("week_start")) > 7)
+      .groupBy(col("week_start"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        count(when(col("__status") === "new", 1)).as("n_new"),
+        count(when(col("__status") === "retained", 1)).as("n_retained"),
+        count(when(col("__status") === "resurrected", 1)).as("n_resurrected"),
+        count(when(col("__churning"), 1)).as("n_churning"))
+  }
+
   /** Rows where |x - mu| > k*sigma within their group, decided
     * EXACTLY: with cents-scaled integer v, n = group count, sx = sum v,
     * sxx = sum v^2, the condition squares to

@@ -235,6 +235,25 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq(("a", -1L, 1L), ("a", 19L, 1L), ("a", 20L, 1L)))
   }
 
+  test("userLifecycle: new / retained / resurrected / churning") {
+    val ev = Seq(
+      // u1: weeks 1,2,4 -> new, retained(+churning), resurrected(+churning)
+      (1L, ts("2024-03-04 10:00:00")), (1L, ts("2024-03-12 10:00:00")),
+      (1L, ts("2024-03-26 10:00:00")),
+      // u2: week 1 only -> new + churning
+      (2L, ts("2024-03-05 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventOps.userLifecycle(ev, "user_id", "ts")
+      .select(col("week_start").cast("string"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churning"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("2024-03-04", 2L, 0L, 0L, 1L), // u1+u2 new; u2 churns
+      ("2024-03-11", 0L, 1L, 0L, 1L), // u1 retained, then gap -> churning
+      ("2024-03-25", 0L, 0L, 1L, 1L)  // u1 resurrected; last week churns
+    ))
+  }
+
   test("fuzzyNamePairs: blocking recall, threshold, and bucket cap") {
     val names = Seq(
       "cold bolt", "old bolt",   // share last token, dist 1
