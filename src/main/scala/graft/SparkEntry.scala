@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{Bpe, ProductQuantizer, SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, RangeJoin, SessionOps, SketchStore}
+import graft.operators.{AsOfJoin, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, QualityReport, RangeJoin, SessionOps, SketchStore}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1094,6 +1094,25 @@ object SparkEntry {
     // dictionary: first/last-token blocking, levenshtein <= 2 ---------
     "q_fuzzy_match" -> ((s, dir) =>
       EntityOps.fuzzyNamePairs(Tables.part(s, dir), "p_name", maxDist = 2)),
+
+    // ----- One-pass data-quality report: row rules in one aggregate,
+    // key uniqueness, referential integrity (the reference's
+    // data_quality_check battery as declarative constraints) ----------
+    "q_dq_report" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      QualityReport.report(
+        QualityReport.rowReport(e, Seq(
+          QualityReport.notNull("value_not_null", col("value")),
+          QualityReport.inRange("value_range", col("value"), 0.0, 1000.0),
+          QualityReport.matches("type_known", col("event_type"),
+            "^(view|click|purchase|signup|error)$"),
+          QualityReport.RowRule("props_json",
+            get_json_object(col("props"), "$.k").isNull))),
+        QualityReport.uniqueKey(e, "event_id_unique", Seq("event_id")),
+        QualityReport.refIntegrity(
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem_orphans"))
+    }),
 
     // ----- AggregatingMergeTree analog: daily HLL sketch parts merged
     // back to per-type distincts (rows-only: sketch estimates are
@@ -2524,6 +2543,34 @@ object SparkEntry {
                 CAST(sum(lat_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_us
          FROM l WHERE lat_us IS NOT NULL
          GROUP BY 1, 2""",
+    "q_dq_report" ->
+      """SELECT 'value_not_null' AS rule,
+                count(*) FILTER (WHERE value IS NULL) AS violations,
+                count(*) AS total FROM events
+         UNION ALL
+         SELECT 'value_range',
+                count(*) FILTER (WHERE value IS NULL OR value < 0 OR value > 1000),
+                count(*) FROM events
+         UNION ALL
+         SELECT 'type_known',
+                count(*) FILTER (WHERE event_type IS NULL OR NOT
+                  regexp_matches(event_type, '^(view|click|purchase|signup|error)$')),
+                count(*) FROM events
+         UNION ALL
+         SELECT 'props_json',
+                count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL),
+                count(*) FROM events
+         UNION ALL
+         SELECT 'event_id_unique',
+                CAST(COALESCE(sum(n - 1), 0) AS BIGINT),
+                CAST(COALESCE(sum(n), 0) AS BIGINT)
+         FROM (SELECT count(*) AS n FROM events GROUP BY event_id)
+         UNION ALL
+         SELECT 'lineitem_orphans',
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)),
+                (SELECT count(*) FROM lineitem)""",
     "q_user_lifecycle" ->
       """WITH wk AS (SELECT DISTINCT user_id,
                 CAST(date_trunc('week', ts) AS DATE) AS week_start
