@@ -1048,6 +1048,12 @@ object SparkEntry {
       EventOps.sigmaOutliers(Tables.events(s, dir), "event_type", "value", k = 3)
         .select("event_id", "event_type", "value")),
 
+    // ----- Robust median/MAD outliers per event type: thresholds the
+    // outliers can't inflate ------------------------------------------
+    "q_mad_outliers" -> ((s, dir) =>
+      EventOps.madOutliers(Tables.events(s, dir), "event_type", "value", k = 5.0)
+        .select("event_id", "event_type", "value")),
+
     // ----- Rolling 50-event 3-sigma monitor per user: "normal" drifts
     // with the stream; same exact integer arithmetic ------------------
     "q_rolling_outliers" -> ((s, dir) =>
@@ -2618,6 +2624,17 @@ object SparkEntry {
                 count(*) AS n_gaps
          FROM g WHERE gap IS NOT NULL
          GROUP BY 1, 2""",
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+         d AS (SELECT e.event_id, e.event_type, e.value,
+                 abs(e.value - m.med) AS dev
+            FROM events e JOIN m ON e.event_type = m.event_type),
+         md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM d GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.value
+         FROM d JOIN md ON d.event_type = md.event_type
+         WHERE d.dev > 5.0 * md.mad""",
     "q_rolling_outliers" ->
       """WITH c AS (SELECT event_id, user_id, ts, value,
                 CAST(round(value * 100) AS BIGINT) AS v FROM events),

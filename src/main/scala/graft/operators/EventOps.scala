@@ -324,6 +324,38 @@ object EventOps {
       .drop("__n", "__sx", "__sxx")
   }
 
+  /** Robust (median/MAD) outliers per group: rows with
+    * |x - median| > k * MAD, where MAD is the median absolute
+    * deviation. Unlike [[sigmaOutliers]] the thresholds don't move
+    * when the outliers themselves inflate the variance — the robust
+    * detector a monitor wants for heavy-tailed metrics. Both medians
+    * use the same linear-interpolation `percentile`, and every
+    * comparison evaluates the identical double expression in Spark
+    * and the oracle, so the flags reproduce bit-for-bit (the same
+    * contract `q_percentiles` established). The two stats frames are
+    * one row per group and broadcast back — the event table is
+    * scanned, never shuffled.
+    */
+  def madOutliers(
+      events: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double
+  ): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val med = events.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withDev = events
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    withDev
+      .join(broadcast(mad), Seq(groupCol))
+      .where(col("__dev") > lit(k) * col("__mad"))
+      .drop("__med", "__dev", "__mad")
+  }
+
   /** Rolling-window form of [[sigmaOutliers]]: each row is judged
     * against the trailing `windowRows` rows of ITS OWN key (itself
     * included), in the same exact integer arithmetic — the detector a

@@ -235,6 +235,17 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq(("a", -1L, 1L), ("a", 19L, 1L), ("a", 20L, 1L)))
   }
 
+  test("madOutliers: spike flagged; thresholds robust to the spike") {
+    // 99 values uniform-ish around 10, one spike at 500: median and
+    // MAD ignore the spike entirely, so it flags; a mild excursion
+    // (13) does not
+    val rows = (1L to 99L).map(i => ("g", i, 9.0 + (i % 5))) :+ (("g", 100L, 500.00))
+    val got = EventOps
+      .madOutliers(rows.toDF("grp", "id", "value"), "grp", "value", k = 5.0)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(100L))
+  }
+
   test("userLifecycle: new / retained / resurrected / churning") {
     val ev = Seq(
       // u1: weeks 1,2,4 -> new, retained(+churning), resurrected(+churning)
