@@ -83,4 +83,33 @@ object QualityReport {
   /** Union any number of probe outputs into the single report. */
   def report(probes: DataFrame*): DataFrame =
     probes.reduce(_.unionByName(_))
+
+  /** Streaming form of [[rowReport]]: the same one-aggregate rule
+    * evaluation grouped per event-time window, so a live pipeline
+    * watches violation counts per interval (update/complete mode).
+    * Identical rule declarations run in batch backfill and live
+    * monitoring — one definition, two execution modes.
+    */
+  def streamingRowReport(
+      df: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermark: String,
+      rules: Seq[RowRule]
+  ): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map(r =>
+      count(when(r.violated, 1)).as(r.name)) :+ count(lit(1)).as("__total")
+    val one = df
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val pairs = rules.map(r =>
+      struct(lit(r.name).as("rule"), col(r.name).as("violations")))
+    one.select(col("__w.start").as("window_start"),
+        explode(array(pairs: _*)).as("__r"), col("__total"))
+      .select(col("window_start"), col("__r.rule").as("rule"),
+        col("__r.violations").as("violations"),
+        col("__total").as("total"))
+  }
 }

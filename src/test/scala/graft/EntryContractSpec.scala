@@ -19,7 +19,7 @@ class EntryContractSpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "q_approx_distinct", "q_approx_percentiles", "q_knn_kmeans_ivf",
       "q_knn_ivf_probe", "q_lsh_neardup", "q_pq_topk", "q_ivfadc_topk",
-      "q_bpe_tokens", "q_compress_ratio"),
+      "q_bpe_tokens", "q_compress_ratio", "q_sketch_store"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

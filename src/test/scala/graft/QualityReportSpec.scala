@@ -48,6 +48,47 @@ class QualityReportSpec extends SparkSpec {
     assert(scans == 1, s"expected one scan:\n$plan")
   }
 
+  test("streamingRowReport: per-window violation counts on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val report = QualityReport.streamingRowReport(
+      src.toDF().toDF("id", "value", "ts"), "ts", "10 minutes", "5 minutes",
+      Seq(QualityReport.inRange("range", col("value"), 0.0, 100.0)))
+    val q = report.writeStream.outputMode("complete")
+      .format("memory").queryName("dq_stream").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      src.addData((1L, 5.0, t("2024-03-01 08:01:00")),
+        (2L, 500.0, t("2024-03-01 08:02:00")),
+        (3L, 7.0, t("2024-03-01 08:11:00")))
+      q.processAllAvailable()
+      val got = spark.table("dq_stream")
+        .select(col("window_start").cast("string"), col("violations"), col("total"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-03-01 08:00:00", 1L, 2L),
+        ("2024-03-01 08:10:00", 0L, 1L)))
+    } finally q.stop()
+  }
+
+  test("edge: empty frames and singleton groups stay well-defined") {
+    import graft.operators.{EntityOps, EventOps}
+    val emptyEv = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    assert(EventOps.funnelSteps(emptyEv, "user_id", "event_type", "ts",
+      Seq("view", "click"), windowUs = 1000L).count() == 0)
+    assert(EventOps.retentionCohorts(emptyEv, "user_id", "ts").count() == 0)
+
+    // variance-zero singleton: 0 > 0 is false, no flag, no crash
+    val one = Seq(("g", 1L, 5.0)).toDF("grp", "id", "value")
+    assert(EventOps.sigmaOutliers(one, "grp", "value", k = 3).count() == 0)
+    assert(EventOps.madOutliers(one, "grp", "value", k = 5.0).count() == 0)
+
+    val noNames = Seq.empty[Tuple1[String]].toDF("p_name")
+    assert(EntityOps.fuzzyNamePairs(noNames, "p_name", maxDist = 2).count() == 0)
+  }
+
   test("clean data reports zeros, keeps every rule row") {
     val clean = Seq((1L, 5.0, "view")).toDF("id", "value", "event_type")
     val got = QualityReport.report(
