@@ -310,14 +310,16 @@ object EventOps {
   ): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val cents = round(col(valueCol) * 100).cast(DecimalType(38, 0))
-    val stats = events
+    // a null metric would inflate n but not the sums — drop up front
+    val nonNull = events.where(col(valueCol).isNotNull)
+    val stats = nonNull
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).cast(DecimalType(38, 0)).as("__n"),
         sum(cents).as("__sx"),
         sum(cents * cents).as("__sxx"))
     val dev = col("__n") * cents - col("__sx")
-    events
+    nonNull
       .join(broadcast(stats), Seq(groupCol))
       .where(dev * dev >
         lit(k.toLong * k) * (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
@@ -343,9 +345,10 @@ object EventOps {
       k: Double
   ): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val med = events.groupBy(col(groupCol))
+    val nonNull = events.where(col(valueCol).isNotNull)
+    val med = nonNull.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val withDev = events
+    val withDev = nonNull
       .join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = withDev.groupBy(col(groupCol))
@@ -386,6 +389,7 @@ object EventOps {
     val sxx = sum(cents * cents).over(w)
     val dev = n * cents - sx
     events
+      .where(col(valueCol).isNotNull) // null metric: n would count, sums skip
       .withColumn("__flag",
         dev * dev > lit(k.toLong * k) * (n * sxx - sx * sx))
       .where(col("__flag"))

@@ -87,6 +87,12 @@ class QualityReportSpec extends SparkSpec {
 
     val noNames = Seq.empty[Tuple1[String]].toDF("p_name")
     assert(EntityOps.fuzzyNamePairs(noNames, "p_name", maxDist = 2).count() == 0)
+
+    // null metric values are excluded from both stats and flagging
+    val withNull = Seq(("g", 1L, Some(5.0)), ("g", 2L, None),
+      ("g", 3L, Some(5.0)), ("g", 4L, Some(5.0))).toDF("grp", "id", "value")
+    assert(EventOps.sigmaOutliers(withNull, "grp", "value", k = 3).count() == 0)
+    assert(EventOps.madOutliers(withNull, "grp", "value", k = 5.0).count() == 0)
   }
 
   test("clean data reports zeros, keeps every rule row") {
