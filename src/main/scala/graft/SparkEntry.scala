@@ -1080,6 +1080,34 @@ object SparkEntry {
     "q_user_lifecycle" -> ((s, dir) =>
       EventOps.userLifecycle(Tables.events(s, dir), "user_id", "ts")),
 
+    // ----- Temporal modeling (SCD2): each event opens a validity
+    // interval on its user's state, closed by the next event ----------
+    "q_validity_intervals" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+    }),
+
+    // ----- Day-over-day volume change per type: exact-ratio doubles,
+    // flag moves beyond +/-20% ----------------------------------------
+    "q_dod_change" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .where(col("prev_n").isNotNull)
+        .withColumn("change",
+          (col("n") - col("prev_n")).cast(DoubleType) /
+            col("prev_n").cast(DoubleType))
+        .where(abs(col("change")) > 0.2)
+    }),
+
     // ----- A/B readout: deterministic 50/50 id-hash split, exact
     // decimal metric sums per arm over purchase events ----------------
     "q_ab_metrics" -> ((s, dir) => {
@@ -2577,6 +2605,22 @@ object SparkEntry {
                  WHERE NOT EXISTS (SELECT 1 FROM orders o
                                    WHERE o.o_orderkey = l.l_orderkey)),
                 (SELECT count(*) FROM lineitem)""",
+    "q_validity_intervals" ->
+      """SELECT user_id, event_id, event_type,
+                ts AS valid_from,
+                lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to
+         FROM events""",
+    "q_dod_change" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2),
+         x AS (SELECT event_type, day, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+            FROM d)
+         SELECT event_type, day, n, prev_n,
+                CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS change
+         FROM x WHERE prev_n IS NOT NULL
+           AND abs(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)) > 0.2""",
     "q_user_lifecycle" ->
       """WITH wk AS (SELECT DISTINCT user_id,
                 CAST(date_trunc('week', ts) AS DATE) AS week_start
