@@ -1,0 +1,91 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{EventOps, QualityReport, SessionOps, SketchStore}
+
+/** Fluent facade over the event-analytics family — the product-
+  * analytics axis of the engine, mirroring [[CandleTable]] (market
+  * data) and [[CorpusTable]] (training corpora). Wraps a keyed,
+  * timestamped event stream and exposes every analytic as a lazy
+  * DataFrame, so chains optimize as one Catalyst plan.
+  *
+  * {{{
+  * val ev = EventTable(df, "user_id", "event_type", "ts", "event_id")
+  * ev.funnel(Seq("view", "click", "purchase"), window = 24.hoursUs)
+  * ev.retention()
+  * ev.lifecycle()
+  * ev.sigmaOutliers("value", k = 3)
+  * ev.sessions("30 minutes", valueCol = "value")
+  * }}}
+  */
+final case class EventTable(
+    df: DataFrame,
+    userCol: String,
+    typeCol: String,
+    tsCol: String,
+    idCol: String
+) {
+
+  /** Conversion funnel: users reaching each step inside the window. */
+  def funnel(steps: Seq[String], windowUs: Long): DataFrame =
+    EventOps.funnelSteps(df, userCol, typeCol, tsCol, steps, windowUs)
+
+  /** Per-step time-to-convert statistics for the same chain. */
+  def funnelLatency(steps: Seq[String], windowUs: Long): DataFrame =
+    EventOps.funnelLatency(df, userCol, typeCol, tsCol, steps, windowUs)
+
+  /** First-touch cohort x day-offset retention matrix. */
+  def retention(): DataFrame =
+    EventOps.retentionCohorts(df, userCol, tsCol)
+
+  /** Weekly new / retained / resurrected / churning accounting. */
+  def lifecycle(): DataFrame =
+    EventOps.userLifecycle(df, userCol, tsCol)
+
+  /** Per-user ordered event-code string vs a find-anywhere regex. */
+  def sequenceMatch(pattern: String): DataFrame =
+    EventOps.sequenceMatch(df, userCol, typeCol, tsCol, idCol, pattern)
+
+  /** Top-k most common 3-step paths. */
+  def paths(k: Int): DataFrame =
+    EventOps.eventPaths(df, userCol, typeCol, tsCol, idCol, k)
+
+  /** Exact-integer k-sigma outliers of `valueCol` per event type. */
+  def sigmaOutliers(valueCol: String, k: Int): DataFrame =
+    EventOps.sigmaOutliers(df, typeCol, valueCol, k)
+
+  /** Rolling per-user k-sigma monitor over the trailing `windowRows`. */
+  def rollingOutliers(valueCol: String, windowRows: Int, k: Int): DataFrame =
+    EventOps.rollingSigmaOutliers(df, userCol, tsCol, idCol, valueCol,
+      windowRows, k)
+
+  /** Robust median/MAD outliers of `valueCol` per event type. */
+  def madOutliers(valueCol: String, k: Double): DataFrame =
+    EventOps.madOutliers(df, typeCol, valueCol, k)
+
+  /** Inter-arrival gap histogram per event type (exact log2 buckets). */
+  def interArrival(): DataFrame =
+    EventOps.interArrivalHistogram(df, typeCol, tsCol, idCol)
+
+  /** Inactivity-gap sessions per user. */
+  def sessions(gap: String, valueCol: String): DataFrame =
+    SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)
+
+  /** Daily mergeable HLL distinct-user sketches (the sketch store). */
+  def dailyUserSketches(lgK: Int = 12): DataFrame =
+    SketchStore.dailySketches(df, Seq(typeCol), tsCol, userCol, lgK)
+
+  /** One-pass declarative quality report over the stream's rows. */
+  def quality(rules: Seq[QualityReport.RowRule]): DataFrame =
+    QualityReport.rowReport(df, rules)
+
+  /** Restrict to one event type (pushes down to the scan). */
+  def ofType(eventType: String): EventTable =
+    copy(df = df.filter(col(typeCol) === eventType))
+
+  /** Restrict to a time range (partition-prunable predicate). */
+  def between(from: java.sql.Timestamp, to: java.sql.Timestamp): EventTable =
+    copy(df = df.filter(col(tsCol) >= from && col(tsCol) < to))
+}

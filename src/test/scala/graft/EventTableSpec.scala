@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.EventTable
+import graft.operators.QualityReport
+
+/** The fluent facade delegates to the same operators (spot-checked
+  * row-for-row) and its filters compose as pushed-down predicates.
+  */
+class EventTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val ev = EventTable(
+    Seq(
+      (1L, "view", ts("2024-03-01 08:00:00"), 1L, 10.0),
+      (1L, "click", ts("2024-03-01 08:10:00"), 2L, 20.0),
+      (1L, "purchase", ts("2024-03-01 08:20:00"), 3L, 500.0),
+      (2L, "view", ts("2024-03-01 09:00:00"), 4L, 15.0),
+      (2L, "view", ts("2024-03-02 09:00:00"), 5L, 15.0)
+    ).toDF("user_id", "event_type", "ts", "event_id", "value"),
+    "user_id", "event_type", "ts", "event_id")
+
+  test("facade results match the operators they wrap") {
+    val funnel = ev.funnel(Seq("view", "click", "purchase"), 3600000000L)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(funnel == Seq((1, "view", 2L), (2, "click", 1L), (3, "purchase", 1L)))
+
+    val ret = ev.retention().select("day_offset", "n_users")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ret == Seq((0L, 2L), (1L, 1L)))
+
+    val life = ev.lifecycle().select("n_new").as[Long].collect().sorted.toSeq
+    assert(life.sum == 2L)
+
+    assert(ev.sequenceMatch("v.*p").where(col("matched")).count() == 1)
+    assert(ev.paths(5).as[(String, Long)].head() == (("view>click>purchase", 1L)))
+
+    val q = ev.quality(Seq(QualityReport.inRange("r", col("value"), 0, 100)))
+      .as[(String, Long, Long)].head()
+    assert(q == (("r", 1L, 5L)))
+  }
+
+  test("ofType/between compose as plain filters") {
+    // (pushdown-to-parquet is covered by PruningSpec; a local relation
+    // folds the predicate into the scan entirely)
+    val n = ev.ofType("view").between(
+      ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).df.count()
+    assert(n == 2L)
+    assert(ev.ofType("purchase").df.count() == 1L)
+  }
+}
