@@ -2543,7 +2543,8 @@ object SparkEntry {
          FROM events GROUP BY user_id""",
     "q_sigma_outliers" ->
       """WITH c AS (SELECT event_id, event_type, value,
-                CAST(round(value * 100) AS BIGINT) AS v FROM events),
+                CAST(round(value * 100) AS BIGINT) AS v FROM events
+              WHERE value IS NOT NULL),
          s AS (SELECT event_type, count(*) AS n, sum(v) AS sx, sum(v*v) AS sxx
             FROM c GROUP BY 1)
          SELECT c.event_id, c.event_type, c.value
@@ -2681,7 +2682,8 @@ object SparkEntry {
          WHERE d.dev > 5.0 * md.mad""",
     "q_rolling_outliers" ->
       """WITH c AS (SELECT event_id, user_id, ts, value,
-                CAST(round(value * 100) AS BIGINT) AS v FROM events),
+                CAST(round(value * 100) AS BIGINT) AS v FROM events
+              WHERE value IS NOT NULL),
          r AS (SELECT event_id, user_id, value, v,
                 count(*) OVER w AS n, sum(v) OVER w AS sx,
                 sum(v*v) OVER w AS sxx

@@ -40,7 +40,11 @@ object EventOps {
     * never self-join. At 100 TB the shuffle carries (user, ts, type)
     * triples only; project before calling if the stream is wide.
     */
-  def funnelSteps(
+  /** Shared chain builder: per-row columns __t1..__tK with the
+    * conditional window minima of the greedy earliest chain. One
+    * whole-partition window on the user key, no sort.
+    */
+  private def stepTimes(
       events: DataFrame,
       userCol: String,
       typeCol: String,
@@ -61,6 +65,18 @@ object EventOps {
           us > col(s"__t${i - 1}") &&
           us <= col("__t1") + windowUs,
         us)).over(w))
+    df
+  }
+
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    val df = stepTimes(events, userCol, typeCol, tsCol, steps, windowUs)
     // Highest non-null step wins; t_i set implies t_{i-1} set.
     val level = (1 to steps.size).foldLeft(lit(0)) { (acc, i) =>
       when(col(s"__t$i").isNotNull, lit(i)).otherwise(acc)
@@ -154,18 +170,7 @@ object EventOps {
       windowUs: Long
   ): DataFrame = {
     require(steps.size >= 2, "latency needs at least two steps")
-    require(windowUs > 0, s"windowUs=$windowUs must be positive")
-    val w = Window.partitionBy(col(userCol))
-    val us = unix_micros(col(tsCol))
-    var df = events.select(col(userCol), col(typeCol), col(tsCol))
-      .withColumn("__t1", min(when(col(typeCol) === steps.head, us)).over(w))
-    for (i <- 2 to steps.size) df = df.withColumn(
-      s"__t$i",
-      min(when(
-        col(typeCol) === steps(i - 1) &&
-          us > col(s"__t${i - 1}") &&
-          us <= col("__t1") + windowUs,
-        us)).over(w))
+    val df = stepTimes(events, userCol, typeCol, tsCol, steps, windowUs)
     val users = df.groupBy(col(userCol))
       .agg(max(col("__t1")).as("t1"),
         (2 to steps.size).map(i => max(col(s"__t$i")).as(s"t$i")): _*)
@@ -347,12 +352,12 @@ object EventOps {
     require(k > 0, s"k=$k must be positive")
     val nonNull = events.where(col(valueCol).isNotNull)
     val med = nonNull.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
     val withDev = nonNull
       .join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = withDev.groupBy(col(groupCol))
-      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
     withDev
       .join(broadcast(mad), Seq(groupCol))
       .where(col("__dev") > lit(k) * col("__mad"))

@@ -38,14 +38,19 @@ object QualityReport {
     */
   def rowReport(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
-    val aggs = rules.map(r =>
-      count(when(r.violated, 1)).as(r.name)) :+ count(lit(1)).as("__total")
+    // rules are indexed internally (__r0, __r1, ...) so display names
+    // never become column names: dotted, duplicated, or
+    // reserved-looking rule names all stay legal
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      count(when(r.violated, 1)).as(s"__r$i")
+    } :+ count(lit(1)).as("__total")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(r.name).as("violations")))
-    one.select(explode(array(pairs: _*)).as("__r"), col("__total"))
-      .select(col("__r.rule").as("rule"),
-        col("__r.violations").as("violations"),
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"))
+    }
+    one.select(explode(array(pairs: _*)).as("__x"), col("__total"))
+      .select(col("__x.rule").as("rule"),
+        col("__x.violations").as("violations"),
         col("__total").as("total"))
   }
 
@@ -98,18 +103,20 @@ object QualityReport {
       rules: Seq[RowRule]
   ): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
-    val aggs = rules.map(r =>
-      count(when(r.violated, 1)).as(r.name)) :+ count(lit(1)).as("__total")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      count(when(r.violated, 1)).as(s"__r$i")
+    } :+ count(lit(1)).as("__total")
     val one = df
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("__w"))
       .agg(aggs.head, aggs.tail: _*)
-    val pairs = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(r.name).as("violations")))
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"))
+    }
     one.select(col("__w.start").as("window_start"),
-        explode(array(pairs: _*)).as("__r"), col("__total"))
-      .select(col("window_start"), col("__r.rule").as("rule"),
-        col("__r.violations").as("violations"),
+        explode(array(pairs: _*)).as("__x"), col("__total"))
+      .select(col("window_start"), col("__x.rule").as("rule"),
+        col("__x.violations").as("violations"),
         col("__total").as("total"))
   }
 }

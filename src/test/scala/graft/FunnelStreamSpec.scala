@@ -10,9 +10,10 @@ import graft.streaming.FunnelStream
 case class UserEvent(user_id: Long, event_type: String, ts: Timestamp)
 
 /** Streaming funnel: levels emit only after the watermark closes the
-  * window, equal the batch operator's levels on the same data, and
-  * stay equal when the same events arrive shuffled across
-  * micro-batches (out-of-order within the watermark).
+  * window, equal the batch operator's levels on the same data, stay
+  * equal when the same events arrive shuffled across micro-batches
+  * (out-of-order within the watermark), and episode boundaries depend
+  * on event times, not arrival batching.
   */
 class FunnelStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -45,8 +46,10 @@ class FunnelStreamSpec extends SparkSpec {
       "user_id", "event_type", "ts", steps, windowUs = 2 * H)
       .select("step", "n_users").as[(Int, Long)].collect().toMap
 
-  private def streamLevels(
-      batches: Seq[Seq[UserEvent]], flushTo: Timestamp): Map[Long, Int] = {
+  /** All emissions per user, as (level, anchor) pairs. */
+  private def streamEpisodes(
+      batches: Seq[Seq[UserEvent]],
+      flushTo: Timestamp): Map[String, Seq[(Int, Timestamp)]] = {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[UserEvent]
     val name = s"funnel_out_${System.nanoTime()}"
@@ -57,21 +60,36 @@ class FunnelStreamSpec extends SparkSpec {
       .start()
     try {
       batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
-      // advance the watermark far past every window close
-      source.addData(UserEvent(999999L, "error", flushTo))
+      // advance the watermark far past every window close. Flushes must
+      // be STEP events: timeouts only process in batches whose stateful
+      // operator receives rows (see FunnelStream's liveness note) —
+      // and twice, because the watermark updates at batch end and
+      // timeouts fire the batch after.
+      source.addData(UserEvent(999999L, "view", flushTo))
       q.processAllAvailable()
-      source.addData(UserEvent(999998L, "error",
+      source.addData(UserEvent(999998L, "view",
         new Timestamp(flushTo.getTime + 3600000L)))
       q.processAllAvailable()
-      // one row per funnel EPISODE; the first episode (min anchor_ts)
-      // is the batch-equivalent window
+      source.addData(UserEvent(999997L, "view",
+        new Timestamp(flushTo.getTime + 7200000L)))
+      q.processAllAvailable()
       spark.table(name)
         .select("user_id", "level", "anchor_ts")
-        .as[(Long, Int, Timestamp)].collect()
+        .as[(String, Int, Timestamp)].collect()
         .groupBy(_._1)
-        .map { case (u, rows) => u -> rows.minBy(_._3.getTime)._2 }
+        .filterNot { case (u, _) =>
+          Set("999999", "999998", "999997")(u) // the flush users
+        }
+        .map { case (u, rs) =>
+          u -> rs.map(r => (r._2, r._3)).sortBy(_._2.getTime).toSeq
+        }
     } finally q.stop()
   }
+
+  /** First episode (min anchor) per user — the batch-equivalent view. */
+  private def streamLevels(
+      batches: Seq[Seq[UserEvent]], flushTo: Timestamp): Map[String, Int] =
+    streamEpisodes(batches, flushTo).map { case (u, eps) => u -> eps.head._1 }
 
   test("streaming levels == batch levels, in-order and shuffled batches") {
     val events = randomEvents(5)
@@ -86,9 +104,9 @@ class FunnelStreamSpec extends SparkSpec {
     // adversarial within the contract: arrival order = event time plus
     // bounded jitter (< the 10 min watermark), so events land out of
     // order across batches but never beyond allowed lateness
+    // (precomputed keys: a Random inside sortBy's key function would
+    // be re-drawn per comparison — an inconsistent comparator)
     val rnd = new scala.util.Random(7)
-    // precompute jitter keys: a Random inside sortBy's key function
-    // would be re-drawn per comparison (inconsistent comparator)
     val jittered = events
       .map(e => (e, e.ts.getTime + (rnd.nextInt(540) - 270) * 1000L))
       .sortBy(_._2).map(_._1)
@@ -98,10 +116,29 @@ class FunnelStreamSpec extends SparkSpec {
     assert(gotInOrder == gotShuffled)
     // histogram equivalence with the batch operator (batch reports
     // cumulative users-reaching-step)
-    def cum(levels: Map[Long, Int]): Map[Int, Long] =
+    def cum(levels: Map[String, Int]): Map[Int, Long] =
       (1 to steps.size)
         .map(s => s -> levels.count { case (_, l) => l >= s }.toLong).toMap
     assert(cum(gotInOrder) == batch)
+  }
+
+  test("episodes depend on event times, not arrival batching") {
+    // a bursty catch-up read delivers BOTH episodes in one batch: the
+    // first window (view@08:00, level 1) and a second far past it
+    // (view@20:00 -> click@20:30, level 2). The later events must be
+    // retained while the first window is still open.
+    val burst = Seq(
+      UserEvent(1L, "view", ts("2024-03-01 08:00:00")),
+      UserEvent(1L, "view", ts("2024-03-01 20:00:00")),
+      UserEvent(1L, "click", ts("2024-03-01 20:30:00")))
+    val oneBatch = streamEpisodes(Seq(burst), ts("2024-03-03 00:00:00"))
+    val twoBatches = streamEpisodes(
+      Seq(burst.take(1), burst.drop(1)), ts("2024-03-03 00:00:00"))
+    val expect = Seq(
+      (1, ts("2024-03-01 08:00:00")),
+      (2, ts("2024-03-01 20:00:00")))
+    assert(oneBatch("1") == expect)
+    assert(twoBatches("1") == expect)
   }
 
   test("no emission before the window can close; GC users never emit") {
@@ -126,9 +163,9 @@ class FunnelStreamSpec extends SparkSpec {
       source.addData(UserEvent(3L, "error", ts("2024-03-01 11:00:01")))
       q.processAllAvailable()
       val got = spark.table("funnel_open").select("user_id", "level")
-        .as[(Long, Int)].collect().toMap
-      assert(got.get(1L).contains(2)) // view+click, no purchase
-      assert(!got.contains(2L)) // GC'd without emission
+        .as[(String, Int)].collect().toMap
+      assert(got.get("1").contains(2)) // view+click, no purchase
+      assert(!got.contains("2")) // GC'd without emission
     } finally q.stop()
   }
 }
