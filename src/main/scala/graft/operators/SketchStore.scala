@@ -47,6 +47,28 @@ object SketchStore {
         hll_sketch_agg(col(distinctCol), lit(lgK)).as("sketch"),
         count(lit(1)).as("n_rows"))
 
+  /** Streaming build of the daily parts: the same sketch aggregation
+    * over a watermarked stream, one updating row per (keys, day) —
+    * ClickHouse's AggregatingMergeTree ingest path. Write with
+    * update/complete mode (or foreachBatch upsert into the parquet
+    * store); finalized days stop updating once the watermark passes.
+    */
+  def streamingDailySketches(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      distinctCol: String,
+      watermark: String,
+      lgK: Int = 12
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        keys.map(col) :+ window(col(tsCol), "1 day")("start").cast("date").as("day"): _*)
+      .agg(
+        hll_sketch_agg(col(distinctCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
   /** Merge stored sketches back to one estimate per key group —
     * arbitrary re-aggregation (drop the day, keep any key subset)
     * without touching raw events.

@@ -56,6 +56,39 @@ class SketchStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming build: daily sketch parts match the batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = MemoryStream[(String, Timestamp, Long)]
+    val parts = SketchStore.streamingDailySketches(
+      src.toDF().toDF("event_type", "ts", "user_id"),
+      Seq("event_type"), "ts", "user_id", watermark = "1 hour")
+    val q = parts.writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_stream").start()
+    try {
+      val data = events.as[(String, Timestamp, Long)].collect().toSeq
+      data.grouped(2000).foreach { b =>
+        src.addData(b: _*); q.processAllAvailable()
+      }
+      // merged estimates from the streamed parts == from batch parts
+      val streamed = SketchStore.mergedDistinct(
+        spark.table("sketch_stream"), Seq("event_type"))
+        .select("event_type", "approx_distinct", "n_rows")
+        .as[(String, Long, Long)].collect()
+        .map { case (t, e, n) => t -> ((e, n)) }.toMap
+      val batch = SketchStore.mergedDistinct(
+        SketchStore.dailySketches(events, Seq("event_type"), "ts", "user_id"),
+        Seq("event_type"))
+        .select("event_type", "approx_distinct", "n_rows")
+        .as[(String, Long, Long)].collect()
+        .map { case (t, e, n) => t -> ((e, n)) }.toMap
+      assert(streamed.view.mapValues(_._2).toMap == batch.view.mapValues(_._2).toMap) // exact rows
+      for ((t, (est, _)) <- streamed)
+        assert(math.abs(est - batch(t)._1).toDouble / batch(t)._1 < 0.05,
+          s"$t: streamed=$est batch=${batch(t)._1}")
+    } finally q.stop()
+  }
+
   test("sketch states survive a parquet store round-trip and re-slice") {
     val dir = java.nio.file.Files.createTempDirectory("sketch-store").toString
     SketchStore.dailySketches(events, Seq("event_type"), "ts", "user_id")
