@@ -1071,6 +1071,17 @@ object SparkEntry {
       EventOps.funnelLatency(Tables.events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"), windowUs = 86400000000L)),
 
+    // ----- Composition: conversion funnel WITHIN 12h-gap sessions —
+    // sessionize, then funnel keyed on (user, session) ----------------
+    "q_session_funnel" -> ((s, dir) => {
+      val sess = SessionOps.assignSessions(
+        Tables.events(s, dir), Seq("user_id"), "ts", gapSeconds = 43200L)
+        .withColumn("sess_key",
+          concat_ws("#", col("user_id"), col("session_n")))
+      EventOps.funnelSteps(sess, "sess_key", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 604800000000L)
+    }),
+
     // ----- Inter-arrival distribution per type: exact log2 buckets ---
     "q_interarrival_hist" -> ((s, dir) =>
       EventOps.interArrivalHistogram(Tables.events(s, dir), "event_type",
@@ -2550,6 +2561,38 @@ object SparkEntry {
          SELECT c.event_id, c.event_type, c.value
          FROM c JOIN s ON c.event_type = s.event_type
          WHERE (s.n*c.v - s.sx)*(s.n*c.v - s.sx) > 9*(s.n*s.sxx - s.sx*s.sx)""",
+    "q_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sk AS (SELECT event_type, ts,
+              CAST(user_id AS VARCHAR) || '#' ||
+                CAST(CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR) AS sess_key
+            FROM e),
+         a AS (SELECT sess_key, event_type, ts,
+              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                OVER (PARTITION BY sess_key) AS t1
+            FROM sk),
+         b AS (SELECT *, min(CASE WHEN event_type = 'click'
+                  AND epoch_us(ts) > t1
+                  AND epoch_us(ts) <= t1 + 604800000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY sess_key) AS t2
+            FROM a),
+         c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                  AND epoch_us(ts) > t2
+                  AND epoch_us(ts) <= t1 + 604800000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY sess_key) AS t3
+            FROM b),
+         u AS (SELECT sess_key, max(CASE WHEN t3 IS NOT NULL THEN 3
+                                         WHEN t2 IS NOT NULL THEN 2
+                                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS lvl
+            FROM c GROUP BY 1)
+         SELECT s.step, s.step_name, count(*) AS n_users
+         FROM u JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+           s(step, step_name) ON u.lvl >= s.step
+         GROUP BY 1, 2""",
     "q_funnel_latency" ->
       """WITH a AS (SELECT user_id, event_type, ts,
               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
