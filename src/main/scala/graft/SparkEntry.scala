@@ -1119,6 +1119,36 @@ object SparkEntry {
         .where(abs(col("change")) > 0.2)
     }),
 
+    // ----- A/B conversion: per-arm funnel step counts over the same
+    // deterministic id-hash split -------------------------------------
+    "q_ab_funnel" -> ((s, dir) => {
+      val levels = EventOps.funnelUserLevels(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .withColumn("variant",
+          TextOps.splitAssign(col("user_id"), Seq("a" -> 0.5, "b" -> 0.5)))
+      val stepDim = s.createDataFrame(Seq(
+        (1, "view"), (2, "click"), (3, "purchase"))).toDF("step", "step_name")
+      levels
+        .join(broadcast(stepDim), col("level") >= col("step"))
+        .groupBy(col("variant"), col("step"), col("step_name"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ----- Retention rates: the cohort triangle normalized by cohort
+    // size — one IEEE division of exact integers ----------------------
+    "q_retention_rates" -> ((s, dir) => {
+      val cohorts = EventOps.retentionCohorts(Tables.events(s, dir),
+        "user_id", "ts")
+      val sizes = cohorts.filter(col("day_offset") === 0)
+        .select(col("cohort_date"), col("n_users").as("cohort_size"))
+      cohorts.join(broadcast(sizes), Seq("cohort_date"))
+        .select(col("cohort_date"), col("day_offset"), col("n_users"),
+          col("cohort_size"),
+          (col("n_users").cast(DoubleType) /
+            col("cohort_size").cast(DoubleType)).as("rate"))
+    }),
+
     // ----- A/B readout: deterministic 50/50 id-hash split, exact
     // decimal metric sums per arm over purchase events ----------------
     "q_ab_metrics" -> ((s, dir) => {
@@ -2684,6 +2714,47 @@ object SparkEntry {
                 count(*) FILTER (WHERE status = 'resurrected') AS n_resurrected,
                 count(*) FILTER (WHERE churning) AS n_churning
          FROM cl GROUP BY 1""",
+    "q_ab_funnel" ->
+      """WITH a AS (SELECT user_id, event_type, ts,
+              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t1
+            FROM events),
+         b AS (SELECT *, min(CASE WHEN event_type = 'click'
+                  AND epoch_us(ts) > t1
+                  AND epoch_us(ts) <= t1 + 86400000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t2
+            FROM a),
+         c AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                  AND epoch_us(ts) > t2
+                  AND epoch_us(ts) <= t1 + 86400000000 THEN epoch_us(ts) END)
+                OVER (PARTITION BY user_id) AS t3
+            FROM b),
+         u AS (SELECT user_id, max(CASE WHEN t3 IS NOT NULL THEN 3
+                                        WHEN t2 IS NOT NULL THEN 2
+                                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS lvl
+            FROM c GROUP BY 1),
+         v AS (SELECT user_id, lvl,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+                        < 32768 THEN 'a' ELSE 'b' END AS variant
+            FROM u)
+         SELECT v.variant, s.step, s.step_name, count(*) AS n_users
+         FROM v JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+           s(step, step_name) ON v.lvl >= s.step
+         GROUP BY 1, 2, 3""",
+    "q_retention_rates" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         r AS (SELECT f.cohort_date,
+                 date_diff('day', f.cohort_date, a.d) AS day_offset,
+                 count(*) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2),
+         z AS (SELECT cohort_date, n_users AS cohort_size FROM r
+               WHERE day_offset = 0)
+         SELECT r.cohort_date, r.day_offset, r.n_users, z.cohort_size,
+                CAST(r.n_users AS DOUBLE) / CAST(z.cohort_size AS DOUBLE) AS rate
+         FROM r JOIN z ON r.cohort_date = z.cohort_date""",
     "q_ab_metrics" ->
       """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
                        < 32768 THEN 'a' ELSE 'b' END AS variant,

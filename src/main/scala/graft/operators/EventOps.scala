@@ -68,7 +68,11 @@ object EventOps {
     df
   }
 
-  def funnelSteps(
+  /** Per-user funnel level (0..steps.size) — the reusable core of
+    * [[funnelSteps]], exposed for segmented readouts (e.g. conversion
+    * per A/B arm). One exchange on the user key.
+    */
+  def funnelUserLevels(
       events: DataFrame,
       userCol: String,
       typeCol: String,
@@ -81,7 +85,20 @@ object EventOps {
     val level = (1 to steps.size).foldLeft(lit(0)) { (acc, i) =>
       when(col(s"__t$i").isNotNull, lit(i)).otherwise(acc)
     }
-    val users = df.groupBy(col(userCol)).agg(max(level).as("__lvl"))
+    df.groupBy(col(userCol)).agg(max(level).as("level"))
+  }
+
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    val users = funnelUserLevels(
+      events, userCol, typeCol, tsCol, steps, windowUs)
+      .withColumnRenamed("level", "__lvl")
     val spark = events.sparkSession
     val stepDim = spark.createDataFrame(
       steps.zipWithIndex.map { case (n, i) => (i + 1, n) }
