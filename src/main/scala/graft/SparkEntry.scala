@@ -1072,14 +1072,21 @@ object SparkEntry {
         "ts", Seq("view", "click", "purchase"), windowUs = 86400000000L)),
 
     // ----- Composition: conversion funnel WITHIN 12h-gap sessions —
-    // sessionize, then funnel keyed on (user, session) ----------------
+    // sessionize, then funnel keyed on (user, session). Composite keys
+    // (not a concat string) let the funnel windows reuse the
+    // sessionizer's user-hash exchange: ONE shuffle end to end -------
     "q_session_funnel" -> ((s, dir) => {
       val sess = SessionOps.assignSessions(
         Tables.events(s, dir), Seq("user_id"), "ts", gapSeconds = 43200L)
-        .withColumn("sess_key",
-          concat_ws("#", col("user_id"), col("session_n")))
-      EventOps.funnelSteps(sess, "sess_key", "event_type", "ts",
+      val levels = EventOps.funnelLevelsByKey(sess,
+        Seq("user_id", "session_n"), "event_type", "ts",
         Seq("view", "click", "purchase"), windowUs = 604800000000L)
+      val stepDim = s.createDataFrame(Seq(
+        (1, "view"), (2, "click"), (3, "purchase"))).toDF("step", "step_name")
+      levels
+        .join(broadcast(stepDim), col("level") >= col("step"))
+        .groupBy(col("step"), col("step_name"))
+        .agg(count(lit(1)).as("n_users"))
     }),
 
     // ----- Inter-arrival distribution per type: exact log2 buckets ---

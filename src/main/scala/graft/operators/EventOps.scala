@@ -46,17 +46,18 @@ object EventOps {
     */
   private def stepTimes(
       events: DataFrame,
-      userCol: String,
+      keys: Seq[String],
       typeCol: String,
       tsCol: String,
       steps: Seq[String],
       windowUs: Long
   ): DataFrame = {
+    require(keys.nonEmpty, "funnel needs at least one key column")
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowUs > 0, s"windowUs=$windowUs must be positive")
-    val w = Window.partitionBy(col(userCol))
+    val w = Window.partitionBy(keys.map(col): _*)
     val us = unix_micros(col(tsCol))
-    var df = events.select(col(userCol), col(typeCol), col(tsCol))
+    var df = events.select((keys :+ typeCol :+ tsCol).map(col): _*)
       .withColumn("__t1", min(when(col(typeCol) === steps.head, us)).over(w))
     for (i <- 2 to steps.size) df = df.withColumn(
       s"__t$i",
@@ -79,13 +80,31 @@ object EventOps {
       tsCol: String,
       steps: Seq[String],
       windowUs: Long
+  ): DataFrame =
+    funnelLevelsByKey(events, Seq(userCol), typeCol, tsCol, steps, windowUs)
+
+  /** Composite-key form: the funnel entity is (e.g.) a session, not a
+    * user. Keeping the keys as separate columns (instead of a
+    * concatenated string) lets Catalyst reuse an upstream exchange on
+    * a PREFIX of the keys — hash-partitioning on `user` co-locates
+    * every `(user, session)` group, so a sessionize-then-funnel chain
+    * shuffles the events once, not twice (plan-asserted in
+    * EventOpsSpec).
+    */
+  def funnelLevelsByKey(
+      events: DataFrame,
+      keys: Seq[String],
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowUs: Long
   ): DataFrame = {
-    val df = stepTimes(events, userCol, typeCol, tsCol, steps, windowUs)
+    val df = stepTimes(events, keys, typeCol, tsCol, steps, windowUs)
     // Highest non-null step wins; t_i set implies t_{i-1} set.
     val level = (1 to steps.size).foldLeft(lit(0)) { (acc, i) =>
       when(col(s"__t$i").isNotNull, lit(i)).otherwise(acc)
     }
-    df.groupBy(col(userCol)).agg(max(level).as("level"))
+    df.groupBy(keys.map(col): _*).agg(max(level).as("level"))
   }
 
   def funnelSteps(
@@ -187,7 +206,7 @@ object EventOps {
       windowUs: Long
   ): DataFrame = {
     require(steps.size >= 2, "latency needs at least two steps")
-    val df = stepTimes(events, userCol, typeCol, tsCol, steps, windowUs)
+    val df = stepTimes(events, Seq(userCol), typeCol, tsCol, steps, windowUs)
     val users = df.groupBy(col(userCol))
       .agg(max(col("__t1")).as("t1"),
         (2 to steps.size).map(i => max(col(s"__t$i")).as(s"t$i")): _*)

@@ -159,6 +159,20 @@ class EventOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("sessionize-then-funnel reuses the user exchange: one shuffle") {
+    val sess = graft.operators.SessionOps.assignSessions(
+      funnelEvents, Seq("user_id"), "ts", gapSeconds = 3600L)
+    val levels = EventOps.funnelLevelsByKey(sess,
+      Seq("user_id", "session_n"), "event_type", "ts",
+      Seq("view", "click", "purchase"), windowUs = 2 * H)
+    val plan = levels.queryExecution.executedPlan.toString
+    // hash-partitioning on user co-locates (user, session_n) groups,
+    // so the funnel windows and the final aggregate all consume the
+    // sessionizer's single exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("rollingSigmaOutliers: drifting baseline flags only the spike") {
     // key "a": 60 flat values then a spike; the rolling window judges
     // the spike against the trailing 50 -> flagged. A later value at
