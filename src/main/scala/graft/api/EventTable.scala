@@ -73,6 +73,16 @@ final case class EventTable(
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)
 
+  /** Per-session funnel levels: sessionize, then run the chain keyed
+    * on (user, session). Composite keys reuse the sessionizer's
+    * exchange — one shuffle end to end.
+    */
+  def sessionFunnelLevels(
+      gapSeconds: Long, steps: Seq[String], windowUs: Long): DataFrame =
+    EventOps.funnelLevelsByKey(
+      SessionOps.assignSessions(df, Seq(userCol), tsCol, gapSeconds),
+      Seq(userCol, "session_n"), typeCol, tsCol, steps, windowUs)
+
   /** Daily mergeable HLL distinct-user sketches (the sketch store). */
   def dailyUserSketches(lgK: Int = 12): DataFrame =
     SketchStore.dailySketches(df, Seq(typeCol), tsCol, userCol, lgK)

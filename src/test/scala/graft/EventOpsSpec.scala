@@ -159,6 +159,28 @@ class EventOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("sequenceMatch matches a naive reference on random streams") {
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    val rnd = new scala.util.Random(9)
+    val base = ts("2024-03-01 08:00:00").getTime
+    val events = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, types(rnd.nextInt(types.size)),
+        new Timestamp(base + rnd.nextInt(5000) * 1000L))
+    }
+    val pattern = "v[^e]*p"
+    val expect = events.groupBy(_._1).map { case (u, evs) =>
+      val seq = evs.sortBy(e => (e._4.getTime, e._2))
+        .map(_._3.charAt(0)).mkString
+      u -> (evs.size.toLong, pattern.r.findFirstIn(seq).isDefined)
+    }
+    val got = EventOps
+      .sequenceMatch(events.toDF("user_id", "event_id", "event_type", "ts")
+        .repartition(7), "user_id", "event_type", "ts", "event_id", pattern)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
   test("sessionize-then-funnel reuses the user exchange: one shuffle") {
     val sess = graft.operators.SessionOps.assignSessions(
       funnelEvents, Seq("user_id"), "ts", gapSeconds = 3600L)
