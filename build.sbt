@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout (a one-line JSON contract).
+// sbt's default LoggedOutput strategy prefixes every forked-run line
+// with "[info] ", which breaks json.loads on the contract line (the
+// round 1-3 BENCH artifacts all record parsed: null). StdoutOutput
+// inherits the parent streams verbatim — no prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time" line so the
+// contract JSON is the literal last line of sbt's output.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
