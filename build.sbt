@@ -21,6 +21,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // contract JSON is the literal last line of sbt's output.
 Global / showSuccess := false
 Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1172,6 +1172,32 @@ object SparkEntry {
           sum(v * v).cast(DoubleType).as("total_value_sq"))
     }),
 
+    // ----- Multi-touch attribution: first/last/linear credit per
+    // channel, exact cents (linear shares as floor micro-cents) -------
+    "q_attribution" -> ((s, dir) =>
+      EventOps.attribution(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id", "value", convType = "purchase",
+        lookbackUs = 604800000000L)),
+
+    // ----- Categorical drift: chi-square homogeneity of event-type
+    // mix across two periods, exact (num, den) decimal pair -----------
+    "q_drift_chi2" -> ((s, dir) =>
+      EventOps.driftChi2(Tables.events(s, dir), "event_type", "ts",
+        splitTs = "2024-01-16 00:00:00", threshold100 = 384L)
+        // int128-scale integers cross engines as digit strings: a
+        // double cast of >2^53 values risks engine rounding-mode
+        // skew, and raw decimal-vs-HUGEINT trips type-sensitive
+        // comparators; the drift decision itself stays exact above
+        .withColumn("chi2_num", col("chi2_num").cast("string"))
+        .withColumn("chi2_den", col("chi2_den").cast("string"))),
+
+    // ----- Quality-weighted deterministic sampling: keep documents
+    // with probability proportional to length score, zero shuffle ----
+    "q_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), weightScale = 600L, rate = 0.5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))),
+
     // ----- Blocked fuzzy entity resolution over the part-name
     // dictionary: first/last-token blocking, levenshtein <= 2 ---------
     "q_fuzzy_match" -> ((s, dir) =>
@@ -2772,6 +2798,59 @@ object SparkEntry {
                   AS total_value_sq
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1""",
+    "q_attribution" ->
+      """WITH b AS (SELECT user_id, event_type, ts, event_id, value,
+                epoch_us(ts) AS us,
+                coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS epoch
+            FROM events),
+         c AS (SELECT user_id, epoch, us AS conv_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+            FROM b WHERE event_type = 'purchase'
+              AND value IS NOT NULL AND value >= 0),
+         t AS (SELECT user_id, epoch, event_type AS channel, us, event_id
+            FROM b WHERE event_type <> 'purchase'),
+         j AS (SELECT t.channel, c.cents,
+                 row_number() OVER (PARTITION BY t.user_id, t.epoch
+                   ORDER BY t.us, t.event_id) AS rn_first,
+                 row_number() OVER (PARTITION BY t.user_id, t.epoch
+                   ORDER BY t.us DESC, t.event_id DESC) AS rn_last,
+                 count(*) OVER (PARTITION BY t.user_id, t.epoch) AS n
+            FROM t JOIN c ON t.user_id = c.user_id AND t.epoch = c.epoch
+            WHERE c.conv_us - t.us <= 604800000000)
+         SELECT channel, count(*) AS n_touches,
+                sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS n_first,
+                coalesce(sum(CASE WHEN rn_first = 1 THEN cents END), 0)
+                  AS first_touch_cents,
+                sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS n_last,
+                coalesce(sum(CASE WHEN rn_last = 1 THEN cents END), 0)
+                  AS last_touch_cents,
+                sum((cents * 1000000) // n) AS linear_micro_cents
+         FROM j GROUP BY 1""",
+    "q_drift_chi2" ->
+      """WITH p AS (SELECT event_type,
+                sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END) AS n_a,
+                sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 0 ELSE 1 END) AS n_b
+            FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_a) AS HUGEINT) AS ta,
+                        CAST(sum(n_b) AS HUGEINT) AS tb FROM p),
+         x AS (SELECT p.event_type, p.n_a, p.n_b,
+                 CAST(p.n_a AS HUGEINT) * tb - CAST(p.n_b AS HUGEINT) * ta AS d,
+                 CAST(p.n_a + p.n_b AS HUGEINT) * ta * tb AS den
+            FROM p, tot)
+         SELECT event_type, n_a, n_b,
+                CAST(d * d AS VARCHAR) AS chi2_num,
+                CAST(den AS VARCHAR) AS chi2_den,
+                d * d * 100 > 384 * den AS drifted
+         FROM x""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               * 600 < n_chars * 32768""",
     "q_event_paths" ->
       """WITH p AS (SELECT event_type AS t0,
                 lead(event_type, 1) OVER w AS t1,

@@ -534,6 +534,37 @@ object TextOps {
       .drop("__rk")
   }
 
+  /** Weight-proportional deterministic Bernoulli sampling — the
+    * per-ROW generalization of [[stratifiedSample]]'s per-stratum
+    * rates (quality-weighted corpus construction: "sample documents
+    * proportional to quality/length score"). Row i survives with
+    * probability min(1, rate * w_i / weightScale), decided by exact
+    * integer cross-multiplication on the id's 16-bit md5 bucket:
+    *
+    *   u * weightScale < w * floor(rate * 65536)
+    *
+    * — no rand(), no floats, so membership is a pure function of
+    * (id, weight, rate, scale): reproducible across runs, retries and
+    * partitionings, and nested in `rate` (any row kept at rate r is
+    * kept at every r' > r, so ablation subsets need no re-sampling).
+    * Pure projection+filter: zero shuffle at any scale. `weightCol`
+    * must be a non-negative integral column (a count, a scaled score).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      weightScale: Long,
+      rate: Double
+  ): DataFrame = {
+    require(weightScale > 0, s"weightScale=$weightScale must be positive")
+    require(rate >= 0.0 && rate <= 1.0, s"rate=$rate must be in [0, 1]")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.filter(
+      u * lit(weightScale) < weightCol.cast("long") * lit((rate * 65536).toLong))
+  }
+
   /** Out-of-vocabulary rate against a deterministic top-`vocabSize`
     * corpus vocabulary — the tokenizer-coverage signal a pipeline
     * owner reads before committing a token budget ("what fraction of

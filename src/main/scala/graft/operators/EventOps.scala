@@ -436,4 +436,127 @@ object EventOps {
       .where(col("__flag"))
       .drop("__flag")
   }
+
+  /** Multi-touch attribution: credit each conversion's value back to
+    * the touch events that preceded it, under the three standard
+    * models at once — first-touch, last-touch, and linear — per
+    * channel (= event type of the touch).
+    *
+    * Path segmentation: a user's event stream is cut into EPOCHS at
+    * each conversion (touch rows carry the count of conversions
+    * strictly before them, so epoch i's touches are exactly the rows
+    * between conversion i-1 and conversion i); touches attribute to
+    * the conversion closing their epoch, and only if they fall within
+    * `lookbackUs` of it. All credit is exact: conversion values become
+    * cents integers, first/last credit is the full cents value, and
+    * the per-touch linear share is integer-divided into micro-cents
+    * ((cents * 1e6) div n — positive values, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree).
+    *
+    * Plan shape: ONE sort-window exchange on the user builds the
+    * epochs; conversions and touches are filters of that frame, and
+    * everything after — the epoch equi-join, the first/last
+    * row-numbers, the epoch-size count — shuffles on (user, epoch),
+    * one more exchange. The shuffles carry (user, epoch, channel, us,
+    * cents) tuples, never the event payload; at 100 TB project before
+    * calling if the stream is wide.
+    */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      convType: String,
+      lookbackUs: Long
+  ): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs=$lookbackUs must be positive")
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val base = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol), col(valueCol))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__epoch", coalesce(
+        sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val convs = base
+      .where(col(typeCol) === convType && col(valueCol).isNotNull &&
+        col(valueCol) >= 0) // negative cents would split div/floor-div semantics
+      .select(col(userCol), col("__epoch"), col("__us").as("__conv_us"),
+        round(col(valueCol) * 100).cast("long").as("__cents"))
+    val touches = base
+      .where(col(typeCol) =!= convType)
+      .select(col(userCol), col("__epoch"), col(typeCol).as("channel"),
+        col("__us"), col(idCol).as("__id"))
+    val wEpoch = Window.partitionBy(col(userCol), col("__epoch"))
+    val joined = touches
+      .join(convs, Seq(userCol, "__epoch"))
+      .where(col("__conv_us") - col("__us") <= lookbackUs)
+      .withColumn("__rn_first",
+        row_number().over(wEpoch.orderBy(col("__us"), col("__id"))))
+      .withColumn("__rn_last",
+        row_number().over(wEpoch.orderBy(col("__us").desc, col("__id").desc)))
+      .withColumn("__n", count(lit(1)).over(wEpoch))
+      .withColumn("__linear_micros", expr("(__cents * 1000000L) div __n"))
+    joined
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(when(col("__rn_first") === 1, 1L).otherwise(0L)).as("n_first"),
+        coalesce(sum(when(col("__rn_first") === 1, col("__cents"))), lit(0L))
+          .as("first_touch_cents"),
+        sum(when(col("__rn_last") === 1, 1L).otherwise(0L)).as("n_last"),
+        coalesce(sum(when(col("__rn_last") === 1, col("__cents"))), lit(0L))
+          .as("last_touch_cents"),
+        sum(col("__linear_micros")).as("linear_micro_cents"))
+  }
+
+  /** Categorical drift between two time periods — the chi-square
+    * homogeneity test on the (period x event_type) contingency table,
+    * carried as EXACT integers so the flags reproduce bit-for-bit in
+    * any engine at any partitioning (the [[sigmaOutliers]] contract
+    * applied to distribution monitoring).
+    *
+    * For each type with counts (n_a, n_b) against period totals
+    * (N_a, N_b), the type's chi-square contribution reduces to
+    * d^2 / (n * N_a * N_b) with d = n_a*N_b - n_b*N_a and
+    * n = n_a + n_b. No division is performed: the statistic ships as
+    * the (numerator, denominator) pair in decimal(38,0), and the
+    * drift flag compares num * 100 > threshold100 * den — e.g.
+    * threshold100 = 384 is the 5% critical value 3.84 at df = 1.
+    *
+    * Scale shape: one map-side-combined aggregate to per-type counts
+    * (rows = #types, the size of the answer); period totals are a
+    * 1-row aggregate broadcast back. The event stream shuffles
+    * nothing but (type, partial count) rows.
+    */
+  def driftChi2(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      splitTs: String,
+      threshold100: Long
+  ): DataFrame = {
+    require(threshold100 > 0, s"threshold100=$threshold100 must be positive")
+    val dec = DecimalType(38, 0)
+    val inA = col(tsCol) < lit(splitTs).cast("timestamp")
+    val perType = events
+      .groupBy(col(typeCol))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+    val totals = perType.agg(
+      sum(col("n_a")).cast(dec).as("__ta"),
+      sum(col("n_b")).cast(dec).as("__tb"))
+    val d = col("n_a").cast(dec) * col("__tb") - col("n_b").cast(dec) * col("__ta")
+    perType
+      .crossJoin(broadcast(totals))
+      .withColumn("chi2_num", d * d)
+      .withColumn("chi2_den",
+        (col("n_a") + col("n_b")).cast(dec) * col("__ta") * col("__tb"))
+      .withColumn("drifted",
+        col("chi2_num") * lit(100L) > lit(threshold100) * col("chi2_den"))
+      .drop("__ta", "__tb")
+  }
 }

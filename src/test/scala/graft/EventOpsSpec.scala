@@ -322,4 +322,71 @@ class EventOpsSpec extends SparkSpec {
     assert(EntityOps.fuzzyNamePairs(hot, "p_name", maxDist = 3, bucketCap = 10)
       .count() == 6)
   }
+
+  private lazy val attrEvents = Seq(
+    // u1 epoch 0: ad -> email -> ad, converts for 10.00
+    (1L, 101L, "ad", ts("2024-03-01 08:00:00"), null.asInstanceOf[java.lang.Double]),
+    (1L, 102L, "email", ts("2024-03-01 09:00:00"), null.asInstanceOf[java.lang.Double]),
+    (1L, 103L, "ad", ts("2024-03-01 10:00:00"), null.asInstanceOf[java.lang.Double]),
+    (1L, 104L, "buy", ts("2024-03-01 11:00:00"), java.lang.Double.valueOf(10.0)),
+    // u1 epoch 1: single email touch, converts for 6.00
+    (1L, 105L, "email", ts("2024-03-02 08:00:00"), null.asInstanceOf[java.lang.Double]),
+    (1L, 106L, "buy", ts("2024-03-02 09:00:00"), java.lang.Double.valueOf(6.0)),
+    // u2: touch with NO later conversion -> no credit
+    (2L, 201L, "ad", ts("2024-03-01 08:00:00"), null.asInstanceOf[java.lang.Double]),
+    // u3: touch outside the lookback -> excluded from its epoch
+    (3L, 301L, "ad", ts("2024-02-01 08:00:00"), null.asInstanceOf[java.lang.Double]),
+    (3L, 302L, "email", ts("2024-03-01 08:00:00"), null.asInstanceOf[java.lang.Double]),
+    (3L, 303L, "buy", ts("2024-03-01 09:00:00"), java.lang.Double.valueOf(3.0))
+  ).toDF("user_id", "event_id", "event_type", "ts", "value")
+
+  test("attribution: first/last/linear credit per channel, exact") {
+    val got = EventOps.attribution(attrEvents, "user_id", "event_type", "ts",
+      "event_id", "value", convType = "buy", lookbackUs = 7L * 24 * H)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // u1 epoch 0 (1000 cents over ad,email,ad): first=ad, last=ad,
+    //   linear 333333 micro-cents each (1000*1e6 div 3).
+    // u1 epoch 1 (600 cents over email): email gets everything.
+    // u3 (300 cents): only the in-lookback email touch counts.
+    assert(got == Seq(
+      ("ad", 2L, 1L, 1000L, 1L, 1000L, 2L * 333333333L),
+      ("email", 3L, 2L, 900L, 2L, 900L,
+        333333333L + 600000000L + 300000000L)))
+  }
+
+  test("attribution is invariant to input partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.attribution(df, "user_id", "event_type", "ts", "event_id",
+        "value", convType = "buy", lookbackUs = 7L * 24 * H)
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(attrEvents.repartition(7)) == run(attrEvents.coalesce(1)))
+  }
+
+  test("driftChi2: planted mix shift flags only the shifted type") {
+    // 'a' period: 40/40; 'b' period: x stays 40, y collapses to 5
+    val rows =
+      (1 to 40).map(i => (s"e$i", "x", ts("2024-03-01 08:00:00"))) ++
+        (1 to 40).map(i => (s"f$i", "y", ts("2024-03-01 08:00:00"))) ++
+        (1 to 40).map(i => (s"g$i", "x", ts("2024-03-03 08:00:00"))) ++
+        (1 to 5).map(i => (s"h$i", "y", ts("2024-03-03 08:00:00")))
+    val df = rows.toDF("event_id", "event_type", "ts")
+    val got = EventOps.driftChi2(df, "event_type", "ts",
+      splitTs = "2024-03-02 00:00:00", threshold100 = 384L)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("drifted"))
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // x: d = 40*45 - 40*80 = -1400, num = 1.96e6*... vs den: drifted
+    // both rows flag — with TWO types the 2x2 table is symmetric, so
+    // plant a third stable type to isolate the shifted one
+    val rows3 = rows ++ (1 to 40).map(i => (s"k$i", "z", ts("2024-03-01 08:00:00"))) ++
+      (1 to 40).map(i => (s"l$i", "z", ts("2024-03-03 08:00:00")))
+    val got3 = EventOps.driftChi2(rows3.toDF("event_id", "event_type", "ts"),
+      "event_type", "ts", splitTs = "2024-03-02 00:00:00", threshold100 = 384L)
+      .select(col("event_type"), col("drifted"))
+      .as[(String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("x", "y"))
+    assert(got(0) == ("x", 40L, 40L, true) && got(1) == ("y", 40L, 5L, true))
+    assert(got3 == Seq(("x", false), ("y", true), ("z", false)))
+  }
 }

@@ -441,6 +441,30 @@ class TextVectorSpec extends SparkSpec {
     assert(reparted == take5.map(_._1).toSet)
   }
 
+  test("weightedSample: weight-proportional, nested in rate, shuffle-free") {
+    // weights 0, scale/2, >= scale -> p = 0, rate/2, rate (capped)
+    val d = (0L until 3000L).map(i => (i, i % 3 match {
+      case 0 => 0L; case 1 => 500L; case _ => 2000L
+    })).toDF("doc_id", "w")
+    val kept = TextOps.weightedSample(d, "doc_id", col("w"),
+      weightScale = 1000L, rate = 1.0).as[(Long, Long)].collect()
+    assert(kept.count(_._2 == 0L) == 0) // zero weight: never sampled
+    assert(kept.count(_._2 == 2000L) == 1000) // p capped at 1: all kept
+    val half = kept.count(_._2 == 500L)
+    assert(half > 380 && half < 620, s"~50% of 1000 expected, got $half")
+    // nesting: every id kept at rate 0.4 is kept at rate 1.0
+    val smaller = TextOps.weightedSample(d, "doc_id", col("w"),
+      weightScale = 1000L, rate = 0.4).as[(Long, Long)].collect().map(_._1).toSet
+    assert(smaller.subsetOf(kept.map(_._1).toSet))
+    // deterministic across partitionings, and a pure filter (no shuffle)
+    val reparted = TextOps.weightedSample(d.repartition(7), "doc_id", col("w"),
+      weightScale = 1000L, rate = 1.0).as[(Long, Long)].collect().map(_._1).toSet
+    assert(reparted == kept.map(_._1).toSet)
+    val plan = TextOps.weightedSample(d, "doc_id", col("w"), 1000L, 0.5)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"weighted sampling must not shuffle:\n$plan")
+  }
+
   test("tfidfTopTerms ranks the doc-specific repeated term above corpus-wide terms") {
     val d = Seq(
       (1L, "spark spark spark common common"),
