@@ -373,6 +373,30 @@ object SparkEntry {
         docs, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
     }),
 
+    // ----- Incremental dedup resolution: fold the new batch's pairs
+    // into standing groups — only touched components re-solve, and the
+    // standing label table is scanned, never shuffled ----------------
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val oldPairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      val standing = graft.operators.DedupGroups
+        .resolveKeepers(docs, "doc_id", oldPairs)
+        .select(col("doc_id"), col("keeper_id").as("group_id"))
+      val cross = TextOps.minhashCrossPairs(newBatch, "doc_id", "text",
+          docs, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
+        .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
+      val within = TextOps.minhashCandidatePairs(newBatch, "doc_id", "text", 4, 2, 3)
+      val inc = graft.operators.DedupGroups
+        .incrementalGroups(standing, cross.unionByName(within))
+      docs.select(col("doc_id"))
+        .unionByName(newBatch.select(col("doc_id")))
+        .join(inc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    }),
+
     // ----- Compressibility gate (rows-only: deflate has no SQL
     // counterpart; planted-case behavior pinned in TextVectorSpec) ----
     "q_compress_ratio" -> ((s, dir) =>
@@ -1883,6 +1907,36 @@ object SparkEntry {
          ${minhashSigCtes("newdocs", "_n")}
          SELECT DISTINCT n.doc_id AS new_id, k.doc_id AS known_id
          FROM gbands_n n JOIN gbands k USING (band, k0, k1)""",
+    // Incremental CC folds new pairs into standing groups; the oracle
+    // is the EQUIVALENT global statement — transitive closure over the
+    // union of old and new candidate edges (star edges reproduce old
+    // connectivity exactly, so the incremental result matches it).
+    "q_dedup_incremental" ->
+      s"""WITH RECURSIVE
+         newdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+                     FROM documents WHERE doc_id % 10 = 0),
+         ${minhashSigCtes()},
+         ${minhashSigCtes("newdocs", "_n")},
+         cand AS ($minhashPairsSelect),
+         crossc AS (SELECT DISTINCT n.doc_id AS doc_a, k.doc_id AS doc_b
+                    FROM gbands_n n JOIN gbands k USING (band, k0, k1)),
+         withinc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM gbands_n a JOIN gbands_n b USING (band, k0, k1)
+                     WHERE a.doc_id < b.doc_id),
+         alle AS (SELECT doc_a, doc_b FROM cand
+                  UNION SELECT doc_a, doc_b FROM crossc
+                  UNION SELECT doc_a, doc_b FROM withinc),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM alle
+                   UNION SELECT doc_b, doc_a FROM alle),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         ad AS (SELECT doc_id FROM documents
+                UNION ALL SELECT doc_id FROM newdocs)
+         SELECT ad.doc_id, coalesce(g.group_id, ad.doc_id) AS group_id
+         FROM ad LEFT JOIN grp g USING (doc_id)""",
     // Connected components via transitive closure: DuckDB's recursive
     // CTE accumulates every (node, reachable-label) pair; min per node
     // is the component minimum — same contract as the distributed

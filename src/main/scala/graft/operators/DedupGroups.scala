@@ -98,6 +98,58 @@ object DedupGroups {
     labels
   }
 
+  /** Fold a batch of NEW candidate pairs into standing dedup groups
+    * without re-running global CC — the operation a 100 TB corpus
+    * actually performs daily (you never re-cluster the world; you
+    * merge the day's near-dup pairs into yesterday's groups).
+    *
+    * Only components touched by the batch are re-solved: star edges
+    * (doc_id, group_id) reproduce their old connectivity exactly, and
+    * CC runs over star ∪ new pairs — a batch-bounded graph. The
+    * standing label table is SCANNED three times but never shuffled:
+    * the touch probes and the (old group → new group) remap are all
+    * batch-bounded and broadcast back. New pairs may reference docs
+    * absent from `labels` (a brand-new batch); those come back labeled
+    * too. Docs in no pair and no standing row stay absent (coalesce at
+    * the call site, as [[resolveKeepers]] does).
+    *
+    * @param labels standing assignment (doc_id, group_id) — an earlier
+    *               [[connectedComponents]]/[[resolveKeepers]] output
+    * @param newPairs columns (doc_a, doc_b) — the new batch's edges
+    */
+  def incrementalGroups(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      maxIterations: Int = 10
+  ): DataFrame = {
+    val pairs = newPairs.select(
+      col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+    val lbl = labels.select(
+      col("doc_id").cast("long").as("doc_id"), col("group_id").cast("long").as("group_id"))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // groups with any member incident to a new pair (batch-bounded)
+    val touched = lbl.join(broadcast(nodes), Seq("doc_id"))
+      .select(col("group_id")).distinct()
+    val affected = lbl.join(broadcast(touched), Seq("group_id"))
+    val starEdges = affected
+      .select(col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
+    val cc = connectedComponents(starEdges.unionByName(pairs), maxIterations)
+    // every member of an old group shares one cc label (star edges keep
+    // the group connected), so the remap is one row per touched group
+    val remap = lbl.withColumnRenamed("group_id", "old_group")
+      .join(broadcast(cc), Seq("doc_id"))
+      .select(col("old_group"), col("group_id")).distinct()
+    val existingNodes = lbl.join(broadcast(nodes), Seq("doc_id")).select(col("doc_id"))
+    val newIds = nodes.join(broadcast(existingNodes), Seq("doc_id"), "left_anti")
+    val newDocRows = cc.join(broadcast(newIds), Seq("doc_id"))
+    lbl.withColumnRenamed("group_id", "old_group")
+      .join(broadcast(remap), Seq("old_group"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("old_group")).as("group_id"))
+      .unionByName(newDocRows)
+  }
+
   /** Full dedup resolution: every document keeps its id; members of a
     * duplicate group point at the group's keeper (min id); singletons
     * keep themselves.

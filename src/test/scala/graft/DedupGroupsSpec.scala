@@ -63,4 +63,40 @@ class DedupGroupsSpec extends SparkSpec {
     assert(keepers(1L) == 1L && keepers(2L) == 1L && keepers(3L) == 1L)
     assert(keepers(4L) == 4L)
   }
+
+  test("incrementalGroups == global CC over the union graph") {
+    // standing groups: {1,2,3}, {10,11}, {20,21}, singletons 30, 31
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 31L).toDF("doc_id")
+    val standing = DedupGroups.resolveKeepers(docs, "doc_id", oldPairs)
+      .select($"doc_id", $"keeper_id".as("group_id"))
+    // batch: bridges {1..3}+{10,11}; attaches new doc 100 to {20,21};
+    // links standing singleton 30 to new doc 101; pairs two brand-new
+    // docs (200, 201); leaves singleton 31 untouched
+    val newPairs = Seq(
+      (3L, 10L), (100L, 21L), (30L, 101L), (200L, 201L)
+    ).toDF("doc_a", "doc_b")
+    val inc = DedupGroups.incrementalGroups(standing, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val global = DedupGroups.connectedComponents(
+      oldPairs.unionByName(newPairs)).as[(Long, Long)].collect().toMap
+    // every doc the global run labels agrees; untouched standing rows
+    // (31, and 20/21's min path via the remap) come through intact
+    assert(inc.size == 13) // 9 standing docs + 4 brand-new paired docs
+    global.foreach { case (d, g) => assert(inc(d) == g, s"doc $d") }
+    assert(inc(31L) == 31L)
+    assert(inc(1L) == 1L && inc(10L) == 1L && inc(11L) == 1L)
+    assert(inc(100L) == 20L && inc(101L) == 30L)
+    assert(inc(200L) == 200L && inc(201L) == 200L)
+  }
+
+  test("incrementalGroups is invariant to input partitioning") {
+    val standing = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "group_id")
+    val newPairs = Seq((2L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    def run(l: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      DedupGroups.incrementalGroups(l, p).as[(Long, Long)].collect().toMap
+    assert(run(standing.repartition(7), newPairs.repartition(5)) ==
+      run(standing.coalesce(1), newPairs.coalesce(1)))
+  }
 }
