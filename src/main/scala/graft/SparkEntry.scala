@@ -272,6 +272,37 @@ object SparkEntry {
         count(lit(1)).over(w).cast(LongType).as("n_in_frame"))
     }),
 
+    // ----- Technical indicators: Bollinger bands and simple RSI over
+    // the 1h candle rollup — exact cent sums, one IEEE division /
+    // correctly-rounded sqrt at the end -------------------------------
+    "q_bollinger" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.bollinger(r1h, Seq("user_id"), "bucket_ts", "close",
+        nWindow = 20, k = 2)
+    }),
+    "q_rsi" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.rsi(r1h, Seq("user_id"), "bucket_ts", "close", nWindow = 14)
+    }),
+
+    // ----- Volume-weighted average price per part over lineitem:
+    // exact decimal sums, single final division -----------------------
+    "q_vwap" -> ((s, dir) => {
+      val dec = DecimalType(18, 2)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec)).as("__sp"),
+          sum(col("l_quantity").cast(dec)).as("__sq"))
+        .select(col("l_partkey"),
+          col("__sp").cast(DoubleType).as("total_price"),
+          col("__sq").cast(DoubleType).as("total_qty"),
+          (col("__sp").cast(DoubleType) / col("__sq").cast(DoubleType))
+            .as("vwap"))
+    }),
+
     // ----- Ranking: volume rank per day ------------------------------
     "q_rank_by_volume" -> ((s, dir) => {
       val daily = CandleOps.ohlcvRollup(
@@ -1867,6 +1898,64 @@ object SparkEntry {
          FROM r1h
          WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "q_bollinger" ->
+      """WITH r1h AS (
+           SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                  arg_max(value, ts) AS close
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h)
+         SELECT user_id, bucket_ts, cents AS close_cents,
+                count(*) OVER w AS n_in_frame,
+                CAST(sum(cents) OVER w AS DOUBLE)
+                  / CAST(count(*) OVER w AS DOUBLE) AS mid_cents,
+                CAST(sum(cents) OVER w AS DOUBLE)
+                  / CAST(count(*) OVER w AS DOUBLE)
+                  + 2 * sqrt(CAST(count(*) OVER w * (sum(cents * cents) OVER w)
+                               - (sum(cents) OVER w) * (sum(cents) OVER w) AS DOUBLE)
+                             / CAST(count(*) OVER w * count(*) OVER w AS DOUBLE))
+                  AS upper_cents,
+                CAST(sum(cents) OVER w AS DOUBLE)
+                  / CAST(count(*) OVER w AS DOUBLE)
+                  - 2 * sqrt(CAST(count(*) OVER w * (sum(cents * cents) OVER w)
+                               - (sum(cents) OVER w) * (sum(cents) OVER w) AS DOUBLE)
+                             / CAST(count(*) OVER w * count(*) OVER w AS DOUBLE))
+                  AS lower_cents
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_rsi" ->
+      """WITH r1h AS (
+           SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                  arg_max(value, ts) AS close
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         d AS (SELECT user_id, bucket_ts,
+                 cents - lag(cents) OVER (PARTITION BY user_id
+                   ORDER BY bucket_ts) AS dd FROM c),
+         g AS (SELECT user_id, bucket_ts,
+                 sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER w AS gains_cents,
+                 sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER w AS losses_cents
+               FROM d
+               WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts, gains_cents, losses_cents,
+                CASE WHEN gains_cents + losses_cents = 0 THEN NULL
+                     ELSE CAST(gains_cents * 100 AS DOUBLE)
+                          / CAST(gains_cents + losses_cents AS DOUBLE)
+                END AS rsi
+         FROM g""",
+    "q_vwap" ->
+      """SELECT l_partkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS vwap
+         FROM lineitem GROUP BY 1""",
     "q_rank_by_volume" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,

@@ -199,4 +199,77 @@ object CandleOps {
     */
   def floorToGrain(ts: Column, grain: String): Column =
     graft.functions.TimeBucket.time_bucket(ts, grain)
+
+  // ---------------------------------------------------------------------
+  // Technical indicators over a rolled-up candle frame — the natural
+  // read-side extension of the reference's OHLCV views
+  // (notebooks/ohlcv_views.ipynb computes rolling stats per pair).
+  // Every value is bit-reproducible across engines: rolling sums are
+  // exact cents integers; the only float operations are single IEEE
+  // divisions of exact operands, correctly-rounded sqrt, and one
+  // add/sub per band — each deterministic given identical operands.
+  // One sort-window exchange per key; frames never materialize beyond
+  // the running sums Catalyst keeps.
+  // ---------------------------------------------------------------------
+
+  /** Bollinger bands: rolling mid (mean) and +/- k population-sigma
+    * bands over the trailing `nWindow` closes, in cents. Short
+    * prefixes use the actual frame size. The variance never divides
+    * early: num = n*sxx - sx*sx stays an exact long until the final
+    * double division by n*n.
+    */
+  def bollinger(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      nWindow: Int,
+      k: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    require(k > 0, s"k=$k must be positive")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(-(nWindow - 1), Window.currentRow)
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val n = count(lit(1)).over(w)
+    val sx = sum(cents).over(w)
+    val sxx = sum(cents * cents).over(w)
+    val mid = sx.cast(DoubleType) / n.cast(DoubleType)
+    val delta = lit(k) *
+      sqrt((n * sxx - sx * sx).cast(DoubleType) / (n * n).cast(DoubleType))
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
+        n.as("n_in_frame") :+ mid.as("mid_cents") :+
+        (mid + delta).as("upper_cents") :+ (mid - delta).as("lower_cents")): _*)
+  }
+
+  /** Simple (Cutler's) RSI: 100 * gains / (gains + losses) over the
+    * trailing `nWindow` close-to-close moves. Gains/losses are exact
+    * cent sums; the single division happens after the integer
+    * multiply by 100, so the value is one IEEE division of exact
+    * longs. A flat window (no moves) yields NULL, not 0/0.
+    */
+  def rsi(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val d = cents - lag(cents, 1).over(wOrd)
+    val withD = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ d.as("__d")): _*)
+    val gains = sum(when(col("__d") > 0, col("__d")).otherwise(0L)).over(w)
+    val losses = sum(when(col("__d") < 0, -col("__d")).otherwise(0L)).over(w)
+    withD.select(
+      (keys.map(col) :+ col(bucketCol) :+ gains.as("gains_cents") :+
+        losses.as("losses_cents") :+
+        when(gains + losses === 0, lit(null).cast(DoubleType))
+          .otherwise((gains * 100).cast(DoubleType) /
+            (gains + losses).cast(DoubleType)).as("rsi")): _*)
+  }
 }

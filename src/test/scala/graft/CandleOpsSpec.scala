@@ -111,5 +111,39 @@ class CandleOpsSpec extends SparkSpec {
     assert(out.length == 3)
   }
 
+  test("bollinger: exact rolling mid and k-sigma bands in cents") {
+    val closes = Seq(
+      ("S", ts("2024-03-01 08:00:00"), 1.0),
+      ("S", ts("2024-03-01 09:00:00"), 2.0),
+      ("S", ts("2024-03-01 10:00:00"), 3.0)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.bollinger(closes, Seq("sym"), "bucket_ts", "close",
+      nWindow = 2, k = 1)
+      .select("close_cents", "n_in_frame", "mid_cents", "upper_cents", "lower_cents")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    // frame of 2: pop-sigma of {100,200} = 50 cents
+    assert(got == Seq(
+      (100L, 1L, 100.0, 100.0, 100.0),
+      (200L, 2L, 150.0, 200.0, 100.0),
+      (300L, 2L, 250.0, 300.0, 200.0)))
+  }
+
+  test("rsi: gains/losses over close moves, flat window is NULL") {
+    val closes = Seq(
+      ("S", ts("2024-03-01 08:00:00"), 1.0),
+      ("S", ts("2024-03-01 09:00:00"), 2.0),
+      ("S", ts("2024-03-01 10:00:00"), 1.5),
+      ("S", ts("2024-03-01 11:00:00"), 1.5)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.rsi(closes, Seq("sym"), "bucket_ts", "close", nWindow = 2)
+      .select("bucket_ts", "gains_cents", "losses_cents", "rsi")
+      .as[(Timestamp, Long, Long, Option[Double])].collect().sortBy(_._1.getTime).toSeq
+    assert(got.map(t => (t._2, t._3, t._4)) == Seq(
+      (0L, 0L, None),                       // no prior close
+      (100L, 0L, Some(100.0)),              // pure gain
+      (100L, 50L, Some(100.0 * 100 / 150)), // one IEEE division
+      (0L, 50L, Some(0.0))))                // pure loss
+  }
+
   def dfOf(c: Seq[Candle]): DataFrame = c.toDF()
 }
