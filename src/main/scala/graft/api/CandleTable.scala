@@ -96,6 +96,16 @@ final class CandleTable private (
     graft.operators.SessionOps.sessionSummaries(
       df, keys.filterNot(_ == "interval"), tsCol, valueCol, gap)
 
+  /** Bollinger bands over the closes of a `timeframe` rollup. */
+  def bollinger(timeframe: String, nWindow: Int = 20, k: Int = 2): DataFrame =
+    CandleOps.bollinger(rollup(timeframe), keys.filterNot(_ == "interval"),
+      "bucket_ts", "close", nWindow, k)
+
+  /** Simple RSI over the closes of a `timeframe` rollup. */
+  def rsi(timeframe: String, nWindow: Int = 14): DataFrame =
+    CandleOps.rsi(rollup(timeframe), keys.filterNot(_ == "interval"),
+      "bucket_ts", "close", nWindow)
+
   /** Typed view for case-class-level logic. */
   def typed(implicit spark: SparkSession): Dataset[Candle] = {
     import spark.implicits._

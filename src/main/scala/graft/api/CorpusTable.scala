@@ -37,6 +37,13 @@ final class CorpusTable private (
   def redacted: CorpusTable = rewrap(
     df.withColumn(textCol, TextOps.redactPii(col(textCol))))
 
+  /** Weight-proportional deterministic Bernoulli sample — keep each
+    * row with probability min(1, rate * weight / weightScale); pure
+    * filter, nested in `rate`.
+    */
+  def sampledByWeight(weightCol: String, weightScale: Long, rate: Double): CorpusTable =
+    rewrap(TextOps.weightedSample(df, idCol, col(weightCol), weightScale, rate))
+
   /** Keep one document per exact content hash (min id wins). */
   def dedupedExact: CorpusTable = rewrap(
     df.join(

@@ -69,6 +69,15 @@ final case class EventTable(
   def interArrival(): DataFrame =
     EventOps.interArrivalHistogram(df, typeCol, tsCol, idCol)
 
+  /** Multi-touch attribution of `convType` conversions to channels. */
+  def attribution(valueCol: String, convType: String, lookbackUs: Long): DataFrame =
+    EventOps.attribution(df, userCol, typeCol, tsCol, idCol, valueCol,
+      convType, lookbackUs)
+
+  /** Chi-square event-mix drift across the `splitTs` boundary. */
+  def drift(splitTs: String, threshold100: Long = 384L): DataFrame =
+    EventOps.driftChi2(df, typeCol, tsCol, splitTs, threshold100)
+
   /** Inactivity-gap sessions per user. */
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)

@@ -43,6 +43,18 @@ class CandleTableSpec extends SparkSpec {
     assert(h0.getAs[Double]("volume") == 600.0)
   }
 
+  test("indicator facades delegate to CandleOps over the same rollup") {
+    val t = CandleTable(raw.toDF()).validated.deduped
+    val viaFacade = t.bollinger("1h", nWindow = 2, k = 1)
+      .orderBy("bucket_ts").collect().toSeq
+    val direct = graft.operators.CandleOps.bollinger(t.rollup("1h"),
+        Seq("exchange", "symbol"), "bucket_ts", "close", 2, 1)
+      .orderBy("bucket_ts").collect().toSeq
+    assert(viaFacade == direct && viaFacade.nonEmpty)
+    val rsiRows = t.rsi("1h", nWindow = 2).collect()
+    assert(rsiRows.length == direct.length)
+  }
+
   test("gap scan and freshness on the deduped view") {
     val holes = raw.filterNot(c =>
       c.start == ts("2024-03-01 08:10:00") || c.start == ts("2024-03-01 08:11:00"))

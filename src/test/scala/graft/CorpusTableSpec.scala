@@ -57,6 +57,18 @@ class CorpusTableSpec extends SparkSpec {
     assert(viaFacade == viaLiterals && viaFacade.nonEmpty)
   }
 
+  test("sampledByWeight delegates to weightedSample") {
+    val docs = (0L until 200L)
+      .map(i => (i, "tok tok tok", 1L + i % 100))
+      .toDF("doc_id", "text", "w")
+    val viaFacade = CorpusTable(docs).sampledByWeight("w", 100L, 0.8)
+      .df.select("doc_id").as[Long].collect().toSet
+    val direct = graft.functions.TextOps.weightedSample(docs, "doc_id",
+        col("w"), 100L, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFacade == direct && viaFacade.nonEmpty)
+  }
+
   test("withOovRate and packed join their columns onto the corpus") {
     val docs = Seq(
       (0L, "a a b", "g"), (1L, "a b c", "g"), (2L, "x y z", "h")

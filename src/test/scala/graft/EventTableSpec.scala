@@ -43,6 +43,20 @@ class EventTableSpec extends SparkSpec {
     val q = ev.quality(Seq(QualityReport.inRange("r", col("value"), 0, 100)))
       .as[(String, Long, Long)].head()
     assert(q == (("r", 1L, 5L)))
+
+    // u1's 500.00 purchase credits view (first) and click (last);
+    // linear splits 50000 cents over both touches
+    val attr = ev.attribution("value", "purchase", 86400000000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(attr == Seq(
+      ("click", 1L, 0L, 0L, 1L, 50000L, 25000000000L),
+      ("view", 1L, 1L, 50000L, 0L, 0L, 25000000000L)))
+
+    val dr = ev.drift("2024-03-02 00:00:00")
+      .select("event_type", "n_a", "n_b")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dr == Seq(("click", 1L, 0L), ("purchase", 1L, 0L), ("view", 2L, 1L)))
   }
 
   test("ofType/between compose as plain filters") {
