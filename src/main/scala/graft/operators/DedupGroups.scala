@@ -58,7 +58,7 @@ object DedupGroups {
     // strictly decreases iff any node changed — one tiny aggregate
     // instead of a join per round
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("group_id")).head().getLong(0)
+      df.agg(coalesce(sum("group_id"), lit(0L))).head().getLong(0)
 
     var prevSum = labelSum(labels)
     var converged = false

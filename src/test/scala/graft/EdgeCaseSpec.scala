@@ -200,6 +200,54 @@ class EdgeCaseSpec extends SparkSpec {
     // compress_ratio on empty is 1.0 by convention (tested in TextVectorSpec)
   }
 
+  test("round-4 ops survive empty/degenerate inputs") {
+    import graft.operators.{DedupGroups, EventOps}
+    val ev = Seq(
+      (1L, 1L, "view", Timestamp.valueOf("2024-03-01 08:00:00"), 1.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val emptyEv = ev.filter($"user_id" < 0)
+    // attribution with zero conversions (or empty input) is empty
+    assert(EventOps.attribution(ev, "user_id", "event_type", "ts",
+      "event_id", "value", "purchase", 1000000L).count() == 0)
+    assert(EventOps.attribution(emptyEv, "user_id", "event_type", "ts",
+      "event_id", "value", "purchase", 1000000L).count() == 0)
+    // drift with every event in one period: d = na*0 - 0*Na = 0 and
+    // den = n*Na*0 = 0 — no division anywhere, so no crash and no
+    // flag (0 > 0 is false), which is the right read of "no B data"
+    val dr = EventOps.driftChi2(ev, "event_type", "ts",
+      "2024-06-01 00:00:00", 384L)
+      .select($"n_a", $"n_b", $"drifted").as[(Long, Long, Boolean)].collect()
+    assert(dr.toSeq == Seq((1L, 0L, false)))
+    assert(EventOps.driftChi2(emptyEv, "event_type", "ts",
+      "2024-06-01 00:00:00", 384L).count() == 0)
+    // incremental CC: empty batch leaves standing labels untouched;
+    // empty standing labels reduce to plain CC of the batch
+    val standing = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "group_id")
+    val noPairs = standing.filter($"doc_id" < 0)
+      .toDF("doc_a", "doc_b")
+    assert(DedupGroups.incrementalGroups(standing, noPairs)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    val noLabels = standing.filter($"doc_id" < 0)
+    assert(DedupGroups.incrementalGroups(noLabels,
+        Seq((5L, 6L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap == Map(5L -> 5L, 6L -> 5L))
+    // weighted sample: zero weight keeps nothing even at rate 1
+    val docs = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "w")
+    assert(TextOps.weightedSample(docs, "doc_id", $"w", 100L, 1.0).count() == 0)
+    // indicators on a single row: bands collapse to the close, RSI null
+    val one = Seq(("S", Timestamp.valueOf("2024-03-01 08:00:00"), 2.0))
+      .toDF("sym", "bucket_ts", "close")
+    val b = graft.operators.CandleOps
+      .bollinger(one, Seq("sym"), "bucket_ts", "close", 2, 2)
+      .select($"mid_cents", $"upper_cents", $"lower_cents")
+      .as[(Double, Double, Double)].head()
+    assert(b == ((200.0, 200.0, 200.0)))
+    val r = graft.operators.CandleOps
+      .rsi(one, Seq("sym"), "bucket_ts", "close", 2)
+      .select($"rsi").as[Option[Double]].head()
+    assert(r.isEmpty)
+  }
+
   test("multi-probe IVF with nprobe exceeding cluster count equals brute force within clusters") {
     import graft.functions.VectorOps
     val vecs = Seq(
