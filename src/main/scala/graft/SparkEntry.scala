@@ -411,14 +411,23 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val newBatch = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val oldPairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      // band each side ONCE (the signature-store pattern: corpus keys
+      // computed/persisted once, reused by the self- and cross-joins)
+      val (corpusBanded, keyCols) = TextOps.minhashBanded(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 2,
+        shingleSize = 3, bucketCap = 10000L)
+      val cb = corpusBanded.localCheckpoint(true)
+      val (batchBanded, _) = TextOps.minhashBanded(
+        newBatch, "doc_id", "text", bands = 4, rowsPerBand = 2,
+        shingleSize = 3, bucketCap = 10000L)
+      val bb = batchBanded.localCheckpoint(true)
+      val oldPairs = TextOps.minhashPairsFromBanded(cb, "doc_id", keyCols)
       val standing = graft.operators.DedupGroups
         .resolveKeepers(docs, "doc_id", oldPairs)
         .select(col("doc_id"), col("keeper_id").as("group_id"))
-      val cross = TextOps.minhashCrossPairs(newBatch, "doc_id", "text",
-          docs, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
+      val cross = TextOps.minhashCrossFromBanded(bb, "doc_id", cb, "doc_id", keyCols)
         .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
-      val within = TextOps.minhashCandidatePairs(newBatch, "doc_id", "text", 4, 2, 3)
+      val within = TextOps.minhashPairsFromBanded(bb, "doc_id", keyCols)
       val inc = graft.operators.DedupGroups
         .incrementalGroups(standing, cross.unionByName(within))
       docs.select(col("doc_id"))

@@ -101,9 +101,14 @@ object TextOps {
     */
   /** Banded, hot-bucket-guarded LSH keys: (id, band, k0..k{r-1}). The
     * shared stage behind the self-join ([[minhashCandidatePairs]]) and
-    * the incremental cross-join ([[minhashCrossPairs]]).
+    * the incremental cross-join ([[minhashCrossPairs]]). PUBLIC so a
+    * caller that needs the same side in several joins (self + cross,
+    * as the incremental dedup flow does) — or that persists a
+    * signature store — can band once and feed
+    * [[minhashPairsFromBanded]] / [[minhashCrossFromBanded]] instead
+    * of recomputing signatures per call.
     */
-  private def minhashBanded(
+  def minhashBanded(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -137,13 +142,38 @@ object TextOps {
   ): DataFrame = {
     val (guarded, keyCols) =
       minhashBanded(docs, idCol, textCol, bands, rowsPerBand, shingleSize, bucketCap)
-    val a = guarded.select(col(idCol).as("doc_a") +: col("band") +: keyCols.map(col): _*)
-    val b = guarded.select(col(idCol).as("doc_b") +: col("band") +: keyCols.map(col): _*)
+    minhashPairsFromBanded(guarded, idCol, keyCols)
+  }
+
+  /** Self-join form over pre-banded keys (see [[minhashBanded]]). */
+  def minhashPairsFromBanded(
+      banded: DataFrame,
+      idCol: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val a = banded.select(col(idCol).as("doc_a") +: col("band") +: keyCols.map(col): _*)
+    val b = banded.select(col(idCol).as("doc_b") +: col("band") +: keyCols.map(col): _*)
     a.join(b, "band" +: keyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** Cross-join form over pre-banded keys (see [[minhashBanded]]). */
+  def minhashCrossFromBanded(
+      newBanded: DataFrame,
+      newIdCol: String,
+      knownBanded: DataFrame,
+      knownIdCol: String,
+      keyCols: Seq[String]
+  ): DataFrame =
+    newBanded
+      .select(col(newIdCol).as("new_id") +: col("band") +: keyCols.map(col): _*)
+      .join(knownBanded.select(
+        col(knownIdCol).as("known_id") +: col("band") +: keyCols.map(col): _*),
+        "band" +: keyCols)
+      .select("new_id", "known_id")
+      .distinct()
 
   /** Incremental near-dup: candidate pairs between a NEW batch and the
     * EXISTING corpus — the ingest path at scale (a new crawl checks
@@ -170,11 +200,7 @@ object TextOps {
       minhashBanded(newDocs, newIdCol, newTextCol, bands, rowsPerBand, shingleSize, bucketCap)
     val (k, _) =
       minhashBanded(known, knownIdCol, knownTextCol, bands, rowsPerBand, shingleSize, bucketCap)
-    n.select(col(newIdCol).as("new_id") +: col("band") +: keyCols.map(col): _*)
-      .join(k.select(col(knownIdCol).as("known_id") +: col("band") +: keyCols.map(col): _*),
-        "band" +: keyCols)
-      .select("new_id", "known_id")
-      .distinct()
+    minhashCrossFromBanded(n, newIdCol, k, knownIdCol, keyCols)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs: join
