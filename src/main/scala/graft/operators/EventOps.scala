@@ -531,6 +531,58 @@ object EventOps {
     * 1-row aggregate broadcast back. The event stream shuffles
     * nothing but (type, partial count) rows.
     */
+  /** Streaming form of [[driftChi2]]: each event-time window's type
+    * mix is tested against a DECLARED reference distribution
+    * (`expected` relative weights, exact integers) — chi-square
+    * goodness-of-fit per (window, type) in the same no-division
+    * arithmetic, so the flags are reproducible and the whole monitor
+    * is ONE windowed streaming aggregate (append-mode compatible:
+    * conditional counts per declared type, no chained aggregation).
+    * Rows with types outside `expected` are ignored by construction —
+    * declare an explicit catch-all weight if they should count.
+    * Works identically on a batch frame (watermark is a no-op there),
+    * so backfill and live monitoring share one definition.
+    */
+  def streamingDriftChi2(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      windowLen: String,
+      watermark: String,
+      expected: Seq[(String, Long)],
+      threshold100: Long
+  ): DataFrame = {
+    require(expected.nonEmpty, "need at least one expected type")
+    require(expected.forall(_._2 > 0), s"weights must be positive: $expected")
+    require(threshold100 > 0, s"threshold100=$threshold100 must be positive")
+    val dec = DecimalType(38, 0)
+    val totalW = expected.map(_._2).sum
+    val aggs = expected.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val one = df
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__total",
+        expected.indices.map(i => col(s"__n$i")).reduce(_ + _))
+    val cells = expected.zipWithIndex.map { case ((t, w), i) =>
+      val o = col(s"__n$i").cast(dec)
+      val n = col("__total").cast(dec)
+      val d = o * lit(totalW) - n * lit(w)
+      struct(
+        lit(t).as("event_type"),
+        col(s"__n$i").as("n"),
+        (d * d * lit(100L) > lit(threshold100) * n * lit(w) * lit(totalW))
+          .as("drifted"))
+    }
+    one.select(col("__w.start").as("window_start"),
+        explode(array(cells: _*)).as("__c"), col("__total"))
+      .select(col("window_start"), col("__c.event_type").as("event_type"),
+        col("__c.n").as("n"), col("__total").as("total"),
+        col("__c.drifted").as("drifted"))
+  }
+
   def driftChi2(
       events: DataFrame,
       typeCol: String,

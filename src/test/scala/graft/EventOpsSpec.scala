@@ -389,4 +389,46 @@ class EventOpsSpec extends SparkSpec {
     assert(got(0) == ("x", 40L, 40L, true) && got(1) == ("y", 40L, 5L, true))
     assert(got3 == Seq(("x", false), ("y", true), ("z", false)))
   }
+
+  test("streamingDriftChi2: per-window goodness-of-fit vs declared mix") {
+    // expected 1:1 x/y; window 1 balanced (no flag), window 2 all-x
+    val rows =
+      (1 to 30).map(i => (s"a$i", if (i % 2 == 0) "x" else "y",
+        ts("2024-03-01 08:05:00"))) ++
+        (1 to 30).map(i => (s"b$i", "x", ts("2024-03-01 09:05:00"))) ++
+        Seq(("z1", "other", ts("2024-03-01 09:06:00"))) // undeclared: ignored
+    val batch = rows.toDF("event_id", "event_type", "ts")
+    val got = EventOps.streamingDriftChi2(batch, "event_type", "ts",
+      windowLen = "1 hour", watermark = "1 minute",
+      expected = Seq("x" -> 1L, "y" -> 1L), threshold100 = 384L)
+      .as[(Timestamp, String, Long, Long, Boolean)]
+      .collect().sortBy(t => (t._1.getTime, t._2)).toSeq
+    assert(got == Seq(
+      (ts("2024-03-01 08:00:00"), "x", 15L, 30L, false),
+      (ts("2024-03-01 08:00:00"), "y", 15L, 30L, false),
+      (ts("2024-03-01 09:00:00"), "x", 30L, 30L, true),
+      (ts("2024-03-01 09:00:00"), "y", 0L, 30L, true)))
+
+    // and the same definition runs as a live append-mode stream
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Timestamp)]
+    val out = EventOps.streamingDriftChi2(
+      source.toDF().toDF("event_id", "event_type", "ts"),
+      "event_type", "ts", "1 hour", "1 minute",
+      Seq("x" -> 1L, "y" -> 1L), 384L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_out").start()
+    try {
+      source.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+      q.processAllAvailable()
+      // advance the watermark past window 1 so it closes and emits
+      source.addData(("w", "x", ts("2024-03-01 10:30:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("drift_out")
+        .as[(Timestamp, String, Long, Long, Boolean)]
+        .collect().sortBy(t => (t._1.getTime, t._2)).toSeq
+      assert(streamed == got)
+    } finally q.stop()
+  }
 }
