@@ -1236,6 +1236,12 @@ object SparkEntry {
           sum(v * v).cast(DoubleType).as("total_value_sq"))
     }),
 
+    // ----- Markov journey model: adjacent-transition counts and
+    // exact-ratio probabilities per from-type ------------------------
+    "q_markov_transitions" -> ((s, dir) =>
+      EventOps.markovTransitions(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id")),
+
     // ----- Multi-touch attribution: first/last/linear credit per
     // channel, exact cents (linear shares as floor micro-cents) -------
     "q_attribution" -> ((s, dir) =>
@@ -2950,6 +2956,18 @@ object SparkEntry {
                   AS total_value_sq
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1""",
+    "q_markov_transitions" ->
+      """WITH adj AS (SELECT event_type AS from_type,
+                lead(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type
+            FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM adj
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                sum(n) OVER (PARTITION BY from_type) AS n_from,
+                CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         FROM c""",
     "q_attribution" ->
       """WITH b AS (SELECT user_id, event_type, ts, event_id, value,
                 epoch_us(ts) AS us,

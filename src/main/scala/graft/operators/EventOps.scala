@@ -531,6 +531,39 @@ object EventOps {
     * 1-row aggregate broadcast back. The event stream shuffles
     * nothing but (type, partial count) rows.
     */
+  /** First-order Markov transition matrix over per-user event
+    * journeys: for every observed (from, to) adjacent pair, its count
+    * and the transition probability n(from,to) / n(from) — one IEEE
+    * division of two exact longs, so probabilities reproduce
+    * bit-for-bit. The analytical complement of [[eventPaths]] (which
+    * ranks whole trigrams): the matrix is the journey model an
+    * analyst actually inspects for loops and sinks.
+    *
+    * One sort-window exchange on the user builds adjacency; the
+    * aggregate shuffles (from, to, partial count) — the size of the
+    * answer. Row-count = observed transitions (<= |types|^2).
+    */
+  def markovTransitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      sum(col("n")).over(wf).as("n_from"),
+      (col("n").cast(DoubleType) / sum(col("n")).over(wf).cast(DoubleType))
+        .as("p"))
+  }
+
   /** Streaming form of [[driftChi2]]: each event-time window's type
     * mix is tested against a DECLARED reference distribution
     * (`expected` relative weights, exact integers) — chi-square

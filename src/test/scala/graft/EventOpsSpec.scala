@@ -390,6 +390,25 @@ class EventOpsSpec extends SparkSpec {
     assert(got3 == Seq(("x", false), ("y", true), ("z", false)))
   }
 
+  test("markovTransitions: adjacency counts and exact-ratio probabilities") {
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-03-01 08:00:00")),
+      (1L, 2L, "b", ts("2024-03-01 08:01:00")),
+      (1L, 3L, "a", ts("2024-03-01 08:02:00")),
+      (1L, 4L, "c", ts("2024-03-01 08:03:00")),
+      (2L, 5L, "a", ts("2024-03-01 08:00:00")),
+      (2L, 6L, "b", ts("2024-03-01 08:01:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps.markovTransitions(ev, "user_id", "event_type", "ts",
+      "event_id").as[(String, String, Long, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    // from a: ->b twice, ->c once; from b: ->a once (u2's b is terminal)
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2.0 / 3.0),
+      ("a", "c", 1L, 3L, 1.0 / 3.0),
+      ("b", "a", 1L, 1L, 1.0)))
+  }
+
   test("streamingDriftChi2: per-window goodness-of-fit vs declared mix") {
     // expected 1:1 x/y; window 1 balanced (no flag), window 2 all-x
     val rows =
