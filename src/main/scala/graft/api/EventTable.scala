@@ -69,6 +69,10 @@ final case class EventTable(
   def interArrival(): DataFrame =
     EventOps.interArrivalHistogram(df, typeCol, tsCol, idCol)
 
+  /** First-order Markov transition matrix over user journeys. */
+  def transitions(): DataFrame =
+    EventOps.markovTransitions(df, userCol, typeCol, tsCol, idCol)
+
   /** Multi-touch attribution of `convType` conversions to channels. */
   def attribution(valueCol: String, convType: String, lookbackUs: Long): DataFrame =
     EventOps.attribution(df, userCol, typeCol, tsCol, idCol, valueCol,
