@@ -101,7 +101,9 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
       s"""{"contract":$contract,"queries_full":$fullMap}""" + "\n")
-    catch { case _: java.io.IOException => () } // bench result still on stdout
+    catch { // a bad path/env must not fail a bench whose result is on stdout
+      case scala.util.control.NonFatal(_) => ()
+    }
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -585,10 +585,21 @@ object TextOps {
   ): DataFrame = {
     require(weightScale > 0, s"weightScale=$weightScale must be positive")
     require(rate >= 0.0 && rate <= 1.0, s"rate=$rate must be in [0, 1]")
+    // The cutoff quantizes rate at 2^28 (u's 16 bits x a 2^12 guard):
+    // u * weightScale * 2^12 < w * round(rate * 2^28). Equivalent to
+    // the plain 16-bit form whenever rate*65536 is integral (both
+    // sides scale by 4096), but a non-representable rate loses at
+    // most 2^-28 relative — and a rate BELOW the resolution is an
+    // error, not a silent keep-nothing.
+    val rateNum = math.round(rate * (1L << 28))
+    require(rate == 0.0 || rateNum > 0,
+      s"rate=$rate is below the 2^-28 sampling resolution")
+    require(weightScale <= (1L << 31),
+      s"weightScale=$weightScale would overflow the 16+12-bit cutoff compare")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long")
     df.filter(
-      u * lit(weightScale) < weightCol.cast("long") * lit((rate * 65536).toLong))
+      u * lit(weightScale * 4096L) < weightCol.cast("long") * lit(rateNum))
   }
 
   /** Out-of-vocabulary rate against a deterministic top-`vocabSize`

@@ -105,10 +105,12 @@ object DedupGroups {
     *
     * Only components touched by the batch are re-solved: star edges
     * (doc_id, group_id) reproduce their old connectivity exactly, and
-    * CC runs over star ∪ new pairs — a batch-bounded graph. The
-    * standing label table is SCANNED three times but never shuffled:
-    * the touch probes and the (old group → new group) remap are all
-    * batch-bounded and broadcast back. New pairs may reference docs
+    * CC runs over star ∪ new pairs — a graph the size of the touched
+    * COMPONENTS (usually ~ the batch; group-sized if one pair lands
+    * in a giant standing group, and those rows shuffle but are never
+    * broadcast). The standing label table itself is SCANNED three
+    * times but never shuffled: the node probes and the one-row-per-
+    * touched-group (old → new group) remap are broadcast back. New pairs may reference docs
     * absent from `labels` (a brand-new batch); those come back labeled
     * too. Docs in no pair and no standing row stay absent (coalesce at
     * the call site, as [[resolveKeepers]] does).
@@ -136,9 +138,13 @@ object DedupGroups {
       .select(col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
     val cc = connectedComponents(starEdges.unionByName(pairs), maxIterations)
     // every member of an old group shares one cc label (star edges keep
-    // the group connected), so the remap is one row per touched group
-    val remap = lbl.withColumnRenamed("group_id", "old_group")
-      .join(broadcast(cc), Seq("doc_id"))
+    // the group connected), so the remap is one row per touched group.
+    // cc and affected are touched-COMPONENT-sized (one hot pair into a
+    // giant standing group makes them group-sized), so this join stays
+    // a plain shuffle of the touched components — only the
+    // group-count-bounded remap result is ever broadcast.
+    val remap = affected.withColumnRenamed("group_id", "old_group")
+      .join(cc, Seq("doc_id"))
       .select(col("old_group"), col("group_id")).distinct()
     val existingNodes = lbl.join(broadcast(nodes), Seq("doc_id")).select(col("doc_id"))
     val newIds = nodes.join(broadcast(existingNodes), Seq("doc_id"), "left_anti")

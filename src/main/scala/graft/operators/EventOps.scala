@@ -512,25 +512,6 @@ object EventOps {
         sum(col("__linear_micros")).as("linear_micro_cents"))
   }
 
-  /** Categorical drift between two time periods — the chi-square
-    * homogeneity test on the (period x event_type) contingency table,
-    * carried as EXACT integers so the flags reproduce bit-for-bit in
-    * any engine at any partitioning (the [[sigmaOutliers]] contract
-    * applied to distribution monitoring).
-    *
-    * For each type with counts (n_a, n_b) against period totals
-    * (N_a, N_b), the type's chi-square contribution reduces to
-    * d^2 / (n * N_a * N_b) with d = n_a*N_b - n_b*N_a and
-    * n = n_a + n_b. No division is performed: the statistic ships as
-    * the (numerator, denominator) pair in decimal(38,0), and the
-    * drift flag compares num * 100 > threshold100 * den — e.g.
-    * threshold100 = 384 is the 5% critical value 3.84 at df = 1.
-    *
-    * Scale shape: one map-side-combined aggregate to per-type counts
-    * (rows = #types, the size of the answer); period totals are a
-    * 1-row aggregate broadcast back. The event stream shuffles
-    * nothing but (type, partial count) rows.
-    */
   /** First-order Markov transition matrix over per-user event
     * journeys: for every observed (from, to) adjacent pair, its count
     * and the transition probability n(from,to) / n(from) — one IEEE
@@ -587,6 +568,8 @@ object EventOps {
   ): DataFrame = {
     require(expected.nonEmpty, "need at least one expected type")
     require(expected.forall(_._2 > 0), s"weights must be positive: $expected")
+    require(expected.map(_._1).distinct.size == expected.size,
+      s"duplicate type in expected mix: ${expected.map(_._1)}")
     require(threshold100 > 0, s"threshold100=$threshold100 must be positive")
     val dec = DecimalType(38, 0)
     val totalW = expected.map(_._2).sum
@@ -616,6 +599,25 @@ object EventOps {
         col("__c.drifted").as("drifted"))
   }
 
+  /** Categorical drift between two time periods — the chi-square
+    * homogeneity test on the (period x event_type) contingency table,
+    * carried as EXACT integers so the flags reproduce bit-for-bit in
+    * any engine at any partitioning (the [[sigmaOutliers]] contract
+    * applied to distribution monitoring).
+    *
+    * For each type with counts (n_a, n_b) against period totals
+    * (N_a, N_b), the type's chi-square contribution reduces to
+    * d^2 / (n * N_a * N_b) with d = n_a*N_b - n_b*N_a and
+    * n = n_a + n_b. No division is performed: the statistic ships as
+    * the (numerator, denominator) pair in decimal(38,0), and the
+    * drift flag compares num * 100 > threshold100 * den — e.g.
+    * threshold100 = 384 is the 5% critical value 3.84 at df = 1.
+    *
+    * Scale shape: one map-side-combined aggregate to per-type counts
+    * (rows = #types, the size of the answer); period totals are a
+    * 1-row aggregate broadcast back. The event stream shuffles
+    * nothing but (type, partial count) rows.
+    */
   def driftChi2(
       events: DataFrame,
       typeCol: String,
