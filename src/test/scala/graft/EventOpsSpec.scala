@@ -355,6 +355,17 @@ class EventOpsSpec extends SparkSpec {
         333333333L + 600000000L + 300000000L)))
   }
 
+  test("attribution plan: events shuffle once for epochs, once for the epoch join") {
+    val plan = EventOps.attribution(attrEvents, "user_id", "event_type", "ts",
+      "event_id", "value", convType = "buy", lookbackUs = 7L * 24 * H)
+      .queryExecution.executedPlan.toString
+    // user-sort window (1), touches+convs re-keyed on (user, epoch)
+    // for the join/windows (2 — one per side), final channel
+    // aggregate (1); nothing else may shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"expected <=4 hash exchanges, got $exchanges:\n$plan")
+  }
+
   test("attribution is invariant to input partitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       EventOps.attribution(df, "user_id", "event_type", "ts", "event_id",
