@@ -1242,6 +1242,16 @@ object SparkEntry {
       EventOps.markovTransitions(Tables.events(s, dir), "user_id",
         "event_type", "ts", "event_id")),
 
+    // ----- Windowed drift monitor (the streaming monitor's exact
+    // semantics, oracle-checked on the batch frame): each day's
+    // event-type mix vs the declared uniform reference --------------
+    "q_window_drift" -> ((s, dir) =>
+      EventOps.streamingDriftChi2(Tables.events(s, dir), "event_type", "ts",
+        windowLen = "1 day", watermark = "1 minute",
+        expected = Seq("view" -> 1L, "click" -> 1L, "purchase" -> 1L,
+          "signup" -> 1L, "error" -> 1L),
+        threshold100 = 384L)),
+
     // ----- Multi-touch attribution: first/last/linear credit per
     // channel, exact cents (linear shares as floor micro-cents) -------
     "q_attribution" -> ((s, dir) =>
@@ -2956,6 +2966,27 @@ object SparkEntry {
                   AS total_value_sq
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1""",
+    "q_window_drift" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS ns,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
+            FROM events GROUP BY 1),
+         base AS (SELECT window_start, nv, nc, np, ns, ne,
+                    nv + nc + np + ns + ne AS total FROM w),
+         cells AS (
+           SELECT window_start, 'view' AS event_type, nv AS n, total FROM base
+           UNION ALL SELECT window_start, 'click', nc, total FROM base
+           UNION ALL SELECT window_start, 'purchase', np, total FROM base
+           UNION ALL SELECT window_start, 'signup', ns, total FROM base
+           UNION ALL SELECT window_start, 'error', ne, total FROM base)
+         SELECT window_start, event_type, n, total,
+                (CAST(n AS HUGEINT) * 5 - CAST(total AS HUGEINT))
+                  * (CAST(n AS HUGEINT) * 5 - CAST(total AS HUGEINT)) * 100
+                  > 384 * CAST(total AS HUGEINT) * 5 AS drifted
+         FROM cells""",
     "q_markov_transitions" ->
       """WITH adj AS (SELECT event_type AS from_type,
                 lead(event_type, 1) OVER (PARTITION BY user_id
