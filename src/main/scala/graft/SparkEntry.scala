@@ -404,6 +404,16 @@ object SparkEntry {
         docs, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
     }),
 
+    // ----- Incremental SimHash: new batch vs standing corpus at
+    // hamming <= 3 — the SimHash side of the incremental-ingest story
+    "q_simhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      TextOps.simhashCrossPairs(newBatch, "doc_id", "text",
+        docs, "doc_id", "text", maxHamming = 3)
+    }),
+
     // ----- Incremental dedup resolution: fold the new batch's pairs
     // into standing groups — only touched components re-solve, and the
     // standing label table is scanned, never shuffled ----------------
@@ -1361,6 +1371,26 @@ object SparkEntry {
                   QUALIFY count(*) OVER (PARTITION BY band, k0, k1) <= 10000)"""
   }
 
+  /** SimHash fingerprint + banded/guarded keys per source table, CTE
+    * suffix `sfx` — the oracle-side analog of TextOps.bandFp64 (same
+    * text as the q_simhash_neardup oracle, parameterized for the
+    * incremental two-source form).
+    */
+  private def simhashBandCtes(src: String = "documents", sfx: String = ""): String =
+    s"""toks$sfx AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM $src),
+       th$sfx AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks$sfx),
+       bits$sfx AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM th$sfx, (SELECT unnest(generate_series(0, 63)) AS j) AS js(j) GROUP BY 1, 2),
+       fp$sfx AS (SELECT doc_id,
+                bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                            ELSE CAST(0 AS UBIGINT) END) AS sh
+              FROM bits$sfx GROUP BY 1),
+       banded$sfx AS (SELECT doc_id, sh, bs.band,
+                    (sh >> (bs.band * 16)) & 65535 AS h
+                  FROM fp$sfx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs),
+       kept$sfx AS (SELECT band, h FROM banded$sfx GROUP BY band, h HAVING count(*) <= 10000),
+       guarded$sfx AS (SELECT banded$sfx.* FROM banded$sfx JOIN kept$sfx USING (band, h))"""
+
   private val minhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM gbands a JOIN gbands b USING (band, k0, k1)
@@ -2021,6 +2051,15 @@ object SparkEntry {
          ${minhashSigCtes("newdocs", "_n")}
          SELECT DISTINCT n.doc_id AS new_id, k.doc_id AS known_id
          FROM gbands_n n JOIN gbands k USING (band, k0, k1)""",
+    "q_simhash_incremental" ->
+      s"""WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+                           FROM documents WHERE doc_id % 10 = 0),
+         ${simhashBandCtes()},
+         ${simhashBandCtes("newdocs", "_n")}
+         SELECT DISTINCT n.doc_id AS new_id, k.doc_id AS known_id,
+                CAST(bit_count(xor(n.sh, k.sh)) AS BIGINT) AS hamming
+         FROM guarded_n n JOIN guarded k USING (band, h)
+         WHERE bit_count(xor(n.sh, k.sh)) <= 3""",
     // Incremental CC folds new pairs into standing groups; the oracle
     // is the EQUIVALENT global statement — transitive closure over the
     // union of old and new candidate edges (star edges reproduce old

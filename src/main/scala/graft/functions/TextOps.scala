@@ -862,20 +862,57 @@ object TextOps {
       .withColumnRenamed("id_b", "doc_b")
   }
 
+  /** Incremental SimHash near-dup: fingerprint pairs between a NEW
+    * batch and the standing corpus at hamming <= `maxHamming` — the
+    * SimHash counterpart of [[minhashCrossPairs]], completing the
+    * incremental-ingest story across both text-LSH modalities. Each
+    * side bands independently (with its own hot-bucket cap), the join
+    * is new x known only, so work scales with the batch — and at
+    * 100 TB the corpus side's banded keys are the 10-byte-per-band
+    * signature store a deployment persists once.
+    */
+  def simhashCrossPairs(
+      newDocs: DataFrame,
+      newIdCol: String,
+      newTextCol: String,
+      known: DataFrame,
+      knownIdCol: String,
+      knownTextCol: String,
+      maxHamming: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    require(maxHamming <= 3, s"4 disjoint 16-bit bands guarantee recall only to hamming 3: $maxHamming")
+    def fpOf(df: DataFrame, id: String, text: String) = df.select(
+      col(id), SimHash64.simhash64(tokens(col(text))).as("simhash"))
+    val n = bandFp64(fpOf(newDocs, newIdCol, newTextCol), newIdCol, "simhash", bucketCap)
+      .select(col(newIdCol).as("new_id"), col("simhash").as("__fn"),
+        col("band"), col("h"))
+    val k = bandFp64(fpOf(known, knownIdCol, knownTextCol), knownIdCol, "simhash", bucketCap)
+      .select(col(knownIdCol).as("known_id"), col("simhash").as("__fk"),
+        col("band"), col("h"))
+    n.join(k, Seq("band", "h"))
+      .withColumn("hamming", bit_count(col("__fn").bitwiseXOR(col("__fk"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("known_id"), col("hamming"))
+      .distinct()
+  }
+
   /** Near-dup pairs over ANY 64-bit fingerprint column (simhash,
     * image/video dHash): band into four disjoint 16-bit keys, self-join
     * within band buckets, keep pairs at hamming <= `maxHamming`. The
     * pigeonhole recall guarantee (<= 3 flipped bits can touch at most
     * 3 of 4 bands) and the capBuckets skew guard come with the shape.
     */
-  private[graft] def bandedHammingPairs(
+  /** Band a 64-bit fingerprint into four disjoint 16-bit keys and
+    * apply the hot-bucket guard — the shared stage behind the
+    * hamming self-join and the incremental cross-join.
+    */
+  private def bandFp64(
       fp: DataFrame,
       idCol: String,
       hashCol: String,
-      maxHamming: Int,
       bucketCap: Long
   ): DataFrame = {
-    require(maxHamming <= 3, s"4 disjoint 16-bit bands guarantee recall only to hamming 3: $maxHamming")
     val bandStructs = (0 until 4).map { b =>
       struct(
         lit(b).as("band"),
@@ -884,7 +921,18 @@ object TextOps {
     val banded = fp
       .select(col(idCol), col(hashCol), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col(hashCol), col("__b.band").as("band"), col("__b.h").as("h"))
-    val guarded = capBuckets(banded, Seq("band", "h"), bucketCap)
+    capBuckets(banded, Seq("band", "h"), bucketCap)
+  }
+
+  private[graft] def bandedHammingPairs(
+      fp: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      bucketCap: Long
+  ): DataFrame = {
+    require(maxHamming <= 3, s"4 disjoint 16-bit bands guarantee recall only to hamming 3: $maxHamming")
+    val guarded = bandFp64(fp, idCol, hashCol, bucketCap)
     val a = guarded.select(col(idCol).as("id_a"), col(hashCol).as("fp_a"), col("band"), col("h"))
     val b = guarded.select(col(idCol).as("id_b"), col(hashCol).as("fp_b"), col("band"), col("h"))
     a.join(b, Seq("band", "h"))

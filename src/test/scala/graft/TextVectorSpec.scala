@@ -116,6 +116,20 @@ class TextVectorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("simhashCrossPairs flags new docs near a standing corpus, not novel ones") {
+    val known = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, base),       // exact dup of known doc 0 -> hamming 0
+      (101L, distinct2)   // novel
+    ).toDF("doc_id", "text")
+    val got = TextOps.simhashCrossPairs(fresh, "doc_id", "text",
+        known, "doc_id", "text", maxHamming = 3)
+      .select("new_id", "known_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((100L, 0L, 0L)))
+    assert(!got.exists(_._1 == 101L))
+  }
+
   test("simhash bucket cap drops a planted hot band bucket") {
     // 50 identical docs -> every band bucket has 50 members; with a cap
     // below 50 the hot buckets are dropped and no pairs survive, while
