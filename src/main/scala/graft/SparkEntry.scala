@@ -1990,8 +1990,8 @@ object SparkEntry {
                  cents - lag(cents) OVER (PARTITION BY user_id
                    ORDER BY bucket_ts) AS dd FROM c),
          g AS (SELECT user_id, bucket_ts,
-                 sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER w AS gains_cents,
-                 sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER w AS losses_cents
+                 CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER w AS BIGINT) AS gains_cents,
+                 CAST(sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER w AS BIGINT) AS losses_cents
                FROM d
                WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
@@ -2433,7 +2433,7 @@ object SparkEntry {
          SELECT doc_id,
                 sum(CAST(c AS DOUBLE) * w) + -0.25 AS margin,
                 (sum(CAST(c AS DOUBLE) * w) + -0.25) > 0.0 AS keep,
-                sum(c) AS n_tokens
+                CAST(sum(c) AS BIGINT) AS n_tokens
          FROM w GROUP BY 1""",
     "q_hashing_tf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -3021,7 +3021,8 @@ object SparkEntry {
            UNION ALL SELECT window_start, 'purchase', np, total FROM base
            UNION ALL SELECT window_start, 'signup', ns, total FROM base
            UNION ALL SELECT window_start, 'error', ne, total FROM base)
-         SELECT window_start, event_type, n, total,
+         SELECT window_start, event_type,
+                CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
                 (CAST(n AS HUGEINT) * 5 - CAST(total AS HUGEINT))
                   * (CAST(n AS HUGEINT) * 5 - CAST(total AS HUGEINT)) * 100
                   > 384 * CAST(total AS HUGEINT) * 5 AS drifted
@@ -3034,7 +3035,7 @@ object SparkEntry {
          c AS (SELECT from_type, to_type, count(*) AS n FROM adj
                WHERE to_type IS NOT NULL GROUP BY 1, 2)
          SELECT from_type, to_type, n,
-                sum(n) OVER (PARTITION BY from_type) AS n_from,
+                CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
                 CAST(n AS DOUBLE)
                   / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
          FROM c""",
@@ -3061,20 +3062,20 @@ object SparkEntry {
             FROM t JOIN c ON t.user_id = c.user_id AND t.epoch = c.epoch
             WHERE c.conv_us - t.us <= 604800000000)
          SELECT channel, count(*) AS n_touches,
-                sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS n_first,
-                coalesce(sum(CASE WHEN rn_first = 1 THEN cents END), 0)
+                CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                CAST(coalesce(sum(CASE WHEN rn_first = 1 THEN cents END), 0) AS BIGINT)
                   AS first_touch_cents,
-                sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS n_last,
-                coalesce(sum(CASE WHEN rn_last = 1 THEN cents END), 0)
+                CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+                CAST(coalesce(sum(CASE WHEN rn_last = 1 THEN cents END), 0) AS BIGINT)
                   AS last_touch_cents,
-                sum((cents * 1000000) // n) AS linear_micro_cents
+                CAST(sum((cents * 1000000) // n) AS BIGINT) AS linear_micro_cents
          FROM j GROUP BY 1""",
     "q_drift_chi2" ->
       """WITH p AS (SELECT event_type,
-                sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                    THEN 1 ELSE 0 END) AS n_a,
-                sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                    THEN 0 ELSE 1 END) AS n_b
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_b
             FROM events GROUP BY 1),
          tot AS (SELECT CAST(sum(n_a) AS HUGEINT) AS ta,
                         CAST(sum(n_b) AS HUGEINT) AS tb FROM p),

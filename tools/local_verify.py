@@ -48,10 +48,12 @@ def main(sf_dir, out_dir):
         try:
             ocur = con.execute(sql)
             ocols = [d[0] for d in ocur.description]
+            otypes = {d[0]: str(d[1]) for d in ocur.description}
             orows = ocur.fetchall()
             scur = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols = [d[0] for d in scur.description]
+            stypes = {d[0]: str(d[1]) for d in scur.description}
             srows = scur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -61,6 +63,13 @@ def main(sf_dir, out_dir):
         sc, srows = canon(srows, scols)
         if oc != sc:
             print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
+            n_fail += 1
+            continue
+        # The driver's hash is type-sensitive (e.g. DuckDB HUGEINT vs Spark
+        # BIGINT hash-mismatch even when values agree) — flag type drift here.
+        tbad = [(c, otypes[c], stypes[c]) for c in oc if otypes[c] != stypes[c]]
+        if tbad:
+            print(f"FAIL {name}: column types differ (oracle vs spark): {tbad}")
             n_fail += 1
             continue
         if len(orows) != len(srows):
