@@ -552,12 +552,16 @@ object SparkEntry {
     "q_hashing_tf" -> ((s, dir) =>
       TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64)),
     "q_text_knn" -> ((s, dir) =>
-      // the TF frame feeds four plan branches (candidates, queries,
-      // both norm sides) — materialize it once instead of re-scanning
-      // and re-exploding the corpus per branch
+      // Norm-carrying zero-shuffle TF (HashTfMap counts inside the
+      // row), so the whole query is candidate-join -> pair agg ->
+      // top-k: two exchanges. dim = 4096 keeps term buckets selective:
+      // at dim 64 every bucket mixed several tokens, fattening the
+      // candidate join ~3.5x. Stays exact (cap 0) because this
+      // corpus's 31-token vocabulary makes every term a "stop word" —
+      // any cap that fires prunes ALL candidates; the maxBucketDocs
+      // skew guard is exercised by its own planted-hot-bucket spec.
       TextOps.sparseCosineTopK(
-        TextOps.hashingTfSparse(Tables.documents(s, dir), "doc_id", "text", dim = 64)
-          .localCheckpoint(),
+        TextOps.hashingTfSparseWithNorm(Tables.documents(s, dir), "doc_id", "text", dim = 4096),
         col("doc_id") % 50 === 0, k = 5)),
 
     // ----- Top-5 salient terms per doc, raw-idf TF-IDF ---------------
@@ -2449,7 +2453,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                     FROM documents),
          b AS (SELECT doc_id,
-                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket,
                  count(*) AS c
                FROM t WHERE tok <> '' GROUP BY 1, 2),
          n2 AS (SELECT doc_id, sum(c * c) AS n2 FROM b GROUP BY 1),

@@ -756,29 +756,41 @@ object TextOps {
     * weight = in-doc count / L2 norm. Sparse is the scale shape: a doc
     * touches at most min(#tokens, dim) buckets, so the frame is
     * corpus-token-bounded regardless of dim, and downstream similarity
-    * joins on `bucket` ARE an inverted index. All built-ins (codegen'd);
-    * the md5-prefix bucket is oracle-reproducible.
+    * joins on `bucket` ARE an inverted index. The md5-prefix bucket is
+    * oracle-reproducible.
     */
   def hashingTfSparse(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       dim: Int
+  ): DataFrame =
+    hashingTfSparseWithNorm(docs, idCol, textCol, dim).drop("__n2")
+
+  /** [[hashingTfSparse]] plus the per-doc squared L2 norm `__n2` —
+    * all computed WITHOUT a shuffle: [[HashTfMap]] counts buckets
+    * inside the row, the norm folds over the map values before the
+    * explode, so the whole frame is a narrow projection of the
+    * document scan. (The previous explode → groupBy → window plan
+    * shuffled every token row twice before any similarity work.)
+    * Consumers like [[sparseCosineTopK]] carry `__n2` through their
+    * aggregation instead of re-deriving norms with a groupBy + join.
+    */
+  def hashingTfSparseWithNorm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int
   ): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val s = HashTf.hash_tf(split(trim(lower(col(textCol))), "\\s+"), dim)
     docs
-      .select(col(idCol).as("doc_id"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
-      .filter(col("__tok") =!= "")
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"), lit(dim))
-          .as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("w",
-        col("c").cast("double") / sqrt(sum(col("c") * col("c")).over(w).cast("double")))
-      .select(col("doc_id"), col("bucket"), col("c"), col("w"))
+      .select(col(idCol).as("doc_id"), s.as("__s"))
+      .select(col("doc_id"), col("__s").getField("n2").as("__n2"),
+        explode(col("__s").getField("tf")).as(Seq("bucket", "c")))
+      .select(col("doc_id"), col("bucket"), col("c"),
+        (col("c").cast("double") / sqrt(col("__n2").cast("double"))).as("w"),
+        col("__n2"))
   }
 
   /** Exact cosine top-k over the sparse TF frame via its inverted
@@ -803,30 +815,52 @@ object TextOps {
       k: Int,
       maxBucketDocs: Long = 0L
   ): DataFrame = {
-    val n2 = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("__n2"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("doc_id"))
     val scored =
       if (maxBucketDocs <= 0L) tf
       else capBuckets(tf, Seq("bucket"), maxBucketDocs)
-    val queries = scored.filter(queryPred)
-      .select(col("doc_id").as("query_id"), col("bucket"), col("c").as("__qc"))
-    val qn2 = n2.join(
-        queries.select(col("query_id")).distinct(),
-        col("doc_id") === col("query_id"))
-      .select(col("query_id"), col("__n2").as("__qn2"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("doc_id"))
-    scored.join(broadcast(queries), Seq("bucket"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c") * col("__qc")).as("__dot"))
-      .join(n2, Seq("doc_id"))
-      .join(broadcast(qn2), Seq("query_id"))
-      .withColumn("sim",
-        col("__dot").cast("double") /
-          (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double"))))
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
+    if (tf.columns.contains("__n2")) {
+      // Norm-carrying TF ([[hashingTfSparseWithNorm]]): every row
+      // already knows its doc's full squared norm, so the whole query
+      // is candidate-join → one pair aggregation (norms ride along as
+      // max() of a per-doc constant) → top-k window. Two exchanges
+      // total; no norm groupBy, no norm joins.
+      val queries = scored.filter(queryPred)
+        .select(col("doc_id").as("query_id"), col("bucket"),
+          col("c").as("__qc"), col("__n2").as("__qn2"))
+      scored.join(broadcast(queries), Seq("bucket"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c") * col("__qc")).as("__dot"),
+          max(col("__n2")).as("__dn2"), max(col("__qn2")).as("__qn2m"))
+        .withColumn("sim",
+          col("__dot").cast("double") /
+            (sqrt(col("__dn2").cast("double")) * sqrt(col("__qn2m").cast("double"))))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
+    } else {
+      val n2 = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("__n2"))
+      val queries = scored.filter(queryPred)
+        .select(col("doc_id").as("query_id"), col("bucket"), col("c").as("__qc"))
+      val qn2 = n2.join(
+          queries.select(col("query_id")).distinct(),
+          col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("__n2").as("__qn2"))
+      scored.join(broadcast(queries), Seq("bucket"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c") * col("__qc")).as("__dot"))
+        .join(n2, Seq("doc_id"))
+        .join(broadcast(qn2), Seq("query_id"))
+        .withColumn("sim",
+          col("__dot").cast("double") /
+            (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double"))))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
+    }
   }
 
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom

@@ -9,9 +9,10 @@ object PlanLab {
   def main(args: Array[String]): Unit = {
     val what = args.headOption.getOrElse("minhash")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -47,6 +48,35 @@ object PlanLab {
                     word_shingles(split('a b c', ' '), 2) AS ws,
                     time_bucket_fixed(TIMESTAMP '2024-01-01 08:22:11', '15m') AS tb""")
           .show(truncate = false)
+      case "textknn" =>
+        import graft.functions.TextOps
+        import graft.sources.Tables
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, dir)
+        def run(label: String, dim: Int, ckpt: Boolean, cap: Long): Unit = {
+          val tf0 = TextOps.hashingTfSparse(docs, "doc_id", "text", dim)
+          val tf = if (ckpt) tf0.localCheckpoint() else tf0
+          time(label)(println(TextOps.sparseCosineTopK(
+            tf, col("doc_id") % 50 === 0, k = 5, maxBucketDocs = cap).count()))
+        }
+        val tfN = TextOps.hashingTfSparseWithNorm(docs, "doc_id", "text", 4096)
+        time("warmup tf count")(println(tfN.count()))
+        def knn() = TextOps.sparseCosineTopK(tfN, col("doc_id") % 50 === 0, k = 5)
+        val tfR = TextOps.hashingTfSparseWithNorm(
+          docs.repartition(32), "doc_id", "text", 4096)
+        def knnR() = TextOps.sparseCosineTopK(tfR, col("doc_id") % 50 === 0, k = 5)
+        (1 to 5).foreach(i => time(s"knn plain $i")(knn().count()))
+        (1 to 5).foreach(i => time(s"knn repart $i")(knnR().count()))
+      case "knn1shot" =>
+        import graft.functions.TextOps
+        import graft.sources.Tables
+        import org.apache.spark.sql.functions.col
+        val base = Tables.documents(spark, dir)
+        val docs2 = if (sys.env.get("GRAFT_KNN_VARIANT").contains("repart"))
+          base.repartition(spark.sparkContext.defaultParallelism) else base
+        val tf = TextOps.hashingTfSparseWithNorm(docs2, "doc_id", "text", 4096)
+        time(s"knn 1shot ${sys.env.getOrElse("GRAFT_KNN_VARIANT", "plain")}")(
+          println(TextOps.sparseCosineTopK(tf, col("doc_id") % 50 === 0, k = 5).count()))
       case "bench1" =>
         val name = args(1)
         val sfDir = args(2)

@@ -527,6 +527,30 @@ class TextVectorSpec extends SparkSpec {
     assert(exact.length == 3) // stop word links every doc when uncapped
   }
 
+  test("sparseCosineTopK at the q_text_knn parameters prunes a 100-doc hot bucket") {
+    // 100 docs all share the planted token "hot" (> the 64-doc cap);
+    // doc 0's true near-dup is doc 1 via three distinctive tokens.
+    val rows = (0L to 99L).map { i =>
+      val distinct = i match {
+        case 0L => "alpha beta gamma"
+        case 1L => "alpha beta gamma"
+        case n  => s"u${n}a u${n}b u${n}c"
+      }
+      (i, s"hot $distinct")
+    }
+    val d = rows.toDF("doc_id", "text")
+    val tf = TextOps.hashingTfSparse(d, "doc_id", "text", dim = 4096)
+    val capped = TextOps.sparseCosineTopK(tf, $"doc_id" === 0, k = 5, maxBucketDocs = 64L)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // the hot bucket (100 docs > cap 64) is pruned from candidates, so
+    // only the real near-dup survives; uncapped, all 99 others are
+    // candidates through the stop token
+    assert(capped.map(_._2).toSeq == Seq(1L), s"got ${capped.toSeq}")
+    val exact = TextOps.sparseCosineTopK(tf, $"doc_id" === 0, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(exact.length == 5 && exact.minBy(_._4)._2 == 1L)
+  }
+
   test("contamination and sparse-knn plans broadcast the probe side") {
     val plan1 = TextOps.contaminationCheck(
         docs, "doc_id", "text", docs.filter($"doc_id" === 0), "doc_id", "text", 3, 1L)
