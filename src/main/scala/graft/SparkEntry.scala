@@ -27,6 +27,20 @@ object SparkEntry {
     */
   private def moneyExpr(c: Column): Column = c.cast(DecimalType(25, 8))
 
+  /** Simulated ingest batch for the incremental queries: every 10th
+    * doc re-issued under fresh ids in a namespace disjoint from the
+    * corpus BY CONSTRUCTION — offset = max(doc_id)+1 via a broadcast
+    * one-row aggregate. (A fixed +1e6 offset would silently alias once
+    * the corpus passes 1M docs, and both engines would agree, hiding
+    * the collision from verification.) Oracle mirror:
+    * `doc_id + (SELECT max(doc_id) + 1 FROM documents)`.
+    */
+  private def syntheticBatch(docs: DataFrame): DataFrame = {
+    val off = broadcast(docs.agg((max(col("doc_id")) + lit(1L)).as("__off")))
+    docs.filter(col("doc_id") % 10 === 0).crossJoin(off)
+      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_ohlcv_rollup_15m")(spark, "/root/testdata/sf0.001")
@@ -398,8 +412,7 @@ object SparkEntry {
     // work scales with the batch, never corpus² ----------------------
     "q_minhash_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val newBatch = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newBatch = syntheticBatch(docs)
       TextOps.minhashCrossPairs(newBatch, "doc_id", "text",
         docs, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
     }),
@@ -408,8 +421,7 @@ object SparkEntry {
     // hamming <= 3 — the SimHash side of the incremental-ingest story
     "q_simhash_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val newBatch = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newBatch = syntheticBatch(docs)
       TextOps.simhashCrossPairs(newBatch, "doc_id", "text",
         docs, "doc_id", "text", maxHamming = 3)
     }),
@@ -419,8 +431,7 @@ object SparkEntry {
     // standing label table is scanned, never shuffled ----------------
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val newBatch = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newBatch = syntheticBatch(docs)
       // band each side ONCE (the signature-store pattern: corpus keys
       // computed/persisted once, reused by the self- and cross-joins)
       val (corpusBanded, keyCols) = TextOps.minhashBanded(
@@ -2049,14 +2060,14 @@ object SparkEntry {
       s"""WITH ${minhashSigCtes()}
          $minhashPairsSelect""",
     "q_minhash_incremental" ->
-      s"""WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+      s"""WITH newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
                            FROM documents WHERE doc_id % 10 = 0),
          ${minhashSigCtes()},
          ${minhashSigCtes("newdocs", "_n")}
          SELECT DISTINCT n.doc_id AS new_id, k.doc_id AS known_id
          FROM gbands_n n JOIN gbands k USING (band, k0, k1)""",
     "q_simhash_incremental" ->
-      s"""WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+      s"""WITH newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
                            FROM documents WHERE doc_id % 10 = 0),
          ${simhashBandCtes()},
          ${simhashBandCtes("newdocs", "_n")}
@@ -2070,7 +2081,7 @@ object SparkEntry {
     // connectivity exactly, so the incremental result matches it).
     "q_dedup_incremental" ->
       s"""WITH RECURSIVE
-         newdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+         newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
                      FROM documents WHERE doc_id % 10 = 0),
          ${minhashSigCtes()},
          ${minhashSigCtes("newdocs", "_n")},

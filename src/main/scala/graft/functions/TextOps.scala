@@ -598,8 +598,18 @@ object TextOps {
       s"weightScale=$weightScale would overflow the 16+12-bit cutoff compare")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long")
+    // w * rateNum (rateNum < 2^28) silently wraps for w > 2^35 in
+    // non-ANSI Spark, flipping sampling decisions — raise instead of
+    // sampling wrong (a weight that large means the caller scaled
+    // upstream; divide it down, don't widen the compare).
+    val w = weightCol.cast("long")
     df.filter(
-      u * lit(weightScale * 4096L) < weightCol.cast("long") * lit(rateNum))
+      when(w <= lit(Long.MaxValue >> 28),
+          u * lit(weightScale * 4096L) < w * lit(rateNum))
+        .otherwise(raise_error(concat(
+          lit("weightedSample: weight "), w.cast("string"),
+          lit(" exceeds 2^35 and would overflow the cutoff compare;"
+            + " rescale the weight column")))))
   }
 
   /** Out-of-vocabulary rate against a deterministic top-`vocabSize`

@@ -453,13 +453,14 @@ object VectorOps {
       dim: Int,
       nPlanes: Int,
       threshold: Double,
-      seed: Long = 42L
+      seed: Long = 42L,
+      clusterCap: Long = 10000L
   ): DataFrame = {
     val asDouble = transform(col(vecCol), x => x.cast("double"))
     val bucketed = embeddings
       .select(col(idCol).as("id"), asDouble.as("vec"))
       .withColumn("cluster", hyperplaneBucket(col("vec"), dim, nPlanes, seed))
-    cosineNearDupPairs(bucketed, "id", "vec", "cluster", threshold)
+    cosineNearDupPairs(bucketed, "id", "vec", "cluster", threshold, clusterCap)
   }
 
   /** Embedding-cosine near-duplicate pairs within a coarse partition:
@@ -468,20 +469,39 @@ object VectorOps {
     * clusterCol comes from LSH bucketing or k-means assignment, and the
     * self-join shuffles each cluster to one place instead of crossing
     * everything with everything.
+    *
+    * `clusterCap` is the skew guard the banded text joins already
+    * carry ([[graft.functions.TextOps.capBuckets]]): one degenerate
+    * cluster (a giant k-means cell, a dead LSH bucket) turns the
+    * within-cluster self-join quadratic at scale, so clusters with
+    * more than `clusterCap` members are dropped before the join —
+    * route such clusters through [[lshNearDupPairs]] with more planes
+    * (finer buckets) or re-cluster them instead of brute-forcing.
+    * Implemented as a count window over the join's own shuffle key, so
+    * the guard adds no extra exchange. 0 = uncapped.
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       clusterCol: String,
-      threshold: Double
+      threshold: Double,
+      clusterCap: Long = 10000L
   ): DataFrame = {
-    val withNorm = embeddings
-      .select(
+    val capped = {
+      val base = embeddings.select(
         col(idCol).as("id"),
         col(vecCol).as("vec"),
         col(clusterCol).as("cluster"))
-      .withColumn("nrm", norm(col("vec")))
+      if (clusterCap <= 0L) base
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+        base.withColumn("__cluster_n", count(lit(1)).over(w))
+          .filter(col("__cluster_n") <= clusterCap)
+          .drop("__cluster_n")
+      }
+    }
+    val withNorm = capped.withColumn("nrm", norm(col("vec")))
     val a = withNorm.select(
       col("id").as("id_a"), col("vec").as("vec_a"),
       col("cluster"), col("nrm").as("norm_a"))

@@ -122,8 +122,18 @@ object DedupGroups {
   def incrementalGroups(
       labels: DataFrame,
       newPairs: DataFrame,
-      maxIterations: Int = 10
+      maxIterations: Int = 10,
+      broadcastBatch: Boolean = true
   ): DataFrame = {
+    // The batch-bounded frames (nodes/touched/remap/...) are hinted
+    // broadcast by default — right for the daily-ingest shape where
+    // the batch is orders of magnitude under the corpus. A batch too
+    // big to broadcast (a backfill merging months at once) would
+    // bypass the optimizer's size check through the hint and can OOM
+    // the driver: pass broadcastBatch = false there and let AQE pick
+    // the join strategy from runtime sizes.
+    val hint: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
     val pairs = newPairs.select(
       col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
     val lbl = labels.select(
@@ -131,9 +141,9 @@ object DedupGroups {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // groups with any member incident to a new pair (batch-bounded)
-    val touched = lbl.join(broadcast(nodes), Seq("doc_id"))
+    val touched = lbl.join(hint(nodes), Seq("doc_id"))
       .select(col("group_id")).distinct()
-    val affected = lbl.join(broadcast(touched), Seq("group_id"))
+    val affected = lbl.join(hint(touched), Seq("group_id"))
     val starEdges = affected
       .select(col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
     val cc = connectedComponents(starEdges.unionByName(pairs), maxIterations)
@@ -146,11 +156,11 @@ object DedupGroups {
     val remap = affected.withColumnRenamed("group_id", "old_group")
       .join(cc, Seq("doc_id"))
       .select(col("old_group"), col("group_id")).distinct()
-    val existingNodes = lbl.join(broadcast(nodes), Seq("doc_id")).select(col("doc_id"))
-    val newIds = nodes.join(broadcast(existingNodes), Seq("doc_id"), "left_anti")
-    val newDocRows = cc.join(broadcast(newIds), Seq("doc_id"))
+    val existingNodes = lbl.join(hint(nodes), Seq("doc_id")).select(col("doc_id"))
+    val newIds = nodes.join(hint(existingNodes), Seq("doc_id"), "left_anti")
+    val newDocRows = cc.join(hint(newIds), Seq("doc_id"))
     lbl.withColumnRenamed("group_id", "old_group")
-      .join(broadcast(remap), Seq("old_group"), "left")
+      .join(hint(remap), Seq("old_group"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("old_group")).as("group_id"))
       .unionByName(newDocRows)

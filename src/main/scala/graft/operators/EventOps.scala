@@ -617,6 +617,13 @@ object EventOps {
     * (rows = #types, the size of the answer); period totals are a
     * 1-row aggregate broadcast back. The event stream shuffles
     * nothing but (type, partial count) rows.
+    *
+    * Exactness bound: d^2 * 100 must fit decimal(38,0), which holds
+    * for up to 2e9 total events per comparison (d <= N_a*N_b <=
+    * N^2/4, so d^2*100 <= 6.25*N^4). Beyond that non-ANSI Spark
+    * would silently NULL the overflow (and DuckDB's int128 errors),
+    * so the operator raises instead — pre-aggregate counts (compare
+    * daily rollups, not raw events) past that scale.
     */
   def driftChi2(
       events: DataFrame,
@@ -637,9 +644,15 @@ object EventOps {
       sum(col("n_a")).cast(dec).as("__ta"),
       sum(col("n_b")).cast(dec).as("__tb"))
     val d = col("n_a").cast(dec) * col("__tb") - col("n_b").cast(dec) * col("__ta")
+    val nTot = col("__ta") + col("__tb")
     perType
       .crossJoin(broadcast(totals))
-      .withColumn("chi2_num", d * d)
+      .withColumn("chi2_num",
+        when(nTot <= lit(2000000000L).cast(dec), d * d)
+          .otherwise(raise_error(concat(
+            lit("driftChi2: "), nTot.cast("string"),
+            lit(" total events exceeds the 2e9 exact decimal(38,0) chi-square"
+              + " bound; compare pre-aggregated counts instead")))))
       .withColumn("chi2_den",
         (col("n_a") + col("n_b")).cast(dec) * col("__ta") * col("__tb"))
       .withColumn("drifted",

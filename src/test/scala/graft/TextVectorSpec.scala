@@ -278,6 +278,25 @@ class TextVectorSpec extends SparkSpec {
     assert(nd == Set((0L, 1L)))
   }
 
+  test("cosineNearDupPairs clusterCap drops a planted mega-cluster, keeps the rest") {
+    import graft.functions.VectorOps
+    // cluster 0: 6 mutually-identical vectors (a planted degenerate
+    // cluster that would go quadratic); cluster 1: one near-dup pair
+    val mega = (0L to 5L).map(i => (i, Array(1.0f, 0f, 0f), 0))
+    val small = Seq((10L, Array(0f, 1.0f, 0f), 1), (11L, Array(0f, 0.99f, 0.1f), 1))
+    val vecs = (mega ++ small).toDF("vec_id", "embedding", "label")
+    val capped = VectorOps.cosineNearDupPairs(
+        vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 5L)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L)),
+      s"over-cap cluster 0 must contribute no pairs: $capped")
+    // uncapped finds all 15 mega pairs plus the small one
+    val uncapped = VectorOps.cosineNearDupPairs(
+        vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 16)
+  }
+
   test("multi-probe IVF recovers the boundary neighbor single-probe misses") {
     import graft.functions.VectorOps
     val vecs = Seq(
