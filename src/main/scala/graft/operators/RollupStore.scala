@@ -56,6 +56,12 @@ object RollupStore {
   /** Carrier build: like [[build]] but keeps the argmin/argmax carrier
     * timestamps and exact decimal volume — the re-aggregable form the
     * cascade (A6) and the RollupRouter optimizer rule consume.
+    *
+    * When the base frame is a plain file scan (the production shape),
+    * the build also drops a route manifest into the rollup dir, so a
+    * FRESH session can rebuild its RollupRouter table from the store
+    * (`RollupRouter.registerFromStore`) instead of depending on
+    * in-process `register()` calls that die with the JVM.
     */
   def buildWithCarriers(
       base: DataFrame,
@@ -64,13 +70,37 @@ object RollupStore {
       valueCol: String,
       grain: String,
       path: String
-  ): Unit =
+  ): Unit = {
     withMonth(
       CandleOps.ohlcvRollup(base, keys, tsCol, valueCol, grain, withCarriers = true))
       .write
       .mode("overwrite")
       .partitionBy(PartitionCol)
       .parquet(path)
+    for {
+      basePath <- org.apache.spark.sql.graft.RollupRouter.sourcePath(base)
+      grainSec <- grainSeconds(grain)
+    } org.apache.spark.sql.graft.RollupRouter.writeManifest(
+      base.sparkSession, basePath, keys, tsCol, valueCol, grainSec, path)
+  }
+
+  /** Seconds of a `window()`-style fixed-width duration string
+    * ("15 minutes", "1 hour"); None for anything month-like or
+    * unparsable — fail-safe: no manifest rather than a wrong route.
+    */
+  private val GrainPattern = """^(\d+)\s+(second|minute|hour|day)s?$""".r
+  private[graft] def grainSeconds(grain: String): Option[Long] =
+    grain.trim.toLowerCase match {
+      case GrainPattern(n, u) =>
+        val mult = u match {
+          case "second" => 1L
+          case "minute" => 60L
+          case "hour"   => 3600L
+          case "day"    => 86400L
+        }
+        Some(n.toLong * mult)
+      case _ => None
+    }
 
   /** R2 — repair a damaged window: recompute every month partition
     * intersecting [rangeStart, rangeEnd) from the base table and

@@ -56,6 +56,95 @@ object RollupRouter {
   def register(route: Route): Unit = routes.put(route.basePath, route)
   def clear(): Unit = routes.clear()
 
+  /** Manifest filename `RollupStore.buildWithCarriers` drops inside
+    * each rollup directory. Underscore prefix: Spark's parquet file
+    * listing treats it as metadata and never reads it as data, so the
+    * rollup stays a clean parquet dir.
+    */
+  val ManifestFile = "_graft_route.properties"
+
+  /** Source parquet path of a frame, when it is a plain file scan —
+    * how the store build learns which base table a rollup derives
+    * from without being told. None for in-memory/derived frames
+    * (no manifest is written for those; routing needs a scannable
+    * base relation to rewrite anyway).
+    */
+  def sourcePath(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+    }.flatten
+
+  /** Write a route manifest into `rollupPath` via the path's own
+    * Hadoop FileSystem (works on HDFS/S3, not just local disk).
+    */
+  def writeManifest(
+      spark: SparkSession,
+      basePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grainSeconds: Long,
+      rollupPath: String
+  ): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("version", "1")
+    props.setProperty("base_path", basePath)
+    props.setProperty("key_cols", keyCols.mkString(","))
+    props.setProperty("ts_col", tsCol)
+    props.setProperty("value_col", valueCol)
+    props.setProperty("grain_seconds", grainSeconds.toString)
+    val p = new org.apache.hadoop.fs.Path(rollupPath, ManifestFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try props.store(out, "graft rollup route manifest")
+    finally out.close()
+  }
+
+  /** Rebuild the routing table from the store: register every route
+    * manifest found under `root` (recursively). This is the
+    * process-restart path — a fresh session recovers exactly the
+    * routes its store's `buildWithCarriers` runs recorded, instead of
+    * depending on in-process `register()` calls that die with the JVM.
+    * Manifests sharing (base, keys, ts, value) merge into one Route
+    * carrying every discovered grain. Returns the number of routes
+    * registered.
+    */
+  def registerFromStore(spark: SparkSession, root: String): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return 0
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Route, Long, String)]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName == ManifestFile) {
+        val props = new java.util.Properties()
+        val in = fs.open(st.getPath)
+        try props.load(in) finally in.close()
+        found += ((
+          Route(
+            props.getProperty("base_path"),
+            props.getProperty("key_cols").split(",").toSeq,
+            props.getProperty("ts_col"),
+            props.getProperty("value_col"),
+            Map.empty),
+          props.getProperty("grain_seconds").toLong,
+          st.getPath.getParent.toString))
+      }
+    }
+    val merged = found
+      .groupBy { case (r, _, _) => (r.basePath, r.keyCols, r.tsCol, r.valueCol) }
+      .values
+      .map { rows =>
+        rows.head._1.copy(grains = rows.map { case (_, g, p) => g -> p }.toMap)
+      }
+    merged.foreach(register)
+    merged.size
+  }
+
   private def routeFor(rel: LogicalRelation): Option[Route] =
     rel.relation match {
       case fs: HadoopFsRelation =>

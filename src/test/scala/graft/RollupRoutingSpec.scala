@@ -101,6 +101,44 @@ class RollupRoutingSpec extends SparkSpec {
     assert(got.sameElements(want), s"routed result differs: got ${got.length} rows, want ${want.length}")
   }
 
+  test("a fresh session rebuilds routes from store manifests (restart recovery)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_manifest").toString
+    val basePath = s"$dir/base"
+    val base = (for {
+      sym <- Seq("BTC", "ETH"); m <- 0 until 24 * 60
+    } yield (sym, new Timestamp(ts("2024-03-01 00:00:00").getTime + m * 60000L),
+      100.0 + (m * 13 % 31))).toDF("symbol", "t", "price")
+    base.write.mode("overwrite").parquet(basePath)
+    // two grains built from the stored base — each drops a manifest
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price",
+      "15 minutes", s"$dir/rollup_15m")
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price",
+      "1 hour", s"$dir/rollup_1h")
+
+    // "process restart": the in-memory table is gone...
+    RollupRouter.clear()
+    // ...and the store alone restores it
+    val n = RollupRouter.registerFromStore(spark, dir)
+    assert(n == 1, s"expected the two manifests to merge into one route, got $n")
+    spark.experimental.extraOptimizations = Seq(new RollupRouter.RouteRule(spark))
+    try {
+      val q = CandleOps.ohlcvRollup(
+        spark.read.parquet(basePath), Seq("symbol"), "t", "price", "2 hours")
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("rollup_1h"), s"expected coarsest routed scan:\n$plan")
+      assert(!plan.contains("/base"), s"base still scanned:\n$plan")
+      // routed result == unrouted ground truth
+      spark.experimental.extraOptimizations = Nil
+      val want = CandleOps.ohlcvRollup(
+          spark.read.parquet(basePath), Seq("symbol"), "t", "price", "2 hours")
+        .orderBy("symbol", "bucket_ts").collect()
+      spark.experimental.extraOptimizations = Seq(new RollupRouter.RouteRule(spark))
+      assert(q.orderBy("symbol", "bucket_ts").collect().sameElements(want))
+    } finally teardownRouting()
+  }
+
   test("aligned half-open time-range filters route through to the rollup") {
     val (basePath, _) = routedFixture("range")
     try {
