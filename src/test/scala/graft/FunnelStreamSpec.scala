@@ -122,6 +122,46 @@ class FunnelStreamSpec extends SparkSpec {
     assert(cum(gotInOrder) == batch)
   }
 
+  test("property: jittered + duplicate delivery preserves every episode (3 seeds)") {
+    // at-least-once upstream within the watermark contract: events
+    // arrive out of order (bounded jitter < the 10 min watermark),
+    // some delivered TWICE, batched at random — the emitted episode
+    // sequence per user must equal the clean in-order run's, and the
+    // first-episode levels must equal the batch operator's histogram
+    val flush = ts("2024-03-03 00:00:00")
+    (11 to 13).foreach { seed =>
+      val events = randomEvents(seed)
+      val clean = streamEpisodes(
+        Seq(events.sortBy(_.ts.getTime)), flush)
+
+      val rnd = new scala.util.Random(seed * 31 + 7)
+      val withDups = events.flatMap { e =>
+        if (rnd.nextInt(4) == 0) Seq(e, e) else Seq(e) // ~25% redelivered
+      }
+      // precomputed jitter keys (a Random inside sortBy's key function
+      // would be re-drawn per comparison — an inconsistent comparator)
+      val arrival = withDups
+        .map(e => (e, e.ts.getTime + (rnd.nextInt(540) - 270) * 1000L))
+        .sortBy(_._2).map(_._1)
+      // random batch boundaries
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[UserEvent]]
+      var rest = arrival
+      while (rest.nonEmpty) {
+        val n = 40 + rnd.nextInt(60)
+        batches += rest.take(n)
+        rest = rest.drop(n)
+      }
+      val jittered = streamEpisodes(batches.toSeq, flush)
+      assert(jittered == clean, s"seed $seed: episodes diverged")
+
+      val levels = jittered.map { case (u, eps) => u -> eps.head._1 }
+      def cum(ls: Map[String, Int]): Map[Int, Long] =
+        (1 to steps.size)
+          .map(s => s -> ls.count { case (_, l) => l >= s }.toLong).toMap
+      assert(cum(levels) == batchStepCounts(events), s"seed $seed: batch mismatch")
+    }
+  }
+
   test("episodes depend on event times, not arrival batching") {
     // a bursty catch-up read delivers BOTH episodes in one batch: the
     // first window (view@08:00, level 1) and a second far past it
