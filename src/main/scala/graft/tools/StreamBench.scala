@@ -35,7 +35,7 @@ object StreamBench {
     // events.parquet is TIMESTAMP(NANOS); materialize the micros
     // conversion once so the file stream reads a plain schema
     val events = graft.sources.Tables.events(spark, sfDir)
-      .select("user_id", "ts", "value")
+      .select("user_id", "event_type", "ts", "value")
     events.repartition(8).write.parquet(s"$work/input")
     val schema = spark.read.parquet(s"$work/input").schema
 
@@ -66,7 +66,43 @@ object StreamBench {
     val missing = wantClosed.exceptAll(got).count()
     val rows = got.count()
     println(s"""STREAM_BENCH {"wall_sec":$wallSec,"grains":8,"rollup_1h_rows":$rows,"wrong_rows":$wrong,"missing_closed_rows":$missing,"sf":"$sfDir"}""")
+
+    // ---- sketch store: streamed daily HLL parts ≡ batch build ------
+    // The ingest path of the AggregatingMergeTree analog: the same
+    // file stream builds (event_type, day) sketch parts; merged-at-
+    // read estimates must agree with the batch-built store. HLL
+    // registers are order-independent, so the streamed parts merge to
+    // the SAME estimates — n_rows exactly, estimates bit-equal.
+    import graft.operators.SketchStore
+    val t1 = System.nanoTime()
+    val sketchStream = spark.readStream.schema(schema).parquet(s"$work/input")
+    val sq = SketchStore.streamingDailySketches(
+        sketchStream, Seq("event_type"), "ts", "user_id", watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$work/sketch_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sketch_parts").start()
+    sq.awaitTermination()
+    // persist the streamed parts — the store shape (binary states in
+    // parquet), so the comparison reads exactly what a store would
+    spark.table("sketch_parts").write.parquet(s"$work/sketch_store")
+    val sketchWall = (System.nanoTime() - t1) / 1e9
+
+    def merged(parts: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      SketchStore.mergedDistinct(parts, Seq("event_type"))
+        .select(col("event_type"), col("approx_distinct"), col("n_rows"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val streamedM = merged(spark.read.parquet(s"$work/sketch_store"))
+    val batchM = merged(SketchStore.dailySketches(
+      events, Seq("event_type"), "ts", "user_id"))
+    val rowsDiff = streamedM.keySet.union(batchM.keySet).count { k =>
+      streamedM.get(k).map(_._2) != batchM.get(k).map(_._2)
+    }
+    val estDiff = streamedM.keySet.union(batchM.keySet).count { k =>
+      streamedM.get(k).map(_._1) != batchM.get(k).map(_._1)
+    }
+    println(s"""SKETCH_BENCH {"wall_sec":$sketchWall,"keys":${streamedM.size},"n_rows_mismatches":$rowsDiff,"estimate_mismatches":$estDiff,"sf":"$sfDir"}""")
     spark.stop()
-    if (wrong != 0 || missing != 0) sys.exit(1)
+    if (wrong != 0 || missing != 0 || rowsDiff != 0 || estDiff != 0) sys.exit(1)
   }
 }
