@@ -950,27 +950,32 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, nPlanes = 4, threshold = 0.45)),
 
-    // ----- IVF over computed k-means clusters (rows-only: engine-
-    // defined clustering has no SQL oracle) ----------------------------
+    // ----- IVF over computed k-means clusters. iterations = 1 keeps
+    // the coarse quantizer at its deterministic seed (first k vectors
+    // by id), which a SQL oracle reproduces exactly — so assignment +
+    // in-cell search is fully hash-checked; the Lloyd's refinement
+    // loop stays exercised (and recall-pinned) by q_ivfadc_topk,
+    // q_knn_ivf_probe and KmeansCompactionSpec ------------------------
     "q_knn_kmeans_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val clusters = VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 3)
+      val clusters = VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 1)
       val withCluster = emb.join(
         clusters.withColumnRenamed("id", "vec_id"), "vec_id")
       VectorOps.knnTopKIvf(withCluster, "vec_id", "embedding", "cluster",
         col("vec_id") < 20, k = 5)
     }),
 
-    // ----- Multi-probe IVF over computed k-means clusters (rows-only:
-    // engine-defined clustering; nprobe=2 probes each query's two
-    // nearest centroids — the recall knob of a production IVF index) --
     // ----- PQ-compressed ANN: 64-float vectors scan as 8-byte codes,
-    // ADC lookup-table scoring (rows-only: Lloyd's codebooks are
-    // engine-defined; recall pinned against brute force in PqSpec) ----
+    // ADC lookup-table scoring. iterations = 1 pins the codebooks at
+    // their deterministic seed (sub-slices of the first ksub vectors
+    // by id), which the SQL oracle rebuilds — encode argmin, lookup
+    // tables, and the ordered ADC fold are then bit-reproducible, so
+    // the whole ADC path is hash-checked; Lloyd's-refined codebooks
+    // stay exercised by q_ivfadc_topk and recall-pinned in PqSpec ----
     "q_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = ProductQuantizer.train(emb, "vec_id", "embedding",
-        m = 8, ksub = 16, iterations = 4)
+        m = 8, ksub = 16, iterations = 1)
       ProductQuantizer.adcTopK(emb, "vec_id", "embedding",
         col("vec_id") < 20, model, k = 10)
     }),
@@ -983,11 +988,17 @@ object SparkEntry {
         col("vec_id") < 20, kCoarse = 8, coarseIterations = 3,
         m = 8, ksub = 16, pqIterations = 3, nprobe = 2, k = 10)),
 
+    // ----- Multi-probe IVF: nprobe=2 probes each query's two nearest
+    // centroids — the recall knob of a production IVF index. Like
+    // q_knn_kmeans_ivf, iterations = 1 pins the coarse quantizer at
+    // its deterministic seed so probe selection + in-cell search are
+    // fully hash-checked; Lloyd's-refined centroids stay exercised by
+    // q_ivfadc_topk and KmeansCompactionSpec --------------------------
     "q_knn_ivf_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
+      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 1)
       val withCluster = emb.join(
-        VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 3)
+        VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 1)
           .withColumnRenamed("id", "vec_id"), "vec_id")
       VectorOps.knnTopKIvfProbe(withCluster, "vec_id", "embedding", "cluster",
         VectorOps.centroidsDF(s, cents), col("vec_id") < 20, k = 5, nprobe = 2)
@@ -2712,6 +2723,116 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
            FROM p)
          WHERE rnk <= 5""",
+    // Seed-coarse-quantizer IVF: centroid j = vector of the j-th
+    // smallest vec_id; assignment = argmin |c|^2 - 2 v·c with
+    // first-minimum (smallest j) tie-break — exactly kmeansAssign at
+    // iterations = 1 — then exact in-cell cosine top-k.
+    "q_knn_kmeans_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         seed AS (SELECT emb AS cent,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         c2 AS (SELECT j, cent, list_inner_product(cent, cent) AS cc FROM seed),
+         asg AS (SELECT vec_id, j AS cluster FROM (
+             SELECT e.vec_id, t.j,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY t.cc - 2.0 * list_inner_product(e.emb, t.cent), t.j) AS rn
+             FROM e, c2 t) WHERE rn = 1),
+         ec AS (SELECT e.vec_id, e.emb, asg.cluster FROM e JOIN asg USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, emb AS qemb, cluster AS qc
+               FROM ec WHERE vec_id < 20),
+         p AS (SELECT query_id, ec.vec_id AS neighbor_id,
+                      list_cosine_similarity(qemb, ec.emb) AS sim
+               FROM q JOIN ec ON ec.vec_id <> query_id AND ec.cluster = qc)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM p)
+         WHERE rnk <= 5""",
+    // Seed-coarse-quantizer multi-probe IVF: same centroid/assignment
+    // construction as q_knn_kmeans_ivf, but each query probes its TWO
+    // nearest centroids (rn <= 2, distance then smallest-j tie-break —
+    // knnTopKIvfProbe's __pr window) before the exact in-cell cosine
+    // top-k over the union of both cells.
+    "q_knn_ivf_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         seed AS (SELECT emb AS cent,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         c2 AS (SELECT j, cent, list_inner_product(cent, cent) AS cc FROM seed),
+         asg AS (SELECT vec_id, j AS cluster FROM (
+             SELECT e.vec_id, t.j,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY t.cc - 2.0 * list_inner_product(e.emb, t.cent), t.j) AS rn
+             FROM e, c2 t) WHERE rn = 1),
+         ec AS (SELECT e.vec_id, e.emb, asg.cluster FROM e JOIN asg USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, emb AS qemb
+               FROM ec WHERE vec_id < 20),
+         pr AS (SELECT query_id, j AS probe_cluster FROM (
+             SELECT q.query_id, t.j,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY t.cc - 2.0 * list_inner_product(q.qemb, t.cent), t.j) AS rn
+             FROM q, c2 t) WHERE rn <= 2),
+         p AS (SELECT q.query_id, ec.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.qemb, ec.emb) AS sim
+               FROM q JOIN pr USING (query_id)
+               JOIN ec ON ec.vec_id <> q.query_id AND ec.cluster = pr.probe_cluster)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM p)
+         WHERE rnk <= 5""",
+    // Seed-codebook PQ/ADC: codebook (j, c) = 8-dim sub-slice j of the
+    // vector with the c-th smallest vec_id (ProductQuantizer.train at
+    // iterations = 1); encode = per-subspace argmin |c|^2 - 2 v·c,
+    // smallest c on ties; ADC dot and reconstructed norm fold the 8
+    // per-subspace lookup values IN SUBSPACE ORDER (list(... ORDER BY
+    // j) then explicit left-assoc indexing) to match the engine's
+    // ascending accumulation bit-for-bit.
+    "q_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         seed AS (SELECT emb, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         js AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+         cent2 AS (SELECT js.j, seed.c,
+                     list_slice(seed.emb, js.j * 8 + 1, js.j * 8 + 8) AS cent,
+                     list_inner_product(
+                       list_slice(seed.emb, js.j * 8 + 1, js.j * 8 + 8),
+                       list_slice(seed.emb, js.j * 8 + 1, js.j * 8 + 8)) AS c2
+                   FROM seed, js),
+         enc AS (SELECT vec_id, j, c, c2 FROM (
+             SELECT e.vec_id, t.j, t.c, t.c2,
+                    row_number() OVER (PARTITION BY e.vec_id, t.j
+                      ORDER BY t.c2 - 2.0 * list_inner_product(
+                        list_slice(e.emb, t.j * 8 + 1, t.j * 8 + 8), t.cent), t.c) AS rn
+             FROM e, cent2 t) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, emb AS qemb,
+                      sqrt(list_inner_product(emb, emb)) AS qnorm
+               FROM e WHERE vec_id < 20),
+         dt AS (SELECT q.query_id, t.j, t.c,
+                       list_inner_product(
+                         list_slice(q.qemb, t.j * 8 + 1, t.j * 8 + 8), t.cent) AS d
+                FROM q, cent2 t),
+         parts AS (SELECT q.query_id, enc.vec_id,
+                          list(dt.d ORDER BY enc.j) AS ds,
+                          list(enc.c2 ORDER BY enc.j) AS cs,
+                          any_value(q.qnorm) AS qnorm
+                   FROM enc
+                   JOIN q ON enc.vec_id <> q.query_id
+                   JOIN dt ON dt.query_id = q.query_id AND dt.j = enc.j AND dt.c = enc.c
+                   GROUP BY 1, 2),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+             CASE WHEN (cs[1]+cs[2]+cs[3]+cs[4]+cs[5]+cs[6]+cs[7]+cs[8]) = 0.0
+                       OR qnorm = 0.0 THEN 0.0
+                  ELSE (ds[1]+ds[2]+ds[3]+ds[4]+ds[5]+ds[6]+ds[7]+ds[8])
+                       / (qnorm * sqrt(cs[1]+cs[2]+cs[3]+cs[4]+cs[5]+cs[6]+cs[7]+cs[8]))
+             END AS sim
+           FROM parts)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         WHERE rnk <= 10""",
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
