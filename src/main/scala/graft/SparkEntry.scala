@@ -942,9 +942,11 @@ object SparkEntry {
     // shrink a 100 TB embedding store takes before indexing) ---------
     "q_embed_quantize" -> ((s, dir) =>
       VectorOps.quantizeInt8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")),
-    // Hyperplane-LSH bucketed variant (rows-only: the seeded random
-    // planes are engine-defined, not SQL-reproducible). Few planes ->
-    // big buckets -> high recall at this tiny SF.
+    // Hyperplane-LSH bucketed variant. Few planes -> big buckets ->
+    // high recall at this tiny SF. The seed-42 gaussian planes are
+    // deterministic, so the oracle pins all 4x64 weights as literals
+    // and replays bucket = OR over sign bits + in-bucket cosine —
+    // fully hash-checked (left rows-only until round 5).
     "q_lsh_neardup" -> ((s, dir) =>
       VectorOps.lshNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -2833,6 +2835,26 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
          WHERE rnk <= 10""",
+    // Pinned-plane hyperplane LSH: the 4x64 seed-42 gaussian plane
+    // weights are embedded as literals (Double.toString round-trips
+    // exactly), bucket bit j = sign(v . plane_j) as in
+    // hyperplaneBucketKernel, then within-bucket pairs verified by
+    // exact cosine at 0.45 — byte-for-byte the engine's lshNearDupPairs.
+    "q_lsh_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT e.vec_id,
+                      CAST(sum(CASE WHEN list_inner_product(e.emb, p.plane) > 0.0
+                                    THEN 1 << p.j ELSE 0 END) AS INT) AS cluster
+               FROM e, (SELECT * FROM (VALUES
+           (0, [1.1419053154730547, 0.9194079489827879, -0.9498666368908959, -1.1069902863993377, 0.2809776380727795, 0.6846227956326554, -0.8172214073987268, -1.3966434026780434, -0.19094451307087512, 1.4862133923906502, 0.8023071496873626, -0.12151292466549345, 1.4105062239438624, -0.6402327822135738, -1.2096444592532913, 0.35375769787202876, -0.4903496491990076, 0.5507215382743629, -1.2035510019650835, 0.3210160806416416, 1.5511476388671834, 0.43853028624710505, 0.4815980608245389, 1.5196310789680683, -0.2768317291873249, -0.08393897849486337, 1.255833005788796, -0.3252727938665772, -0.17329033306108363, -1.8585851445864527, 1.4238069456328435, -1.363726024075023, -1.964666098753878, -0.9185948439341892, -2.548887393384806, -1.6309606578419305, -0.12200477461989162, 1.289159071801577, -0.2691388556559934, 0.2574914085090889, -0.3199143760045327, -1.7684998592513064, -0.4834503128592458, -0.5099904653893699, 1.1166733769661994, -0.04094720151728288, -1.1076715169200795, 1.8623214176471945, 1.1457411377091524, -1.0586772048930921, 1.0725991339400673, -1.9317441520296659, 0.30102521611534994, 0.2475231582804265, 1.406156849249087, -1.5202207203569256, 0.2709294126920897, 0.561249284813777, -0.5298295780368607, 0.5390221914988275, 2.2123402141787243, -0.6329335687728442, -1.8831759122084633, 0.3865659853763343]),
+           (1, [0.32582927090649455, -0.9013043195000002, -0.002680308907617573, -0.4739592549853249, -0.5479781547659026, -0.01910014847196348, 1.6468163882596327, -1.107062592215791, 0.5938103926672539, -0.15566462108511642, 0.6632872929286855, 1.226793360688623, 0.8839698437730904, 0.22172454670212935, 0.9197020859698617, -0.7393758185888677, 0.803517749531419, -0.2539417447630359, -0.7638388605060555, -1.8645567427274516, -1.861306200027518, -0.576599881116305, -0.40899380621224757, 0.24846093761654187, -0.48091295490277447, 0.44621205735391023, -0.4465888888803913, 0.045638687865053575, 0.7045663273135641, -0.2718240183671583, 0.08074877915238832, 1.2590964696340183, 0.7635098382407334, 1.7220810801509723, 0.14595005405372477, -0.9946630124621867, 0.2007496259633872, 0.8962364439355677, 1.5117192131332227, -1.4034737280748781, -1.9069696484274985, 1.3685654487373131, -0.5596730323653845, 0.7446081536741976, 1.573665595681067, 1.1280434418181906, -0.19208158669725373, -2.2544936618345086, 0.439851862908128, 0.6568003265998675, -0.7449501614293713, 1.1994753269490135, 1.7797467521986703, 0.06740415207570563, 1.2950640220107117, -0.5826765284502453, 0.7688682382458406, 0.4176645501737688, -0.46909223599067523, 0.4141481732625842, 0.6630227275361512, 0.8671946375362719, 0.29670087780568055, 0.32152305651538937]),
+           (2, [2.2242953580982188, 0.8358482078498958, -1.1933022979733765, 0.1188051459900597, 0.5580410346433533, -1.9527104650970353, 1.4960553383489514, -0.7625821886812193, 0.8951776489120974, -0.18267090292344199, 0.9297634639960395, -0.4374803598273085, -0.10491093903022966, -0.6114382438880094, 0.35276466448456023, -1.1445166107986677, -0.6538317989304822, 2.677097108514281, 0.15132171644246425, 1.8470372001182738, 0.4407433149811739, 0.8773090852445982, 0.946980694388772, -0.6997736460145386, -2.315207227451069, 0.09480020117496452, 0.1920371028231238, -1.0081308322886091, -2.150717205632501, 1.6170416083849217, 0.5473509656354903, 1.6230096333098776, 0.36966929887014705, 1.2240526315272633, 0.8751209163514154, -0.29000442763399675, 0.4333345396190892, 1.0069743967645715, 1.7830081455237958, 1.356870316505785, 0.4459302415658664, 1.3915127940536753, 0.03295541525474264, -0.8018248798505966, -0.017182633216773876, -1.3164854365297216, -0.027818555215940465, 1.9719833390831583, 1.3758681039407463, -1.2706898498985282, 0.2920337802284907, 1.533319271731563, 0.10462042588973046, -1.3131603671758911, 1.7799964944316888, 0.3952547694086232, -0.5004628323242984, -2.0407393926238933, 1.0869289165797924, -1.0408491311776968, 1.9616582572418195, 0.9258632212977318, 1.361656934659277, 2.8896525506477344]),
+           (3, [-0.4910136707454713, -0.710198583176802, 1.5704667206621972, -0.842408497299511, -0.3319307686020679, -1.698847669879108, -0.5311415117921071, -2.5875629832762232, 0.3015645247761741, -1.1528052896236403, -1.7133285086762593, 0.08131975803507514, -1.3278612176303164, 0.6965862080356764, -1.2876713313576322, 1.2509059068665722, 0.012552200267459757, 0.6566974914450203, -1.321353005901397, 0.8149172295041944, 0.6110409277400992, 0.12348089487854173, 0.38840257501965103, -0.5821272380571016, 0.43343568884177824, -0.7960431045019911, 0.06399529912314222, -0.7421110756691232, 1.1806635961066305, 0.9198186083780134, 1.2380051788351232, -0.07088550150391275, -0.5658960602508907, 1.0508212282447211, 0.9441165305261189, -0.6911609067777333, 0.8859638093504211, -2.533371339542391, 0.4163203752064485, 0.4062903984061704, 0.8418616457792908, -0.3480736064260179, 1.0703545150299583, -0.23477690871527593, 0.15572639860723536, 0.6683095785190067, 0.3685121432402299, 0.09709933719650744, -1.2388537517698515, -0.2653296755913956, -0.6031387254158636, -0.14638328860844366, 1.8821103658250251, 1.8435869679890158, -0.7743715896031117, -0.15335007392100358, 0.13720880703462834, -0.9119325994640678, 0.1906821021913211, 0.7232172113039873, -0.43633626572057416, -0.18091541708210968, 0.8037789293095281, 1.3862531407675853])) AS t(j, plane)) p
+               GROUP BY e.vec_id),
+         ec AS (SELECT e.vec_id, e.emb, b.cluster FROM e JOIN b USING (vec_id))
+         SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM ec a JOIN ec c ON a.cluster = c.cluster AND a.vec_id < c.vec_id
+         WHERE list_cosine_similarity(a.emb, c.emb) >= 0.45""",
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b

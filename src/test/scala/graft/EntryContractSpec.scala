@@ -16,11 +16,11 @@ class EntryContractSpec extends AnyFunSuite {
     val rowsOnly = q.diff(o)
     // engine-defined results (sketches, seeded planes, Lloyd's
     // codebooks, deflate, BPE merges) — keep this list deliberate.
-    // q_knn_kmeans_ivf / q_knn_ivf_probe / q_pq_topk left this list in
-    // round 5: pinning their quantizers at the deterministic seed
-    // (iterations = 1) made them SQL-reproducible.
+    // q_knn_kmeans_ivf / q_knn_ivf_probe / q_pq_topk / q_lsh_neardup
+    // left this list in round 5: pinning their quantizers / planes at
+    // the deterministic seed made them SQL-reproducible.
     assert(rowsOnly == Set(
-      "q_approx_distinct", "q_approx_percentiles", "q_lsh_neardup",
+      "q_approx_distinct", "q_approx_percentiles",
       "q_ivfadc_topk", "q_bpe_tokens", "q_compress_ratio",
       "q_sketch_store"),
       s"unexpected rows-only set: $rowsOnly")
