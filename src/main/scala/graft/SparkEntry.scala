@@ -382,6 +382,32 @@ object SparkEntry {
       val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
       graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
     }),
+    // Quality-aware keeper: the same LSH components as q_dedup_groups,
+    // but each group keeps its HIGHEST-quality member (ties -> min id)
+    // — the keep-the-best-copy form production corpus dedup runs. The
+    // score is q_quality_score's composite, already proven
+    // bit-identical across engines.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      val scored = TextOps.textStats(docs, "doc_id", "text").select(
+        col("doc_id"),
+        (least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+          least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3).as("qscore"))
+      graft.operators.DedupGroups.resolveKeepersBy(scored, "doc_id", "qscore", pairs)
+    }),
+    // Dedup diagnostic: duplicate-group size histogram (how many
+    // groups of size 1, 2, 3, ... the LSH components produce) — the
+    // first report a corpus-dedup run prints, and the fastest way to
+    // spot a degenerate mega-component at scale.
+    "q_dedup_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
+        .groupBy(col("keeper_id")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2136,6 +2162,49 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS keeper_id,
                 coalesce(g.group_id, d.doc_id) = d.doc_id AS is_keeper
          FROM documents d LEFT JOIN grp g USING (doc_id)""",
+    // Same components as q_dedup_groups; keeper = per-group argmax of
+    // the q_quality_score composite (row_number over qscore DESC, id).
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         ${minhashSigCtes()},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         lab AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id,
+                        least(CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                        + (1.0 - least(CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                                 / CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE) * 5.0, 1.0)) * 0.3
+                        + least(CAST(len(list_filter(string_split(trim(d.text), ' '),
+                                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                                / CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS DOUBLE) * 10.0, 1.0) * 0.3
+                          AS qscore
+                 FROM documents d LEFT JOIN grp g USING (doc_id)),
+         keep AS (SELECT group_id, doc_id AS keeper_id,
+                         row_number() OVER (PARTITION BY group_id ORDER BY qscore DESC, doc_id) AS rn
+                  FROM lab)
+         SELECT lab.doc_id, k.keeper_id, k.keeper_id = lab.doc_id AS is_keeper
+         FROM lab JOIN (SELECT group_id, keeper_id FROM keep WHERE rn = 1) k USING (group_id)""",
+    // Group-size histogram over the same components (count() is BIGINT
+    // in both engines — no HUGEINT cast needed, unlike sum()).
+    "q_dedup_sizes" ->
+      s"""WITH RECURSIVE
+         ${minhashSigCtes()},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         sizes AS (SELECT coalesce(g.group_id, d.doc_id) AS keeper, count(*) AS group_size
+                   FROM documents d LEFT JOIN grp g USING (doc_id) GROUP BY 1)
+         SELECT group_size, count(*) AS n_groups FROM sizes GROUP BY 1""",
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          sets AS (SELECT doc_id,

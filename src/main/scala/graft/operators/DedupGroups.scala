@@ -184,4 +184,38 @@ object DedupGroups {
         coalesce(col("group_id"), col("doc_id")).as("keeper_id"),
         (coalesce(col("group_id"), col("doc_id")) === col("doc_id")).as("is_keeper"))
   }
+
+  /** Quality-aware dedup resolution: like [[resolveKeepers]], but the
+    * keeper of each duplicate group is its member with the HIGHEST
+    * score (ties → smallest id) instead of the arbitrary minimum id —
+    * the form production corpus dedup actually runs ("keep the best
+    * copy, drop the rest"). `docs` must carry one row per id with the
+    * score column already computed.
+    *
+    * Scale: after component resolution, one shuffle by group_id for
+    * the per-group argmax window; near-dup components are small (and
+    * the pair generators upstream cap degenerate buckets), so the
+    * window state per group is a handful of rows.
+    */
+  def resolveKeepersBy(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      maxIterations: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = connectedComponents(pairs, maxIterations)
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(scoreCol).as("__score"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__score"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    labeled
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("keeper_id") === col("doc_id")).as("is_keeper"))
+  }
 }

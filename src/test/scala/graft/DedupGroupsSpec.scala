@@ -39,6 +39,24 @@ class DedupGroupsSpec extends SparkSpec {
     assert(out(5L) == ((5L, true)))
   }
 
+  test("resolveKeepersBy keeps the highest-scoring member, ties to min id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // component {1,2,3}: best is 2
+      (4L, 0.7), (5L, 0.7),            // component {4,5}: tie -> min id 4
+      (6L, 0.1)                        // singleton keeps itself
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = DedupGroups.resolveKeepersBy(docs, "doc_id", "score", pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(3L) == ((2L, false)))
+    assert(out(4L) == ((4L, true)))
+    assert(out(5L) == ((4L, false)))
+    assert(out(6L) == ((6L, true)))
+  }
+
   test("pointer doubling: a 100-link chain converges within 10 rounds") {
     // worst case for plain min-label propagation (needs diameter =
     // 100 rounds); with label compression it must finish inside the
