@@ -409,6 +409,29 @@ object SparkEntry {
         .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
     }),
 
+    // ----- MinHash band calibration: estimated vs exact Jaccard per
+    // candidate pair — the report that tunes (bands, rowsPerBand)
+    // before a 100 TB dedup run ----------------------------------------
+    "q_minhash_calibration" -> ((s, dir) =>
+      TextOps.minhashEstimateVsExact(
+        Tables.documents(s, dir), "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3)),
+    // ----- Dedup rate by source: per-source duplicate fraction from
+    // the resolved groups — the per-provider corpus health report -----
+    "q_dedup_rate_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      val keepers = graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
+      docs.select(col("doc_id"), col("source"))
+        .join(keepers, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_keeper"), 0L).otherwise(1L)).as("n_dupes"))
+        .withColumn("dup_rate",
+          col("n_dupes").cast(DoubleType) / col("n_docs").cast(DoubleType))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
@@ -2162,6 +2185,61 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS keeper_id,
                 coalesce(g.group_id, d.doc_id) = d.doc_id AS is_keeper
          FROM documents d LEFT JOIN grp g USING (doc_id)""",
+    // Estimated Jaccard = matching signature components / 8 (a dyadic
+    // rational — exact in both engines); exact Jaccard from the same
+    // distinct-shingle CTE the signatures hash (intersection count /
+    // inclusion-exclusion union).
+    "q_minhash_calibration" ->
+      s"""WITH ${minhashSigCtes()},
+         cand AS ($minhashPairsSelect),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+                   FROM cand c JOIN sh a2 ON a2.doc_id = c.doc_a
+                               JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.s = a2.s
+                   GROUP BY 1, 2),
+         ex AS (SELECT c.doc_a, c.doc_b,
+                  CASE WHEN ca.n + cb.n - coalesce(i.ni, 0) = 0 THEN 0.0
+                       ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                            / CAST(ca.n + cb.n - coalesce(i.ni, 0) AS DOUBLE)
+                  END AS jaccard
+                FROM cand c JOIN cnt ca ON ca.doc_id = c.doc_a
+                            JOIN cnt cb ON cb.doc_id = c.doc_b
+                            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b),
+         est AS (SELECT c.doc_a, c.doc_b,
+                   CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+                       + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+                     AS est_jaccard
+                 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                             JOIN sig sb ON sb.doc_id = c.doc_b)
+         SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+                abs(e.est_jaccard - x.jaccard) AS abs_err
+         FROM est e JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b""",
+    // Per-source duplicate fraction over the same resolved components.
+    "q_dedup_rate_by_source" ->
+      s"""WITH RECURSIVE
+         ${minhashSigCtes()},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         res AS (SELECT d.doc_id, d.source,
+                        coalesce(g.group_id, d.doc_id) = d.doc_id AS is_keeper
+                 FROM documents d LEFT JOIN grp g USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes,
+                CAST(sum(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_rate
+         FROM res GROUP BY 1""",
     // Same components as q_dedup_groups; keeper = per-group argmax of
     // the q_quality_score composite (row_number over qscore DESC, id).
     "q_dedup_keep_best" ->

@@ -145,6 +145,56 @@ object TextOps {
     minhashPairsFromBanded(guarded, idCol, keyCols)
   }
 
+  /** MinHash estimator-quality audit over the banded candidates: for
+    * every candidate pair, the signature-based Jaccard ESTIMATE
+    * (matching components / k — the quantity LSH banding actually
+    * thresholds on) next to the exact n-gram Jaccard and the absolute
+    * error. This is the band-calibration report: tuning
+    * (bands, rowsPerBand) at corpus scale starts by measuring
+    * estimator error on a sample. Scale-safe by construction — the
+    * candidate set is the capped banded join, the estimate is a
+    * row-local zip_with over two k-long arrays, and the exact side
+    * joins shingle sets only for surviving candidates (same shape as
+    * [[ngramJaccard]]).
+    */
+  def minhashEstimateVsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val pairs = minhashCandidatePairs(
+      docs, idCol, textCol, bands, rowsPerBand, shingleSize, bucketCap)
+    val feat = docs
+      .select(col(idCol).as("__id"),
+        shingles(tokens(col(textCol)), shingleSize).as("__ss"))
+      .select(col("__id"), col("__ss"),
+        MinHashSig.minhash_sig(col("__ss"), k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val matches = aggregate(
+      zip_with(col("__siga"), col("__sigb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val inter = size(array_intersect(col("__ssa"), col("__ssb")))
+    val union = size(col("__ssa")) + size(col("__ssb")) - inter
+    pairs
+      .join(feat.select(col("__id").as("doc_a"),
+        col("__ss").as("__ssa"), col("__sig").as("__siga")), "doc_a")
+      .join(feat.select(col("__id").as("doc_b"),
+        col("__ss").as("__ssb"), col("__sig").as("__sigb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (matches.cast(DoubleType) / lit(k.toDouble)).as("est_jaccard"),
+        when(union === 0, lit(0.0))
+          .otherwise(inter.cast(DoubleType) / union.cast(DoubleType))
+          .as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   /** Self-join form over pre-banded keys (see [[minhashBanded]]). */
   def minhashPairsFromBanded(
       banded: DataFrame,

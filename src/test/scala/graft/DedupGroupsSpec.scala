@@ -57,6 +57,14 @@ class DedupGroupsSpec extends SparkSpec {
     assert(out(6L) == ((6L, true)))
   }
 
+  test("resolveKeepersBy with no pairs keeps every doc as its own keeper") {
+    val docs = Seq((1L, 0.9), (2L, 0.1)).toDF("doc_id", "score")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = DedupGroups.resolveKeepersBy(docs, "doc_id", "score", empty)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+
   test("pointer doubling: a 100-link chain converges within 10 rounds") {
     // worst case for plain min-label propagation (needs diameter =
     // 100 rounds); with label compression it must finish inside the

@@ -45,6 +45,20 @@ class TextVectorSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashEstimateVsExact: exact dup estimates 1.0 with zero error") {
+    val out = TextOps.minhashEstimateVsExact(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // docs 0 and 4 are identical: every signature component matches
+    // and the exact Jaccard is 1.0, so the estimator error is exactly 0
+    val (est, exact, err) = out((0L, 4L))
+    assert(est == 1.0 && exact == 1.0 && err == 0.0)
+    // every reported error is |est - exact| and within [0, 1]
+    assert(out.values.forall { case (e, x, d) =>
+      d == math.abs(e - x) && d >= 0.0 && d <= 1.0 })
+  }
+
   test("ngramJaccard: identity = 1.0, near-dup high, distinct = 0") {
     val pairs = Seq((0L, 4L), (0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
     val j = TextOps.ngramJaccard(docs, "doc_id", "text", pairs, shingleSize = 3)
