@@ -828,6 +828,27 @@ object SparkEntry {
           col("user_id"), col("ts_l"), col("ts_r"),
           col("l_event_id").as("purchase_id"), col("r_event_id").as("click_id"))
     }),
+    // ----- Interval-overlap join: purchase attention windows [ts,
+    // ts+2h) x click windows [ts, ts+1h) per user, banded grid
+    // equi-join with the report-once bucket (no distinct) -------------
+    "q_interval_overlap" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end"))
+      graft.operators.IntervalJoin.overlapJoin(
+        p, c, Seq("user_id"), "start", "end", bucketWidthSeconds = 3600L,
+        leftPayload = Seq("event_id"), rightPayload = Seq("event_id"))
+        .select(col("user_id"),
+          col("l_event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"),
+          col("overlap_us"))
+    }),
 
     // ----- JSON extraction from the props column ----------------------
     "q_json_extract" -> ((s, dir) =>
@@ -2782,6 +2803,18 @@ object SparkEntry {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000""",
+    // Plain inequality form of the banded overlap join — the engine's
+    // report-once bucket trick emits each overlapping pair exactly
+    // once, so no DISTINCT is needed on either side.
+    "q_interval_overlap" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+                least(epoch_us(p.ts) + 7200000000, epoch_us(c.ts) + 3600000000)
+                  - greatest(epoch_us(p.ts), epoch_us(c.ts)) AS overlap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
+          AND epoch_us(c.ts) < epoch_us(p.ts) + 7200000000""",
     "q_set_ops" ->
       """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
          buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
