@@ -317,6 +317,32 @@ object SparkEntry {
             .as("vwap"))
     }),
 
+    // ----- Time-weighted average (TWAP): each observation holds until
+    // the next one (validity-interval weighting), exact decimal sums,
+    // single final division — the indicator VWAP's time-domain twin ---
+    "q_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("__next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("__next_ts").isNotNull)
+        .withColumn("__dur",
+          unix_micros(col("__next_ts")) - unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("__dur")).as("total_dur_us"),
+          // cents x micros: exact integer weighted sum (the sigma-
+          // outlier cents idiom — round(v*100) is IEEE-identical in
+          // both engines, unlike a double -> decimal cast)
+          sum(round(col("value") * 100).cast(DecimalType(38, 0)) *
+            col("__dur")).as("__wsum"))
+        .select(col("user_id"), col("n_intervals"), col("total_dur_us"),
+          (col("__wsum").cast(DoubleType) /
+            (col("total_dur_us").cast(DoubleType) * lit(100.0))).as("twap"))
+    }),
+
     // ----- Ranking: volume rank per day ------------------------------
     "q_rank_by_volume" -> ((s, dir) => {
       val daily = CandleOps.ohlcvRollup(
@@ -2109,6 +2135,22 @@ object SparkEntry {
                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                   AS vwap
          FROM lineitem GROUP BY 1""",
+    // Observation-holds-until-next weighting; decimal-exact weighted
+    // sum, BIGINT-cast duration sum (DuckDB sum() is HUGEINT), one
+    // IEEE division at the end.
+    "q_twap" ->
+      """WITH iv AS (
+           SELECT user_id, value,
+                  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    - epoch_us(ts) AS dur
+           FROM events
+           QUALIFY lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL)
+         SELECT user_id,
+                count(*) AS n_intervals,
+                CAST(sum(dur) AS BIGINT) AS total_dur_us,
+                CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0)) * dur) AS DOUBLE)
+                  / (CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) * 100.0) AS twap
+         FROM iv GROUP BY 1""",
     "q_rank_by_volume" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
