@@ -295,6 +295,18 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** The deterministic composite quality score over [[textStats]]
+    * columns — long-enough, low punctuation, some stopword mass; each
+    * term a double in [0,1]. One definition shared by the scoring,
+    * curriculum-decile, and keep-best-keeper queries (and mirrored
+    * verbatim in their oracles): the bit-exactness argument holds only
+    * while all consumers compute the SAME expression.
+    */
+  def qualityScoreCol: Column =
+    least(col("n_words").cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.3 +
+      least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3
+
   /** Per-doc text statistics: length, word/token counts, punctuation
     * count and ratio, stopword count and ratio — the quality-scoring
     * raw features. One projection, no shuffle.
@@ -654,7 +666,10 @@ object TextOps {
     // upstream; divide it down, don't widen the compare).
     val w = weightCol.cast("long")
     df.filter(
-      when(w <= lit(Long.MaxValue >> 28),
+      // NULL weights drop (as the pre-guard filter always did); only
+      // genuinely oversized weights raise
+      when(w.isNull, lit(false))
+        .when(w <= lit(Long.MaxValue >> 28),
           u * lit(weightScale * 4096L) < w * lit(rateNum))
         .otherwise(raise_error(concat(
           lit("weightedSample: weight "), w.cast("string"),
@@ -877,50 +892,35 @@ object TextOps {
   ): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("doc_id"))
+    // Norm-carrying TF ([[hashingTfSparseWithNorm]]) arrives with each
+    // row knowing its doc's full squared norm; a legacy norm-free TF is
+    // normalized into that shape first (one groupBy + join over the
+    // UNCAPPED frame — norms must keep all buckets so pruned similarity
+    // stays a strict underestimate). From there a single pipeline:
+    // candidate-join → one pair aggregation (norms ride along as max()
+    // of a per-doc constant) → top-k window. Two exchanges total.
+    val withN2 =
+      if (tf.columns.contains("__n2")) tf
+      else tf.join(
+        tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("__n2")),
+        Seq("doc_id"))
     val scored =
-      if (maxBucketDocs <= 0L) tf
-      else capBuckets(tf, Seq("bucket"), maxBucketDocs)
-    if (tf.columns.contains("__n2")) {
-      // Norm-carrying TF ([[hashingTfSparseWithNorm]]): every row
-      // already knows its doc's full squared norm, so the whole query
-      // is candidate-join → one pair aggregation (norms ride along as
-      // max() of a per-doc constant) → top-k window. Two exchanges
-      // total; no norm groupBy, no norm joins.
-      val queries = scored.filter(queryPred)
-        .select(col("doc_id").as("query_id"), col("bucket"),
-          col("c").as("__qc"), col("__n2").as("__qn2"))
-      scored.join(broadcast(queries), Seq("bucket"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("c") * col("__qc")).as("__dot"),
-          max(col("__n2")).as("__dn2"), max(col("__qn2")).as("__qn2m"))
-        .withColumn("sim",
-          col("__dot").cast("double") /
-            (sqrt(col("__dn2").cast("double")) * sqrt(col("__qn2m").cast("double"))))
-        .withColumn("rank", row_number().over(win))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
-    } else {
-      val n2 = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("__n2"))
-      val queries = scored.filter(queryPred)
-        .select(col("doc_id").as("query_id"), col("bucket"), col("c").as("__qc"))
-      val qn2 = n2.join(
-          queries.select(col("query_id")).distinct(),
-          col("doc_id") === col("query_id"))
-        .select(col("query_id"), col("__n2").as("__qn2"))
-      scored.join(broadcast(queries), Seq("bucket"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("c") * col("__qc")).as("__dot"))
-        .join(n2, Seq("doc_id"))
-        .join(broadcast(qn2), Seq("query_id"))
-        .withColumn("sim",
-          col("__dot").cast("double") /
-            (sqrt(col("__n2").cast("double")) * sqrt(col("__qn2").cast("double"))))
-        .withColumn("rank", row_number().over(win))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
-    }
+      if (maxBucketDocs <= 0L) withN2
+      else capBuckets(withN2, Seq("bucket"), maxBucketDocs)
+    val queries = scored.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("bucket"),
+        col("c").as("__qc"), col("__n2").as("__qn2"))
+    scored.join(broadcast(queries), Seq("bucket"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c") * col("__qc")).as("__dot"),
+        max(col("__n2")).as("__dn2"), max(col("__qn2")).as("__qn2m"))
+      .withColumn("sim",
+        col("__dot").cast("double") /
+          (sqrt(col("__dn2").cast("double")) * sqrt(col("__qn2m").cast("double"))))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("sim"), col("rank"))
   }
 
   /** SimHash near-dup pairs: fingerprint every doc (row-local custom

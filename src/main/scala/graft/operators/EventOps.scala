@@ -648,10 +648,12 @@ object EventOps {
     perType
       .crossJoin(broadcast(totals))
       .withColumn("chi2_num",
-        when(nTot <= lit(2000000000L).cast(dec), d * d)
+        // strict <: at exactly 2e9 with maximal skew, chi2_num * 100
+        // reaches 6.25e37 * 16 = 1e38 — one past decimal(38,0)
+        when(nTot < lit(2000000000L).cast(dec), d * d)
           .otherwise(raise_error(concat(
             lit("driftChi2: "), nTot.cast("string"),
-            lit(" total events exceeds the 2e9 exact decimal(38,0) chi-square"
+            lit(" total events reaches the 2e9 exact decimal(38,0) chi-square"
               + " bound; compare pre-aggregated counts instead")))))
       .withColumn("chi2_den",
         (col("n_a") + col("n_b")).cast(dec) * col("__ta") * col("__tb"))

@@ -45,9 +45,12 @@ object JdbcStore {
     var out: Option[A] = None
     var lastErr: Throwable = null
     while (out.isEmpty && attempt <= maxRetries) {
+      // NonFatal only: an OutOfMemoryError or a streaming-shutdown
+      // InterruptedException must propagate immediately, not spin
+      // through the backoff loop with the interrupt flag swallowed
       try out = Some(f)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           if (attempt < maxRetries && backoffMs > 0)
             Thread.sleep(backoffMs << attempt)

@@ -53,12 +53,6 @@ object PlanLab {
         import graft.sources.Tables
         import org.apache.spark.sql.functions.col
         val docs = Tables.documents(spark, dir)
-        def run(label: String, dim: Int, ckpt: Boolean, cap: Long): Unit = {
-          val tf0 = TextOps.hashingTfSparse(docs, "doc_id", "text", dim)
-          val tf = if (ckpt) tf0.localCheckpoint() else tf0
-          time(label)(println(TextOps.sparseCosineTopK(
-            tf, col("doc_id") % 50 === 0, k = 5, maxBucketDocs = cap).count()))
-        }
         val tfN = TextOps.hashingTfSparseWithNorm(docs, "doc_id", "text", 4096)
         time("warmup tf count")(println(tfN.count()))
         def knn() = TextOps.sparseCosineTopK(tfN, col("doc_id") % 50 === 0, k = 5)

@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -63,19 +63,31 @@ object RollupRouter {
     */
   val ManifestFile = "_graft_route.properties"
 
-  /** Source parquet path of a frame, when it is a plain file scan —
-    * how the store build learns which base table a rollup derives
-    * from without being told. None for in-memory/derived frames
-    * (no manifest is written for those; routing needs a scannable
-    * base relation to rewrite anyway).
+  /** Source parquet path of a frame, ONLY when the frame IS a bare
+    * single-path file scan (modulo aliasing) — how the store build
+    * learns which base table a rollup derives from without being
+    * told. None for anything filtered, joined, projected, or
+    * multi-path: a manifest recorded from a derived frame would claim
+    * the rollup covers the whole base table, and after a restart the
+    * route rule would silently rewrite full-table aggregates to a
+    * partial store. collectFirst on the plan is NOT enough — the
+    * relation must be the entire plan.
     */
-  def sourcePath(df: org.apache.spark.sql.DataFrame): Option[String] =
-    df.queryExecution.analyzed.collectFirst {
+  def sourcePath(df: org.apache.spark.sql.DataFrame): Option[String] = {
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case a: SubqueryAlias => unwrap(a.child)
+      case other => other
+    }
+    unwrap(df.queryExecution.analyzed) match {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+        case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+          Some(fs.location.rootPaths.head.toString)
         case _ => None
       }
-    }.flatten
+      case _ => None
+    }
+  }
 
   /** Write a route manifest into `rollupPath` via the path's own
     * Hadoop FileSystem (works on HDFS/S3, not just local disk).
