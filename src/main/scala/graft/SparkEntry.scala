@@ -1452,7 +1452,144 @@ object SparkEntry {
           ntile(4).over(w).cast(LongType).as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
-    })
+    }),
+
+    // ----- Resample + forward-fill: continuous per-key 1h series, gaps
+    // carrying the last observed close (read-side companion of G2/G3's
+    // gap *detection* — pandas resample().ffill() / WITH FILL analog) --
+    "q_gap_fill_ffill" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.resampleFfill(r1h, Seq("user_id"), "bucket_ts", "close", "1h")
+    }),
+
+    // ----- Truncated EWMA in exact integers: weights (n-1)^j(n+1)^(n-1-j)
+    // make numerator/denominator exact decimal sums; ema is ONE IEEE
+    // division (same bit-reproducibility contract as q_rsi/q_bollinger).
+    // n = 12 keeps the numerator under 2^63 so BOTH engines cast the
+    // same int64 to double correctly rounded — DuckDB's HUGEINT→DOUBLE
+    // goes through two 64-bit halves and double-rounds ~1e-16 of rows,
+    // so the hash contract pins the sums to the BIGINT range ----------
+    "q_ema" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.ema(r1h, Seq("user_id"), "bucket_ts", "close", nWindow = 12)
+    }),
+
+    // ----- TPC-H Q5 shape: 6-way join lineitem⋈orders⋈customer⋈supplier
+    // ⋈nation⋈region with the local-supplier predicate. The three dim
+    // tables broadcast (AQE size-based); the fact joins shuffle on
+    // orderkey/custkey — the canonical star-join plan ------------------
+    "q5_local_supplier" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ----- TPC-H Q10 shape: returned-item revenue per customer, top 20
+    "q10_returned_items" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ----- TPC-H Q18 shape: large-volume orders (HAVING over a fact
+    // aggregate, then re-join the fact — two passes over lineitem but
+    // the second is semi-join-pruned by the qualifying orderkeys) ------
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"))
+        .filter(col("__sq") > 250)
+        .select(col("l_orderkey").as("bq_orderkey"),
+          col("__sq").cast(DoubleType).as("total_qty"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("bq_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ----- Exact per-group median: cents-integer midpoint of the two
+    // middle order statistics — no approx sketch, reproducible ---------
+    "q_exact_median" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast(LongType).as("__cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("__cents"))
+      e.select(col("event_type"), col("__cents"),
+        row_number().over(w).as("__rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type")))
+          .as("__n"))
+        .filter(col("__rn") === expr("(__n + 1) div 2") ||
+          col("__rn") === expr("__n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("__n")).as("n_values"),
+          (sum(col("__cents")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) / 100.0).as("median"))
+    }),
+
+    // ----- Fixed-width value histogram per event type: exact integer
+    // bin edges (floor of cents/5000), zero-shuffle bin assignment -----
+    "q_value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) div 5000").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))),
+
+    // ----- Quality-first token budget: keep each source's best docs
+    // until the cumulative token count hits the per-source budget ------
+    "q_token_budget" -> ((s, dir) =>
+      graft.functions.TextOps.tokenBudget(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        budgetTokens = 800)),
+
+    // ----- ROLLUP grouping sets: order counts + exact decimal revenue
+    // at (priority, status), (priority), () levels with grouping ids ---
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"),
+          grouping_id().cast(LongType).as("gid"))),
+
+    // ----- PIVOT: per-user event-type counts as fixed columns (the
+    // pinned IN-list keeps the plan a single hash aggregate — no
+    // second pivot pass, no driver-side distinct scan) -----------------
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3531,6 +3668,150 @@ object SparkEntry {
                 percent_rank() OVER w AS pct_rank,
                 cume_dist() OVER w AS cume
          FROM customer WHERE c_custkey % 10 = 0
-         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"""
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+    "q_gap_fill_ffill" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+                  FROM r1h GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket_ts
+                  FROM span),
+         j AS (SELECT g.user_id, g.bucket_ts, r.close AS raw_close
+               FROM grid g LEFT JOIN r1h r
+                 ON g.user_id = r.user_id AND g.bucket_ts = r.bucket_ts)
+         SELECT user_id, bucket_ts,
+                last_value(raw_close IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+                raw_close IS NULL AS filled
+         FROM j""",
+    "q_ema" -> emaOracleSql(nWindow = 12),
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_nationkey = s_nationkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+         FROM orders
+         JOIN big ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q_exact_median" ->
+      """WITH c AS (SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM c)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+                CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS median
+         FROM r
+         WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         GROUP BY 1""",
+    "q_value_histogram" ->
+      """SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+                count(*) AS n, min(value) AS lo, max(value) AS hi
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2""",
+    "q_token_budget" ->
+      """WITH st AS (SELECT doc_id, source,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+           least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                    / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) * 5.0, 1.0)) * 0.3
+           + least(CAST(len(list_filter(string_split(trim(text), ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 10.0, 1.0) * 0.3
+           AS quality_score
+         FROM documents),
+         cum AS (SELECT doc_id, source, n_tokens, quality_score,
+                   CAST(sum(n_tokens) OVER
+                     (PARTITION BY source
+                      ORDER BY quality_score DESC NULLS LAST, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS cum_tokens
+                 FROM st)
+         SELECT * FROM cum WHERE cum_tokens <= 800""",
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+    "q_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+         FROM events GROUP BY 1"""
   )
+
+  /** Oracle for q_ema: the same truncated-EWMA integer weights
+    * (n-1)^j (n+1)^(n-1-j) as CandleOps.ema, generated as BIGINT
+    * literals over explicit lags so DuckDB reproduces the exact
+    * numerator/denominator and the single IEEE division bit-for-bit.
+    * BIGINT, not HUGEINT, on purpose: DuckDB's HUGEINT→DOUBLE cast
+    * converts the two 64-bit halves separately and double-rounds on
+    * rare values, while int64→double is correctly rounded in both
+    * engines — so the checked configuration must keep
+    * n·(n+1)^(n-1)·maxCents under 2^63 (n=12 covers cents to ~4e5;
+    * DuckDB raises on overflow rather than wrapping, so a violation
+    * is loud).
+    */
+  private def emaOracleSql(nWindow: Int): String = {
+    val weights = (0 until nWindow).map { j =>
+      BigInt(nWindow - 1).pow(j) * BigInt(nWindow + 1).pow(nWindow - 1 - j)
+    }
+    def lagExpr(j: Int) = if (j == 0) "cents" else s"lag(cents, $j) OVER w"
+    val numTerms = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(j)} IS NOT NULL THEN CAST($wj AS BIGINT) * ${lagExpr(j)} ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n                + ")
+    val denTerms = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(j)} IS NOT NULL THEN CAST($wj AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n                + ")
+    s"""WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h)
+         SELECT user_id, bucket_ts, cents AS close_cents,
+                CAST($numTerms AS DOUBLE)
+                / CAST($denTerms AS DOUBLE) AS ema_cents
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)"""
+  }
 }

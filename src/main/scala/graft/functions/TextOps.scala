@@ -311,7 +311,12 @@ object TextOps {
     * count and ratio, stopword count and ratio — the quality-scoring
     * raw features. One projection, no shuffle.
     */
-  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def textStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
     val t = col(textCol)
     val words = size(split(trim(t), "\\s+"))
     val toks = size(regexp_extract_all(t, lit(TokenRegex), lit(0)))
@@ -323,14 +328,14 @@ object TextOps {
       when(den === 0, lit(null).cast(DoubleType))
         .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
     docs.select(
-      col(idCol),
-      length(t).cast("long").as("text_len"),
-      words.cast("long").as("n_words"),
-      toks.cast("long").as("n_tokens"),
-      punct.cast("long").as("n_punct"),
-      ratio(punct, toks).as("punct_ratio"),
-      stop.cast("long").as("n_stopwords"),
-      ratio(stop, words).as("stopword_ratio"))
+      col(idCol) +: carry.map(col) :+
+        length(t).cast("long").as("text_len") :+
+        words.cast("long").as("n_words") :+
+        toks.cast("long").as("n_tokens") :+
+        punct.cast("long").as("n_punct") :+
+        ratio(punct, toks).as("punct_ratio") :+
+        stop.cast("long").as("n_stopwords") :+
+        ratio(stop, words).as("stopword_ratio"): _*)
   }
 
   /** Language-ID heuristic: score = count of language-marker stopwords;
@@ -1221,6 +1226,41 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col(scoreCol), col(idCol))
     df.withColumn("bin", ntile(nBins).over(w).cast("long"))
+  }
+
+  /** Quality-first token-budget selection: per stratum (source), rank
+    * docs by quality score (best first, doc_id tiebreak) and keep the
+    * prefix whose cumulative token count fits `budgetTokens` — the
+    * curation step that turns "we can afford N tokens of source X per
+    * epoch" into a concrete, deterministic document set. The running
+    * total is an exact integer window sum, so the cut point is
+    * reproducible regardless of partitioning.
+    *
+    * One keys-partitioned window (single exchange on the stratum);
+    * token counting is the row-local [[textStats]] projection. At
+    * 100 TB the per-source window sort is the honest cost of a global
+    * quality-ordered prefix; an approximate variant would bucket by
+    * score decile ([[curriculumBins]]) and cut at bucket granularity.
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    val st = textStats(docs, idCol, textCol, carry = Seq(strataCol))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        qualityScoreCol.as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("quality_score").desc_nulls_last, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    st
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
   }
 
   /** Content-defined chunking (FastCDC for token streams): cut each

@@ -272,4 +272,95 @@ object CandleOps {
           .otherwise((gains * 100).cast(DoubleType) /
             (gains + losses).cast(DoubleType)).as("rsi")): _*)
   }
+
+  /** Resample a rollup onto a continuous per-key grid and forward-fill
+    * the close (pandas `resample(...).ffill()` / ClickHouse `WITH FILL`
+    * analog — the read-side companion of G2's gap detection: instead of
+    * *reporting* missing buckets, emit them carrying the last observed
+    * close). Output: keys, bucket_ts, close (filled), filled flag.
+    *
+    * Shape at scale: one hash aggregate for per-key spans (shuffle on
+    * keys), `sequence`+`explode` grid generation (no shuffle, rows
+    * materialize in the mappers), one shuffle join grid×rollup on
+    * (keys, bucket), one keys-partitioned window for the fill. Grid
+    * size is bounded by span/grain per key — the same bound G2's
+    * expected-grid anti-join already carries; a key with a pathological
+    * span costs span/grain rows, never rows². The rollup input is
+    * scanned twice (spans + join); at 100 TB the rollup this runs over
+    * is grain-compacted (orders of magnitude under the base table), so
+    * the second scan is cheap relative to one base-table pass.
+    */
+  def resampleFfill(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      grain: String
+  ): DataFrame = {
+    val step = graft.model.Timeframe.parse(grain).seconds
+    val spans = rollup
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+    val grid = spans.select(
+      keys.map(col) :+ explode(
+        sequence(col("__mn"), col("__mx"),
+          expr(s"INTERVAL $step seconds"))).as(bucketCol): _*)
+    val joined = grid.join(
+      rollup.select((keys.map(col) :+ col(bucketCol) :+ col(closeCol)): _*),
+      keys :+ bucketCol, "left")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        last(col(closeCol), ignoreNulls = true).over(w).as(closeCol) :+
+        col(closeCol).isNull.as("filled")): _*)
+  }
+
+  /** Truncated exponential moving average in exact integer arithmetic.
+    *
+    * Weights are the EWMA series (1-a)^j with a = 2/(n+1), truncated at
+    * the trailing `nWindow` rows and renormalized over the rows present
+    * (pandas `ewm(span=n, adjust=True)` restricted to a window) — the
+    * truncation is what makes the value exactly computable: scaling by
+    * (n+1)^(n-1) turns every weight into the integer
+    * (n-1)^j * (n+1)^(n-1-j), so numerator and denominator are exact
+    * DECIMAL(38,0) sums over explicit `lag`s and the published `ema` is
+    * ONE IEEE division of two exactly-representable integers — bit-
+    * reproducible across engines and partitionings, like [[rsi]] and
+    * [[bollinger]]. nWindow ≤ 20 keeps the worst-case numerator
+    * (n·(n+1)^(n-1)·maxCents) under the decimal(38,0) cap for cent
+    * values to ~1e12.
+    *
+    * One window per key — the same single-exchange shape as the other
+    * indicators; the n explicit lags stay inside one codegen'd window
+    * frame (no self-joins, no per-row arrays).
+    */
+  def ema(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1 && nWindow <= 20,
+      s"nWindow=$nWindow outside (1, 20]: weights (n+1)^(n-1) must stay decimal-exact")
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    // integer weights (n-1)^j * (n+1)^(n-1-j), j = 0 (current row) .. n-1
+    val weights = (0 until nWindow).map { j =>
+      BigInt(nWindow - 1).pow(j) * BigInt(nWindow + 1).pow(nWindow - 1 - j)
+    }
+    val terms = weights.zipWithIndex.map { case (wj, j) =>
+      val x = if (j == 0) cents else lag(cents, j).over(wOrd)
+      val wLit = lit(BigDecimal(wj)).cast(dec)
+      (when(x.isNotNull, x.cast(dec) * wLit).otherwise(lit(0).cast(dec)),
+        when(x.isNotNull, wLit).otherwise(lit(0).cast(dec)))
+    }
+    val num = terms.map(_._1).reduce(_ + _).cast(dec)
+    val den = terms.map(_._2).reduce(_ + _).cast(dec)
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
+        (num.cast(DoubleType) / den.cast(DoubleType)).as("ema_cents")): _*)
+  }
 }

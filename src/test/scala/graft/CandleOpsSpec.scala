@@ -145,5 +145,40 @@ class CandleOpsSpec extends SparkSpec {
       (0L, 50L, Some(0.0))))                // pure loss
   }
 
-  def dfOf(c: Seq[Candle]): DataFrame = c.toDF()
+  test("resampleFfill emits the full grid and carries the last close over gaps") {
+    val sparse = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 1.0),
+      ("S", ts("2024-03-01 13:00:00"), 4.0), // 11:00 and 12:00 missing
+      ("T", ts("2024-03-01 10:00:00"), 9.0)  // single bucket: no grid growth
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.resampleFfill(sparse, Seq("sym"), "bucket_ts", "close", "1h")
+      .select("sym", "bucket_ts", "close", "filled")
+      .as[(String, Timestamp, Double, Boolean)].collect().sortBy(t => (t._1, t._2.getTime)).toSeq
+    assert(got == Seq(
+      ("S", ts("2024-03-01 10:00:00"), 1.0, false),
+      ("S", ts("2024-03-01 11:00:00"), 1.0, true), // synthesized, ffilled
+      ("S", ts("2024-03-01 12:00:00"), 1.0, true),
+      ("S", ts("2024-03-01 13:00:00"), 4.0, false),
+      ("T", ts("2024-03-01 10:00:00"), 9.0, false)))
+  }
+
+  test("ema matches the hand-computed truncated EWMA and hits SMA/last-value edges") {
+    // n=2: weights (1)^j(3)^(1-j) -> [3, 1]; ema = (3*x_t + x_{t-1}) / 4
+    val closes = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 1.0),
+      ("S", ts("2024-03-01 11:00:00"), 2.0),
+      ("S", ts("2024-03-01 12:00:00"), 2.0) // equal closes: ema == close
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.ema(closes, Seq("sym"), "bucket_ts", "close", nWindow = 2)
+      .select("bucket_ts", "close_cents", "ema_cents")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime).toSeq
+    assert(got == Seq(
+      (ts("2024-03-01 10:00:00"), 100L, 100.0),          // first row: weight renormalizes to itself
+      (ts("2024-03-01 11:00:00"), 200L, (3.0 * 200 + 100) / 4),
+      (ts("2024-03-01 12:00:00"), 200L, 200.0)))
+    // weight-cap contract is loud, not silent
+    intercept[IllegalArgumentException] {
+      CandleOps.ema(closes, Seq("sym"), "bucket_ts", "close", nWindow = 21)
+    }
+  }
 }

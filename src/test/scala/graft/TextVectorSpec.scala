@@ -622,4 +622,27 @@ class TextVectorSpec extends SparkSpec {
       .filter($"doc_id" === 0).head()
     assert(li.getAs[String]("predicted_lang") == "en")
   }
+
+  test("tokenBudget keeps the best-quality prefix per source, cut by cumulative tokens") {
+    // Source A: three docs of descending quality (longer text = higher
+    // score under the n_words term); the budget admits the top two.
+    val long1 = (1 to 40).map(i => s"alpha$i").mkString(" ") + " the of and"
+    val long2 = (1 to 30).map(i => s"beta$i").mkString(" ") + " the of and"
+    val short = "tiny doc the"
+    val d = Seq(
+      (1L, long1, "A"), (2L, long2, "B" /*other stratum*/),
+      (3L, long1 + " extra the tokens here", "A"), (4L, short, "A")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextOps.tokenBudget(d, "doc_id", "text", "source", budgetTokens = 171)
+      .select("doc_id", "source", "cum_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // A's ordering is 3 (best) then 1 then 4; 3+1 fit in 171, 4 does not.
+    assert(kept.map(_._1) == Seq(1L, 2L, 3L))
+    val cumA = kept.filter(_._2 == "A").map(_._3)
+    assert(cumA.max <= 171)
+    // determinism: running totals are exact integers, cut is reproducible
+    val again = TextOps.tokenBudget(d, "doc_id", "text", "source", budgetTokens = 171)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq(1L, 2L, 3L))
+  }
 }
