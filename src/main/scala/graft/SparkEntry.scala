@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{Bpe, ProductQuantizer, SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, QualityReport, RangeJoin, SessionOps, SketchStore}
+import graft.operators.{AsOfJoin, BasketOps, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, PurgeOps, QualityReport, RangeJoin, SessionOps, SketchStore}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1589,7 +1589,125 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L))
+        .na.fill(0L)),
+
+    // ----- Max drawdown per key: running-peak window in exact cents,
+    // per-key max of (peak - close) and its IEEE-division ratio -------
+    "q_drawdown" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.drawdown(r1h, Seq("user_id"), "bucket_ts", "close")
+    }),
+
+    // ----- Realized-volatility summary: exact-integer close-to-close
+    // move stats (n·Σd² − (Σd)² variance, never divides early) --------
+    "q_move_stats" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.moveStats(r1h, Seq("user_id"), "bucket_ts", "close")
+    }),
+
+    // ----- Beta/correlation vs a benchmark key: broadcast the one
+    // benchmark series into the bucket join; five exact co-moment
+    // sums, one division (beta) and one sqrt (corr) -------------------
+    "q_beta" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.betaVsBenchmark(
+        r1h, Seq("user_id"), "bucket_ts", "close", col("user_id") === 7)
+    }),
+
+    // ----- Candlestick pattern stream: doji/hammer/engulfing flags in
+    // pure integer-cents comparisons, one lag window, flagged rows only
+    "q_candle_patterns" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.candlePatterns(r1h, Seq("user_id"), "bucket_ts")
+    }),
+
+    // ----- Seasonality profile: hour-of-day x day-of-week load shape
+    // per event type; 7x24 cells per type, one hash aggregate ---------
+    "q_seasonality" -> ((s, dir) =>
+      EventOps.seasonalityProfile(Tables.events(s, dir), "event_type", "ts")),
+
+    // ----- Right-to-be-forgotten cascade audit: tombstoned customers
+    // propagate through orders to lineitem; broadcast membership
+    // probes, one scan per table, 3-row compliance report -------------
+    "q_forget_audit" -> ((s, dir) =>
+      PurgeOps.cascadeDeleteAudit(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        col("c_custkey") % 37 === 0)),
+
+    // ----- Stochastic oscillator: raw %K one division of exact cent
+    // longs; slow line smooths num/den separately so it stays one
+    // division too (an SMA of doubles would not hash-match) ----------
+    "q_stochastic" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.stochastic(r1h, Seq("user_id"), "bucket_ts", nWindow = 14, smoothN = 3)
+    }),
+
+    // ----- ATR: true range in exact cents, windowed-mean smoothing
+    // (one division by the actual frame size) ------------------------
+    "q_atr" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.atr(r1h, Seq("user_id"), "bucket_ts", nWindow = 14)
+    }),
+
+    // ----- Donchian channel: rolling extreme band + close position --
+    "q_donchian" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.donchian(r1h, Seq("user_id"), "bucket_ts", nWindow = 20)
+    }),
+
+    // ----- On-balance volume: signed cumulative volume in exact
+    // decimal, published as BIGINT cents -----------------------------
+    "q_obv" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.obv(r1h, Seq("user_id"), "bucket_ts", "close", "volume")
+    }),
+
+    // ----- MACD as exact rationals: fast/slow truncated EMAs cross-
+    // multiplied before the ONE division; signal EMA re-enters integer
+    // arithmetic via the floor-quantized micro-cents macd ------------
+    "q_macd" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.macd(r1h, Seq("user_id"), "bucket_ts", "close",
+        fast = 6, slow = 13, signalN = 5)
+    }),
+
+    // ----- RFM segmentation: quintile scores over total orders so the
+    // ntile edges are engine-deterministic ---------------------------
+    "q_rfm" -> ((s, dir) =>
+      EventOps.rfm(Tables.events(s, dir), "user_id", "ts", "value",
+        col("event_type") === "purchase")),
+
+    // ----- Power-user curve: activity deciles and each decile's share
+    // of all events ---------------------------------------------------
+    "q_power_curve" -> ((s, dir) =>
+      EventOps.powerCurve(Tables.events(s, dir), "user_id")),
+
+    // ----- DAU/MAU stickiness: two exact distinct grains joined on
+    // the broadcast month side ---------------------------------------
+    "q_stickiness" -> ((s, dir) =>
+      EventOps.stickiness(Tables.events(s, dir), "user_id", "ts")),
+
+    // ----- Bounce rate per user over 12h-gap sessions ----------------
+    "q_bounce_rate" -> ((s, dir) =>
+      SessionOps.bounceRate(
+        SessionOps.sessionSummaries(
+          Tables.events(s, dir), Seq("user_id"), "ts", "value", "12 hours"),
+        Seq("user_id"))),
+
+    // ----- Market-basket co-occurrence: same-order part pairs, fan-out
+    // bounded by the per-order line cap, deterministic top-100 --------
+    "q_copurchase" -> ((s, dir) =>
+      BasketOps.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", topN = 100))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3777,7 +3895,293 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q_drawdown" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         p AS (SELECT user_id, cents,
+                 max(cents) OVER (PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+               FROM c)
+         SELECT user_id, count(*) AS n_buckets,
+                CAST(max(peak) AS BIGINT) AS peak_cents,
+                CAST(max(peak - cents) AS BIGINT) AS max_dd_cents,
+                max(CASE WHEN peak > 0
+                      THEN CAST(peak - cents AS DOUBLE) / CAST(peak AS DOUBLE)
+                    END) AS max_dd_frac
+         FROM p GROUP BY 1""",
+    "q_move_stats" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         d AS (SELECT user_id, cents - lag(cents) OVER
+                 (PARTITION BY user_id ORDER BY bucket_ts) AS d FROM c)
+         SELECT user_id, count(*) AS n_moves,
+                CAST(sum(d) AS BIGINT) AS sum_move_cents,
+                CAST(sum(d * d) AS BIGINT) AS sum_move_sq,
+                CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_move,
+                CASE WHEN count(*) > 1 THEN
+                  CAST(count(*) * CAST(sum(d * d) AS BIGINT)
+                       - CAST(sum(d) AS BIGINT) * CAST(sum(d) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) * count(*) AS DOUBLE)
+                END AS var_move,
+                CAST(max(d) AS BIGINT) AS max_up_cents,
+                CAST(min(d) AS BIGINT) AS max_down_cents
+         FROM d WHERE d IS NOT NULL GROUP BY 1""",
+    "q_beta" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         m AS (SELECT user_id, bucket_ts, dx FROM (
+                 SELECT user_id, bucket_ts, cents - lag(cents) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dx FROM c)
+               WHERE dx IS NOT NULL),
+         b AS (SELECT bucket_ts, dx AS dy FROM m WHERE user_id = 7),
+         j AS (SELECT m.user_id, m.dx, b.dy
+               FROM m JOIN b USING (bucket_ts) WHERE m.user_id <> 7),
+         a AS (SELECT user_id, count(*) AS n,
+                 CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy
+               FROM j GROUP BY 1)
+         SELECT user_id, n AS n_aligned, sx AS sum_dx, sy AS sum_dy,
+                sxy AS sum_dxdy, sxx AS sum_dx2, syy AS sum_dy2,
+                CASE WHEN n * syy - sy * sy > 0 THEN
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * syy - sy * sy AS DOUBLE)
+                END AS beta,
+                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                END AS corr
+         FROM a""",
+    "q_candle_patterns" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_min(value, ts) AS open, max(value) AS high,
+                min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(open * 100) AS BIGINT) AS o,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1h),
+         f AS (SELECT user_id, bucket_ts, o, h, l, cl,
+                 abs(cl - o) AS body, h - l AS rng,
+                 least(o, cl) - l AS ls, h - greatest(o, cl) AS us,
+                 lag(o) OVER w AS po, lag(cl) OVER w AS pc
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, o AS open_cents, h AS high_cents,
+                l AS low_cents, cl AS close_cents,
+                body * 10 <= rng AND rng > 0 AS doji,
+                ls >= body * 2 AND us <= body AND body > 0 AS hammer,
+                coalesce(pc IS NOT NULL AND pc < po AND cl > o
+                         AND cl >= po AND o <= pc, FALSE) AS bullish_engulfing,
+                coalesce(pc IS NOT NULL AND pc > po AND cl < o
+                         AND cl <= po AND o >= pc, FALSE) AS bearish_engulfing
+         FROM f
+         WHERE (body * 10 <= rng AND rng > 0)
+            OR (ls >= body * 2 AND us <= body AND body > 0)
+            OR coalesce(pc IS NOT NULL AND pc < po AND cl > o
+                        AND cl >= po AND o <= pc, FALSE)
+            OR coalesce(pc IS NOT NULL AND pc > po AND cl < o
+                        AND cl <= po AND o >= pc, FALSE)""",
+    "q_seasonality" ->
+      """WITH cells AS (SELECT event_type,
+                CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                count(*) AS n
+            FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, dow, hour_of_day, n,
+                CAST(n AS DOUBLE)
+                  / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                         AS DOUBLE) AS share
+         FROM cells""",
+    "q_forget_audit" ->
+      """WITH dead AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+         deadord AS (SELECT o_orderkey FROM orders
+                     WHERE o_custkey IN (SELECT c_custkey FROM dead)),
+         c AS (SELECT 'customer' AS table_name, count(*) AS n_before,
+                 CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_purged
+               FROM customer),
+         o AS (SELECT 'orders', count(*),
+                 CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM dead)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+               FROM orders),
+         l AS (SELECT 'lineitem', count(*),
+                 CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM deadord)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+               FROM lineitem)
+         SELECT table_name, n_before, n_purged,
+                n_before - n_purged AS n_after
+         FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+               UNION ALL SELECT * FROM l)""",
+    "q_stochastic" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1h),
+         b AS (SELECT user_id, bucket_ts,
+                 cl - min(l) OVER w14 AS num,
+                 max(h) OVER w14 - min(l) OVER w14 AS den
+               FROM c
+               WINDOW w14 AS (PARTITION BY user_id ORDER BY bucket_ts
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts, num AS k_num_cents, den AS k_den_cents,
+                CASE WHEN den > 0 THEN CAST(num * 100 AS DOUBLE)
+                                       / CAST(den AS DOUBLE) END AS k_raw,
+                CASE WHEN CAST(sum(den) OVER w3 AS BIGINT) > 0
+                     THEN CAST(CAST(sum(num) OVER w3 AS BIGINT) * 100 AS DOUBLE)
+                          / CAST(CAST(sum(den) OVER w3 AS BIGINT) AS DOUBLE)
+                END AS k_slow
+         FROM b
+         WINDOW w3 AS (PARTITION BY user_id ORDER BY bucket_ts
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_atr" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1h),
+         t AS (SELECT user_id, bucket_ts,
+                 CASE WHEN lag(cl) OVER w IS NULL THEN h - l
+                      ELSE greatest(h - l, abs(h - lag(cl) OVER w),
+                                    abs(l - lag(cl) OVER w)) END AS tr
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, tr AS tr_cents,
+                CAST(CAST(sum(tr) OVER w14 AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) OVER w14 AS DOUBLE) AS atr_cents
+         FROM t
+         WINDOW w14 AS (PARTITION BY user_id ORDER BY bucket_ts
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+    "q_donchian" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1h)
+         SELECT user_id, bucket_ts, cl AS close_cents,
+                max(h) OVER w20 AS upper_cents,
+                min(l) OVER w20 AS lower_cents,
+                CAST(max(h) OVER w20 + min(l) OVER w20 AS DOUBLE) / 2.0 AS mid_cents,
+                CASE WHEN max(h) OVER w20 > min(l) OVER w20
+                     THEN CAST(cl - min(l) OVER w20 AS DOUBLE)
+                          / CAST(max(h) OVER w20 - min(l) OVER w20 AS DOUBLE)
+                END AS position
+         FROM c
+         WINDOW w20 AS (PARTITION BY user_id ORDER BY bucket_ts
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_obv" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl,
+                 CAST(round(volume * 100) AS BIGINT) AS v
+               FROM r1h),
+         d AS (SELECT user_id, bucket_ts, cl,
+                 CASE WHEN cl - lag(cl) OVER w > 0 THEN v
+                      WHEN cl - lag(cl) OVER w < 0 THEN -v
+                      ELSE 0 END AS sv
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, cl AS close_cents,
+                CAST(sum(sv) OVER (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS obv_cents
+         FROM d""",
+    "q_macd" -> macdOracleSql(fast = 6, slow = 13, signalN = 5),
+    "q_rfm" ->
+      """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                count(*) AS frequency,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS monetary_cents
+            FROM events GROUP BY 1),
+         a AS (SELECT max(epoch_us(ts)) AS as_of FROM events),
+         r AS (SELECT u.user_id, u.frequency, u.monetary_cents,
+                 CAST(floor((a.as_of - u.last_us) / 86400000000) AS BIGINT)
+                   AS recency_days
+               FROM u, a)
+         SELECT user_id, recency_days, frequency, monetary_cents,
+                CAST(6 - ntile(5) OVER (ORDER BY recency_days, user_id)
+                     AS BIGINT) AS r_score,
+                CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                     AS BIGINT) AS f_score,
+                CAST(6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+                     AS BIGINT) AS m_score
+         FROM r""",
+    "q_power_curve" ->
+      """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         d AS (SELECT user_id, n,
+                 CAST(ntile(10) OVER (ORDER BY n DESC, user_id) AS BIGINT)
+                   AS decile
+               FROM u),
+         g AS (SELECT decile, count(*) AS n_users,
+                 CAST(sum(n) AS BIGINT) AS n_events
+               FROM d GROUP BY 1)
+         SELECT decile, n_users, n_events,
+                CAST(n_events AS DOUBLE)
+                  / CAST(CAST(sum(n_events) OVER () AS BIGINT) AS DOUBLE)
+                  AS event_share
+         FROM g""",
+    "q_stickiness" ->
+      """WITH dau AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+                time_bucket(INTERVAL '1 month', ts) AS m,
+                count(DISTINCT user_id) AS dau
+            FROM events GROUP BY 1, 2),
+         mau AS (SELECT time_bucket(INTERVAL '1 month', ts) AS m,
+                count(DISTINCT user_id) AS mau
+            FROM events GROUP BY 1)
+         SELECT dau.day, dau.dau, mau.mau,
+                CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+         FROM dau JOIN mau USING (m)""",
+    "q_bounce_rate" ->
+      """WITH e AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+                   THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+              sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sn
+            FROM e),
+         sess AS (SELECT user_id, sn, count(*) AS ne FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounces,
+                CAST(CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bounce_rate
+         FROM sess GROUP BY 1""",
+    "q_copurchase" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS itm
+                    FROM lineitem)
+         SELECT a.itm AS item_a, bb.itm AS item_b, count(*) AS n_baskets
+         FROM i a JOIN i bb ON a.b = bb.b AND a.itm < bb.itm
+         GROUP BY 1, 2
+         ORDER BY n_baskets DESC, item_a, item_b
+         LIMIT 100"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights
@@ -3792,6 +4196,49 @@ object SparkEntry {
     * DuckDB raises on overflow rather than wrapping, so a violation
     * is loud).
     */
+  /** Oracle for q_macd, mirroring [[graft.operators.CandleOps.macd]]'s
+    * exact-rational arithmetic: the weighted-lag EMA numerators/
+    * denominators accumulate in HUGEINT (the cross-multiplies reach
+    * ~1e28, past int64), the macd is ONE double division, the signal
+    * EMA runs over the floor-quantized micro-cents macd.
+    */
+  private def macdOracleSql(fast: Int, slow: Int, signalN: Int): String = {
+    def weights(n: Int) = (0 until n).map { j =>
+      BigInt(n - 1).pow(j) * BigInt(n + 1).pow(n - 1 - j)
+    }
+    def lagExpr(x: String, j: Int) = if (j == 0) x else s"lag($x, $j) OVER w"
+    def numSql(n: Int, x: String) = weights(n).zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) * ${lagExpr(x, j)} ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    def denSql(n: Int, x: String) = weights(n).zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    s"""WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         m1 AS (SELECT user_id, bucket_ts, cents,
+                 ${numSql(fast, "cents")} AS nf,
+                 ${denSql(fast, "cents")} AS df,
+                 ${numSql(slow, "cents")} AS ns,
+                 ${denSql(slow, "cents")} AS ds
+                FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         m2 AS (SELECT user_id, bucket_ts, cents,
+                 CAST(nf * ds - ns * df AS DOUBLE) / CAST(df * ds AS DOUBLE) AS macd
+                FROM m1),
+         m3 AS (SELECT user_id, bucket_ts, cents, macd,
+                 CAST(floor(macd * 1000000) AS BIGINT) AS macd_micro FROM m2),
+         sig AS (SELECT user_id, bucket_ts, cents, macd, macd_micro,
+                 CAST(${numSql(signalN, "macd_micro")} AS DOUBLE)
+                 / CAST(${denSql(signalN, "macd_micro")} AS DOUBLE) AS sig_v
+                FROM m3 WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, cents AS close_cents, macd AS macd_cents,
+                macd_micro, sig_v AS signal_micro,
+                CAST(macd_micro AS DOUBLE) - sig_v AS hist_micro
+         FROM sig"""
+  }
+
   private def emaOracleSql(nWindow: Int): String = {
     val weights = (0 until nWindow).map { j =>
       BigInt(nWindow - 1).pow(j) * BigInt(nWindow + 1).pow(nWindow - 1 - j)

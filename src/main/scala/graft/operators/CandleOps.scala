@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -342,25 +342,362 @@ object CandleOps {
       closeCol: String,
       nWindow: Int
   ): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val (num, den) = emaNumDen(cents, wOrd, nWindow)
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
+        (num.cast(DoubleType) / den.cast(DoubleType)).as("ema_cents")): _*)
+  }
+
+  /** The exact-rational core of [[ema]]: decimal(38,0) numerator and
+    * denominator of the truncated EWMA over the trailing `nWindow`
+    * values of the integer column `x` in window order `wOrd`. Both
+    * sums are over explicit lags, so the pair is usable for rational
+    * arithmetic ACROSS two EMAs (see [[macd]]) — num/den stays exact
+    * until the caller's one division.
+    */
+  private def emaNumDen(x: Column, wOrd: WindowSpec, nWindow: Int): (Column, Column) = {
     require(nWindow > 1 && nWindow <= 20,
       s"nWindow=$nWindow outside (1, 20]: weights (n+1)^(n-1) must stay decimal-exact")
     val dec = DecimalType(38, 0)
-    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
-    val cents = round(col(closeCol) * 100).cast(LongType)
     // integer weights (n-1)^j * (n+1)^(n-1-j), j = 0 (current row) .. n-1
     val weights = (0 until nWindow).map { j =>
       BigInt(nWindow - 1).pow(j) * BigInt(nWindow + 1).pow(nWindow - 1 - j)
     }
     val terms = weights.zipWithIndex.map { case (wj, j) =>
-      val x = if (j == 0) cents else lag(cents, j).over(wOrd)
+      val xj = if (j == 0) x else lag(x, j).over(wOrd)
       val wLit = lit(BigDecimal(wj)).cast(dec)
-      (when(x.isNotNull, x.cast(dec) * wLit).otherwise(lit(0).cast(dec)),
-        when(x.isNotNull, wLit).otherwise(lit(0).cast(dec)))
+      (when(xj.isNotNull, xj.cast(dec) * wLit).otherwise(lit(0).cast(dec)),
+        when(xj.isNotNull, wLit).otherwise(lit(0).cast(dec)))
     }
-    val num = terms.map(_._1).reduce(_ + _).cast(dec)
-    val den = terms.map(_._2).reduce(_ + _).cast(dec)
+    (terms.map(_._1).reduce(_ + _).cast(dec), terms.map(_._2).reduce(_ + _).cast(dec))
+  }
+
+  /** Stochastic oscillator in the full-stochastic smoothing that stays
+    * bit-exact: raw %K = 100·(close − lowN)/(highN − lowN) over the
+    * trailing `nWindow` buckets is one IEEE division of exact cent
+    * longs; the slow line smooths NUMERATOR and DENOMINATOR separately
+    * over `smoothN` rows (each an exact long sum) so `k_slow` is again
+    * ONE division — unlike an SMA of %K doubles, whose accumulation
+    * order engines disagree on. A flat window (high == low) yields
+    * NULL, not 0/0.
+    *
+    * Two stacked windows share the one per-key sort exchange.
+    */
+  def stochastic(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int,
+      smoothN: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    require(smoothN >= 1, s"smoothN=$smoothN must be positive")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    val ws = wOrd.rowsBetween(-(smoothN - 1), Window.currentRow)
+    def cts(c: String) = round(col(c) * 100).cast(LongType)
+    val withBounds = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        (cts("close") - min(cts("low")).over(w)).as("__num") :+
+        (max(cts("high")).over(w) - min(cts("low")).over(w)).as("__den")): _*)
+    val sNum = sum(col("__num")).over(ws)
+    val sDen = sum(col("__den")).over(ws)
+    withBounds.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        col("__num").as("k_num_cents") :+ col("__den").as("k_den_cents") :+
+        when(col("__den") > 0, (col("__num") * 100).cast(DoubleType) /
+          col("__den").cast(DoubleType)).as("k_raw") :+
+        when(sDen > 0, (sNum * 100).cast(DoubleType) /
+          sDen.cast(DoubleType)).as("k_slow")): _*)
+  }
+
+  /** Average true range: TR = max(high−low, |high−prevClose|,
+    * |low−prevClose|) in exact cents (first bucket: high−low), ATR the
+    * mean TR over the trailing `nWindow` buckets — an exact long sum
+    * with ONE division by the actual frame size. Wilder's recursive
+    * smoothing is deliberately traded for the windowed mean: same
+    * bounded-memory window shape as [[bollinger]], and exactly
+    * reproducible where the recursion's float feedback is not.
+    */
+  def atr(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    def cts(c: String) = round(col(c) * 100).cast(LongType)
+    val pc = lag(cts("close"), 1).over(wOrd)
+    val hl = cts("high") - cts("low")
+    val tr = when(pc.isNull, hl).otherwise(
+      greatest(hl, abs(cts("high") - pc), abs(cts("low") - pc)))
+    val withTr = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ tr.as("__tr")): _*)
+    withTr.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("__tr").as("tr_cents") :+
+        (sum(col("__tr")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)).as("atr_cents")): _*)
+  }
+
+  /** Donchian channel: trailing `nWindow` extreme band plus where the
+    * close sits inside it. Upper/lower are exact cent longs; `mid` is
+    * one division by 2 (exact in IEEE); `position` is one division of
+    * exact longs, NULL on a flat channel.
+    */
+  def donchian(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    def cts(c: String) = round(col(c) * 100).cast(LongType)
+    val upper = max(cts("high")).over(w)
+    val lower = min(cts("low")).over(w)
     rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cts("close").as("close_cents") :+
+        upper.as("upper_cents") :+ lower.as("lower_cents") :+
+        ((upper + lower).cast(DoubleType) / lit(2.0)).as("mid_cents") :+
+        when(upper > lower, (cts("close") - lower).cast(DoubleType) /
+          (upper - lower).cast(DoubleType)).as("position")): _*)
+  }
+
+  /** On-balance volume: the running sum of volume signed by the close-
+    * to-close move direction. Volume cents and the cumulative sum
+    * accumulate in decimal(38,0) (order-independent), published as
+    * BIGINT — at ~1e9 buckets/key of ~1e9-cent volumes the running
+    * total stays far inside int64's 9.2e18. First bucket and flat
+    * moves contribute zero, the textbook convention.
+    */
+  def obv(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      volumeCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val volCents = round(col(volumeCol) * 100).cast(LongType)
+    val d = cents - lag(cents, 1).over(wOrd)
+    val signed = when(d > 0, volCents).when(d < 0, -volCents).otherwise(lit(0L))
+    val withSigned = rollup.select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
-        (num.cast(DoubleType) / den.cast(DoubleType)).as("ema_cents")): _*)
+        signed.as("__sv")): _*)
+    withSigned.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+        sum(col("__sv").cast(dec)).over(wCum).cast(LongType).as("obv_cents")): _*)
+  }
+
+  /** MACD kept exact end-to-end by rational arithmetic: each truncated
+    * EMA ([[emaNumDen]]) is an exact decimal fraction, so
+    *   macd = numF/denF − numS/denS = (numF·denS − numS·denF)/(denF·denS)
+    * is ONE IEEE division of exact decimals. The signal line re-enters
+    * integer arithmetic by quantizing macd to micro-cents (`floor(
+    * macd·1e6)` — deterministic from the identical double) and running
+    * the same truncated EMA over those longs; the histogram is one
+    * subtraction of two deterministic doubles. Window sizes are capped
+    * by the decimal(38,0) budget: numF·denS ≤ n·(n+1)^(n-1) squared ×
+    * maxCents — fast ≤ 8, slow ≤ 13 keeps ~1e28 at $10M closes.
+    *
+    * All three stages ride one per-key sort exchange.
+    */
+  def macd(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      fast: Int = 6,
+      slow: Int = 13,
+      signalN: Int = 5
+  ): DataFrame = {
+    require(fast > 1 && fast < slow && slow <= 13,
+      s"need 1 < fast=$fast < slow=$slow <= 13 for the decimal(38,0) cross-multiply budget")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val (numF, denF) = emaNumDen(cents, wOrd, fast)
+    val (numS, denS) = emaNumDen(cents, wOrd, slow)
+    val macdCents = (numF * denS - numS * denF).cast(DoubleType) /
+      (denF * denS).cast(DoubleType)
+    val stage1 = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
+        macdCents.as("macd_cents") :+
+        floor(macdCents * lit(1000000.0)).cast(LongType).as("macd_micro")): _*)
+    val (numSig, denSig) = emaNumDen(col("macd_micro"), wOrd, signalN)
+    val signal = numSig.cast(DoubleType) / denSig.cast(DoubleType)
+    stage1.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+        col("macd_cents") :+ col("macd_micro") :+
+        signal.as("signal_micro") :+
+        (col("macd_micro").cast(DoubleType) - signal).as("hist_micro")): _*)
+  }
+
+  /** Per-key maximum drawdown: the largest peak-to-trough drop of the
+    * close series, in exact cents. The running peak is a window max in
+    * cents; per-row drawdown = peak − close is an exact long; the
+    * per-key summary takes max(drawdown) plus the ratio at that row.
+    * `max_dd_frac` is the max over rows of ONE IEEE division of two
+    * exact longs — max of doubles is order-insensitive, so the value
+    * is bit-reproducible across partitionings and engines.
+    *
+    * Two key-partitioned exchanges collapse to one: the window and the
+    * final groupBy share the key hash partitioning, so Catalyst reuses
+    * the exchange — one shuffle, frame state O(1) per key.
+    */
+  def drawdown(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val peak = max(cents).over(w)
+    val dd = peak - cents
+    rollup.select(
+      (keys.map(col) :+ cents.as("__cents") :+ peak.as("__peak") :+ dd.as("__dd")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("__peak")).as("peak_cents"),
+        max(col("__dd")).as("max_dd_cents"),
+        max(when(col("__peak") > 0,
+          col("__dd").cast(DoubleType) / col("__peak").cast(DoubleType)))
+          .as("max_dd_frac"))
+  }
+
+  /** Per-key close-to-close move statistics: count, exact-ratio mean
+    * move, and population variance of the cent moves — the realized-
+    * volatility summary in the same exact-integer discipline as
+    * [[bollinger]] (variance numerator n·Σd² − (Σd)² and denominator
+    * n² never divide early; sums accumulate in decimal(38,0) and are
+    * published as BIGINT so both engines cast int64→double correctly
+    * rounded). Σd² bounds the checked range: |move| ≤ ~3e4 cents for
+    * ~1e9 moves per key stays inside int64.
+    *
+    * One window exchange per key reused by the final groupBy.
+    */
+  def moveStats(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val d = cents - lag(cents, 1).over(wOrd)
+    val withD = rollup.select((keys.map(col) :+ d.as("__d")): _*)
+      .filter(col("__d").isNotNull)
+    val n = count(lit(1))
+    val sd = sum(col("__d").cast(dec))
+    val sdd = sum((col("__d") * col("__d")).cast(dec))
+    withD.groupBy(keys.map(col): _*)
+      .agg(
+        n.as("n_moves"),
+        sd.cast(LongType).as("sum_move_cents"),
+        sdd.cast(LongType).as("sum_move_sq"),
+        (sd.cast(LongType).cast(DoubleType) / n.cast(DoubleType)).as("mean_move"),
+        when(n > 1,
+          (n * sdd.cast(LongType) - sd.cast(LongType) * sd.cast(LongType))
+            .cast(DoubleType) / (n * n).cast(DoubleType))
+          .as("var_move"),
+        max(col("__d")).as("max_up_cents"),
+        min(col("__d")).as("max_down_cents"))
+  }
+
+  /** Per-key beta and correlation of close-to-close moves against one
+    * benchmark key's move series — "how does each symbol co-move with
+    * the market". The benchmark series is tiny (one key's buckets), so
+    * it BROADCASTS into the bucket-equality join: no shuffle of the
+    * full rollup beyond the one key-window exchange.
+    *
+    * All five co-moment sums are exact cents products in decimal,
+    * published as BIGINT; beta = (nΣxy − ΣxΣy)/(nΣy² − (Σy)²) is one
+    * IEEE division of exact operands, and corr divides by the
+    * correctly-rounded sqrt of a product of two exactly-cast doubles —
+    * every step deterministic given identical operands, so both
+    * engines agree bitwise.
+    */
+  def betaVsBenchmark(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      benchmark: Column
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val d = cents - lag(cents, 1).over(wOrd)
+    val moves = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ d.as("__dx")): _*)
+      .filter(col("__dx").isNotNull)
+    val bench = moves.filter(benchmark)
+      .select(col(bucketCol), col("__dx").as("__dy"))
+    val j = moves.filter(!benchmark)
+      .join(broadcast(bench), Seq(bucketCol))
+    val n = count(lit(1))
+    val sx = sum(col("__dx").cast(dec)).cast(LongType)
+    val sy = sum(col("__dy").cast(dec)).cast(LongType)
+    val sxy = sum((col("__dx") * col("__dy")).cast(dec)).cast(LongType)
+    val sxx = sum((col("__dx") * col("__dx")).cast(dec)).cast(LongType)
+    val syy = sum((col("__dy") * col("__dy")).cast(dec)).cast(LongType)
+    val covNum = (n * sxy - sx * sy).cast(DoubleType)
+    val varXNum = (n * sxx - sx * sx).cast(DoubleType)
+    val varYNum = (n * syy - sy * sy).cast(DoubleType)
+    j.groupBy(keys.map(col): _*)
+      .agg(
+        n.as("n_aligned"),
+        sx.as("sum_dx"), sy.as("sum_dy"), sxy.as("sum_dxdy"),
+        sxx.as("sum_dx2"), syy.as("sum_dy2"),
+        when(varYNum > 0, covNum / varYNum).as("beta"),
+        when(varXNum > 0 && varYNum > 0,
+          covNum / sqrt(varXNum * varYNum)).as("corr"))
+  }
+
+  /** Candlestick pattern flags per bucket, in pure integer-cents
+    * comparisons (no floats at all): doji (body ≤ 10% of range),
+    * hammer (long lower shadow, small upper), bullish/bearish
+    * engulfing (current body swallows the previous opposite-color
+    * body — the only lag the operator needs). Row-local except one
+    * key-ordered lag window; emits only flagged rows so the output is
+    * the pattern stream, not the full series.
+    */
+  def candlePatterns(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    def cts(c: String) = round(col(c) * 100).cast(LongType)
+    val (o, h, l, c) = (cts("open"), cts("high"), cts("low"), cts("close"))
+    val body = abs(c - o)
+    val range = h - l
+    val lowerShadow = least(o, c) - l
+    val upperShadow = h - greatest(o, c)
+    val po = lag(o, 1).over(wOrd)
+    val pc = lag(c, 1).over(wOrd)
+    val doji = body * 10 <= range && range > 0
+    val hammer = lowerShadow >= body * 2 && upperShadow <= body && body > 0
+    val bullEngulf = pc.isNotNull && pc < po && c > o && c >= po && o <= pc
+    val bearEngulf = pc.isNotNull && pc > po && c < o && c <= po && o >= pc
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ o.as("open_cents") :+
+        h.as("high_cents") :+ l.as("low_cents") :+ c.as("close_cents") :+
+        doji.as("doji") :+ hammer.as("hammer") :+
+        bullEngulf.as("bullish_engulfing") :+
+        bearEngulf.as("bearish_engulfing")): _*)
+      .filter(col("doji") || col("hammer") ||
+        col("bullish_engulfing") || col("bearish_engulfing"))
   }
 }

@@ -661,4 +661,119 @@ object EventOps {
         col("chi2_num") * lit(100L) > lit(threshold100) * col("chi2_den"))
       .drop("__ta", "__tb")
   }
+
+  /** Hour-of-day x day-of-week seasonality profile per event type:
+    * counts plus each cell's share of its type's total as an exact
+    * long/long IEEE division — the load-shape fingerprint an alerting
+    * baseline is built from ("is 3am Sunday traffic LOW, or broken?").
+    *
+    * One hash aggregate shuffles (type, dow, hour) triples — 7x24 cells
+    * per type regardless of input size; the per-type total is a window
+    * sum over those same tiny groups, no second scan of the raw events.
+    */
+  def seasonalityProfile(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val cells = events
+      .groupBy(col(typeCol),
+        dayofweek(col(tsCol)).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol))
+    cells.withColumn("share",
+      col("n").cast(DoubleType) / sum(col("n")).over(w).cast(DoubleType))
+  }
+
+  /** RFM segmentation: per user, recency (whole days since their last
+    * event, relative to the dataset's own max timestamp so the query
+    * is reproducible), frequency (event count) and monetary (exact
+    * cents over `monetaryPred` rows), each scored into quintiles.
+    * Scores use `ntile(5)` over a TOTAL order (metric, then user id) —
+    * the tiebreak is what makes the quintile edges deterministic
+    * across engines and partitionings. r/f/m are all "5 = best"
+    * (most recent / most frequent / highest spend).
+    *
+    * One user-keyed hash aggregate over the raw events, then three
+    * window ranks over the (orders-of-magnitude smaller) per-user
+    * frame; the 1-row dataset max broadcasts into the projection.
+    */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      monetaryPred: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        max(unix_micros(col(tsCol))).as("__last_us"),
+        count(lit(1)).as("frequency"),
+        sum(when(monetaryPred,
+          round(col(valueCol) * 100).cast("long").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("long").as("monetary_cents"))
+    val asOf = events.agg(max(unix_micros(col(tsCol))).as("__as_of"))
+    val withRec = perUser.join(broadcast(asOf))
+      .withColumn("recency_days",
+        floor((col("__as_of") - col("__last_us")) / lit(86400000000L)))
+      .drop("__as_of", "__last_us")
+    val rW = Window.orderBy(col("recency_days").asc, col(userCol).asc)
+    val fW = Window.orderBy(col("frequency").desc, col(userCol).asc)
+    val mW = Window.orderBy(col("monetary_cents").desc, col(userCol).asc)
+    withRec.select(
+      col(userCol), col("recency_days"), col("frequency"), col("monetary_cents"),
+      ntile(5).over(rW).as("__r"), ntile(5).over(fW).as("__f"),
+      ntile(5).over(mW).as("__m"))
+      .select(
+        col(userCol), col("recency_days"), col("frequency"), col("monetary_cents"),
+        (lit(6) - col("__r")).cast("long").as("r_score"),
+        (lit(6) - col("__f")).cast("long").as("f_score"),
+        (lit(6) - col("__m")).cast("long").as("m_score"))
+  }
+
+  /** Power-user curve: users ranked into activity deciles, each decile
+    * reporting its user count, event count, and share of all events —
+    * the "top 10% of users drive X% of traffic" concentration read.
+    * Decile assignment is `ntile(10)` over (count desc, user id) — a
+    * total order, so engine-independent. The share division is one
+    * IEEE op over two exact longs; the all-users total rides a window
+    * sum over the ten decile rows, never a second scan.
+    */
+  def powerCurve(events: DataFrame, userCol: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("__n"))
+    val decW = Window.orderBy(col("__n").desc, col(userCol).asc)
+    val deciles = perUser
+      .withColumn("decile", ntile(10).over(decW).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
+    val w = Window.partitionBy()
+    deciles.select(
+      col("decile"), col("n_users"), col("n_events"),
+      (col("n_events").cast(DoubleType) /
+        sum(col("n_events")).over(w).cast(DoubleType)).as("event_share"))
+  }
+
+  /** DAU/MAU stickiness: per calendar day, the day's distinct actives
+    * over the enclosing month's distinct actives — the classic
+    * engagement ratio. Two exact distinct aggregates (day grain and
+    * month grain) joined on the month; the month side is ≤ 12 rows/
+    * year so it BROADCASTS. Exact distincts shuffle user ids once per
+    * grain — at 100 TB swap in approx_count_distinct at the same
+    * shape (the sketch-store path) if exactness is not required.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = date_trunc("day", col(tsCol))
+    val month = date_trunc("month", col(tsCol))
+    val dau = events.groupBy(day.as("day"), month.as("__month"))
+      .agg(countDistinct(col(userCol)).as("dau"))
+    val mau = events.groupBy(month.as("__month"))
+      .agg(countDistinct(col(userCol)).as("mau"))
+    dau.join(broadcast(mau), "__month")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast(DoubleType) / col("mau").cast(DoubleType))
+          .as("stickiness"))
+  }
 }

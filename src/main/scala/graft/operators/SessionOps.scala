@@ -84,4 +84,18 @@ object SessionOps {
       .withColumn("session_n", sum(col("__new")).over(run))
       .drop("__prev_us", "__new")
   }
+
+  /** Per-key bounce rate over a [[sessionSummaries]] frame: sessions,
+    * single-event ("bounce") sessions, and their ratio — one hash
+    * aggregate over the already-small session frame, one IEEE
+    * division of two exact longs per key.
+    */
+  def bounceRate(sessions: DataFrame, keys: Seq[String]): DataFrame =
+    sessions
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions").cast("double"))
 }

@@ -162,6 +162,143 @@ class CandleOpsSpec extends SparkSpec {
       ("T", ts("2024-03-01 10:00:00"), 9.0, false)))
   }
 
+  test("drawdown tracks the running peak and reports the deepest drop") {
+    val closes = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 10.0),
+      ("S", ts("2024-03-01 11:00:00"), 14.0), // new peak 1400
+      ("S", ts("2024-03-01 12:00:00"), 7.0),  // dd = 700 (the max)
+      ("S", ts("2024-03-01 13:00:00"), 12.0)  // dd = 200
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.drawdown(closes, Seq("sym"), "bucket_ts", "close")
+      .select("n_buckets", "peak_cents", "max_dd_cents", "max_dd_frac")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((4L, 1400L, 700L, 700.0 / 1400.0)))
+  }
+
+  test("moveStats computes exact-integer move variance") {
+    // moves: +100, -300 -> n=2, sd=-200, sdd=100000
+    // var = (2*100000 - 40000) / 4 = 40000.0
+    val closes = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 5.0),
+      ("S", ts("2024-03-01 11:00:00"), 6.0),
+      ("S", ts("2024-03-01 12:00:00"), 3.0)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.moveStats(closes, Seq("sym"), "bucket_ts", "close")
+      .select("n_moves", "sum_move_cents", "sum_move_sq", "mean_move",
+        "var_move", "max_up_cents", "max_down_cents")
+      .as[(Long, Long, Long, Double, Double, Long, Long)].head()
+    assert(got == ((2L, -200L, 100000L, -100.0, 40000.0, 100L, -300L)))
+  }
+
+  test("betaVsBenchmark aligns moves on bucket and divides exact co-moments") {
+    // benchmark B moves: +100, +200; S moves: +200, +400 (beta exactly 2)
+    val closes = Seq(
+      ("B", ts("2024-03-01 10:00:00"), 1.0),
+      ("B", ts("2024-03-01 11:00:00"), 2.0),
+      ("B", ts("2024-03-01 12:00:00"), 4.0),
+      ("S", ts("2024-03-01 10:00:00"), 10.0),
+      ("S", ts("2024-03-01 11:00:00"), 12.0),
+      ("S", ts("2024-03-01 12:00:00"), 16.0)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.betaVsBenchmark(
+      closes, Seq("sym"), "bucket_ts", "close", col("sym") === "B")
+      .select("sym", "n_aligned", "beta", "corr")
+      .as[(String, Long, Double, Double)].head()
+    assert(got._1 == "S" && got._2 == 2L && got._3 == 2.0)
+    assert(math.abs(got._4 - 1.0) < 1e-12) // perfectly correlated
+  }
+
+  test("candlePatterns flags doji, hammer and engulfing in integer cents") {
+    val candles = Seq(
+      // doji: body 10 within range 200 (10*10 <= 200)
+      ("S", ts("2024-03-01 10:00:00"), 10.00, 11.00, 9.00, 10.10),
+      // hammer: body 50, lower shadow 200 >= 100, upper shadow 25 <= 50
+      ("S", ts("2024-03-01 11:00:00"), 10.50, 10.75, 8.50, 10.00),
+      // red candle then a bullish engulfing green one
+      ("S", ts("2024-03-01 12:00:00"), 10.00, 10.10, 9.00, 9.20),
+      ("S", ts("2024-03-01 13:00:00"), 9.10, 10.60, 9.00, 10.50)
+    ).toDF("sym", "bucket_ts", "open", "high", "low", "close")
+    val got = CandleOps.candlePatterns(candles, Seq("sym"), "bucket_ts")
+      .select("bucket_ts", "doji", "hammer", "bullish_engulfing", "bearish_engulfing")
+      .as[(Timestamp, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1.getTime).toSeq
+    assert(got.map(_._1) == Seq(
+      ts("2024-03-01 10:00:00"), ts("2024-03-01 11:00:00"), ts("2024-03-01 13:00:00")))
+    assert(got(0)._2 && !got(0)._3)       // doji
+    assert(got(1)._3)                      // hammer
+    assert(got(2)._4 == false && got(2)._5 == false || got(2)._4) // engulfing row
+    assert(got(2)._4)                      // bullish engulfing
+  }
+
+  private lazy val ohlc3 = Seq(
+    ("S", ts("2024-03-01 10:00:00"), 10.0, 12.0, 8.0, 10.0),
+    ("S", ts("2024-03-01 11:00:00"), 11.0, 14.0, 9.0, 13.0),
+    ("S", ts("2024-03-01 12:00:00"), 12.0, 13.0, 10.0, 11.0)
+  ).toDF("sym", "bucket_ts", "open", "high", "low", "close")
+
+  test("stochastic: raw and slow %K are single divisions of exact cent sums") {
+    val got = CandleOps.stochastic(ohlc3, Seq("sym"), "bucket_ts",
+      nWindow = 3, smoothN = 2)
+      .orderBy("bucket_ts")
+      .select("k_num_cents", "k_den_cents", "k_raw", "k_slow")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got(0) == ((200L, 400L, 50.0, 50.0)))
+    assert(got(1) == ((500L, 600L, 50000.0 / 600.0, 70000.0 / 1000.0)))
+    assert(got(2) == ((300L, 600L, 50.0, 80000.0 / 1200.0)))
+  }
+
+  test("atr: true range handles the first bucket and gap-spanning moves") {
+    val got = CandleOps.atr(ohlc3, Seq("sym"), "bucket_ts", nWindow = 2)
+      .orderBy("bucket_ts").select("tr_cents", "atr_cents")
+      .as[(Long, Double)].collect().toSeq
+    // t1: h-l=400; t2: max(500, |1400-1000|, |900-1000|)=500; t3: max(300, 0, 300)=300
+    assert(got == Seq((400L, 400.0), (500L, 450.0), (300L, 400.0)))
+  }
+
+  test("donchian: channel extremes, midline and close position") {
+    val got = CandleOps.donchian(ohlc3, Seq("sym"), "bucket_ts", nWindow = 2)
+      .orderBy("bucket_ts")
+      .select("upper_cents", "lower_cents", "mid_cents", "position")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got(1) == ((1400L, 800L, 1100.0, 500.0 / 600.0)))
+    assert(got(2) == ((1400L, 900L, 1150.0, 200.0 / 500.0)))
+  }
+
+  test("obv: signed cumulative volume, flat moves contribute zero") {
+    val rows = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 10.0, 5.0),
+      ("S", ts("2024-03-01 11:00:00"), 13.0, 7.0),
+      ("S", ts("2024-03-01 12:00:00"), 11.0, 2.0),
+      ("S", ts("2024-03-01 13:00:00"), 11.0, 4.0)
+    ).toDF("sym", "bucket_ts", "close", "volume")
+    val got = CandleOps.obv(rows, Seq("sym"), "bucket_ts", "close", "volume")
+      .orderBy("bucket_ts").select("obv_cents").as[Long].collect().toSeq
+    assert(got == Seq(0L, 700L, 500L, 500L))
+  }
+
+  test("macd: exact-rational fast/slow EMA difference and quantized signal") {
+    val closes = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 1.0),
+      ("S", ts("2024-03-01 11:00:00"), 2.0),
+      ("S", ts("2024-03-01 12:00:00"), 3.0)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.macd(closes, Seq("sym"), "bucket_ts", "close",
+      fast = 2, slow = 3, signalN = 2)
+      .orderBy("bucket_ts")
+      .select("macd_cents", "macd_micro", "signal_micro", "hist_micro")
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    // weights: n=2 -> [3,1]; n=3 -> [16,8,4]
+    // t2: macd = (700*24 - 4000*4) / (4*24) = 800/96
+    val m2 = 800.0 / 96.0
+    val micro2 = math.floor(m2 * 1e6).toLong
+    assert(got(0) == ((0.0, 0L, 0.0, 0.0)))
+    assert(got(1)._1 == m2 && got(1)._2 == micro2)
+    assert(got(1)._3 == (3.0 * micro2 + 0.0) / 4.0)
+    assert(got(1)._4 == micro2.toDouble - (3.0 * micro2 + 0.0) / 4.0)
+    // t3: macd = (1100*28 - 6800*4) / (4*28) = 3600/112
+    assert(got(2)._1 == 3600.0 / 112.0)
+  }
+
   test("ema matches the hand-computed truncated EWMA and hits SMA/last-value edges") {
     // n=2: weights (1)^j(3)^(1-j) -> [3, 1]; ema = (3*x_t + x_{t-1}) / 4
     val closes = Seq(

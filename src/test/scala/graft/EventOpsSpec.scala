@@ -461,4 +461,72 @@ class EventOpsSpec extends SparkSpec {
       assert(streamed == got)
     } finally q.stop()
   }
+
+  test("seasonalityProfile buckets by Spark dow/hour and shares sum to 1 per type") {
+    // 2024-03-01 is a Friday -> Spark dayofweek = 6; 03-03 a Sunday -> 1
+    val events = Seq(
+      ("a", ts("2024-03-01 10:15:00")),
+      ("a", ts("2024-03-01 10:45:00")),
+      ("a", ts("2024-03-03 23:00:00")),
+      ("b", ts("2024-03-03 00:00:00"))
+    ).toDF("event_type", "ts")
+    val got = EventOps.seasonalityProfile(events, "event_type", "ts")
+      .select("event_type", "dow", "hour_of_day", "n", "share")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got == Seq(
+      ("a", 1L, 23L, 1L, 1.0 / 3.0),
+      ("a", 6L, 10L, 2L, 2.0 / 3.0),
+      ("b", 1L, 0L, 1L, 1.0)))
+  }
+
+  test("rfm: recency vs the dataset max, monetary over the predicate only, 5=best") {
+    val events = Seq(
+      // u2: 3 events, last at the dataset max, 20.00 purchased
+      (2L, "purchase", ts("2024-03-10 12:00:00"), 20.0),
+      (2L, "view", ts("2024-03-09 12:00:00"), 3.0),
+      (2L, "view", ts("2024-03-08 12:00:00"), 4.0),
+      // u1: 2 events, 1 day stale, 10.00 purchased
+      (1L, "purchase", ts("2024-03-09 12:00:00"), 10.0),
+      (1L, "view", ts("2024-03-09 11:00:00"), 9.0),
+      // u3: 1 event, 9 days stale, nothing purchased
+      (3L, "view", ts("2024-03-01 12:00:00"), 50.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = EventOps.rfm(events, "user_id", "ts", "value",
+      col("event_type") === "purchase")
+      .select("user_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 1000L, 4L, 4L, 4L),
+      (2L, 0L, 3L, 2000L, 5L, 5L, 5L),
+      (3L, 9L, 1L, 0L, 3L, 3L, 3L)))
+  }
+
+  test("powerCurve: deciles over a total order, shares of all events") {
+    val events = (1 to 4).flatMap { u =>
+      (0 until u).map(i => (u.toLong, ts(f"2024-03-01 08:0$i%01d:00")))
+    }.toDF("user_id", "ts")
+    val got = EventOps.powerCurve(events, "user_id")
+      .select("decile", "n_users", "n_events", "event_share")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // counts 4,3,2,1 over 4 users -> one user per decile 1..4
+    assert(got == Seq(
+      (1L, 1L, 4L, 0.4), (2L, 1L, 3L, 0.3),
+      (3L, 1L, 2L, 0.2), (4L, 1L, 1L, 0.1)))
+  }
+
+  test("stickiness: per-day distinct actives over the month's distinct actives") {
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),
+      (2L, ts("2024-03-02 10:00:00")), (3L, ts("2024-03-02 11:00:00")),
+      (3L, ts("2024-03-02 11:30:00")) // same user same day counts once
+    ).toDF("user_id", "ts")
+    val got = EventOps.stickiness(events, "user_id", "ts")
+      .select("day", "dau", "mau", "stickiness")
+      .as[(Timestamp, Long, Long, Double)].collect().sortBy(_._1.getTime).toSeq
+    assert(got == Seq(
+      (ts("2024-03-01 00:00:00"), 2L, 3L, 2.0 / 3.0),
+      (ts("2024-03-02 00:00:00"), 2L, 3L, 2.0 / 3.0)))
+  }
 }

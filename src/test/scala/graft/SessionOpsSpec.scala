@@ -58,4 +58,14 @@ class SessionOpsSpec extends SparkSpec {
     assert(fromAssign.exceptAll(fromWindow).isEmpty &&
       fromWindow.exceptAll(fromAssign).isEmpty)
   }
+
+  test("bounceRate counts single-event sessions per key") {
+    val sessions = Seq(
+      ("u1", 1L), ("u1", 3L), ("u2", 1L)
+    ).toDF("user_id", "n_events")
+    val got = SessionOps.bounceRate(sessions, Seq("user_id"))
+      .select("user_id", "n_sessions", "n_bounces", "bounce_rate")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("u1", 2L, 1L, 0.5), ("u2", 1L, 1L, 1.0)))
+  }
 }
