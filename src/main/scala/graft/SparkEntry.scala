@@ -1707,7 +1707,39 @@ object SparkEntry {
     // bounded by the per-order line cap, deterministic top-100 --------
     "q_copurchase" -> ((s, dir) =>
       BasketOps.coOccurrence(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", topN = 100))
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", topN = 100)),
+
+    // ----- Floor-trader pivot points from the previous day's candle --
+    "q_pivot_points" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      CandleOps.pivotPoints(r1d, Seq("user_id"), "bucket_ts")
+    }),
+
+    // ----- Volume-at-price profile: $1 price buckets per key ---------
+    "q_volume_profile" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.volumeProfile(r1h, Seq("user_id"), "close", "volume",
+        bucketCents = 100L)
+    }),
+
+    // ----- Cohort LTV curve: first-seen-month cohorts, cumulative
+    // purchase cents, per-user division -------------------------------
+    "q_cohort_ltv" -> ((s, dir) =>
+      EventOps.cohortLtv(Tables.events(s, dir), "user_id", "ts", "value",
+        col("event_type") === "purchase")),
+
+    // ----- Session-depth histogram over 12h-gap sessions -------------
+    "q_session_depth" -> ((s, dir) =>
+      SessionOps.depthHistogram(
+        SessionOps.sessionSummaries(
+          Tables.events(s, dir), Seq("user_id"), "ts", "value", "12 hours"))),
+
+    // ----- Token-rarity score: rank-based surprisal bits, exact ints
+    // plus one division — the hash-checkable perplexity proxy ---------
+    "q_rarity_score" -> ((s, dir) =>
+      TextOps.rarityScore(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4181,7 +4213,108 @@ object SparkEntry {
          FROM i a JOIN i bb ON a.b = bb.b AND a.itm < bb.itm
          GROUP BY 1, 2
          ORDER BY n_baskets DESC, item_a, item_b
-         LIMIT 100"""
+         LIMIT 100""",
+    "q_pivot_points" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1d),
+         p AS (SELECT user_id, bucket_ts, cl,
+                 lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(cl) OVER w AS pc
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, cl AS close_cents,
+                ph AS prev_high_cents, pl AS prev_low_cents,
+                pc AS prev_close_cents,
+                CAST(ph + pl + pc AS DOUBLE) / 3.0 AS pivot,
+                2.0 * (CAST(ph + pl + pc AS DOUBLE) / 3.0) - CAST(pl AS DOUBLE) AS r1,
+                2.0 * (CAST(ph + pl + pc AS DOUBLE) / 3.0) - CAST(ph AS DOUBLE) AS s1,
+                (CAST(ph + pl + pc AS DOUBLE) / 3.0) + CAST(ph - pl AS DOUBLE) AS r2,
+                (CAST(ph + pl + pc AS DOUBLE) / 3.0) - CAST(ph - pl AS DOUBLE) AS s2
+         FROM p""",
+    "q_volume_profile" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id,
+                 CAST(floor(CAST(round(close * 100) AS BIGINT) / 100.0) AS BIGINT)
+                   AS price_bucket,
+                 CAST(round(volume * 100) AS BIGINT) AS v
+               FROM r1h),
+         g AS (SELECT user_id, price_bucket, count(*) AS n_buckets,
+                 CAST(sum(v) AS BIGINT) AS volume_cents
+               FROM c GROUP BY 1, 2)
+         SELECT user_id, price_bucket, n_buckets, volume_cents,
+                CAST(volume_cents AS DOUBLE)
+                  / CAST(CAST(sum(volume_cents) OVER (PARTITION BY user_id)
+                         AS BIGINT) AS DOUBLE) AS share
+         FROM g""",
+    "q_cohort_ltv" ->
+      """WITH coh AS (SELECT user_id,
+                min(time_bucket(INTERVAL '1 month', ts)) AS cohort_month
+            FROM events GROUP BY 1),
+         sizes AS (SELECT cohort_month, count(*) AS cohort_users
+                   FROM coh GROUP BY 1),
+         pur AS (SELECT e.user_id,
+                   time_bucket(INTERVAL '1 month', e.ts) AS m,
+                   CAST(round(e.value * 100) AS BIGINT) AS cents,
+                   c.cohort_month
+                 FROM events e JOIN coh c USING (user_id)
+                 WHERE e.event_type = 'purchase'),
+         cells AS (SELECT cohort_month,
+                     CAST((year(m) - year(cohort_month)) * 12
+                          + (month(m) - month(cohort_month)) AS BIGINT)
+                       AS months_since,
+                     CAST(sum(cents) AS BIGINT) AS revenue_cents
+                   FROM pur GROUP BY 1, 2),
+         cum AS (SELECT cohort_month, months_since, revenue_cents,
+                   CAST(sum(revenue_cents) OVER (PARTITION BY cohort_month
+                     ORDER BY months_since
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_revenue_cents
+                 FROM cells)
+         SELECT cohort_month, months_since, revenue_cents, cum_revenue_cents,
+                sizes.cohort_users,
+                CAST(cum_revenue_cents AS DOUBLE)
+                  / CAST(sizes.cohort_users AS DOUBLE) AS ltv_per_user
+         FROM cum JOIN sizes USING (cohort_month)""",
+    "q_session_depth" ->
+      """WITH e AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+                   THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+              sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sn
+            FROM e),
+         sess AS (SELECT user_id, sn, count(*) AS ne FROM s GROUP BY 1, 2),
+         hist AS (SELECT ne AS depth, count(*) AS n_sessions
+                  FROM sess GROUP BY 1)
+         SELECT depth, n_sessions,
+                CAST(n_sessions AS DOUBLE)
+                  / CAST(CAST(sum(n_sessions) OVER () AS BIGINT) AS DOUBLE)
+                  AS share
+         FROM hist""",
+    "q_rarity_score" ->
+      """WITH t AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents),
+         tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         v AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+         r AS (SELECT tok,
+                 CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                   AS rank
+               FROM v)
+         SELECT tk.doc_id, count(*) AS n_tokens,
+                CAST(sum(length(bin(rank)) - 1) AS BIGINT) AS surprisal_bits,
+                CAST(CAST(sum(length(bin(rank)) - 1) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_bits
+         FROM tk JOIN r USING (tok) GROUP BY 1"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

@@ -1360,4 +1360,38 @@ object TextOps {
       .select(col("doc_id"), col("margin"),
         (col("margin") > lit(0.0)).as("keep"), col("n_tokens"))
   }
+
+  /** Token-rarity (surprisal-proxy) score: rank the corpus vocabulary
+    * by frequency, charge each token occurrence floor(log2(rank)) bits
+    * (`length(bin(rank)) − 1` — the integer trick the inter-arrival
+    * histogram uses), and report each document's token count, total
+    * bits, and mean bits/token — a perplexity-shaped quality signal
+    * computed entirely in exact integers plus ONE final division, so
+    * it hash-matches where a float log-prob sum could not.
+    *
+    * Shape at scale: the vocab aggregate is map-side combinable; the
+    * global rank is a single-partition window over the VOCAB (not the
+    * corpus — Zipf keeps it orders of magnitude smaller than the token
+    * stream); the rank join is a plain equi-join AQE will broadcast
+    * when the vocab is small enough.
+    */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__n").desc, col("tok").asc)
+    val ranked = vocab.select(col("tok"),
+      row_number().over(rankW).cast("long").as("__rank"))
+    toks.join(ranked, "tok")
+      .select(col("doc_id"),
+        (length(bin(col("__rank"))) - 1).cast("long").as("__bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__bits")).as("surprisal_bits"))
+      .withColumn("mean_bits",
+        col("surprisal_bits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
 }

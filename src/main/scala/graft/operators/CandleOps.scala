@@ -497,6 +497,67 @@ object CandleOps {
         sum(col("__sv").cast(dec)).over(wCum).cast(LongType).as("obv_cents")): _*)
   }
 
+  /** Classic floor-trader pivot points from the PREVIOUS bucket's
+    * high/low/close: P = (h+l+c)/3, R1 = 2P−l, S1 = 2P−h,
+    * R2 = P+(h−l), S2 = P−(h−l). The prior extremes are exact cent
+    * longs via one lag; every published level is a fixed chain of
+    * IEEE ops on those exact operands (÷3 once, ×2 and long→double
+    * conversions exact), so the values are engine-identical. The
+    * first bucket per key has no prior day — its levels are NULL.
+    */
+  def pivotPoints(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    def cts(c: String) = round(col(c) * 100).cast(LongType)
+    val ph = lag(cts("high"), 1).over(wOrd)
+    val pl = lag(cts("low"), 1).over(wOrd)
+    val pc = lag(cts("close"), 1).over(wOrd)
+    val p = (ph + pl + pc).cast(DoubleType) / lit(3.0)
+    val range = (ph - pl).cast(DoubleType)
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cts("close").as("close_cents") :+
+        ph.as("prev_high_cents") :+ pl.as("prev_low_cents") :+
+        pc.as("prev_close_cents") :+ p.as("pivot") :+
+        (lit(2.0) * p - pl.cast(DoubleType)).as("r1") :+
+        (lit(2.0) * p - ph.cast(DoubleType)).as("s1") :+
+        (p + range).as("r2") :+ (p - range).as("s2")): _*)
+  }
+
+  /** Volume-at-price profile: total traded volume per (key, price
+    * bucket) — "where did the volume trade". Price buckets are
+    * `floor(close_cents / bucketCents)` (one IEEE division + floor of
+    * exact operands, engine-identical for positive prices); volume
+    * accumulates in decimal and publishes as BIGINT cents; `share` is
+    * each bucket's fraction of its key's total via a window sum over
+    * the already-aggregated profile rows.
+    */
+  def volumeProfile(
+      rollup: DataFrame,
+      keys: Seq[String],
+      closeCol: String,
+      volumeCol: String,
+      bucketCents: Long
+  ): DataFrame = {
+    require(bucketCents > 0, s"bucketCents=$bucketCents must be positive")
+    val dec = DecimalType(38, 0)
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val volCents = round(col(volumeCol) * 100).cast(LongType)
+    val bucket = floor(cents.cast(DoubleType) / lit(bucketCents.toDouble)).cast(LongType)
+    val profile = rollup
+      .select((keys.map(col) :+ bucket.as("price_bucket") :+
+        volCents.as("__v")): _*)
+      .groupBy((keys.map(col) :+ col("price_bucket")): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__v").cast(dec)).cast(LongType).as("volume_cents"))
+    val w = Window.partitionBy(keys.map(col): _*)
+    profile.withColumn("share",
+      col("volume_cents").cast(DoubleType) /
+        sum(col("volume_cents")).over(w).cast(DoubleType))
+  }
+
   /** MACD kept exact end-to-end by rational arithmetic: each truncated
     * EMA ([[emaNumDen]]) is an exact decimal fraction, so
     *   macd = numF/denF − numS/denS = (numF·denS − numS·denF)/(denF·denS)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Event-sequence analytics over the keyed event stream — the
   * windowFunnel / retention / sequenceMatch family that ClickHouse
@@ -754,6 +754,49 @@ object EventOps {
       col("decile"), col("n_users"), col("n_events"),
       (col("n_events").cast(DoubleType) /
         sum(col("n_events")).over(w).cast(DoubleType)).as("event_share"))
+  }
+
+  /** Cohort lifetime value: users grouped by first-seen month, revenue
+    * (exact cents over `purchasePred` rows) per (cohort, months-since-
+    * cohort) cell, with the running cumulative and its per-user
+    * division — the LTV curve every growth dashboard draws. The
+    * months-since offset is pure integer calendar arithmetic
+    * (year·12+month deltas); revenue accumulates in decimal and
+    * publishes as BIGINT; the cumulative is a window sum over the tiny
+    * (cohort × offset) grid, and cohort sizes broadcast into the final
+    * join. Two shuffles of the raw events (cohort min, revenue cells)
+    * — both map-side combinable.
+    */
+  def cohortLtv(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      purchasePred: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cohorts = events.groupBy(col(userCol))
+      .agg(min(date_trunc("month", col(tsCol))).as("cohort_month"))
+    val cohortSizes = cohorts.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val purchases = events.filter(purchasePred)
+      .select(col(userCol), date_trunc("month", col(tsCol)).as("__m"),
+        round(col(valueCol) * 100).cast(LongType).as("__cents"))
+      .join(cohorts, userCol)
+    val monthsSince = ((year(col("__m")) - year(col("cohort_month"))) * 12 +
+      (month(col("__m")) - month(col("cohort_month")))).cast(LongType)
+    val cells = purchases
+      .groupBy(col("cohort_month"), monthsSince.as("months_since"))
+      .agg(sum(col("__cents").cast(dec)).cast(LongType).as("revenue_cents"))
+    val wCum = Window.partitionBy(col("cohort_month")).orderBy(col("months_since"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(wCum))
+      .join(broadcast(cohortSizes), "cohort_month")
+      .select(col("cohort_month"), col("months_since"), col("revenue_cents"),
+        col("cum_revenue_cents"), col("cohort_users"),
+        (col("cum_revenue_cents").cast(DoubleType) /
+          col("cohort_users").cast(DoubleType)).as("ltv_per_user"))
   }
 
   /** DAU/MAU stickiness: per calendar day, the day's distinct actives

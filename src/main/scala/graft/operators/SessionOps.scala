@@ -98,4 +98,19 @@ object SessionOps {
         sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
       .withColumn("bounce_rate",
         col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+
+  /** Session-depth histogram over a [[sessionSummaries]] frame: how
+    * many sessions saw exactly N events, and each depth's share of all
+    * sessions — one hash aggregate over the session frame (depth
+    * cardinality is tiny), share via a window sum over those rows.
+    */
+  def depthHistogram(sessions: DataFrame): DataFrame = {
+    val hist = sessions
+      .groupBy(col("n_events").as("depth"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val w = Window.partitionBy()
+    hist.withColumn("share",
+      col("n_sessions").cast("double") /
+        sum(col("n_sessions")).over(w).cast("double"))
+  }
 }

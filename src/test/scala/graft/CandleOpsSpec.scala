@@ -299,6 +299,36 @@ class CandleOpsSpec extends SparkSpec {
     assert(got(2)._1 == 3600.0 / 112.0)
   }
 
+  test("pivotPoints derives all five levels from the prior bucket, NULL first row") {
+    val got = CandleOps.pivotPoints(ohlc3, Seq("sym"), "bucket_ts")
+      .orderBy("bucket_ts")
+      .select("prev_high_cents", "pivot", "r1", "s1", "r2", "s2")
+      .as[(Option[Long], Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got(0) == ((None, None, None, None, None, None)))
+    assert(got(1) == ((Some(1200L), Some(1000.0), Some(1200.0), Some(800.0),
+      Some(1400.0), Some(600.0))))
+    assert(got(2) == ((Some(1400L), Some(1200.0), Some(1500.0), Some(1000.0),
+      Some(1700.0), Some(700.0))))
+  }
+
+  test("volumeProfile sums exact volume cents per price bucket with key shares") {
+    val rows = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 10.00, 5.0),
+      ("S", ts("2024-03-01 11:00:00"), 13.00, 7.0),
+      ("S", ts("2024-03-01 12:00:00"), 11.00, 2.0),
+      ("S", ts("2024-03-01 13:00:00"), 11.40, 4.0)
+    ).toDF("sym", "bucket_ts", "close", "volume")
+    val got = CandleOps.volumeProfile(rows, Seq("sym"), "close", "volume",
+      bucketCents = 100L)
+      .select("price_bucket", "n_buckets", "volume_cents", "share")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10L, 1L, 500L, 500.0 / 1800.0),
+      (11L, 2L, 600L, 600.0 / 1800.0),
+      (13L, 1L, 700L, 700.0 / 1800.0)))
+  }
+
   test("ema matches the hand-computed truncated EWMA and hits SMA/last-value edges") {
     // n=2: weights (1)^j(3)^(1-j) -> [3, 1]; ema = (3*x_t + x_{t-1}) / 4
     val closes = Seq(

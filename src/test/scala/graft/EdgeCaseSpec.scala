@@ -248,6 +248,69 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("round-5 ops survive empty/degenerate inputs") {
+    import graft.operators.{BasketOps, EventOps, SessionOps}
+    val one = Seq(("S", ts("2024-03-01 08:00:00"), 2.0, 3.0, 1.0, 2.5, 4.0))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "volume")
+    val none = one.filter($"sym" === "missing")
+    // single-candle indicators: flat stochastic is NULL (no 0/0), ATR
+    // falls back to high-low, OBV starts at zero, pivot levels NULL
+    val st = CandleOps.stochastic(one, Seq("sym"), "bucket_ts", 3, 2)
+      .select($"k_raw", $"k_slow").as[(Option[Double], Option[Double])].head()
+    assert(st._1.contains(75.0) && st._2.contains(75.0)) // den=200, num=150
+    val flat = Seq(("S", ts("2024-03-01 08:00:00"), 2.0, 2.0, 2.0, 2.0, 4.0))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "volume")
+    val stFlat = CandleOps.stochastic(flat, Seq("sym"), "bucket_ts", 3, 2)
+      .select($"k_raw", $"k_slow").as[(Option[Double], Option[Double])].head()
+    assert(stFlat._1.isEmpty && stFlat._2.isEmpty)
+    assert(CandleOps.atr(one, Seq("sym"), "bucket_ts", 3)
+      .select($"tr_cents", $"atr_cents").as[(Long, Double)].head() == ((200L, 200.0)))
+    assert(CandleOps.obv(one, Seq("sym"), "bucket_ts", "close", "volume")
+      .select($"obv_cents").as[Long].head() == 0L)
+    assert(CandleOps.pivotPoints(one, Seq("sym"), "bucket_ts")
+      .select($"pivot").as[Option[Double]].head().isEmpty)
+    assert(CandleOps.macd(one, Seq("sym"), "bucket_ts", "close", 2, 3, 2)
+      .select($"macd_cents", $"signal_micro").as[(Double, Double)].head() == ((0.0, 0.0)))
+    Seq(
+      CandleOps.stochastic(none, Seq("sym"), "bucket_ts", 3, 2),
+      CandleOps.atr(none, Seq("sym"), "bucket_ts", 3),
+      CandleOps.donchian(none, Seq("sym"), "bucket_ts", 3),
+      CandleOps.obv(none, Seq("sym"), "bucket_ts", "close", "volume"),
+      CandleOps.macd(none, Seq("sym"), "bucket_ts", "close", 2, 3, 2),
+      CandleOps.pivotPoints(none, Seq("sym"), "bucket_ts"),
+      CandleOps.volumeProfile(none, Seq("sym"), "close", "volume", 100L)
+    ).foreach(df => assert(df.count() == 0))
+    // event analytics on empty input: empty frames, never errors
+    val ev = Seq((1L, "view", ts("2024-03-01 08:00:00"), 1.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val emptyEv = ev.filter($"user_id" < 0)
+    Seq(
+      EventOps.rfm(emptyEv, "user_id", "ts", "value", $"event_type" === "purchase"),
+      EventOps.powerCurve(emptyEv, "user_id"),
+      EventOps.stickiness(emptyEv, "user_id", "ts"),
+      EventOps.cohortLtv(emptyEv, "user_id", "ts", "value", $"event_type" === "purchase"),
+      EventOps.seasonalityProfile(emptyEv, "event_type", "ts")
+    ).foreach(df => assert(df.count() == 0))
+    // a user with no purchases still gets an RFM row (monetary 0)
+    val rf = EventOps.rfm(ev, "user_id", "ts", "value",
+      $"event_type" === "purchase")
+      .select($"monetary_cents", $"r_score").as[(Long, Long)].head()
+    assert(rf == ((0L, 5L)))
+    // cohortLtv with zero qualifying purchases is empty, not a crash
+    assert(EventOps.cohortLtv(ev, "user_id", "ts", "value",
+      $"event_type" === "purchase").count() == 0)
+    // sessions: empty in, empty out
+    val emptySessions = Seq.empty[(String, Long)].toDF("user_id", "n_events")
+    assert(SessionOps.bounceRate(emptySessions, Seq("user_id")).count() == 0)
+    assert(SessionOps.depthHistogram(emptySessions).count() == 0)
+    // baskets of one item produce no pairs
+    val solo = Seq((1L, 10L), (2L, 20L)).toDF("basket", "item")
+    assert(BasketOps.coOccurrence(solo, "basket", "item", 10).count() == 0)
+    // rarity on empty/whitespace docs: no token rows at all
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(TextOps.rarityScore(blank, "doc_id", "text").count() == 0)
+  }
+
   test("multi-probe IVF with nprobe exceeding cluster count equals brute force within clusters") {
     import graft.functions.VectorOps
     val vecs = Seq(

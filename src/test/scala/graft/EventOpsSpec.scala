@@ -516,6 +516,29 @@ class EventOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 0.2), (4L, 1L, 1L, 0.1)))
   }
 
+  test("cohortLtv: first-seen cohorts, cumulative cents, per-user division") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-05 10:00:00"), 1.0),
+      (1L, "purchase", ts("2024-01-10 10:00:00"), 10.0),
+      (1L, "purchase", ts("2024-02-03 10:00:00"), 5.0),
+      (2L, "view", ts("2024-01-20 10:00:00"), 2.0),
+      (2L, "purchase", ts("2024-03-15 10:00:00"), 20.0),
+      (3L, "purchase", ts("2024-02-08 10:00:00"), 8.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = EventOps.cohortLtv(events, "user_id", "ts", "value",
+      col("event_type") === "purchase")
+      .select("cohort_month", "months_since", "revenue_cents",
+        "cum_revenue_cents", "cohort_users", "ltv_per_user")
+      .as[(Timestamp, Long, Long, Long, Long, Double)]
+      .collect().sortBy(t => (t._1.getTime, t._2)).toSeq
+    val jan = ts("2024-01-01 00:00:00"); val feb = ts("2024-02-01 00:00:00")
+    assert(got == Seq(
+      (jan, 0L, 1000L, 1000L, 2L, 500.0),
+      (jan, 1L, 500L, 1500L, 2L, 750.0),
+      (jan, 2L, 2000L, 3500L, 2L, 1750.0),
+      (feb, 0L, 800L, 800L, 1L, 800.0)))
+  }
+
   test("stickiness: per-day distinct actives over the month's distinct actives") {
     val events = Seq(
       (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),

@@ -201,4 +201,16 @@ class IrOpsSpec extends SparkSpec {
        else 2.0 * weight(bh) + 1.0 * weight(bw)) - 0.25
     assert(got._1 == 7L && got._2 == expected && got._4 == 3L)
   }
+
+  test("rarityScore charges floor(log2(frequency rank)) bits per token") {
+    val d = Seq(
+      (1L, "the the cat"),
+      (2L, "the dog")
+    ).toDF("doc_id", "text")
+    val got = TextOps.rarityScore(d, "doc_id", "text")
+      .select("doc_id", "n_tokens", "surprisal_bits", "mean_bits")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // vocab ranks: the=1 (0 bits), cat=2 (1 bit), dog=3 (1 bit)
+    assert(got == Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 2L, 1L, 0.5)))
+  }
 }

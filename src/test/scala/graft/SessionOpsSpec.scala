@@ -68,4 +68,14 @@ class SessionOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq(("u1", 2L, 1L, 0.5), ("u2", 1L, 1L, 1.0)))
   }
+
+  test("depthHistogram counts sessions per depth with global shares") {
+    val sessions = Seq(
+      ("u1", 1L), ("u2", 1L), ("u1", 3L)
+    ).toDF("user_id", "n_events")
+    val got = SessionOps.depthHistogram(sessions)
+      .select("depth", "n_sessions", "share")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2.0 / 3.0), (3L, 1L, 1.0 / 3.0)))
+  }
 }
