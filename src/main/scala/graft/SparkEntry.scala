@@ -1739,7 +1739,24 @@ object SparkEntry {
     // ----- Token-rarity score: rank-based surprisal bits, exact ints
     // plus one division — the hash-checkable perplexity proxy ---------
     "q_rarity_score" -> ((s, dir) =>
-      TextOps.rarityScore(Tables.documents(s, dir), "doc_id", "text"))
+      TextOps.rarityScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ----- Topic-cluster labels: k-means over embeddings (iterations=1
+    // pins the seed-centroid assignment, the q_knn_kmeans_ivf pattern)
+    // joined to documents, top distinctive terms per cluster by
+    // cluster-tf x corpus-idf ----------------------------------------
+    "q_cluster_topics" -> ((s, dir) => {
+      val assign = VectorOps.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iterations = 1)
+        .withColumnRenamed("id", "doc_id")
+      TextOps.clusterTopTerms(Tables.documents(s, dir), assign,
+        "doc_id", "text", k = 5)
+    }),
+
+    // ----- Dataset card: per-(source, lang) docs/chars/tokens, exact
+    // unique-hash dedup ratio, mean tokens — the corpus release report
+    "q_corpus_card" -> ((s, dir) =>
+      TextOps.corpusCard(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4314,7 +4331,51 @@ object SparkEntry {
                 CAST(sum(length(bin(rank)) - 1) AS BIGINT) AS surprisal_bits,
                 CAST(CAST(sum(length(bin(rank)) - 1) AS BIGINT) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS mean_bits
-         FROM tk JOIN r USING (tok) GROUP BY 1"""
+         FROM tk JOIN r USING (tok) GROUP BY 1""",
+    "q_cluster_topics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         seed AS (SELECT emb AS cent,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         c2 AS (SELECT j, cent, list_inner_product(cent, cent) AS cc FROM seed),
+         asg AS (SELECT vec_id, j AS cluster FROM (
+             SELECT e.vec_id, t.j,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY t.cc - 2.0 * list_inner_product(e.emb, t.cent), t.j) AS rn
+             FROM e, c2 t) WHERE rn = 1),
+         t AS (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+               FROM documents),
+         tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+         dfq AS (SELECT term, count(*) AS df FROM (
+                   SELECT doc_id, term FROM tk GROUP BY 1, 2) GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM documents),
+         ctf AS (SELECT asg.cluster, tk.term, count(*) AS tf
+                 FROM tk JOIN asg ON tk.doc_id = asg.vec_id GROUP BY 1, 2),
+         scored AS (SELECT cluster, ctf.term, tf, dfq.df,
+                      CAST(tf AS DOUBLE)
+                        * (CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+                    FROM ctf JOIN dfq ON ctf.term = dfq.term, nd)
+         SELECT cluster, term, tf, df, score, CAST(rnk AS INT) AS rank FROM (
+           SELECT cluster, term, tf, df, score,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         WHERE rnk <= 5""",
+    "q_corpus_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END)
+                     AS BIGINT) AS total_tokens,
+                count(DISTINCT md5(text)) AS n_unique,
+                CAST(CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END)
+                     AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS mean_tokens,
+                CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_ratio
+         FROM documents GROUP BY 1, 2"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

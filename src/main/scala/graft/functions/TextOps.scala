@@ -1375,6 +1375,73 @@ object TextOps {
     * stream); the rank join is a plain equi-join AQE will broadcast
     * when the vocab is small enough.
     */
+  /** Distinctive terms per document cluster: cluster-level term
+    * frequency weighted by corpus-level inverse document frequency
+    * (the [[tfidfTopTerms]] score lifted from documents to clusters) —
+    * the human-readable label for an embedding-space topic cluster.
+    * `clusters` carries (doc_id, cluster) from any assignment (k-means
+    * over embeddings in the shipped query). Deterministic: counts are
+    * exact longs, the score is a fixed two-op IEEE chain, and the
+    * per-cluster rank breaks ties on the term itself.
+    *
+    * Scale: token explode → two hash aggregates (cluster-term, term
+    * df) + one broadcast-friendly join; no all-pairs anything.
+    */
+  def clusterTopTerms(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val docFreq = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tfd"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ctf = terms.join(clusters, "doc_id")
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("score").desc, col("term").asc)
+    ctf.join(docFreq, Seq("term"))
+      .withColumn("score",
+        col("tf").cast(DoubleType) *
+          (lit(nDocs).cast(DoubleType) / col("df").cast(DoubleType)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cluster"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Dataset-card summary per (source, lang): document count, exact
+    * char/token totals, exact-hash unique-document count, and the
+    * derived mean-tokens and duplicate-ratio — the one-page corpus
+    * report a training-data release ships. One map-side-combinable
+    * aggregate; tokens counted row-local; every float is one division
+    * of exact longs.
+    */
+  def corpusCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nToks = when(trim(t) === "", lit(0L))
+      .otherwise(size(split(trim(t), "\\s+")).cast("long"))
+    docs
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(nToks).as("total_tokens"),
+        countDistinct(md5(t)).as("n_unique"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("n_unique"),
+        (col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("mean_tokens"),
+        ((col("n_docs") - col("n_unique")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_ratio"))
+  }
+
   def rarityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"),

@@ -213,4 +213,36 @@ class IrOpsSpec extends SparkSpec {
     // vocab ranks: the=1 (0 bits), cat=2 (1 bit), dog=3 (1 bit)
     assert(got == Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 2L, 1L, 0.5)))
   }
+
+  test("clusterTopTerms ranks cluster tf x corpus idf with term tiebreak") {
+    val d = Seq((1L, "apple apple banana"), (2L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 0), (2L, 1)).toDF("doc_id", "cluster")
+    val got = TextOps.clusterTopTerms(d, clusters, "doc_id", "text", k = 5)
+      .select("cluster", "term", "tf", "df", "score", "rank")
+      .as[(Int, String, Long, Long, Double, Int)]
+      .collect().sortBy(t => (t._1, t._6)).toSeq
+    assert(got == Seq(
+      (0, "apple", 2L, 2L, 2.0, 1),   // 2 * (2/2), tie with banana
+      (0, "banana", 1L, 1L, 2.0, 2),  // broken by term asc
+      (1, "cherry", 1L, 1L, 2.0, 1),
+      (1, "apple", 1L, 2L, 1.0, 2)))
+  }
+
+  test("corpusCard reports exact totals, unique hashes and ratios per source/lang") {
+    val d = Seq(
+      (1L, "x y", "en", "web", 3L),
+      (2L, "x y", "en", "web", 3L),
+      (3L, "z", "en", "web", 1L),
+      (4L, "", "de", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.corpusCard(d)
+      .select("source", "lang", "n_docs", "total_chars", "total_tokens",
+        "n_unique", "mean_tokens", "dup_ratio")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("web", "de", 1L, 0L, 0L, 1L, 0.0, 0.0),
+      ("web", "en", 3L, 7L, 5L, 2L, 5.0 / 3.0, 1.0 / 3.0)))
+  }
 }

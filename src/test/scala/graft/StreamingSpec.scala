@@ -237,4 +237,35 @@ class StreamingSpec extends SparkSpec {
     assert(stored.filter($"bucket_month" === "202403").count() >= 8)
     assert(stored.columns.contains("bucket_month"))
   }
+
+  test("streaming heavy-hitters sketch equals the batch sketch (and exact counts)") {
+    // the space-saving aggregate is a TypedImperativeAggregate, so the
+    // same sketch runs unchanged as a streaming complete-mode
+    // aggregation — states merge incrementally across micro-batches
+    import graft.functions.TopKItems
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val items = (1 to 400).map(_ => s"u${rnd.nextInt(20)}")
+    val source = MemoryStream[String]
+    val q = source.toDF().select($"value")
+      .agg(TopKItems.topk_items($"value", 5, 64).as("top"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    items.grouped(100).foreach { batch =>
+      source.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("hh_stream")
+      .select(explode($"top").as("t"))
+      .select($"t.item", $"t.cnt").as[(String, Long)].collect().toSeq
+    val batch = items.toDF("value")
+      .agg(TopKItems.topk_items($"value", 5, 64).as("top"))
+      .select(explode($"top").as("t"))
+      .select($"t.item", $"t.cnt").as[(String, Long)].collect().toSeq
+    assert(streamed == batch)
+    // capacity 64 > 20 distinct: the sketch is exact — check vs groupBy
+    val exact = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+    assert(streamed == exact)
+  }
 }
