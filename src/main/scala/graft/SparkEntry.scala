@@ -1756,7 +1756,13 @@ object SparkEntry {
     // ----- Dataset card: per-(source, lang) docs/chars/tokens, exact
     // unique-hash dedup ratio, mean tokens — the corpus release report
     "q_corpus_card" -> ((s, dir) =>
-      TextOps.corpusCard(Tables.documents(s, dir)))
+      TextOps.corpusCard(Tables.documents(s, dir))),
+
+    // ----- Training-set rows: trailing day-range features + a
+    // strictly-future purchase label, all exact integers -------------
+    "q_user_features" -> ((s, dir) =>
+      EventOps.rollingUserFeatures(Tables.events(s, dir), "user_id", "ts",
+        "value", col("event_type") === "purchase"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4375,7 +4381,35 @@ object SparkEntry {
                   AS mean_tokens,
                 CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS dup_ratio
-         FROM documents GROUP BY 1, 2"""
+         FROM documents GROUP BY 1, 2""",
+    "q_user_features" ->
+      """WITH daily AS (
+           SELECT user_id,
+                  CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                       AS BIGINT) AS day_idx,
+                  count(*) AS n_events,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS np,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pc
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, day_idx, n_events,
+                CAST(sum(n_events) OVER w7 AS BIGINT) AS n_events_7d,
+                CAST(sum(np) OVER w30 AS BIGINT) AS n_purchases_30d,
+                CAST(sum(pc) OVER w30 AS BIGINT) AS purchase_cents_30d,
+                CAST(coalesce(sum(np) OVER wn7, 0) AS BIGINT)
+                  AS purchases_next_7d,
+                CAST(coalesce(sum(np) OVER wn7, 0) AS BIGINT) > 0
+                  AS label_next_7d
+         FROM daily
+         WINDOW
+           w7 AS (PARTITION BY user_id ORDER BY day_idx
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+           w30 AS (PARTITION BY user_id ORDER BY day_idx
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
+           wn7 AS (PARTITION BY user_id ORDER BY day_idx
+                   RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING)"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

@@ -756,6 +756,50 @@ object EventOps {
         sum(col("n_events")).over(w).cast(DoubleType)).as("event_share"))
   }
 
+  /** Training-set construction over the event stream: per (user, day),
+    * trailing-window features and a FUTURE-looking label —
+    *   n_events (that day), n_events_7d / n_purchases_30d /
+    *   purchase_cents_30d (trailing RANGE windows over day indexes,
+    *   so gaps in activity still span calendar time, not row counts),
+    *   purchases_next_7d and label_next_7d (strictly-future frame —
+    *   no leakage: the current day is excluded).
+    * Everything is exact integer arithmetic on day-grain
+    * pre-aggregates; the raw stream shuffles once to (user, day) rows
+    * and the four range windows share the per-user sort. At 100 TB
+    * the day-grain frame is the product's own feature store — orders
+    * of magnitude smaller than the events.
+    */
+  def rollingUserFeatures(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      purchasePred: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dayIdx = floor(unix_micros(col(tsCol)).cast(DoubleType) /
+      lit(86400000000.0)).cast(LongType)
+    val daily = events
+      .groupBy(col(userCol), dayIdx.as("day_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(purchasePred, 1L).otherwise(0L)).as("__np"),
+        sum(when(purchasePred,
+          round(col(valueCol) * 100).cast(LongType).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(LongType).as("__pc"))
+    val byDay = Window.partitionBy(col(userCol)).orderBy(col("day_idx"))
+    val w7 = byDay.rangeBetween(-6, 0)
+    val w30 = byDay.rangeBetween(-29, 0)
+    val wNext7 = byDay.rangeBetween(1, 7)
+    daily.select(
+      col(userCol), col("day_idx"), col("n_events"),
+      sum(col("n_events")).over(w7).as("n_events_7d"),
+      sum(col("__np")).over(w30).as("n_purchases_30d"),
+      sum(col("__pc")).over(w30).as("purchase_cents_30d"),
+      coalesce(sum(col("__np")).over(wNext7), lit(0L)).as("purchases_next_7d"),
+      (coalesce(sum(col("__np")).over(wNext7), lit(0L)) > 0).as("label_next_7d"))
+  }
+
   /** Cohort lifetime value: users grouped by first-seen month, revenue
     * (exact cents over `purchasePred` rows) per (cohort, months-since-
     * cohort) cell, with the running cumulative and its per-user

@@ -516,6 +516,27 @@ class EventOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 0.2), (4L, 1L, 1L, 0.1)))
   }
 
+  test("rollingUserFeatures: calendar-range trailing windows, leak-free future label") {
+    val events = Seq(
+      (1L, "view", ts("2024-03-01 12:00:00"), 1.0),
+      (1L, "view", ts("2024-03-01 13:00:00"), 2.0),
+      (1L, "purchase", ts("2024-03-02 12:00:00"), 10.0),
+      (1L, "view", ts("2024-03-10 12:00:00"), 3.0),
+      (1L, "purchase", ts("2024-03-11 12:00:00"), 5.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = EventOps.rollingUserFeatures(events, "user_id", "ts", "value",
+      col("event_type") === "purchase")
+      .select("n_events", "n_events_7d", "n_purchases_30d",
+        "purchase_cents_30d", "purchases_next_7d", "label_next_7d")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq // window output is ordered per user by day
+    assert(got == Seq(
+      (2L, 2L, 0L, 0L, 1L, true),   // day 0: purchase lands tomorrow
+      (1L, 3L, 1L, 1000L, 0L, false), // day 1: own purchase not a label
+      (1L, 1L, 1L, 1000L, 1L, true),  // day 9: 7d window left the spike
+      (1L, 2L, 2L, 1500L, 0L, false)))
+  }
+
   test("cohortLtv: first-seen cohorts, cumulative cents, per-user division") {
     val events = Seq(
       (1L, "view", ts("2024-01-05 10:00:00"), 1.0),

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BasketOps, CandleOps, EventOps}
+
+/** Shuffle budgets for the round-5 operators, pinned at the physical
+  * plan: the indicator family must ride ONE per-key exchange end to
+  * end (stacked windows reuse the sort), the basket pair pipeline
+  * exactly two (gather + pair count) with a TakeOrderedAndProject
+  * top-N (never a global sort), and the feature-store query two (raw →
+  * day grain, day grain → per-user windows). A regression that slips
+  * an extra exchange into these shapes multiplies 100 TB of traffic —
+  * this is the test that catches it before the cluster does.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def exchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).size
+
+  private lazy val candles = (0 until 48).map { h =>
+    ("S", new Timestamp(ts("2024-03-01 00:00:00").getTime + h * 3600000L),
+      10.0 + h % 7, 12.0 + h % 5, 8.0 + h % 3, 11.0 + h % 4, 5.0 + h)
+  }.toDF("sym", "bucket_ts", "open", "high", "low", "close", "volume")
+
+  test("every indicator runs on one per-key exchange") {
+    val plans = Seq(
+      "stochastic" -> CandleOps.stochastic(candles, Seq("sym"), "bucket_ts", 14, 3),
+      "atr" -> CandleOps.atr(candles, Seq("sym"), "bucket_ts", 14),
+      "donchian" -> CandleOps.donchian(candles, Seq("sym"), "bucket_ts", 20),
+      "obv" -> CandleOps.obv(candles, Seq("sym"), "bucket_ts", "close", "volume"),
+      "macd" -> CandleOps.macd(candles, Seq("sym"), "bucket_ts", "close", 6, 13, 5),
+      "pivotPoints" -> CandleOps.pivotPoints(candles, Seq("sym"), "bucket_ts")
+    )
+    plans.foreach { case (name, df) =>
+      val n = exchanges(df.queryExecution.executedPlan.toString)
+      assert(n == 1, s"$name: expected 1 exchange, got $n")
+    }
+  }
+
+  test("basket pairs: two exchanges and a per-partition top-N") {
+    val facts = (1 to 300).map(i => (i.toLong / 3, (i % 17).toLong))
+      .toDF("basket", "item")
+    val plan = BasketOps.coOccurrence(facts, "basket", "item", topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 2, s"expected 2 exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Sort "), "global sort snuck in") // top-N only
+  }
+
+  test("feature-store query: raw shuffles once, day grain once") {
+    val events = (1 to 200).map { i =>
+      (i.toLong % 9, "view",
+        new Timestamp(ts("2024-03-01 00:00:00").getTime + i * 3600000L), 1.0)
+    }.toDF("user_id", "event_type", "ts", "value")
+    val plan = EventOps.rollingUserFeatures(events, "user_id", "ts", "value",
+      col("event_type") === "purchase")
+      .queryExecution.executedPlan.toString
+    // exchange 1: raw events -> (user, day) aggregate;
+    // exchange 2: day-grain rows -> per-user windows (orders of
+    // magnitude fewer rows than the raw stream)
+    assert(exchanges(plan) == 2, s"expected 2 exchanges:\n$plan")
+  }
+}
