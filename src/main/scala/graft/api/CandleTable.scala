@@ -106,6 +106,40 @@ final class CandleTable private (
     CandleOps.rsi(rollup(timeframe), keys.filterNot(_ == "interval"),
       "bucket_ts", "close", nWindow)
 
+  private def rkeys: Seq[String] = keys.filterNot(_ == "interval")
+
+  /** Stochastic oscillator (raw + smoothed %K) over a rollup. */
+  def stochastic(timeframe: String, nWindow: Int = 14, smoothN: Int = 3): DataFrame =
+    CandleOps.stochastic(rollup(timeframe), rkeys, "bucket_ts", nWindow, smoothN)
+
+  /** Average true range over a rollup. */
+  def atr(timeframe: String, nWindow: Int = 14): DataFrame =
+    CandleOps.atr(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
+  /** Donchian channel + close position over a rollup. */
+  def donchian(timeframe: String, nWindow: Int = 20): DataFrame =
+    CandleOps.donchian(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
+  /** On-balance volume over a rollup. */
+  def obv(timeframe: String): DataFrame =
+    CandleOps.obv(rollup(timeframe), rkeys, "bucket_ts", "close", "volume")
+
+  /** Exact-rational MACD (+ quantized signal line) over a rollup. */
+  def macd(timeframe: String, fast: Int = 6, slow: Int = 13, signalN: Int = 5): DataFrame =
+    CandleOps.macd(rollup(timeframe), rkeys, "bucket_ts", "close", fast, slow, signalN)
+
+  /** Floor-trader pivot levels from each prior bucket. */
+  def pivotPoints(timeframe: String): DataFrame =
+    CandleOps.pivotPoints(rollup(timeframe), rkeys, "bucket_ts")
+
+  /** Volume-at-price profile over a rollup. */
+  def volumeProfile(timeframe: String, bucketCents: Long = 100L): DataFrame =
+    CandleOps.volumeProfile(rollup(timeframe), rkeys, "close", "volume", bucketCents)
+
+  /** Per-key max drawdown of a rollup's closes. */
+  def drawdown(timeframe: String): DataFrame =
+    CandleOps.drawdown(rollup(timeframe), rkeys, "bucket_ts", "close")
+
   /** Typed view for case-class-level logic. */
   def typed(implicit spark: SparkSession): Dataset[Candle] = {
     import spark.implicits._

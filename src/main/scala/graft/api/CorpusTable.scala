@@ -168,6 +168,16 @@ final class CorpusTable private (
   /** Materialize partitioned with bounded shards. */
   def write(path: String, partitionCols: Seq[String], maxRecordsPerFile: Long): Unit =
     CorpusStore.write(df, path, partitionCols, maxRecordsPerFile)
+
+  /** Per-doc token-rarity (surprisal-proxy) quality signal. */
+  def rarityScores: DataFrame = TextOps.rarityScore(df, idCol, textCol)
+
+  /** Dataset-card summary per (source, lang). */
+  def card: DataFrame = TextOps.corpusCard(df, textCol)
+
+  /** Top distinctive terms per cluster of a (doc_id, cluster) frame. */
+  def clusterTopics(clusters: DataFrame, k: Int = 5): DataFrame =
+    TextOps.clusterTopTerms(df, clusters, idCol, textCol, k)
 }
 
 object CorpusTable {

@@ -104,6 +104,28 @@ final case class EventTable(
   def quality(rules: Seq[QualityReport.RowRule]): DataFrame =
     QualityReport.rowReport(df, rules)
 
+  /** RFM quintile segmentation (5 = best on every axis). */
+  def rfm(valueCol: String, monetaryType: String): DataFrame =
+    EventOps.rfm(df, userCol, tsCol, valueCol, col(typeCol) === monetaryType)
+
+  /** Activity-decile power-user curve. */
+  def powerCurve(): DataFrame = EventOps.powerCurve(df, userCol)
+
+  /** DAU/MAU engagement ratio per day. */
+  def stickiness(): DataFrame = EventOps.stickiness(df, userCol, tsCol)
+
+  /** Cohort LTV curve over `purchaseType` revenue. */
+  def cohortLtv(valueCol: String, purchaseType: String): DataFrame =
+    EventOps.cohortLtv(df, userCol, tsCol, valueCol, col(typeCol) === purchaseType)
+
+  /** Hour-of-day x day-of-week load shape per event type. */
+  def seasonality(): DataFrame = EventOps.seasonalityProfile(df, typeCol, tsCol)
+
+  /** Per-(user, day) trailing features + leak-free next-7d label. */
+  def userFeatures(valueCol: String, purchaseType: String): DataFrame =
+    EventOps.rollingUserFeatures(df, userCol, tsCol, valueCol,
+      col(typeCol) === purchaseType)
+
   /** Restrict to one event type (pushes down to the scan). */
   def ofType(eventType: String): EventTable =
     copy(df = df.filter(col(typeCol) === eventType))

@@ -87,4 +87,20 @@ class CandleTableSpec extends SparkSpec {
     val plan = t.backfillPlan("2024-03-01 06:00:00", "1m", chunkOf = 30)
     assert(plan.count() == 4) // 06:00→08:00 in 30-minute chunks
   }
+
+  test("indicator facade delegates carry the operator column contracts") {
+    val t = CandleTable(raw.toDF()).validated.deduped
+    assert(t.stochastic("15m").columns.contains("k_slow"))
+    assert(t.atr("15m").columns.contains("atr_cents"))
+    assert(t.donchian("15m").columns.contains("position"))
+    assert(t.obv("15m").columns.contains("obv_cents"))
+    assert(t.macd("15m").columns.contains("hist_micro"))
+    assert(t.pivotPoints("1h").columns.contains("r2"))
+    assert(t.volumeProfile("15m").columns.contains("share"))
+    assert(t.drawdown("15m").columns.contains("max_dd_frac"))
+    // each runs: a facade wiring bug (wrong key set, missing column)
+    // surfaces as an execution error, not just a schema mismatch
+    assert(t.stochastic("15m").count() > 0 && t.macd("15m").count() > 0)
+    assert(t.volumeProfile("15m").count() > 0)
+  }
 }

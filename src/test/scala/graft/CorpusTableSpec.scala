@@ -91,4 +91,17 @@ class CorpusTableSpec extends SparkSpec {
       .df.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("rarity/card/clusterTopics facade delegates run with their contracts") {
+    val docs = Seq(
+      (1L, "alpha alpha beta", "en", "web", 16L),
+      (2L, "alpha gamma", "en", "web", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = CorpusTable(docs)
+    assert(t.rarityScores.columns.contains("mean_bits") && t.rarityScores.count() == 2)
+    val card = t.card.select("n_docs", "n_unique").as[(Long, Long)].head()
+    assert(card == ((2L, 2L)))
+    val clusters = Seq((1L, 0), (2L, 0)).toDF("doc_id", "cluster")
+    assert(t.clusterTopics(clusters, k = 2).count() == 2)
+  }
 }

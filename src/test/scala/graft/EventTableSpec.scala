@@ -59,6 +59,17 @@ class EventTableSpec extends SparkSpec {
     assert(dr == Seq(("click", 1L, 0L), ("purchase", 1L, 0L), ("view", 2L, 1L)))
   }
 
+  test("analytics facade delegates carry the operator column contracts") {
+    assert(ev.rfm("value", "purchase").columns.contains("m_score"))
+    assert(ev.powerCurve().columns.contains("event_share"))
+    assert(ev.stickiness().columns.contains("stickiness"))
+    assert(ev.cohortLtv("value", "purchase").columns.contains("ltv_per_user"))
+    assert(ev.seasonality().columns.contains("share"))
+    assert(ev.userFeatures("value", "purchase").columns.contains("label_next_7d"))
+    assert(ev.rfm("value", "purchase").count() > 0)
+    assert(ev.userFeatures("value", "purchase").count() > 0)
+  }
+
   test("ofType/between compose as plain filters") {
     // (pushdown-to-parquet is covered by PruningSpec; a local relation
     // folds the predicate into the scan entirely)
