@@ -1762,7 +1762,97 @@ object SparkEntry {
     // strictly-future purchase label, all exact integers -------------
     "q_user_features" -> ((s, dir) =>
       EventOps.rollingUserFeatures(Tables.events(s, dir), "user_id", "ts",
-        "value", col("event_type") === "purchase"))
+        "value", col("event_type") === "purchase")),
+
+    // ----- TPC-H Q4 shape: EXISTS-semi-join order-priority count
+    // (orders with any line shipped after the order date) -------------
+    "q4_order_priority" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // ----- TPC-H Q12 shape: conditional priority mix after a fact-to-
+    // dim join (shipmode column absent; returnflag carries the split) -
+    "q12_priority_by_flag" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))),
+
+    // ----- TPC-H Q14 shape: promo revenue share. Revenue is the EXACT
+    // integer cents x (100 - discount%) product — a whole-table
+    // double->decimal quantization drifts on rounding ties at 600k
+    // rows (one ulp was enough to hash-split the engines); integer
+    // cross-products cannot. Two divisions at the very end -----------
+    "q14_promo_revenue" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val revCp = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))).cast(dec)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revCp).otherwise(lit(0).cast(dec)))
+            .cast(LongType).as("__pr"),
+          sum(revCp).cast(LongType).as("__tot"))
+        .select(
+          (lit(100.0) * col("__pr").cast(DoubleType) /
+            col("__tot").cast(DoubleType)).as("promo_revenue_pct"),
+          (col("__tot").cast(DoubleType) / lit(10000.0)).as("total_revenue"))
+    }),
+
+    // ----- Point-in-time feature join: every purchase event picks up
+    // the latest feature row whose availability day (feature day + 1 —
+    // day-grain features publish at midnight) is on or before the
+    // event's day. The as-of union-merge keeps it one shuffle; the +1
+    // shift is what makes the join leak-free at day grain ------------
+    "q_pit_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def dayOf(c: org.apache.spark.sql.Column) =
+        floor(unix_micros(c).cast(DoubleType) / lit(86400000000.0)).cast(LongType)
+      val features = EventOps.rollingUserFeatures(ev, "user_id", "ts", "value",
+          col("event_type") === "purchase")
+        .withColumn("t", col("day_idx") + 1)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), dayOf(col("ts")).as("t"))
+      AsOfJoin.asof(
+        left = purchases, right = features,
+        keys = Seq("user_id"), tsCol = "t",
+        leftPayload = Seq("event_id"),
+        rightPayload = Seq("n_events_7d", "n_purchases_30d", "purchase_cents_30d"),
+        prefix = "f_")
+        .select(col("user_id"), col("t").as("event_day"), col("event_id"),
+          col("f_ts").as("feature_available_day"), col("f_n_events_7d"),
+          col("f_n_purchases_30d"), col("f_purchase_cents_30d"))
+    }),
+
+    // ----- TPC-H Q22 shape: above-average balances (exact cents x count
+    // cross-multiply, no float mean) anti-joined against urgent orders -
+    "q22_wealthy_inactive" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val cust = Tables.customer(s, dir)
+      val cents = round(col("c_acctbal") * 100).cast(LongType)
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("__n"),
+          sum(round(col("c_acctbal") * 100).cast(LongType).cast(dec))
+            .cast(LongType).as("__s"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      cust.join(broadcast(pos))
+        .filter(cents * col("__n") > col("__s"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(cents.cast(dec)).cast(LongType).as("acctbal_cents"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4409,7 +4499,87 @@ object SparkEntry {
            w30 AS (PARTITION BY user_id ORDER BY day_idx
                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
            wn7 AS (PARTITION BY user_id ORDER BY day_idx
-                   RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING)"""
+                   RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING)""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY 1""",
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q14_promo_revenue" ->
+      """WITH r AS (SELECT p_type,
+                CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+         a AS (SELECT
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cp ELSE 0 END)
+                     AS BIGINT) AS pr,
+                CAST(sum(rev_cp) AS BIGINT) AS tot
+               FROM r)
+         SELECT 100.0 * CAST(pr AS DOUBLE) / CAST(tot AS DOUBLE)
+                  AS promo_revenue_pct,
+                CAST(tot AS DOUBLE) / 10000.0 AS total_revenue
+         FROM a""",
+    "q_pit_features" ->
+      """WITH daily AS (
+           SELECT user_id,
+                  CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                       AS BIGINT) AS day_idx,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS np,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pc,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         feats AS (
+           SELECT user_id, day_idx + 1 AS t,
+                  CAST(sum(n_events) OVER w7 AS BIGINT) AS n_events_7d,
+                  CAST(sum(np) OVER w30 AS BIGINT) AS n_purchases_30d,
+                  CAST(sum(pc) OVER w30 AS BIGINT) AS purchase_cents_30d
+           FROM daily
+           WINDOW
+             w7 AS (PARTITION BY user_id ORDER BY day_idx
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+             w30 AS (PARTITION BY user_id ORDER BY day_idx
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)),
+         purchases AS (
+           SELECT user_id, event_id,
+                  CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                       AS BIGINT) AS t
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.t AS event_day, p.event_id,
+                f.t AS feature_available_day,
+                f.n_events_7d AS f_n_events_7d,
+                f.n_purchases_30d AS f_n_purchases_30d,
+                f.purchase_cents_30d AS f_purchase_cents_30d
+         FROM purchases p
+         ASOF LEFT JOIN feats f
+           ON p.user_id = f.user_id AND p.t >= f.t""",
+    "q22_wealthy_inactive" ->
+      """WITH pos AS (SELECT count(*) AS n,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+            FROM customer WHERE c_acctbal > 0),
+         rich AS (SELECT c_custkey, c_nationkey,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                  FROM customer, pos
+                  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s)
+         SELECT c_nationkey, count(*) AS n_custs,
+                CAST(sum(cents) AS BIGINT) AS acctbal_cents
+         FROM rich
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = rich.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights
