@@ -53,6 +53,37 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(!plan.contains("Sort "), "global sort snuck in") // top-N only
   }
 
+  test("round-5 operators are bit-identical under repartitioning") {
+    // the reproducibility contract behind every oracle hash-match:
+    // exact-integer accumulation makes results independent of
+    // partitioning, so a cluster and a laptop agree bitwise
+    val wild = candles.repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(CandleOps.stochastic(candles, Seq("sym"), "bucket_ts", 14, 3)) ==
+      rows(CandleOps.stochastic(wild, Seq("sym"), "bucket_ts", 14, 3)))
+    assert(rows(CandleOps.macd(candles, Seq("sym"), "bucket_ts", "close", 6, 13, 5)) ==
+      rows(CandleOps.macd(wild, Seq("sym"), "bucket_ts", "close", 6, 13, 5)))
+    assert(rows(CandleOps.obv(candles, Seq("sym"), "bucket_ts", "close", "volume")) ==
+      rows(CandleOps.obv(wild, Seq("sym"), "bucket_ts", "close", "volume")))
+    assert(rows(CandleOps.volumeProfile(candles, Seq("sym"), "close", "volume", 100L)) ==
+      rows(CandleOps.volumeProfile(wild, Seq("sym"), "close", "volume", 100L)))
+    val ev = (1 to 300).map { i =>
+      (i.toLong % 7, if (i % 5 == 0) "purchase" else "view",
+        new Timestamp(ts("2024-03-01 00:00:00").getTime + i * 7200000L),
+        (i % 13) + 0.25)
+    }.toDF("user_id", "event_type", "ts", "value")
+    val evWild = ev.repartition(11)
+    import org.apache.spark.sql.functions.col
+    val pred = col("event_type") === "purchase"
+    assert(rows(EventOps.rollingUserFeatures(ev, "user_id", "ts", "value", pred)) ==
+      rows(EventOps.rollingUserFeatures(evWild, "user_id", "ts", "value", pred)))
+    assert(rows(EventOps.rfm(ev, "user_id", "ts", "value", pred)) ==
+      rows(EventOps.rfm(evWild, "user_id", "ts", "value", pred)))
+    assert(rows(EventOps.cohortLtv(ev, "user_id", "ts", "value", pred)) ==
+      rows(EventOps.cohortLtv(evWild, "user_id", "ts", "value", pred)))
+  }
+
   test("feature-store query: raw shuffles once, day grain once") {
     val events = (1 to 200).map { i =>
       (i.toLong % 9, "view",
