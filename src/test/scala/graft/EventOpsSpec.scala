@@ -537,6 +537,51 @@ class EventOpsSpec extends SparkSpec {
       (1L, 2L, 2L, 1500L, 0L, false)))
   }
 
+  test("property: PIT feature join never reads same-day or future data (3 seeds)") {
+    import graft.operators.AsOfJoin
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed * 17 + 3)
+      val base = ts("2024-03-01 00:00:00").getTime
+      val raw = (1 to 300).map { i =>
+        (rnd.nextInt(6).toLong,
+          if (rnd.nextInt(4) == 0) "purchase" else "view",
+          new Timestamp(base + rnd.nextInt(40 * 24) * 3600000L),
+          rnd.nextInt(100) + 0.5, i.toLong)
+      }
+      val events = raw.toDF("user_id", "event_type", "ts", "value", "event_id")
+      def dayOf(ms: Long): Long = math.floor(ms * 1000.0 / 86400000000.0).toLong
+      // the exact q_pit_features wiring
+      val features = EventOps.rollingUserFeatures(events, "user_id", "ts",
+        "value", col("event_type") === "purchase")
+        .withColumn("t", col("day_idx") + 1)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+            .cast("long").as("t"))
+      val joined = AsOfJoin.asof(purchases, features, Seq("user_id"), "t",
+        Seq("event_id"), Seq("n_events_7d"), prefix = "f_")
+        .select("user_id", "t", "event_id", "f_ts", "f_n_events_7d")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+      // reference: per user, active days in order; the matched feature
+      // day must be the latest STRICTLY before the event day, and its
+      // 7d window recomputed from the raw seq must agree
+      val byUser = raw.groupBy(_._1)
+      joined.foreach { case (u, eventDay, _, fAvail, f7) =>
+        val days = byUser(u).map(r => dayOf(r._3.getTime))
+        val prior = days.filter(_ < eventDay)
+        if (prior.isEmpty) {
+          assert(fAvail.isEmpty && f7.isEmpty)
+        } else {
+          val fDay = prior.max
+          assert(fAvail.contains(fDay + 1), s"seed=$seed u=$u d=$eventDay")
+          assert(fDay < eventDay) // never same-day, never future
+          val expected7 = days.count(d => d >= fDay - 6 && d <= fDay)
+          assert(f7.contains(expected7.toLong), s"seed=$seed u=$u d=$eventDay")
+        }
+      }
+    }
+  }
+
   test("cohortLtv: first-seen cohorts, cumulative cents, per-user division") {
     val events = Seq(
       (1L, "view", ts("2024-01-05 10:00:00"), 1.0),
