@@ -1758,6 +1758,13 @@ object SparkEntry {
     "q_corpus_card" -> ((s, dir) =>
       TextOps.corpusCard(Tables.documents(s, dir))),
 
+    // ----- Embedding drift monitor: worst per-dimension mean shift
+    // between two cohorts per label — exact micro-unit sums, one
+    // division per cohort mean, MAX reduction (order-insensitive) ----
+    "q_embed_drift" -> ((s, dir) =>
+      VectorOps.embeddingDrift(Tables.embeddings(s, dir), "embedding",
+        "label", col("vec_id") % 2 === 0)),
+
     // ----- Training-set rows: trailing day-range features + a
     // strictly-future purchase label, all exact integers -------------
     "q_user_features" -> ((s, dir) =>
@@ -4529,6 +4536,32 @@ object SparkEntry {
                   AS promo_revenue_pct,
                 CAST(tot AS DOUBLE) / 10000.0 AS total_revenue
          FROM a""",
+    "q_embed_drift" ->
+      """WITH comp AS (
+           SELECT label, vec_id % 2 = 0 AS a,
+                  CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+                       AS BIGINT) AS pos,
+                  CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000000)
+                       AS BIGINT) AS m
+           FROM embeddings),
+         per_dim AS (
+           SELECT label, pos,
+                  CAST(sum(CASE WHEN a THEN m END) AS BIGINT) AS sa,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN NOT a THEN m END) AS BIGINT) AS sb,
+                  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM comp GROUP BY 1, 2),
+         d AS (SELECT label, pos,
+                 abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) AS delta
+               FROM per_dim WHERE na > 0 AND nb > 0),
+         w AS (SELECT label, pos, delta,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY delta DESC, pos DESC) AS rn,
+                 count(*) OVER (PARTITION BY label) AS n_dims
+               FROM d)
+         SELECT label, n_dims, delta AS max_abs_delta_micro, pos AS worst_dim
+         FROM w WHERE rn = 1""",
     "q_pit_features" ->
       """WITH daily AS (
            SELECT user_id,

@@ -545,4 +545,50 @@ object VectorOps {
       array_max(codes).as("q_max"),
       aggregate(codes, lit(0L), (acc, x) => acc + x).as("q_sum"))
   }
+
+  /** Embedding drift between two cohorts (e.g. last crawl vs this
+    * crawl): per label, the worst per-dimension shift of the mean
+    * embedding. Components quantize to exact micro-units
+    * (`round(x*1e6)` longs) so the per-(label, dim) sums are
+    * order-independent; each cohort mean is ONE division; the
+    * per-dimension delta is one subtraction of two deterministic
+    * doubles; and the per-label reduction uses MAX (order-insensitive,
+    * unlike a float sum-of-squares) with a (delta, dim) struct so the
+    * winning dimension is tie-broken deterministically.
+    *
+    * Shape: posexplode to (label, dim) grain — |labels| x dims rows
+    * out of the aggregate regardless of corpus size — then one tiny
+    * groupBy(label). No joins, no all-pairs.
+    */
+  def embeddingDrift(
+      embeddings: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      cohortPred: Column
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val comp = embeddings
+      .select(col(labelCol).as("label"), cohortPred.as("__a"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .select(col("label"), col("__a"), col("pos").cast("long").as("pos"),
+        round(col("x") * 1000000).cast("long").as("__m"))
+    val perDim = comp.groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("__a"), col("__m")).cast(dec)).cast("long").as("__sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), col("__m")).cast(dec)).cast("long").as("__sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    val delta = abs(
+      col("__sa").cast(DoubleType) / col("__na").cast(DoubleType) -
+        col("__sb").cast(DoubleType) / col("__nb").cast(DoubleType))
+    perDim
+      .select(col("label"), col("pos"), delta.as("__d"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        max(struct(col("__d").as("d"), col("pos").as("p"))).as("__w"))
+      .select(col("label"), col("n_dims"),
+        col("__w.d").as("max_abs_delta_micro"),
+        col("__w.p").as("worst_dim"))
+  }
 }

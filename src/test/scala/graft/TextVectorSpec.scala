@@ -645,4 +645,24 @@ class TextVectorSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again == Seq(1L, 2L, 3L))
   }
+
+  test("embeddingDrift: worst per-dimension mean shift, exact micro sums") {
+    import graft.functions.VectorOps
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f), 0),  // cohort A (even ids)
+      (2L, Array(3.0f, 4.0f), 0),  // cohort A
+      (1L, Array(0.0f, 0.0f), 0),  // cohort B
+      (4L, Array(5.0f, 5.0f), 1),  // label 1, A only -> filtered out
+      (5L, Array(1.0f, 1.0f), 1),  // label 1, B
+      (6L, Array(1.0f, 2.0f), 1)   // label 1, A
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.embeddingDrift(emb, "embedding", "label",
+      col("vec_id") % 2 === 0)
+      .select("label", "n_dims", "max_abs_delta_micro", "worst_dim")
+      .as[(Int, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // label 0: meanA = (2e6, 3e6), meanB = (0, 0) -> worst dim 1, 3e6
+    assert(got(0) == ((0, 2L, 3000000.0, 1L)))
+    // label 1: meanA = (3e6, 3.5e6), meanB = (1e6, 1e6) -> dim 1, 2.5e6
+    assert(got(1) == ((1, 2L, 2500000.0, 1L)))
+  }
 }
