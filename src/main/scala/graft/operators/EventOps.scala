@@ -720,18 +720,21 @@ object EventOps {
       .withColumn("recency_days",
         floor((col("__as_of") - col("__last_us")) / lit(86400000000L)))
       .drop("__as_of", "__last_us")
-    val rW = Window.orderBy(col("recency_days").asc, col(userCol).asc)
-    val fW = Window.orderBy(col("frequency").desc, col(userCol).asc)
-    val mW = Window.orderBy(col("monetary_cents").desc, col(userCol).asc)
-    withRec.select(
+    // three distributed exact quintiles — a plain un-partitioned
+    // ntile window would drag the whole user frame into ONE task;
+    // RankOps keeps the identical result range-partitioned
+    val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("__r", Seq(col("recency_days").asc, col(userCol).asc)),
+      ("__f", Seq(col("frequency").desc, col(userCol).asc)),
+      ("__m", Seq(col("monetary_cents").desc, col(userCol).asc))
+    ).foldLeft(withRec) { case (df, (out, order)) =>
+      RankOps.distributedNtile(df, order, 5, out)
+    }
+    scored.select(
       col(userCol), col("recency_days"), col("frequency"), col("monetary_cents"),
-      ntile(5).over(rW).as("__r"), ntile(5).over(fW).as("__f"),
-      ntile(5).over(mW).as("__m"))
-      .select(
-        col(userCol), col("recency_days"), col("frequency"), col("monetary_cents"),
-        (lit(6) - col("__r")).cast("long").as("r_score"),
-        (lit(6) - col("__f")).cast("long").as("f_score"),
-        (lit(6) - col("__m")).cast("long").as("m_score"))
+      (lit(6) - col("__r")).cast("long").as("r_score"),
+      (lit(6) - col("__f")).cast("long").as("f_score"),
+      (lit(6) - col("__m")).cast("long").as("m_score"))
   }
 
   /** Power-user curve: users ranked into activity deciles, each decile
@@ -744,9 +747,9 @@ object EventOps {
     */
   def powerCurve(events: DataFrame, userCol: String): DataFrame = {
     val perUser = events.groupBy(col(userCol)).agg(count(lit(1)).as("__n"))
-    val decW = Window.orderBy(col("__n").desc, col(userCol).asc)
-    val deciles = perUser
-      .withColumn("decile", ntile(10).over(decW).cast("long"))
+    val deciles = RankOps.distributedNtile(perUser,
+        Seq(col("__n").desc, col(userCol).asc), 10, "decile")
+      .withColumn("decile", col("decile").cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
     val w = Window.partitionBy()

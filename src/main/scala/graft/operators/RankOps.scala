@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global ranking. Spark's `ntile`/`row_number` over
+  * an un-partitioned window collapse the whole frame into ONE task —
+  * fine for a quintile over thousands of users, a dead stop for a
+  * quintile over 1e9. This computes the identical result from a
+  * range-repartitioned sort: local row_numbers per range partition,
+  * plus broadcast per-partition offsets (one tiny count frame — rows =
+  * #partitions, the only driver-independent global state needed).
+  *
+  * Exactness: `order` must be a TOTAL order (callers append the key as
+  * tiebreak); then global rank = local rank + offset is unique and
+  * identical to the single-partition result, and the ntile bucket is
+  * pure integer arithmetic on (rank, N): the first N mod n buckets get
+  * ceil(N/n) rows — Spark's and DuckDB's shared definition — so
+  * results stay engine-reproducible.
+  */
+object RankOps {
+
+  /** Append `outCol` = ntile(`buckets`) over the TOTAL order `order`,
+    * computed without ever materializing a single-partition sort.
+    */
+  def distributedNtile(
+      df: DataFrame,
+      order: Seq[Column],
+      buckets: Int,
+      outCol: String
+  ): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be positive")
+    val byRange = df.repartitionByRange(order: _*)
+      .withColumn("__rk_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__rk_pid")).orderBy(order: _*)
+    val local = byRange.withColumn("__rk_lr", row_number().over(wLocal).cast("long"))
+    val counts = local.groupBy(col("__rk_pid")).agg(count(lit(1)).as("__rk_cnt"))
+    // offsets and the grand total over the #partitions-row frame; the
+    // un-partitioned window here is over partition COUNTS, not data
+    val wOff = Window.orderBy(col("__rk_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy()
+    val offsets = counts
+      .withColumn("__rk_off", coalesce(sum(col("__rk_cnt")).over(wOff), lit(0L)))
+      .withColumn("__rk_n", sum(col("__rk_cnt")).over(wTot))
+      .select(col("__rk_pid"), col("__rk_off"), col("__rk_n"))
+    val rank = col("__rk_off") + col("__rk_lr")
+    // ntile: q = N / n, rem = N % n; first rem buckets hold q+1 rows.
+    // The divisions run as IEEE doubles + floor — exact for any
+    // operands under 2^53 (a non-integer quotient a/b sits >= 1/b from
+    // the nearest integer, far outside half-ulp range)
+    val q = floor(col("__rk_n") / buckets).cast("long")
+    val rem = col("__rk_n") % buckets
+    val bucket = when(rank <= (q + 1) * rem,
+      floor((rank - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(rem + floor((rank - 1 - rem * (q + 1)) / q).cast("long") + 1)
+    local.join(broadcast(offsets), "__rk_pid")
+      .withColumn(outCol, bucket.cast("int"))
+      .drop("__rk_pid", "__rk_lr", "__rk_off", "__rk_n")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.RankOps
+
+/** The distributed exact ntile must agree with Spark's single-
+  * partition window ntile on every row — including duplicate sort
+  * values (broken by the id tiebreak), bucket counts that don't
+  * divide evenly, and frames smaller than the bucket count.
+  */
+class RankOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributedNtile equals window ntile under ties and uneven buckets (3 seeds)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed * 13 + 5)
+      val n = 97 + rnd.nextInt(200) // never a multiple of 5 or 10
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(20).toLong))
+        .toDF("id", "v").repartition(7)
+      for (buckets <- Seq(5, 10)) {
+        val order = Seq(col("v").desc, col("id").asc)
+        val want = df.withColumn("nt",
+          ntile(buckets).over(Window.orderBy(order: _*)))
+          .select("id", "nt").as[(Long, Int)].collect().toMap
+        val got = RankOps.distributedNtile(df, order, buckets, "nt")
+          .select("id", "nt").as[(Long, Int)].collect().toMap
+        assert(got == want, s"seed=$seed buckets=$buckets n=$n")
+      }
+    }
+  }
+
+  test("frames smaller than the bucket count: one row per bucket from 1") {
+    val tiny = Seq((1L, 9L), (2L, 7L), (3L, 8L)).toDF("id", "v")
+    val got = RankOps.distributedNtile(tiny,
+      Seq(col("v").desc, col("id").asc), 5, "nt")
+      .select("id", "nt").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 3L -> 2, 2L -> 3))
+  }
+}
