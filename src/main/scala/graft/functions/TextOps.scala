@@ -1370,10 +1370,11 @@ object TextOps {
     * it hash-matches where a float log-prob sum could not.
     *
     * Shape at scale: the vocab aggregate is map-side combinable; the
-    * global rank is a single-partition window over the VOCAB (not the
-    * corpus — Zipf keeps it orders of magnitude smaller than the token
-    * stream); the rank join is a plain equi-join AQE will broadcast
-    * when the vocab is small enough.
+    * global rank runs DISTRIBUTED ([[graft.operators.RankOps
+    * .distributedRank]] — range partitions + broadcast offsets, never
+    * a single-task sort even at web-scale vocabularies); the rank
+    * join is a plain equi-join AQE will broadcast when the vocab is
+    * small enough.
     */
   /** Distinctive terms per document cluster: cluster-level term
     * frequency weighted by corpus-level inverse document frequency
@@ -1448,10 +1449,11 @@ object TextOps {
         explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__n").desc, col("tok").asc)
-    val ranked = vocab.select(col("tok"),
-      row_number().over(rankW).cast("long").as("__rank"))
+    // distributed exact rank: a web-scale vocabulary (1e8+ terms) must
+    // not funnel through one un-partitioned window task
+    val ranked = graft.operators.RankOps.distributedRank(vocab,
+      Seq(col("__n").desc, col("tok").asc), "__rank")
+      .select(col("tok"), col("__rank"))
     toks.join(ranked, "tok")
       .select(col("doc_id"),
         (length(bin(col("__rank"))) - 1).cast("long").as("__bits"))

@@ -24,13 +24,11 @@ object RankOps {
   /** Append `outCol` = ntile(`buckets`) over the TOTAL order `order`,
     * computed without ever materializing a single-partition sort.
     */
-  def distributedNtile(
-      df: DataFrame,
-      order: Seq[Column],
-      buckets: Int,
-      outCol: String
-  ): DataFrame = {
-    require(buckets >= 1, s"buckets=$buckets must be positive")
+  /** Range-partitioned local row_numbers plus the broadcastable
+    * (#partitions)-row offset/total frame — the shared core of
+    * [[distributedRank]] and [[distributedNtile]].
+    */
+  private def localRanks(df: DataFrame, order: Seq[Column]): (DataFrame, DataFrame) = {
     val byRange = df.repartitionByRange(order: _*)
       .withColumn("__rk_pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__rk_pid")).orderBy(order: _*)
@@ -45,6 +43,28 @@ object RankOps {
       .withColumn("__rk_off", coalesce(sum(col("__rk_cnt")).over(wOff), lit(0L)))
       .withColumn("__rk_n", sum(col("__rk_cnt")).over(wTot))
       .select(col("__rk_pid"), col("__rk_off"), col("__rk_n"))
+    (local, offsets)
+  }
+
+  /** Append `outCol` = global row_number (1-based) over the TOTAL
+    * order `order` — identical to the single-partition window result,
+    * computed distributed.
+    */
+  def distributedRank(df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
+    val (local, offsets) = localRanks(df, order)
+    local.join(broadcast(offsets), "__rk_pid")
+      .withColumn(outCol, col("__rk_off") + col("__rk_lr"))
+      .drop("__rk_pid", "__rk_lr", "__rk_off", "__rk_n")
+  }
+
+  def distributedNtile(
+      df: DataFrame,
+      order: Seq[Column],
+      buckets: Int,
+      outCol: String
+  ): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be positive")
+    val (local, offsets) = localRanks(df, order)
     val rank = col("__rk_off") + col("__rk_lr")
     // ntile: q = N / n, rem = N % n; first rem buckets hold q+1 rows.
     // The divisions run as IEEE doubles + floor — exact for any

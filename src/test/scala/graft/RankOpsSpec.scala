@@ -31,6 +31,21 @@ class RankOpsSpec extends SparkSpec {
     }
   }
 
+  test("distributedRank equals window row_number (3 seeds)") {
+    for (seed <- Seq(4, 5, 6)) {
+      val rnd = new scala.util.Random(seed * 7 + 1)
+      val df = (1 to 150).map(i => (i.toLong, rnd.nextInt(12).toLong))
+        .toDF("id", "v").repartition(5)
+      val order = Seq(col("v").desc, col("id").asc)
+      val want = df.withColumn("r",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      val got = RankOps.distributedRank(df, order, "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("frames smaller than the bucket count: one row per bucket from 1") {
     val tiny = Seq((1L, 9L), (2L, 7L), (3L, 8L)).toDF("id", "v")
     val got = RankOps.distributedNtile(tiny,
