@@ -1758,6 +1758,23 @@ object SparkEntry {
     "q_corpus_card" -> ((s, dir) =>
       TextOps.corpusCard(Tables.documents(s, dir))),
 
+    // ----- windowFunnel strict_order mode: a link breaks when any
+    // funnel-step event interleaves — same chained window minima, one
+    // extra guard minimum per link, still one exchange ----------------
+    "q_funnel_strict_order" -> ((s, dir) =>
+      EventOps.funnelLevelsByKeyModal(Tables.events(s, dir), Seq("user_id"),
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowUs = 86400000000L, mode = "strict_order")
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))),
+
+    // ----- windowFunnel strict_dedup mode: a link breaks when the
+    // previous step repeats before the next step fires ----------------
+    "q_funnel_strict_dedup" -> ((s, dir) =>
+      EventOps.funnelLevelsByKeyModal(Tables.events(s, dir), Seq("user_id"),
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowUs = 86400000000L, mode = "strict_dedup")
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))),
+
     // ----- Embedding drift monitor: worst per-dimension mean shift
     // between two cohorts per label — exact micro-unit sums, one
     // division per cohort mean, MAX reduction (order-insensitive) ----
@@ -4536,6 +4553,58 @@ object SparkEntry {
                   AS promo_revenue_pct,
                 CAST(tot AS DOUBLE) / 10000.0 AS total_revenue
          FROM a""",
+    "q_funnel_strict_order" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                 OVER w AS t1
+               FROM base WINDOW w AS (PARTITION BY user_id)),
+         b AS (SELECT *,
+                 min(CASE WHEN event_type = 'click' AND us > t1
+                       AND us <= t1 + 86400000000 THEN us END) OVER w AS raw2,
+                 min(CASE WHEN event_type IN ('view', 'click', 'purchase')
+                       AND us > t1 THEN us END) OVER w AS nx2
+               FROM a WINDOW w AS (PARTITION BY user_id)),
+         b2 AS (SELECT *, CASE WHEN raw2 = nx2 THEN raw2 END AS t2 FROM b),
+         c AS (SELECT *,
+                 min(CASE WHEN event_type = 'purchase' AND us > t2
+                       AND us <= t1 + 86400000000 THEN us END) OVER w AS raw3,
+                 min(CASE WHEN event_type IN ('view', 'click', 'purchase')
+                       AND us > t2 THEN us END) OVER w AS nx3
+               FROM b2 WINDOW w AS (PARTITION BY user_id)),
+         c2 AS (SELECT *, CASE WHEN raw3 = nx3 THEN raw3 END AS t3 FROM c),
+         u AS (SELECT user_id,
+                 max(CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2
+                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS level
+               FROM c2 GROUP BY 1)
+         SELECT level, count(*) AS n_users FROM u GROUP BY 1""",
+    "q_funnel_strict_dedup" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                 OVER w AS t1
+               FROM base WINDOW w AS (PARTITION BY user_id)),
+         b AS (SELECT *,
+                 min(CASE WHEN event_type = 'click' AND us > t1
+                       AND us <= t1 + 86400000000 THEN us END) OVER w AS raw2,
+                 min(CASE WHEN event_type = 'view' AND us > t1 THEN us END)
+                   OVER w AS dup2
+               FROM a WINDOW w AS (PARTITION BY user_id)),
+         b2 AS (SELECT *, CASE WHEN dup2 IS NULL OR raw2 < dup2
+                                THEN raw2 END AS t2 FROM b),
+         c AS (SELECT *,
+                 min(CASE WHEN event_type = 'purchase' AND us > t2
+                       AND us <= t1 + 86400000000 THEN us END) OVER w AS raw3,
+                 min(CASE WHEN event_type = 'click' AND us > t2 THEN us END)
+                   OVER w AS dup3
+               FROM b2 WINDOW w AS (PARTITION BY user_id)),
+         c2 AS (SELECT *, CASE WHEN dup3 IS NULL OR raw3 < dup3
+                                THEN raw3 END AS t3 FROM c),
+         u AS (SELECT user_id,
+                 max(CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2
+                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS level
+               FROM c2 GROUP BY 1)
+         SELECT level, count(*) AS n_users FROM u GROUP BY 1""",
     "q_embed_drift" ->
       """WITH comp AS (
            SELECT label, vec_id % 2 = 0 AS a,

@@ -69,6 +69,62 @@ object EventOps {
     df
   }
 
+  /** ClickHouse `windowFunnel` mode variants, in the same chained
+    * window-minima shape (one exchange on the keys, no sequence
+    * materialization). Base semantics everywhere: step i fires at the
+    * earliest step-i event strictly after t_{i-1} and inside the
+    * window anchored at t_1 (strict increase built in). Modes add a
+    * guard per link:
+    *  - `"strict_dedup"` — the link breaks if the PREVIOUS step's
+    *    event repeats before step i fires (t_i must precede the next
+    *    step_{i-1} occurrence);
+    *  - `"strict_order"` — the link breaks if ANY funnel-step event
+    *    interleaves (t_i must be the first funnel event after
+    *    t_{i-1});
+    *  - `"default"` — no guard.
+    * A broken link nulls t_i and the chain stops, exactly as an
+    * unmatched step would.
+    */
+  def funnelLevelsByKeyModal(
+      events: DataFrame,
+      keys: Seq[String],
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowUs: Long,
+      mode: String
+  ): DataFrame = {
+    require(Set("default", "strict_dedup", "strict_order")(mode),
+      s"mode=$mode not in {default, strict_dedup, strict_order}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(keys.nonEmpty && steps.nonEmpty && windowUs > 0, "bad funnel args")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val us = unix_micros(col(tsCol))
+    val isStep = col(typeCol).isin(steps: _*)
+    var df = events.select((keys :+ typeCol :+ tsCol).map(col): _*)
+      .withColumn("__t1", min(when(col(typeCol) === steps.head, us)).over(w))
+    for (i <- 2 to steps.size) {
+      val prev = col(s"__t${i - 1}")
+      val raw = min(when(
+        col(typeCol) === steps(i - 1) && us > prev &&
+          us <= col("__t1") + windowUs, us)).over(w)
+      val guarded = mode match {
+        case "strict_dedup" =>
+          val dup = min(when(col(typeCol) === steps(i - 2) && us > prev, us)).over(w)
+          when(dup.isNull || raw < dup, raw)
+        case "strict_order" =>
+          val nextAny = min(when(isStep && us > prev, us)).over(w)
+          when(raw === nextAny, raw)
+        case _ => raw
+      }
+      df = df.withColumn(s"__t$i", guarded)
+    }
+    val level = (1 to steps.size).foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"__t$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    df.groupBy(keys.map(col): _*).agg(max(level).as("level"))
+  }
+
   /** Per-user funnel level (0..steps.size) — the reusable core of
     * [[funnelSteps]], exposed for segmented readouts (e.g. conversion
     * per A/B arm). One exchange on the user key.

@@ -516,6 +516,51 @@ class EventOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 0.2), (4L, 1L, 1L, 0.1)))
   }
 
+  test("funnel modes: strict_order and strict_dedup break exactly the right chains") {
+    val steps = Seq("view", "click", "purchase")
+    val events = Seq(
+      // u1: clean chain -> level 3 in every mode
+      (1L, "view", ts("2024-03-01 08:00:00")),
+      (1L, "click", ts("2024-03-01 08:10:00")),
+      (1L, "purchase", ts("2024-03-01 08:20:00")),
+      // u2: view view click purchase — repeated FIRST step before the
+      // click: breaks strict_dedup at link 2, survives strict_order?
+      // no — the second view also interleaves, so both break; default
+      // completes
+      (2L, "view", ts("2024-03-01 08:00:00")),
+      (2L, "view", ts("2024-03-01 08:05:00")),
+      (2L, "click", ts("2024-03-01 08:10:00")),
+      (2L, "purchase", ts("2024-03-01 08:20:00")),
+      // u3: view click view purchase — a view interleaves between
+      // click and purchase: strict_order stops at 2; strict_dedup
+      // cares only about a repeated CLICK, so it completes; default
+      // completes
+      (3L, "view", ts("2024-03-01 08:00:00")),
+      (3L, "click", ts("2024-03-01 08:10:00")),
+      (3L, "view", ts("2024-03-01 08:15:00")),
+      (3L, "purchase", ts("2024-03-01 08:20:00")),
+      // u4: view click click purchase — repeated SECOND step before
+      // purchase: strict_dedup stops at 2; strict_order also stops
+      // (the second click interleaves); default completes
+      (4L, "view", ts("2024-03-01 08:00:00")),
+      (4L, "click", ts("2024-03-01 08:10:00")),
+      (4L, "click", ts("2024-03-01 08:15:00")),
+      (4L, "purchase", ts("2024-03-01 08:20:00"))
+    ).toDF("user_id", "event_type", "ts")
+    def levels(mode: String): Map[Long, Int] =
+      EventOps.funnelLevelsByKeyModal(events, Seq("user_id"), "event_type",
+        "ts", steps, windowUs = 86400000000L, mode = mode)
+        .as[(Long, Int)].collect().toMap
+    assert(levels("default") == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    assert(levels("strict_order") == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 2))
+    assert(levels("strict_dedup") == Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 2))
+    // default mode must agree with the existing funnel core
+    val classic = EventOps.funnelLevelsByKey(events, Seq("user_id"),
+      "event_type", "ts", steps, 86400000000L)
+      .as[(Long, Int)].collect().toMap
+    assert(levels("default") == classic)
+  }
+
   test("rollingUserFeatures: calendar-range trailing windows, leak-free future label") {
     val events = Seq(
       (1L, "view", ts("2024-03-01 12:00:00"), 1.0),
