@@ -1232,6 +1232,11 @@ object SparkEntry {
       EventOps.sequenceMatch(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id", "v[^e]*p")),
 
+    // ----- sequenceCount: non-overlapping repeats of the journey -----
+    "q_sequence_count" -> ((s, dir) =>
+      EventOps.sequenceCount(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id", "v[^e]*p")),
+
     // ----- Exact-integer 3-sigma outliers per event type: anomaly
     // flags with no sqrt and no float tie -----------------------------
     "q_sigma_outliers" -> ((s, dir) =>
@@ -3620,6 +3625,13 @@ object SparkEntry {
                 regexp_matches(
                   string_agg(substr(event_type, 1, 1), ''
                              ORDER BY ts, event_id), 'v[^e]*p') AS matched
+         FROM events GROUP BY user_id""",
+    "q_sequence_count" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(len(regexp_extract_all(
+                  string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY ts, event_id), 'v[^e]*p')) AS BIGINT)
+                  AS n_matches
          FROM events GROUP BY user_id""",
     "q_sigma_outliers" ->
       """WITH c AS (SELECT event_id, event_type, value,

@@ -104,6 +104,19 @@ final case class EventTable(
   def quality(rules: Seq[QualityReport.RowRule]): DataFrame =
     QualityReport.rowReport(df, rules)
 
+  /** windowFunnel with a mode: "default", "strict_order" (no
+    * interleaving funnel events) or "strict_dedup" (no repeat of the
+    * previous step) — per-user levels.
+    */
+  def funnelLevels(steps: Seq[String], windowUs: Long,
+      mode: String = "default"): DataFrame =
+    EventOps.funnelLevelsByKeyModal(df, Seq(userCol), typeCol, tsCol,
+      steps, windowUs, mode)
+
+  /** Non-overlapping repeats of an event-code journey per user. */
+  def sequenceCount(pattern: String): DataFrame =
+    EventOps.sequenceCount(df, userCol, typeCol, tsCol, idCol, pattern)
+
   /** RFM quintile segmentation (5 = best on every axis). */
   def rfm(valueCol: String, monetaryType: String): DataFrame =
     EventOps.rfm(df, userCol, tsCol, valueCol, col(typeCol) === monetaryType)

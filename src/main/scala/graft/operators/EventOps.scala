@@ -247,6 +247,37 @@ object EventOps {
         array_join(transform(col("__evs"), e => e.getField("c")), "")
           .rlike(pattern).as("matched"))
 
+  /** ClickHouse sequenceCount analog: how many NON-OVERLAPPING times
+    * the pattern matches in each user's ordered event-code string —
+    * the "how often did the journey repeat" companion of
+    * [[sequenceMatch]], on the same sorted-struct determinism. Java
+    * regex find() and DuckDB regexp_extract_all share non-overlapping
+    * left-to-right semantics, so counts are engine-identical.
+    */
+  def sequenceCount(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      pattern: String
+  ): DataFrame =
+    events
+      .select(
+        col(userCol),
+        struct(
+          col(tsCol).as("t"),
+          col(idCol).as("i"),
+          substring(col(typeCol), 1, 1).as("c")).as("__ev"))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(col("__ev"))).as("__evs"))
+      .select(
+        col(userCol),
+        size(col("__evs")).cast("long").as("n_events"),
+        regexp_count(
+          array_join(transform(col("__evs"), e => e.getField("c")), ""),
+          lit(pattern)).cast("long").as("n_matches"))
+
   /** Time-to-convert statistics per funnel step: for users whose chain
     * reached step i, the microseconds from anchor to step i's
     * completion — count, min, max, and mean (mean as an exact

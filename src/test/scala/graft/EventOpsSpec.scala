@@ -516,6 +516,33 @@ class EventOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 0.2), (4L, 1L, 1L, 0.1)))
   }
 
+  test("sequenceCount counts non-overlapping journey repeats") {
+    val events = Seq(
+      // u1: "vcpevp" — the error splits two v..p journeys (greedy
+      // [^e]* cannot cross it); an unbroken "vcpvp" would be ONE match
+      (1L, "view", ts("2024-03-01 08:00:00"), 1L),
+      (1L, "click", ts("2024-03-01 08:01:00"), 2L),
+      (1L, "purchase", ts("2024-03-01 08:02:00"), 3L),
+      (1L, "error", ts("2024-03-01 08:02:30"), 4L),
+      (1L, "view", ts("2024-03-01 08:03:00"), 5L),
+      (1L, "purchase", ts("2024-03-01 08:04:00"), 6L),
+      // u2: e v c -> no purchase, zero matches
+      (2L, "error", ts("2024-03-01 08:00:00"), 7L),
+      (2L, "view", ts("2024-03-01 08:01:00"), 8L),
+      (2L, "click", ts("2024-03-01 08:02:00"), 9L),
+      // u3: "vcpvp" -> greedy single match
+      (3L, "view", ts("2024-03-01 08:00:00"), 10L),
+      (3L, "click", ts("2024-03-01 08:01:00"), 11L),
+      (3L, "purchase", ts("2024-03-01 08:02:00"), 12L),
+      (3L, "view", ts("2024-03-01 08:03:00"), 13L),
+      (3L, "purchase", ts("2024-03-01 08:04:00"), 14L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventOps.sequenceCount(events, "user_id", "event_type", "ts",
+      "event_id", "v[^e]*p")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 6L, 2L), (2L, 3L, 0L), (3L, 5L, 1L)))
+  }
+
   test("funnel modes: strict_order and strict_dedup break exactly the right chains") {
     val steps = Seq("view", "click", "purchase")
     val events = Seq(

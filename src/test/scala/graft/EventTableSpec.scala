@@ -68,6 +68,9 @@ class EventTableSpec extends SparkSpec {
     assert(ev.userFeatures("value", "purchase").columns.contains("label_next_7d"))
     assert(ev.rfm("value", "purchase").count() > 0)
     assert(ev.userFeatures("value", "purchase").count() > 0)
+    assert(ev.funnelLevels(Seq("view", "click"), 86400000000L, "strict_order")
+      .columns.contains("level"))
+    assert(ev.sequenceCount("v[^e]*p").columns.contains("n_matches"))
   }
 
   test("ofType/between compose as plain filters") {
