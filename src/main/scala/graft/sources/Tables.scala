@@ -12,8 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * row-obscuring transforms before the first filter).
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Parquet `isAdjustedToUTC=false` timestamps would otherwise infer
+    * as TIMESTAMP_NTZ (Spark 4 default), which breaks `unix_micros`
+    * and every epoch-arithmetic operator downstream. Pin the reader to
+    * TIMESTAMP_LTZ: sessions run with timeZone=UTC, so the stored
+    * micros are bit-identical either way — and identical to DuckDB's
+    * naive-timestamp reading of the same files.
+    */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects. Read it as epoch-nanos long (legacy conf, runtime
