@@ -1881,6 +1881,123 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_custs"),
           sum(cents.cast(dec)).cast(LongType).as("acctbal_cents"))
+    }),
+
+    // ----- Exact two-sample KS drift per event type: max CDF gap
+    // before/after the split, decided entirely in integers -------------
+    "q_ks_drift" -> ((s, dir) =>
+      EventOps.driftKs(Tables.events(s, dir), "event_type", "ts", "value",
+        splitTs = "2024-01-16 00:00:00")),
+
+    // ----- Column-stats drift gate: null-rate / user-reach / value-
+    // range movement per type between the same two cohorts -------------
+    "q_stats_drift" -> ((s, dir) =>
+      EventOps.statsDrift(Tables.events(s, dir), "event_type", "ts", "value",
+        "user_id", splitTs = "2024-01-16 00:00:00", thresholdMilli = 50L)),
+
+    // ----- Equi-depth histogram of line revenue: 16 equal-count value
+    // buckets from the DISTRIBUTED exact ntile (no single-task sort) ---
+    "q_equidepth_hist" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      graft.operators.RankOps.distributedNtile(li,
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        buckets = 16, outCol = "bucket")
+        .groupBy(col("bucket").cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+            .as("sum_cents"))
+    }),
+
+    // ----- N-gram novelty: fraction of each doc's distinct shingles
+    // first contributed by that doc (md5-keyed shuffles, never text) ---
+    "q_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3)),
+
+    // ----- Bigram fluency: mean corpus-conditional transition
+    // probability per doc, floor-milli integers end to end -------------
+    "q_bigram_fluency" -> ((s, dir) =>
+      TextOps.bigramFluency(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ----- TPC-H Q7 shape: volume shipping between two nation pairs,
+    // revenue by (supp nation, cust nation, ship year) -----------------
+    "q7_volume_shipping" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("__sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("__ck"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ----- TPC-H Q9 shape: product-line profit by nation and year
+    // (retail-price cost proxy — the schema carries no partsupp) -------
+    "q9_product_profit" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).cast(LongType).as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * lit(0.6) * col("l_quantity")).cast(dec))
+          .cast(DoubleType).as("profit"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ----- TPC-H Q16 shape: supplier variety per part attribute for
+    // parts actually shipped, excluding red-flagged suppliers via
+    // broadcast anti-join (no partsupp in schema: lineitem stands in) --
+    "q16_part_supplier_variety" -> ((s, dir) => {
+      val flagged = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("__bad"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(flagged), col("l_suppkey") === col("__bad"), "left_anti")
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_size").isin(1, 9, 19, 29, 39, 49))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast(LongType).as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // ----- TPC-H Q19 shape: OR-of-ANDs predicate revenue — Catalyst
+    // pushes the common filters into the scan, the disjunction stays
+    // one pass (no union of three scans) -------------------------------
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      val li = Tables.lineitem(s, dir)
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+      li.filter(col("l_discount").between(0.02, 0.08))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -4693,7 +4810,163 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = rich.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // KS numerators cross engines as digit strings (HUGEINT vs
+    // decimal(38,0) trips type-sensitive hashing); the statistic and
+    // flag derive from the same exact integers on both sides
+    "q_ks_drift" ->
+      """WITH v AS (SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS a
+            FROM events WHERE value IS NOT NULL),
+         pv AS (SELECT event_type, cents,
+                  CAST(sum(a) AS BIGINT) AS ca,
+                  CAST(sum(1 - a) AS BIGINT) AS cb
+                FROM v GROUP BY 1, 2),
+         c AS (SELECT event_type,
+                 sum(ca) OVER w AS fa, sum(cb) OVER w AS fb,
+                 CAST(sum(ca) OVER wt AS BIGINT) AS n_a,
+                 CAST(sum(cb) OVER wt AS BIGINT) AS n_b
+               FROM pv
+               WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wt AS (PARTITION BY event_type)),
+         m AS (SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+                 max(abs(CAST(fa AS HUGEINT) * n_b - CAST(fb AS HUGEINT) * n_a)) AS num
+               FROM c GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+                CAST(num AS VARCHAR) AS ks_num,
+                CASE WHEN CAST(n_a AS HUGEINT) * n_b = 0 THEN NULL
+                     ELSE CAST(num AS DOUBLE)
+                          / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) END AS ks,
+                num * num * 1000 >
+                  1844 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b AS drifted
+         FROM m""",
+    "q_stats_drift" ->
+      """WITH e AS (SELECT event_type, user_id, value,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS a
+            FROM events),
+         p AS (SELECT event_type,
+                 CAST(sum(a) AS BIGINT) AS n_a,
+                 CAST(sum(1 - a) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN a = 1 AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_a,
+                 CAST(sum(CASE WHEN a = 0 AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_b,
+                 count(DISTINCT CASE WHEN a = 1 THEN user_id END) AS users_a,
+                 count(DISTINCT CASE WHEN a = 0 THEN user_id END) AS users_b,
+                 min(CASE WHEN a = 1 THEN cents END) AS lo_cents_a,
+                 max(CASE WHEN a = 1 THEN cents END) AS hi_cents_a,
+                 min(CASE WHEN a = 0 THEN cents END) AS lo_cents_b,
+                 max(CASE WHEN a = 0 THEN cents END) AS hi_cents_b
+               FROM e GROUP BY 1)
+         SELECT event_type, n_a, n_b, null_a, null_b, users_a, users_b,
+                lo_cents_a, hi_cents_a, lo_cents_b, hi_cents_b,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     ELSE CAST(abs(CAST(null_a AS HUGEINT) * n_b
+                                   - CAST(null_b AS HUGEINT) * n_a) * 1000 AS DOUBLE)
+                          / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) END
+                  AS null_shift_milli,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                     ELSE abs(CAST(null_a AS HUGEINT) * n_b
+                              - CAST(null_b AS HUGEINT) * n_a) * 1000 >
+                          50 * CAST(n_a AS HUGEINT) * n_b END AS null_drifted,
+                lo_cents_b < lo_cents_a OR hi_cents_b > hi_cents_a AS range_widened
+         FROM p""",
+    "q_equidepth_hist" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                l_orderkey, l_linenumber
+            FROM lineitem),
+         t AS (SELECT cents,
+                 CAST(ntile(16) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                      AS BIGINT) AS bucket
+               FROM c)
+         SELECT bucket, count(*) AS n,
+                min(cents) AS lo_cents, max(cents) AS hi_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM t GROUP BY 1""",
+    // shingle identity never crosses engines — each side groups its
+    // own shingles (md5 on the Spark side is a shuffle-width choice,
+    // not part of the contract); only counts and the ratio compare
+    "q_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sets AS (SELECT doc_id,
+                    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in generate_series(1, len(t) - 2)]) AS ss
+                  FROM toks),
+         ds AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+         own AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY 1)
+         SELECT ds.doc_id,
+                count(*) AS n_shingles,
+                CAST(sum(CASE WHEN own.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN own.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         FROM ds JOIN own USING (s)
+         GROUP BY 1""",
+    "q_bigram_fluency" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                 unnest([{'w1': t[i], 'w2': t[i+1]}
+                         for i in generate_series(1, len(t) - 1)]) AS u
+               FROM toks),
+         pd AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS m
+                FROM g GROUP BY 1, 2, 3),
+         bi AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n_pair FROM pd GROUP BY 1, 2),
+         uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_prefix FROM bi GROUP BY 1)
+         SELECT pd.doc_id,
+                CAST(sum(pd.m) AS BIGINT) AS n_bigrams,
+                CAST(sum(pd.m * (bi.n_pair * 1000 // uni.n_prefix)) AS BIGINT)
+                  AS fluency_sum_milli,
+                CAST(sum(pd.m * (bi.n_pair * 1000 // uni.n_prefix)) AS DOUBLE)
+                  / CAST(sum(pd.m) AS DOUBLE) AS mean_fluency_milli
+         FROM pd JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         GROUP BY 1""",
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         GROUP BY 1, 2, 3""",
+    "q9_product_profit" ->
+      """SELECT n_name,
+                CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              - p_retailprice * 0.6 * l_quantity
+                              AS DECIMAL(25,8))) AS DOUBLE) AS profit,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+    "q16_part_supplier_variety" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size IN (1, 9, 19, 29, 39, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_discount BETWEEN 0.02 AND 0.08
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

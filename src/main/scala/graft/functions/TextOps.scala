@@ -1463,4 +1463,93 @@ object TextOps {
       .withColumn("mean_bits",
         col("surprisal_bits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * shingles whose FIRST corpus appearance (min doc id) is this doc.
+    * The corpus-curation dual of near-dup detection — instead of
+    * asking "who does this doc copy?", it scores how much material
+    * the doc contributes that no earlier doc had (novelty ~0 = pure
+    * recombination; ~1 = fresh content). Deterministic given the
+    * corpus's id order, so it doubles as a streaming-ingest keep
+    * signal ("only keep docs adding >X% new shingles").
+    *
+    * Scale shape: shingles leave the scan as md5 digests, so both
+    * shuffles (first-owner aggregate, ownership join) carry fixed
+    * 32-byte keys, never text — the exact-dedup discipline applied to
+    * shingle grain. Output rows = docs with >= n tokens.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int
+  ): DataFrame = {
+    val ds = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(
+        shingles(tokens(col(textCol)), shingleSize))).as("__s"))
+      .select(col("doc_id"), md5(col("__s")).as("__h"))
+    val owner = ds.groupBy(col("__h")).agg(min(col("doc_id")).as("__first"))
+    ds.join(owner, "__h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+  }
+
+  /** Per-document bigram fluency: the mean corpus-conditional
+    * probability of the doc's word transitions, integer-scaled — the
+    * sequence-level quality signal that separates formulaic/templated
+    * text (high: every bigram is a common continuation) from
+    * gibberish or shuffled text (low: transitions the corpus LM has
+    * never seen), where unigram rarity ([[rarityScore]]) cannot tell
+    * the two apart.
+    *
+    * Transcendental-free: each bigram instance scores
+    * floor(n_pair * 1000 / n_prefix) in exact integers (milli-
+    * probability), summed per doc; only the reported mean divides
+    * once as IEEE doubles. Bit-identical across engines and
+    * partitionings.
+    *
+    * Scale shape: instances collapse map-side to per-(doc, bigram)
+    * multiplicities before any join; the LM tables are aggregates of
+    * the same pairs frame (vocabulary-bounded), joined on w1/w2 hash
+    * keys — inverted-index shape, no broadcast of an unbounded
+    * vocabulary, no window over full documents.
+    */
+  def bigramFluency(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("__t")) >= 2,
+            transform(sequence(lit(1), size(col("__t")) - 1), i =>
+              struct(element_at(col("__t"), i).as("w1"),
+                element_at(col("__t"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__m"))
+    val bi = perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__m")).as("__n_pair"))
+    val uni = bi.groupBy(col("w1")).agg(sum(col("__n_pair")).as("__n_prefix"))
+    perDoc
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("doc_id"), col("__m"),
+        (col("__m") * expr("__n_pair * 1000 div __n_prefix")).as("__milli"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__milli")).as("fluency_sum_milli"))
+      .withColumn("mean_fluency_milli",
+        col("fluency_sum_milli").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType))
+  }
 }

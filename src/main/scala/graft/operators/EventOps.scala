@@ -953,4 +953,156 @@ object EventOps {
         (col("dau").cast(DoubleType) / col("mau").cast(DoubleType))
           .as("stickiness"))
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov drift per event type: the
+    * max CDF gap between the value distribution before and after
+    * `splitTs` — the distribution-shape companion to [[driftChi2]]'s
+    * count-mix test (a feature can keep its event mix while its VALUES
+    * drift; this catches that).
+    *
+    * Transcendental-free exactness: values are cents integers; at each
+    * distinct observed value v the CDF gap |F_a(v) - F_b(v)| is the
+    * rational |cum_a*n_b - cum_b*n_a| / (n_a*n_b), so the max is taken
+    * over exact decimal(38,0) numerators (common denominator) and only
+    * the REPORTED statistic divides once into a double. The drift flag
+    * stays in integers: D > c/sqrt-rule squared cross-multiplied, i.e.
+    * num^2 * 1000 > c2Milli * (n_a+n_b) * n_a * n_b — with c2Milli =
+    * 1844 (= 1.358^2 * 1000) this is the alpha = 0.05 two-sample KS
+    * critical line.
+    *
+    * Scale shape: the event stream collapses map-side to one row per
+    * (type, cents, cohort-count pair); the running-CDF window then
+    * orders DISTINCT VALUES per type (bounded by the price grid, not
+    * the event count — a 100 TB stream with a 1e6-value grid windows
+    * 1e6 rows per type). Totals ride the same window, no second scan.
+    *
+    * Exactness bound: num^2 * 1000 must fit decimal(38,0); num <=
+    * n_a*n_b, so per-type cohort sizes up to ~1.8e8 x 1.8e8 stay
+    * exact (3.3e16 squared * 1e3 < 1e37). The guard raises past it —
+    * at that scale pre-bucket values (KS on a 1e4-bin equi-width
+    * rollup bounds num by 1e8 * grid and never trips).
+    */
+  def driftKs(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      splitTs: String,
+      c2Milli: Long = 1844L
+  ): DataFrame = {
+    require(c2Milli > 0, s"c2Milli=$c2Milli must be positive")
+    val dec = DecimalType(38, 0)
+    val inA = col(tsCol) < lit(splitTs).cast("timestamp")
+    val perValue = events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(typeCol).as("event_type"),
+        round(col(valueCol) * 100).cast(LongType).as("__cents"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inA, 0L).otherwise(1L)).as("__cb"))
+    val wCdf = Window.partitionBy(col("event_type")).orderBy(col("__cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+    val cum = perValue.select(
+      col("event_type"),
+      sum(col("__ca")).over(wCdf).as("__fa"),
+      sum(col("__cb")).over(wCdf).as("__fb"),
+      sum(col("__ca")).over(wTot).as("n_a"),
+      sum(col("__cb")).over(wTot).as("n_b"))
+    val gap = abs(
+      col("__fa").cast(dec) * col("n_b").cast(dec) -
+        col("__fb").cast(dec) * col("n_a").cast(dec))
+    val perType = cum
+      .select(col("event_type"), col("n_a"), col("n_b"), gap.as("__gap"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("__gap")).as("__num"))
+    val den = col("n_a").cast(dec) * col("n_b").cast(dec)
+    perType
+      .withColumn("__num",
+        // strict bound: past ~1.8e8-per-cohort the squared compare
+        // would exceed decimal(38,0) and non-ANSI Spark would NULL it
+        when(den < lit(33000000000000000L).cast(dec), col("__num"))
+          .otherwise(raise_error(concat(
+            lit("driftKs: cohort product "), den.cast("string"),
+            lit(" exceeds the decimal(38,0) exact-compare bound;"
+              + " pre-bucket values before the KS test")))))
+      .withColumn("ks",
+        when(den === lit(0).cast(dec), lit(null).cast(DoubleType))
+          .otherwise(col("__num").cast(DoubleType) / den.cast(DoubleType)))
+      .withColumn("drifted",
+        col("__num") * col("__num") * lit(1000L) >
+          lit(c2Milli) * (col("n_a") + col("n_b")).cast(dec) * den)
+      .withColumn("ks_num", col("__num").cast("string"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("ks_num"), col("ks"), col("drifted"))
+  }
+
+  /** Column-stats drift monitor per event type: the schema-health
+    * companion to the distribution tests — null-rate, distinct-user
+    * reach, and value-range movement between the cohorts before and
+    * after `splitTs`. This is what a daily ingest gate diffs ("did a
+    * producer start dropping `value`? did the user base shift?")
+    * before any statistical test is worth running.
+    *
+    * Null-rate drift is flagged by exact cross-multiplication
+    * (|null_a*n_b - null_b*n_a| * 1000 > thresholdMilli * n_a*n_b, so
+    * an absolute rate shift above thresholdMilli/1000 trips it) —
+    * no floating division decides anything.
+    *
+    * Scale shape: ONE pass over events with map-side-combinable
+    * aggregates (conditional counts + min/max); the two exact
+    * distinct-user counts rewrite to a single expand+two-level
+    * aggregate in Spark — at 100 TB swap approx_count_distinct into
+    * the same shape if exact reach is not required. Output rows =
+    * #types.
+    */
+  def statsDrift(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      userCol: String,
+      splitTs: String,
+      thresholdMilli: Long = 50L
+  ): DataFrame = {
+    require(thresholdMilli > 0, s"thresholdMilli=$thresholdMilli must be positive")
+    val dec = DecimalType(38, 0)
+    val inA = col(tsCol) < lit(splitTs).cast("timestamp")
+    val cents = round(col(valueCol) * 100).cast(LongType)
+    val perType = events
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"),
+        sum(when(inA && col(valueCol).isNull, 1L).otherwise(0L)).as("null_a"),
+        sum(when(!inA && col(valueCol).isNull, 1L).otherwise(0L)).as("null_b"),
+        countDistinct(when(inA, col(userCol))).as("users_a"),
+        countDistinct(when(!inA, col(userCol))).as("users_b"),
+        min(when(inA, cents)).as("lo_cents_a"),
+        max(when(inA, cents)).as("hi_cents_a"),
+        min(when(!inA, cents)).as("lo_cents_b"),
+        max(when(!inA, cents)).as("hi_cents_b"))
+    perType
+      .withColumn("null_shift_milli",
+        // reported ratio divides ONCE as IEEE doubles over exact
+        // integers (the drift FLAG below never touches floats);
+        // decimal division is avoided — its scale-adjust rounding is
+        // engine-specific where one double divide is not
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast(DoubleType))
+          .otherwise(
+            (abs(col("null_a").cast(dec) * col("n_b").cast(dec) -
+              col("null_b").cast(dec) * col("n_a").cast(dec)) * lit(1000L))
+              .cast(DoubleType) /
+              (col("n_a").cast(dec) * col("n_b").cast(dec)).cast(DoubleType)))
+      .withColumn("null_drifted",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("boolean"))
+          .otherwise(
+            abs(col("null_a").cast(dec) * col("n_b").cast(dec) -
+              col("null_b").cast(dec) * col("n_a").cast(dec)) * lit(1000L) >
+              lit(thresholdMilli) * col("n_a").cast(dec) * col("n_b").cast(dec)))
+      .withColumn("range_widened",
+        col("lo_cents_b") < col("lo_cents_a") ||
+          col("hi_cents_b") > col("hi_cents_a"))
+  }
 }
