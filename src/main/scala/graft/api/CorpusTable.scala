@@ -178,6 +178,13 @@ final class CorpusTable private (
   /** Top distinctive terms per cluster of a (doc_id, cluster) frame. */
   def clusterTopics(clusters: DataFrame, k: Int = 5): DataFrame =
     TextOps.clusterTopTerms(df, clusters, idCol, textCol, k)
+
+  /** Per-doc fraction of shingles first contributed by that doc. */
+  def noveltyScores(shingleSize: Int = 3): DataFrame =
+    TextOps.ngramNovelty(df, idCol, textCol, shingleSize)
+
+  /** Per-doc mean corpus-conditional bigram probability (milli). */
+  def fluencyScores: DataFrame = TextOps.bigramFluency(df, idCol, textCol)
 }
 
 object CorpusTable {

@@ -82,6 +82,17 @@ final case class EventTable(
   def drift(splitTs: String, threshold100: Long = 384L): DataFrame =
     EventOps.driftChi2(df, typeCol, tsCol, splitTs, threshold100)
 
+  /** Exact two-sample KS value-distribution drift per type. */
+  def valueDrift(valueCol: String, splitTs: String,
+      c2Milli: Long = 1844L): DataFrame =
+    EventOps.driftKs(df, typeCol, tsCol, valueCol, splitTs, c2Milli)
+
+  /** Column-stats drift gate: null rate, user reach, value range. */
+  def statsDrift(valueCol: String, splitTs: String,
+      thresholdMilli: Long = 50L): DataFrame =
+    EventOps.statsDrift(df, typeCol, tsCol, valueCol, userCol, splitTs,
+      thresholdMilli)
+
   /** Inactivity-gap sessions per user. */
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)

@@ -103,5 +103,8 @@ class CorpusTableSpec extends SparkSpec {
     assert(card == ((2L, 2L)))
     val clusters = Seq((1L, 0), (2L, 0)).toDF("doc_id", "cluster")
     assert(t.clusterTopics(clusters, k = 2).count() == 2)
+    assert(t.noveltyScores().columns.contains("novelty"))
+    assert(t.fluencyScores.columns.contains("mean_fluency_milli")
+      && t.fluencyScores.count() == 2)
   }
 }

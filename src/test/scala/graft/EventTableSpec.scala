@@ -71,6 +71,10 @@ class EventTableSpec extends SparkSpec {
     assert(ev.funnelLevels(Seq("view", "click"), 86400000000L, "strict_order")
       .columns.contains("level"))
     assert(ev.sequenceCount("v[^e]*p").columns.contains("n_matches"))
+    assert(ev.valueDrift("value", "2024-03-02 00:00:00")
+      .columns.contains("drifted"))
+    assert(ev.statsDrift("value", "2024-03-02 00:00:00")
+      .columns.contains("null_drifted"))
   }
 
   test("ofType/between compose as plain filters") {
