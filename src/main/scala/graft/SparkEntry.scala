@@ -1070,6 +1070,17 @@ object SparkEntry {
         col("vec_id") < 20, model, k = 10)
     }),
 
+    // ----- ADC shortlist + exact cosine re-rank: the two-stage ANN
+    // serving shape; same pinned seed codebook as q_pq_topk, so the
+    // shortlist AND the re-ranked order are both hash-checked ---------
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iterations = 1)
+      ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, model, shortlist = 30, k = 10)
+    }),
+
     // ----- IVFADC: coarse-cell pruning + residual-PQ ADC, the full
     // memory-bound ANN index (rows-only: engine-defined codebooks;
     // recall and cell membership pinned in PqSpec) --------------------
@@ -3594,6 +3605,62 @@ object SparkEntry {
            SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
+         WHERE rnk <= 10""",
+    // Same pinned seed codebook as q_pq_topk; the ADC scan proposes a
+    // 30-deep shortlist, the true cosine on raw vectors re-ranks it
+    "q_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         seed AS (SELECT emb, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         js AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+         cent2 AS (SELECT js.j, seed.c,
+                     list_slice(seed.emb, js.j * 8 + 1, js.j * 8 + 8) AS cent,
+                     list_inner_product(
+                       list_slice(seed.emb, js.j * 8 + 1, js.j * 8 + 8),
+                       list_slice(seed.emb, js.j * 8 + 1, js.j * 8 + 8)) AS c2
+                   FROM seed, js),
+         enc AS (SELECT vec_id, j, c, c2 FROM (
+             SELECT e.vec_id, t.j, t.c, t.c2,
+                    row_number() OVER (PARTITION BY e.vec_id, t.j
+                      ORDER BY t.c2 - 2.0 * list_inner_product(
+                        list_slice(e.emb, t.j * 8 + 1, t.j * 8 + 8), t.cent), t.c) AS rn
+             FROM e, cent2 t) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, emb AS qemb,
+                      sqrt(list_inner_product(emb, emb)) AS qnorm
+               FROM e WHERE vec_id < 20),
+         dt AS (SELECT q.query_id, t.j, t.c,
+                       list_inner_product(
+                         list_slice(q.qemb, t.j * 8 + 1, t.j * 8 + 8), t.cent) AS d
+                FROM q, cent2 t),
+         parts AS (SELECT q.query_id, enc.vec_id,
+                          list(dt.d ORDER BY enc.j) AS ds,
+                          list(enc.c2 ORDER BY enc.j) AS cs,
+                          any_value(q.qnorm) AS qnorm
+                   FROM enc
+                   JOIN q ON enc.vec_id <> q.query_id
+                   JOIN dt ON dt.query_id = q.query_id AND dt.j = enc.j AND dt.c = enc.c
+                   GROUP BY 1, 2),
+         scored AS (SELECT query_id, vec_id AS neighbor_id,
+             CASE WHEN (cs[1]+cs[2]+cs[3]+cs[4]+cs[5]+cs[6]+cs[7]+cs[8]) = 0.0
+                       OR qnorm = 0.0 THEN 0.0
+                  ELSE (ds[1]+ds[2]+ds[3]+ds[4]+ds[5]+ds[6]+ds[7]+ds[8])
+                       / (qnorm * sqrt(cs[1]+cs[2]+cs[3]+cs[4]+cs[5]+cs[6]+cs[7]+cs[8]))
+             END AS sim
+           FROM parts),
+         sl AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+             FROM scored)
+           WHERE rnk <= 30),
+         ex AS (SELECT sl.query_id, sl.neighbor_id,
+                       list_cosine_similarity(q.qemb, e.emb) AS sim
+                FROM sl
+                JOIN q USING (query_id)
+                JOIN e ON e.vec_id = sl.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM ex)
          WHERE rnk <= 10""",
     // Pinned-plane hyperplane LSH: the 4x64 seed-42 gaussian plane
     // weights are embedded as literals (Double.toString round-trips

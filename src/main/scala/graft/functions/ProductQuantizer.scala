@@ -239,6 +239,53 @@ object ProductQuantizer {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
+  /** ADC shortlist + exact re-rank — the standard two-stage ANN serving
+    * shape (Jégou et al. §VII "re-ranking"): the compressed-domain ADC
+    * scan proposes `shortlist` candidates per query, then ONLY those
+    * rows are re-scored with the true cosine on the raw vectors and
+    * cut to `k`. Recovers exact-metric ordering wherever the true
+    * top-k survives the shortlist, at a raw-vector read cost of
+    * O(queries × shortlist) instead of O(queries × corpus).
+    *
+    * Scale: stage 1 touches m-byte codes only; stage 2's vector
+    * fetch is a semi-join on the P×shortlist candidate ids against
+    * the corpus (shuffle carries shortlist rows per query, the scan
+    * prunes to matching ids), with queries broadcast exactly as in
+    * [[graft.functions.VectorOps.knnTopK]].
+    */
+  def adcRerankTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: org.apache.spark.sql.Column,
+      model: PqModel,
+      shortlist: Int,
+      k: Int
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val sl = adcTopK(embeddings, idCol, vecCol, queryPred, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = embeddings
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__vnorm", VectorOps.norm(col("__v")))
+    val queries = embeddings
+      .filter(queryPred)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qnorm", VectorOps.norm(col("__qv")))
+    val exact = sl
+      .join(corpus, "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("__sim",
+        VectorOps.dot(col("__v"), col("__qv")) /
+          (col("__vnorm") * col("__qnorm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id"))
+    exact
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** IVFADC (the full architecture of Jégou et al. §V): a coarse
     * k-means quantizer prunes the corpus to `nprobe` probed cells per
     * query, and PQ codes of the RESIDUAL (vector − coarse centroid)

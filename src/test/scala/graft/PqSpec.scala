@@ -98,4 +98,26 @@ class PqSpec extends SparkSpec {
     // every retrieved neighbor is from the query's cluster
     pq.foreach { case (q, ids) => assert(ids.forall(_ % 3 == q % 3)) }
   }
+
+  test("adcRerankTopK with a full-corpus shortlist equals exact kNN") {
+    // re-ranking the whole corpus removes the ADC approximation
+    // entirely, so result must match brute force ROW FOR ROW (order
+    // included) — the contract that makes shortlist depth a pure
+    // recall/cost knob
+    val model = ProductQuantizer.train(vecs, "vec_id", "embedding", m = 4, ksub = 8, iterations = 5)
+    val pred = col("vec_id") < 3
+    val exact = VectorOps.knnTopK(vecs, "vec_id", "embedding", pred, 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val rr = ProductQuantizer.adcRerankTopK(vecs, "vec_id", "embedding",
+      pred, model, shortlist = 90, k = 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rr == exact)
+    // a narrow shortlist still beats raw ADC ordering: every returned
+    // neighbor stays in the query's cluster
+    val narrow = ProductQuantizer.adcRerankTopK(vecs, "vec_id", "embedding",
+      pred, model, shortlist = 10, k = 5)
+      .as[(Long, Long, Int)].collect()
+    assert(narrow.length == 3 * 5)
+    narrow.foreach { case (q, id, _) => assert(id % 3 == q % 3) }
+  }
 }
