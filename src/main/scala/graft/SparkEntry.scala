@@ -2009,6 +2009,77 @@ object SparkEntry {
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // ----- Per-user OLS price trend: exact integer moment sums over
+    // the hourly rollup, closed-form least squares ---------------------
+    "q_trend_slope" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.trendSlope(r1h, Seq("user_id"), "bucket_ts", "close",
+        originTs = "2024-01-01 00:00:00")
+    }),
+
+    // ----- Spend concentration: exact Gini over per-user cents totals
+    // ranked by the distributed exact ranker ---------------------------
+    "q_gini" -> ((s, dir) =>
+      EventOps.giniConcentration(Tables.events(s, dir), "user_id", "value")),
+
+    // ----- TPC-H Q15 shape: top supplier(s) by quarter revenue — the
+    // max is an exact decimal compare against a broadcast 1-row agg ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .as("__rev"), count(lit(1)).as("n_items"))
+      val mx = rev.agg(max(col("__rev")).as("__mx"))
+      rev.join(broadcast(mx))
+        .filter(col("__rev") === col("__mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast(DoubleType).as("total_revenue"), col("n_items"))
+    }),
+
+    // ----- TPC-H Q17 shape: small-quantity revenue — the per-part
+    // average gate is an exact cents x count cross-multiply ------------
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val dec38 = DecimalType(38, 0)
+      val qc = round(col("l_quantity") * 100).cast(LongType)
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("__pk"))
+        .agg(count(lit(1)).as("__n"), sum(qc.cast(dec38)).as("__sq"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .join(per, col("l_partkey") === col("__pk"))
+        .filter((qc * lit(5L) * col("__n")).cast(dec38) < col("__sq"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(25, 8)))
+            .cast(DoubleType).as("revenue"))
+        .withColumn("avg_yearly", col("revenue") / lit(7.0))
+    }),
+
+    // ----- TPC-H Q20 shape: dominant suppliers — who shipped more
+    // than half a part's 1996 volume (exact decimal cross-multiply);
+    // the per-part total is a window over the (part, supp) aggregate --
+    "q20_volume_suppliers" -> ((s, dir) => {
+      val dec38 = DecimalType(38, 0)
+      val qc = round(col("l_quantity") * 100).cast(LongType)
+      val sq = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(qc.cast(dec38)).as("__sq"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      sq.withColumn("__tot", sum(col("__sq")).over(w))
+        .filter(col("__sq") * lit(2) > col("__tot"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts_dominated"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
     })
   )
 
@@ -5033,7 +5104,93 @@ object SparkEntry {
          WHERE l_discount BETWEEN 0.02 AND 0.08
            AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""",
+    // OLS moments cross as digit strings; slope/intercept divide the
+    // same exact integers once as doubles on both sides
+    "q_trend_slope" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id,
+                 (epoch_us(bucket_ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                   // 3600000000 AS x,
+                 CAST(round(close * 100) AS BIGINT) AS y
+               FROM r1h),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+               FROM c GROUP BY 1)
+         SELECT user_id, n_obs,
+                CAST(n_obs * sxy - sx * sy AS VARCHAR) AS slope_num,
+                CAST(sy * sxx - sx * sxy AS VARCHAR) AS intercept_num,
+                CAST(n_obs * sxx - sx * sx AS VARCHAR) AS den,
+                CASE WHEN n_obs * sxx - sx * sx = 0 THEN NULL
+                     ELSE CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                          / CAST(n_obs * sxx - sx * sx AS DOUBLE) END
+                  AS slope_cents_per_hour,
+                CASE WHEN n_obs * sxx - sx * sx = 0 THEN NULL
+                     ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+                          / CAST(n_obs * sxx - sx * sx AS DOUBLE) END
+                  AS intercept_cents
+         FROM m""",
+    "q_gini" ->
+      """WITH t AS (SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+         r AS (SELECT x,
+                 CAST(row_number() OVER (ORDER BY x, user_id) AS HUGEINT) AS i
+               FROM t),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(i * x) AS HUGEINT) AS six
+               FROM r)
+         SELECT n_users, CAST(sx AS BIGINT) AS total_cents,
+                CAST(2 * six - (n_users + 1) * sx AS VARCHAR) AS gini_num,
+                CAST(CAST(n_users AS HUGEINT) * sx AS VARCHAR) AS gini_den,
+                CASE WHEN n_users * sx = 0 THEN NULL
+                     ELSE CAST(2 * six - (n_users + 1) * sx AS DOUBLE)
+                          / CAST(CAST(n_users AS HUGEINT) * sx AS DOUBLE) END AS gini
+         FROM m""",
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS r,
+                count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue, n_items
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE r = (SELECT max(r) FROM rev)""",
+    "q17_small_quantity_revenue" ->
+      """WITH per AS (SELECT l_partkey, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS HUGEINT) AS sq
+            FROM lineitem GROUP BY 1)
+         SELECT count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / 7.0
+                  AS avg_yearly
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN per USING (l_partkey)
+         WHERE p_brand = 'Brand#23'
+           AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * per.n < per.sq""",
+    "q20_volume_suppliers" ->
+      """WITH sq AS (SELECT l_partkey, l_suppkey,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS HUGEINT) AS s
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2),
+         dom AS (SELECT l_suppkey, count(*) AS n_parts_dominated FROM (
+             SELECT l_partkey, l_suppkey, s,
+                    sum(s) OVER (PARTITION BY l_partkey) AS tot
+             FROM sq)
+           WHERE s * 2 > tot GROUP BY 1)
+         SELECT s_suppkey, s_name, n_parts_dominated
+         FROM dom JOIN supplier ON l_suppkey = s_suppkey"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

@@ -132,6 +132,10 @@ final class CandleTable private (
   def pivotPoints(timeframe: String): DataFrame =
     CandleOps.pivotPoints(rollup(timeframe), rkeys, "bucket_ts")
 
+  /** Per-key OLS price trend over a rollup (exact moment sums). */
+  def trendSlope(timeframe: String, originTs: String): DataFrame =
+    CandleOps.trendSlope(rollup(timeframe), rkeys, "bucket_ts", "close", originTs)
+
   /** Volume-at-price profile over a rollup. */
   def volumeProfile(timeframe: String, bucketCents: Long = 100L): DataFrame =
     CandleOps.volumeProfile(rollup(timeframe), rkeys, "close", "volume", bucketCents)

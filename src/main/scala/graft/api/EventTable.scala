@@ -93,6 +93,10 @@ final case class EventTable(
     EventOps.statsDrift(df, typeCol, tsCol, valueCol, userCol, splitTs,
       thresholdMilli)
 
+  /** Exact Gini concentration of per-user value totals. */
+  def concentration(valueCol: String): DataFrame =
+    EventOps.giniConcentration(df, userCol, valueCol)
+
   /** Inactivity-gap sessions per user. */
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)

@@ -761,4 +761,58 @@ object CandleOps {
       .filter(col("doji") || col("hammer") ||
         col("bullish_engulfing") || col("bearish_engulfing"))
   }
+
+  /** Per-key OLS trend slope: close cents regressed on the hour index
+    * since `originTs` — the momentum/drift indicator behind "is this
+    * series trending and how fast", with the closed-form least-squares
+    * line computed from EXACT integer moment sums (n, Σx, Σy, Σxy,
+    * Σx²) accumulated in decimal(38,0). slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) and intercept = (ΣyΣx² − ΣxΣxy) / same-den divide
+    * ONCE as IEEE doubles; the numerators/denominator also cross as
+    * digit strings so the rational is auditable at any magnitude
+    * (int128-scale moments would round in a double but never in the
+    * string).
+    *
+    * Scale shape: one map-side-combinable aggregate per key over the
+    * rollup — five moment columns, output rows = #keys. The fixed
+    * `originTs` keeps x single-pass (no per-key min subtraction) and
+    * engine-reproducible.
+    */
+  def trendSlope(
+      candles: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      closeCol: String,
+      originTs: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = expr(s"(unix_micros($tsCol) - unix_micros(TIMESTAMP '$originTs'))" +
+      " div 3600000000")
+    val y = round(col(closeCol) * 100).cast(LongType)
+    val keys = keyCols.map(col)
+    val m = candles
+      .select((keys :+ x.as("__x") :+ y.as("__y")): _*)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec) * col("__y").cast(dec))).as("__sxy"),
+        sum((col("__x").cast(dec) * col("__x").cast(dec))).as("__sxx"))
+    val n = col("n_obs").cast(dec)
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val inum = col("__sy") * col("__sxx") - col("__sx") * col("__sxy")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    m.select(
+      (keys :+ col("n_obs") :+
+        num.cast("string").as("slope_num") :+
+        inum.cast("string").as("intercept_num") :+
+        den.cast("string").as("den") :+
+        when(den === lit(0).cast(dec), lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+          .as("slope_cents_per_hour") :+
+        when(den === lit(0).cast(dec), lit(null).cast(DoubleType))
+          .otherwise(inum.cast(DoubleType) / den.cast(DoubleType))
+          .as("intercept_cents")): _*)
+  }
 }

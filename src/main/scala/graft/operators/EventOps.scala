@@ -954,6 +954,48 @@ object EventOps {
           .as("stickiness"))
   }
 
+  /** Gini concentration of per-user value totals — the whale-dominance
+    * index ("what share of spend sits in how few users") every
+    * marketplace/abuse dashboard tracks. For ascending totals x_1..x_n
+    * with ranks i, G = (2Σi·x_i − (n+1)Σx) / (nΣx), computed from
+    * EXACT integer sums: cents totals, ranks from the DISTRIBUTED
+    * exact ranking (no single-task sort of n users), rank-weighted
+    * moments in decimal(38,0). The reported coefficient divides once
+    * as IEEE doubles; numerator/denominator also cross as digit
+    * strings for int128-scale auditability.
+    *
+    * Scale shape: one aggregate to per-user totals, one range
+    * exchange for ranks, one 1-row final aggregate. Nothing shuffles
+    * but (user, cents) pairs.
+    */
+  def giniConcentration(
+      events: DataFrame,
+      userCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val totals = events
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(sum(round(col(valueCol) * 100).cast(LongType)).as("__x"))
+    val ranked = RankOps.distributedRank(totals,
+      Seq(col("__x"), col(userCol)), "__i")
+    val m = ranked.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__i").cast(dec) * col("__x").cast(dec)).as("__six"))
+    val n = col("n_users").cast(dec)
+    val num = lit(2).cast(dec) * col("__six") - (n + lit(1).cast(dec)) * col("__sx")
+    val den = n * col("__sx")
+    m.select(
+      col("n_users"),
+      col("__sx").cast(LongType).as("total_cents"),
+      num.cast("string").as("gini_num"),
+      den.cast("string").as("gini_den"),
+      when(den === lit(0).cast(dec), lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType)).as("gini"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov drift per event type: the
     * max CDF gap between the value distribution before and after
     * `splitTs` — the distribution-shape companion to [[driftChi2]]'s

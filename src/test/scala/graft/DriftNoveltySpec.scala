@@ -106,6 +106,45 @@ class DriftNoveltySpec extends SparkSpec {
     assert(run(docs.repartition(5)) == want)
   }
 
+  test("trendSlope recovers an exact planted line and flat series") {
+    // y = 200x + 300 cents at hours 0..4 -> slope exactly 200, plus a
+    // flat key (slope 0) and a single-point key (den 0 -> null slope)
+    val candles = (
+      (0 to 4).map(h => ("up", ts(f"2024-01-01 0$h:00:00"), 3.0 + 2.0 * h)) ++
+        (0 to 3).map(h => ("flat", ts(f"2024-01-01 0$h:00:00"), 7.0)) ++
+        Seq(("one", ts("2024-01-01 00:00:00"), 5.0))
+      ).toDF("sym", "bucket_ts", "close")
+    val got = graft.operators.CandleOps
+      .trendSlope(candles, Seq("sym"), "bucket_ts", "close",
+        originTs = "2024-01-01 00:00:00")
+      .select("sym", "n_obs", "slope_cents_per_hour", "intercept_cents")
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("flat", 4L, Some(0.0), Some(700.0)),
+      ("one", 1L, None, None),
+      ("up", 5L, Some(200.0), Some(300.0))))
+  }
+
+  test("giniConcentration: equal totals score 0, a single whale (n-1)/n") {
+    def gini(rows: Seq[(Long, Double)]): Double =
+      EventOps.giniConcentration(
+        rows.toDF("user_id", "value"), "user_id", "value")
+        .select("gini").as[Double].head()
+    val equal = (1L to 4L).map(u => (u, 10.0))
+    assert(gini(equal) == 0.0)
+    // one user holds everything: G = (n-1)/n = 0.75 for n = 4
+    val whale = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 40.0))
+    assert(gini(whale) == 0.75)
+    // partition invariance through the distributed ranker
+    val mixed = (1L to 9L).map(u => (u, u * 3.0))
+    val a = gini(mixed)
+    val b = EventOps.giniConcentration(
+      mixed.toDF("user_id", "value").repartition(7), "user_id", "value")
+      .select("gini").as[Double].head()
+    assert(a == b)
+  }
+
   test("driftKs raises past the exact-compare bound instead of NULLing") {
     // den bound is checked before any squared compare; a synthetic
     // cohort product over 3.3e16 must fail loudly
