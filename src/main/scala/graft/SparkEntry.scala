@@ -2080,7 +2080,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts_dominated"))
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
-    })
+    }),
+
+    // ----- Grid resample with linear interpolation (WITH FILL ...
+    // INTERPOLATE analog): missing buckets take the exact straight
+    // line between bracketing observations; no extrapolation ----------
+    "q_gap_fill_linear" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.resampleInterpolate(r1h, Seq("user_id"), "bucket_ts", "close", "1h")
+    }),
+
+    // ----- Cross-source overlap matrix: distinct shared 3-gram
+    // shingles per unordered source pair — digests shuffle, not text --
+    "q_cross_source_overlap" -> ((s, dir) =>
+      TextOps.crossSourceOverlap(Tables.documents(s, dir), "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5190,7 +5204,55 @@ object SparkEntry {
              FROM sq)
            WHERE s * 2 > tot GROUP BY 1)
          SELECT s_suppkey, s_name, n_parts_dominated
-         FROM dom JOIN supplier ON l_suppkey = s_suppkey"""
+         FROM dom JOIN supplier ON l_suppkey = s_suppkey""",
+    // interpolated close = one division of exact integers: cents
+    // endpoints weighted by integer hour distances
+    "q_gap_fill_linear" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+                  FROM r1h GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket_ts
+                  FROM span),
+         j AS (SELECT g.user_id, g.bucket_ts, r.close AS raw_close,
+                 epoch_us(g.bucket_ts) // 3600000000 AS t,
+                 CASE WHEN r.close IS NOT NULL
+                      THEN CAST(round(r.close * 100) AS BIGINT) END AS pc,
+                 CASE WHEN r.close IS NOT NULL
+                      THEN epoch_us(g.bucket_ts) // 3600000000 END AS ph
+               FROM grid g LEFT JOIN r1h r
+                 ON g.user_id = r.user_id AND g.bucket_ts = r.bucket_ts),
+         b AS (SELECT user_id, bucket_ts, raw_close, t,
+                 last_value(pc IGNORE NULLS) OVER wp AS pv,
+                 last_value(ph IGNORE NULLS) OVER wp AS pt,
+                 first_value(pc IGNORE NULLS) OVER wn AS nv,
+                 first_value(ph IGNORE NULLS) OVER wn AS nt
+               FROM j
+               WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wn AS (PARTITION BY user_id ORDER BY bucket_ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, bucket_ts,
+                CASE WHEN raw_close IS NOT NULL THEN raw_close
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN CAST(pv * (nt - t) + nv * (t - pt) AS DOUBLE)
+                          / CAST((nt - pt) * 100 AS DOUBLE)
+                     ELSE NULL END AS close,
+                raw_close IS NULL AS filled
+         FROM b""",
+    // counts are grain-identical whether keyed by shingle string
+    // (here) or its md5 (engine's shuffle-width choice)
+    "q_cross_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT source,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in generate_series(1, len(t) - 2)]) AS s
+                FROM toks)
+         SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         GROUP BY 1, 2"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

@@ -1464,6 +1464,39 @@ object TextOps {
         col("surprisal_bits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** Cross-source overlap matrix: for every unordered source pair, how
+    * many DISTINCT `shingleSize`-gram shingles appear in both — the
+    * overlap diagnostic behind crawl-dedup priorities and
+    * contamination triage ("how much of source B's material is
+    * already in source A?"). Shingle grain catches shared passages
+    * where whole-document hashing sees nothing (distinct documents can
+    * still carry the same boilerplate or quoted blocks).
+    *
+    * Scale shape: shingles leave the scan as (source, md5) pairs,
+    * distinct-collapsed BEFORE the self-join, so the join key is a
+    * 16-byte digest whose fan-out is #sources-containing-the-shingle
+    * (bounded by the source count, typically tens) — never
+    * document-quadratic.
+    */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String = "source",
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val h = docs
+      .select(col(sourceCol).as("__src"),
+        explode(array_distinct(
+          shingles(tokens(col(textCol)), shingleSize))).as("__s"))
+      .select(col("__src"), md5(col("__s")).as("__h"))
+      .distinct()
+    h.select(col("__src").as("source_a"), col("__h"))
+      .join(h.select(col("__src").as("source_b"), col("__h")), "__h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * shingles whose FIRST corpus appearance (min doc id) is this doc.
     * The corpus-curation dual of near-dup detection — instead of

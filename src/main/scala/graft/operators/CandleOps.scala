@@ -316,6 +316,65 @@ object CandleOps {
         col(closeCol).isNull.as("filled")): _*)
   }
 
+  /** Grid resample with LINEAR interpolation — the `WITH FILL ...
+    * INTERPOLATE` analog (ClickHouse ORDER BY ... WITH FILL): missing
+    * buckets between two present observations take the straight-line
+    * value between them. The interpolated close is ONE IEEE division
+    * of exact integers — cents-scaled endpoint values weighted by
+    * integer hour distances, so any engine reproduces it bitwise:
+    * close = (prev·(t_next−t) + next·(t−t_prev)) / ((t_next−t_prev)·100).
+    * Leading/trailing gaps (no bracketing observation) stay NULL —
+    * interpolation never extrapolates.
+    *
+    * Scale shape: identical to [[resampleFfill]] — per-key span
+    * aggregate, grid explode (one row per bucket, never per event),
+    * one per-key window carrying both bracketing scans.
+    */
+  def resampleInterpolate(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      grain: String
+  ): DataFrame = {
+    val step = graft.model.Timeframe.parse(grain).seconds
+    val spans = rollup
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+    val grid = spans.select(
+      keys.map(col) :+ explode(
+        sequence(col("__mn"), col("__mx"),
+          expr(s"INTERVAL $step seconds"))).as(bucketCol): _*)
+    val joined = grid.join(
+      rollup.select((keys.map(col) :+ col(bucketCol) :+
+        col(closeCol).as("__raw")): _*),
+      keys :+ bucketCol, "left")
+    val hr = expr(s"unix_micros($bucketCol) div ${step}000000")
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val presentCents = when(col("__raw").isNotNull,
+      round(col("__raw") * 100).cast(LongType))
+    val presentHr = when(col("__raw").isNotNull, hr)
+    val withBrackets = joined
+      .withColumn("__t", hr)
+      .withColumn("__pv", last(presentCents, ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(presentHr, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(presentCents, ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(presentHr, ignoreNulls = true).over(wNext))
+    val interp =
+      (col("__pv") * (col("__nt") - col("__t")) +
+        col("__nv") * (col("__t") - col("__pt"))).cast(DoubleType) /
+        ((col("__nt") - col("__pt")) * lit(100L)).cast(DoubleType)
+    withBrackets.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        when(col("__raw").isNotNull, col("__raw"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull, interp)
+          .otherwise(lit(null).cast(DoubleType)).as(closeCol) :+
+        col("__raw").isNull.as("filled")): _*)
+  }
+
   /** Truncated exponential moving average in exact integer arithmetic.
     *
     * Weights are the EWMA series (1-a)^j with a = 2/(n+1), truncated at

@@ -145,6 +145,44 @@ class DriftNoveltySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resampleInterpolate: exact straight line through gaps, no extrapolation") {
+    // observations at hours 0 (100c), 3 (400c) and 5 (200c); hours 1,2
+    // interpolate the 0->3 line exactly, hour 4 the 3->5 midpoint; a
+    // second key has one point -> its (trivial) grid never extrapolates
+    val rollup = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 03:00:00"), 4.0),
+      ("a", ts("2024-01-01 05:00:00"), 2.0),
+      ("b", ts("2024-01-01 07:00:00"), 9.0)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = graft.operators.CandleOps
+      .resampleInterpolate(rollup, Seq("sym"), "bucket_ts", "close", "1h")
+      .as[(String, Timestamp, Option[Double], Boolean)]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    assert(got == Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some(1.0), false),
+      ("a", ts("2024-01-01 01:00:00"), Some(2.0), true),
+      ("a", ts("2024-01-01 02:00:00"), Some(3.0), true),
+      ("a", ts("2024-01-01 03:00:00"), Some(4.0), false),
+      ("a", ts("2024-01-01 04:00:00"), Some(3.0), true),
+      ("a", ts("2024-01-01 05:00:00"), Some(2.0), false),
+      ("b", ts("2024-01-01 07:00:00"), Some(9.0), false)))
+  }
+
+  test("crossSourceOverlap counts distinct shared shingles, unordered pairs once") {
+    val docs = Seq(
+      (1L, "x y z w", "s1"), // shingles {x y z, y z w}
+      (2L, "x y z q", "s2"), // shares {x y z} with s1
+      (3L, "x y z w", "s2"), // duplicate content must not double-count
+      (4L, "p q r", "s3") // no overlap with anyone
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.crossSourceOverlap(docs, "text")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // s1 vs s2: {x y z} shared via doc2 AND both of doc3's shingles ->
+    // distinct shared set is {x y z, y z w} = 2
+    assert(got == Seq(("s1", "s2", 2L)))
+  }
+
   test("driftKs raises past the exact-compare bound instead of NULLing") {
     // den bound is checked before any squared compare; a synthetic
     // cohort product over 3.3e16 must fail loudly
