@@ -2094,7 +2094,21 @@ object SparkEntry {
     // ----- Cross-source overlap matrix: distinct shared 3-gram
     // shingles per unordered source pair — digests shuffle, not text --
     "q_cross_source_overlap" -> ((s, dir) =>
-      TextOps.crossSourceOverlap(Tables.documents(s, dir), "text"))
+      TextOps.crossSourceOverlap(Tables.documents(s, dir), "text")),
+
+    // ----- Lag-1 autocorrelation per user: mean-reversion diagnostic
+    // from exact integer moments; IEEE sqrt is correctly rounded ------
+    "q_autocorr" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.autocorrelation(r1h, Seq("user_id"), "bucket_ts", "close", k = 1)
+    }),
+
+    // ----- 10% trimmed mean per type: robust center by exact rank
+    // cuts — integer floor arithmetic on (rank, count) ----------------
+    "q_trimmed_mean" -> ((s, dir) =>
+      EventOps.trimmedMean(Tables.events(s, dir), "event_type", "event_id",
+        "value", trimPermille = 100L))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5252,7 +5266,47 @@ object SparkEntry {
                 FROM toks)
          SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q_autocorr" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS y FROM r1h),
+         p AS (SELECT user_id, lag(y) OVER w AS x, y
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+               FROM p WHERE x IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_pairs,
+                CAST(n_pairs * sxy - sx * sy AS VARCHAR) AS r_num,
+                CASE WHEN (n_pairs * sxx - sx * sx) = 0
+                       OR (n_pairs * syy - sy * sy) = 0 THEN NULL
+                     ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END
+                  AS autocorr
+         FROM m""",
+    "q_trimmed_mean" ->
+      """WITH c AS (SELECT event_type, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS i,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM c)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(cents) AS BIGINT) AS kept_cents,
+                CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+                  AS trimmed_mean
+         FROM r
+         WHERE i > n * 100 // 1000 AND i <= n - n * 100 // 1000
+         GROUP BY 1"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

@@ -136,6 +136,10 @@ final class CandleTable private (
   def trendSlope(timeframe: String, originTs: String): DataFrame =
     CandleOps.trendSlope(rollup(timeframe), rkeys, "bucket_ts", "close", originTs)
 
+  /** Per-key lag-k close autocorrelation (exact moment sums). */
+  def autocorrelation(timeframe: String, k: Int = 1): DataFrame =
+    CandleOps.autocorrelation(rollup(timeframe), rkeys, "bucket_ts", "close", k)
+
   /** Volume-at-price profile over a rollup. */
   def volumeProfile(timeframe: String, bucketCents: Long = 100L): DataFrame =
     CandleOps.volumeProfile(rollup(timeframe), rkeys, "close", "volume", bucketCents)

@@ -97,6 +97,10 @@ final case class EventTable(
   def concentration(valueCol: String): DataFrame =
     EventOps.giniConcentration(df, userCol, valueCol)
 
+  /** Rank-trimmed robust mean of values per type. */
+  def trimmedMean(valueCol: String, trimPermille: Long = 100L): DataFrame =
+    EventOps.trimmedMean(df, typeCol, idCol, valueCol, trimPermille)
+
   /** Inactivity-gap sessions per user. */
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)

@@ -874,4 +874,53 @@ object CandleOps {
           .otherwise(inum.cast(DoubleType) / den.cast(DoubleType))
           .as("intercept_cents")): _*)
   }
+
+  /** Per-key lag-`k` autocorrelation of close cents — the mean-
+    * reversion / momentum diagnostic (is the next bar correlated with
+    * this one?). Pearson r over (y_{t-k}, y_t) pairs from exact
+    * integer moment sums in decimal(38,0):
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²)).
+    * IEEE sqrt is correctly rounded, so both the numerator (also
+    * crossing as a digit string) and the published r are bit-
+    * reproducible from the same integers on any engine.
+    *
+    * One window per key for the lag (same single-exchange discipline
+    * as the indicator family), then one combinable aggregate.
+    */
+  def autocorrelation(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      k: Int = 1
+  ): DataFrame = {
+    require(k >= 1, s"lag k=$k must be positive")
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val y = round(col(closeCol) * 100).cast(LongType)
+    val keyCols = keys.map(col)
+    val pairs = rollup
+      .select((keyCols :+ col(bucketCol) :+ y.as("__y")): _*)
+      .withColumn("__x", lag(col("__y"), k).over(wOrd))
+      .filter(col("__x").isNotNull)
+    val m = pairs.groupBy(keyCols: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+      sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+    val n = col("n_pairs").cast(dec)
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val dx = n * col("__sxx") - col("__sx") * col("__sx")
+    val dy = n * col("__syy") - col("__sy") * col("__sy")
+    m.select(
+      (keyCols :+ col("n_pairs") :+
+        num.cast("string").as("r_num") :+
+        when(dx === lit(0).cast(dec) || dy === lit(0).cast(dec),
+          lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) /
+            (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))))
+          .as("autocorr")): _*)
+  }
 }

@@ -954,6 +954,48 @@ object EventOps {
           .as("stickiness"))
   }
 
+  /** Per-type trimmed mean: drop the bottom and top `trimPermille`/1000
+    * of values by exact rank, average the interior in exact cents —
+    * the robust center the sigma/MAD outlier family reports against
+    * (a mean a single fat-finger print cannot move). Trim bounds are
+    * integer arithmetic on (rank, count): keep n·trim/1000 < i ≤
+    * n − n·trim/1000, floor on both sides — DuckDB's `//` and
+    * Spark's `div` agree for the non-negative operands here.
+    *
+    * One ranked window per type then a combinable aggregate — the
+    * same shape as [[graft.operators.CandleOps]]'s exact median
+    * (whole-type ordering; at extreme per-type cardinality pre-bucket
+    * to cents-grain counts first, as the KS test does).
+    */
+  def trimmedMean(
+      events: DataFrame,
+      typeCol: String,
+      idCol: String,
+      valueCol: String,
+      trimPermille: Long = 100L
+  ): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trimPermille=$trimPermille must be in [0, 500)")
+    val w = Window.partitionBy(col(typeCol))
+      .orderBy(round(col(valueCol) * 100).cast(LongType), col(idCol))
+    val wAll = Window.partitionBy(col(typeCol))
+    val ranked = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        round(col(valueCol) * 100).cast(LongType).as("__cents"),
+        row_number().over(w).cast(LongType).as("__i"),
+        count(lit(1)).over(wAll).as("__n"))
+    val cut = expr(s"__n * $trimPermille div 1000")
+    ranked
+      .filter(col("__i") > cut && col("__i") <= col("__n") - cut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("__cents")).as("kept_cents"))
+      .withColumn("trimmed_mean",
+        col("kept_cents").cast(DoubleType) /
+          col("n_kept").cast(DoubleType) / lit(100.0))
+  }
+
   /** Gini concentration of per-user value totals — the whale-dominance
     * index ("what share of spend sits in how few users") every
     * marketplace/abuse dashboard tracks. For ascending totals x_1..x_n

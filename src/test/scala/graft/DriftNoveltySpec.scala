@@ -183,6 +183,45 @@ class DriftNoveltySpec extends SparkSpec {
     assert(got == Seq(("s1", "s2", 2L)))
   }
 
+  test("autocorrelation: alternating series ~ -1, trend ~ +1, flat null") {
+    // alternating 1,3,1,3... -> consecutive pairs perfectly
+    // anti-correlated; strictly linear series -> +1; constant series
+    // -> zero variance -> null. |r| lands one ulp inside 1 because
+    // sqrt(d)*sqrt(d) rounds off d — DETERMINISTICALLY so (the oracle
+    // hash-matches); the test pins sign, magnitude, and invariance
+    val rollup = (
+      (0 to 5).map(h => ("alt", ts(f"2024-01-01 0$h:00:00"),
+        if (h % 2 == 0) 1.0 else 3.0)) ++
+        (0 to 5).map(h => ("lin", ts(f"2024-01-01 0$h:00:00"), 1.0 + h)) ++
+        (0 to 3).map(h => ("flat", ts(f"2024-01-01 0$h:00:00"), 2.0))
+      ).toDF("sym", "bucket_ts", "close")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.CandleOps
+      .autocorrelation(df, Seq("sym"), "bucket_ts", "close", k = 1)
+      .select("sym", "n_pairs", "autocorr")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val got = run(rollup)
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("alt", 5L), ("flat", 3L), ("lin", 5L)))
+    assert(math.abs(got(0)._3.get + 1.0) < 1e-12, s"alt: ${got(0)._3}")
+    assert(got(1)._3.isEmpty)
+    assert(math.abs(got(2)._3.get - 1.0) < 1e-12, s"lin: ${got(2)._3}")
+    assert(run(rollup.repartition(7)) == got)
+  }
+
+  test("trimmedMean drops exactly the rank tails and averages the interior") {
+    // 10 values 1..10 per type, 10% trim -> drop rank 1 and rank 10:
+    // mean of 2..9 = 5.5; an outlier at 1000 in type b lands in the
+    // dropped tail, so the trimmed means agree
+    val a = (1 to 10).map(i => ("a", i.toLong, i.toDouble))
+    val b = (1 to 9).map(i => ("b", i.toLong, i.toDouble)) :+ ("b", 10L, 1000.0)
+    val got = EventOps.trimmedMean(
+      (a ++ b).toDF("event_type", "event_id", "value"),
+      "event_type", "event_id", "value", trimPermille = 100L)
+      .select("event_type", "n_kept", "trimmed_mean")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 8L, 5.5), ("b", 8L, 5.5)))
+  }
+
   test("driftKs raises past the exact-compare bound instead of NULLing") {
     // den bound is checked before any squared compare; a synthetic
     // cohort product over 3.3e16 must fail loudly
