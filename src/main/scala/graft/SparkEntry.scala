@@ -2108,7 +2108,12 @@ object SparkEntry {
     // cuts — integer floor arithmetic on (rank, count) ----------------
     "q_trimmed_mean" -> ((s, dir) =>
       EventOps.trimmedMean(Tables.events(s, dir), "event_type", "event_id",
-        "value", trimPermille = 100L))
+        "value", trimPermille = 100L)),
+
+    // ----- Traffic burstiness: Fano factor + peak-to-mean of hourly
+    // counts per type, exact integer moments --------------------------
+    "q_burstiness" -> ((s, dir) =>
+      EventOps.burstiness(Tables.events(s, dir), "event_type", "ts"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5306,7 +5311,26 @@ object SparkEntry {
                   AS trimmed_mean
          FROM r
          WHERE i > n * 100 // 1000 AND i <= n - n * 100 // 1000
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q_burstiness" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(c) AS HUGEINT) AS s,
+                 CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+                 max(c) AS peak_hour_events
+               FROM hourly GROUP BY 1)
+         SELECT event_type, n_hours, CAST(s AS BIGINT) AS total_events,
+                peak_hour_events,
+                CAST(n_hours * s2 - s * s AS VARCHAR) AS fano_num,
+                CASE WHEN n_hours * s = 0 THEN NULL
+                     ELSE CAST(n_hours * s2 - s * s AS DOUBLE)
+                          / CAST(n_hours * s AS DOUBLE) END AS fano,
+                CASE WHEN s = 0 THEN NULL
+                     ELSE CAST(CAST(peak_hour_events AS HUGEINT) * n_hours AS DOUBLE)
+                          / CAST(s AS DOUBLE) END AS peak_to_mean
+         FROM m"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

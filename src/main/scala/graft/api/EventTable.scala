@@ -101,6 +101,9 @@ final case class EventTable(
   def trimmedMean(valueCol: String, trimPermille: Long = 100L): DataFrame =
     EventOps.trimmedMean(df, typeCol, idCol, valueCol, trimPermille)
 
+  /** Hourly-count Fano factor + peak-to-mean per type. */
+  def burstiness(): DataFrame = EventOps.burstiness(df, typeCol, tsCol)
+
   /** Inactivity-gap sessions per user. */
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)

@@ -976,24 +976,71 @@ object EventOps {
   ): DataFrame = {
     require(trimPermille >= 0 && trimPermille < 500,
       s"trimPermille=$trimPermille must be in [0, 500)")
+    // group on the ORIGINAL type column: an early rename would mint a
+    // new attribute, hide the window's partitioning from the final
+    // aggregate, and cost a second exchange (plan-pinned at one)
     val w = Window.partitionBy(col(typeCol))
       .orderBy(round(col(valueCol) * 100).cast(LongType), col(idCol))
     val wAll = Window.partitionBy(col(typeCol))
     val ranked = events
       .filter(col(valueCol).isNotNull)
-      .select(col(typeCol).as("event_type"),
+      .select(col(typeCol),
         round(col(valueCol) * 100).cast(LongType).as("__cents"),
         row_number().over(w).cast(LongType).as("__i"),
         count(lit(1)).over(wAll).as("__n"))
     val cut = expr(s"__n * $trimPermille div 1000")
     ranked
       .filter(col("__i") > cut && col("__i") <= col("__n") - cut)
-      .groupBy(col("event_type"))
+      .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("__cents")).as("kept_cents"))
-      .withColumn("trimmed_mean",
-        col("kept_cents").cast(DoubleType) /
-          col("n_kept").cast(DoubleType) / lit(100.0))
+      .select(col(typeCol).as("event_type"), col("n_kept"), col("kept_cents"),
+        (col("kept_cents").cast(DoubleType) /
+          col("n_kept").cast(DoubleType) / lit(100.0)).as("trimmed_mean"))
+  }
+
+  /** Traffic burstiness per type over hourly buckets: the Fano factor
+    * (variance-to-mean of per-hour event counts; 1 = Poisson, higher =
+    * bursty) plus peak-to-mean — the load-shape pair a capacity model
+    * and an anomaly baseline both read. Exact integers end to end:
+    * fano = (nΣc² − (Σc)²) / (nΣc) from decimal(38,0) moments, both
+    * rationals divide once as IEEE doubles, numerator crosses as a
+    * digit string. Hours with zero events are absent from the bucket
+    * aggregate and are deliberately NOT zero-filled — the measure
+    * reads activity burstiness over OBSERVED hours, identically in
+    * both engines.
+    *
+    * Two combinable aggregates (events → hourly counts → per-type
+    * moments); nothing shuffles but (type, hour, count) rows.
+    */
+  def burstiness(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val m = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("__c").cast(dec)).as("__s"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__s2"),
+      max(col("__c")).as("peak_hour_events"))
+    val n = col("n_hours").cast(dec)
+    val num = n * col("__s2") - col("__s") * col("__s")
+    val den = n * col("__s")
+    m.select(
+      col("event_type"), col("n_hours"),
+      col("__s").cast(LongType).as("total_events"),
+      col("peak_hour_events"),
+      num.cast("string").as("fano_num"),
+      when(den === lit(0).cast(dec), lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType)).as("fano"),
+      when(col("__s") === lit(0).cast(dec), lit(null).cast(DoubleType))
+        .otherwise((col("peak_hour_events").cast(dec) * n).cast(DoubleType) /
+          col("__s").cast(DoubleType)).as("peak_to_mean"))
   }
 
   /** Gini concentration of per-user value totals — the whale-dominance

@@ -222,6 +222,46 @@ class DriftNoveltySpec extends SparkSpec {
     assert(got == Seq(("a", 8L, 5.5), ("b", 8L, 5.5)))
   }
 
+  test("burstiness: constant load scores Fano 0, a spike raises it past 1") {
+    // "steady": 4 hours x 3 events -> variance 0 -> fano 0, p2m 1;
+    // "spiky": counts 1,1,1,9 -> fano = (4*84 - 144)/(4*12) = 4.0
+    val rows =
+      (0 until 4).flatMap(h => (1 to 3).map(i =>
+        ("steady", ts(f"2024-03-01 0$h:${10 + i}%02d:00")))) ++
+        (0 until 3).map(h => ("spiky", ts(f"2024-03-01 0$h:10:00"))) ++
+        (1 to 9).map(i => ("spiky", ts(f"2024-03-01 03:${10 + i}%02d:00")))
+    val got = EventOps.burstiness(
+      rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select("event_type", "n_hours", "total_events", "peak_hour_events",
+        "fano", "peak_to_mean")
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("spiky", 4L, 12L, 9L, 4.0, 3.0),
+      ("steady", 4L, 12L, 3L, 0.0, 1.0)))
+  }
+
+  test("new per-key stats ride one exchange; the event pipelines two") {
+    def hashEx(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val rollup = (0 to 9).map(h =>
+      ("s", ts(f"2024-01-01 0$h:00:00"), 2.0 + h % 3))
+      .toDF("sym", "bucket_ts", "close")
+    // lag window and the moment aggregate share the per-key exchange
+    assert(hashEx(graft.operators.CandleOps.autocorrelation(
+      rollup, Seq("sym"), "bucket_ts", "close")) == 1)
+    // rank window and the interior aggregate share the per-type one
+    val ev = (1 to 20).map(i => ("t", i.toLong, i.toDouble))
+      .toDF("event_type", "event_id", "value")
+    assert(hashEx(EventOps.trimmedMean(ev, "event_type", "event_id",
+      "value")) == 1)
+    // events -> hourly counts -> per-type moments: two aggregates
+    assert(hashEx(EventOps.burstiness(
+      ev.withColumn("ts", lit(ts("2024-03-01 08:00:00"))),
+      "event_type", "ts")) == 2)
+  }
+
   test("driftKs raises past the exact-compare bound instead of NULLing") {
     // den bound is checked before any squared compare; a synthetic
     // cohort product over 3.3e16 must fail loudly
