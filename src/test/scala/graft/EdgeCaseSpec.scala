@@ -322,4 +322,57 @@ class EdgeCaseSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(all == Set(1L, 2L)) // every non-query candidate reachable
   }
+
+  test("round-5 drift/stats family survives empty and degenerate input") {
+    import graft.operators.EventOps
+    val emptyTyped = Seq.empty[(String, Timestamp, Option[Double], Long)]
+      .toDF("event_type", "ts", "value", "user_id")
+    assert(EventOps.driftKs(emptyTyped, "event_type", "ts", "value",
+      "2024-01-16 00:00:00").count() == 0)
+    assert(EventOps.statsDrift(emptyTyped, "event_type", "ts", "value",
+      "user_id", "2024-01-16 00:00:00").count() == 0)
+    assert(EventOps.burstiness(emptyTyped, "event_type", "ts").count() == 0)
+    assert(EventOps.trimmedMean(emptyTyped, "event_type", "user_id",
+      "value").count() == 0)
+    // gini of an empty frame: the 1-row aggregate still emits, with
+    // null gini (zero denominator), never a division error
+    val g = EventOps.giniConcentration(
+      Seq.empty[(Long, Double)].toDF("user_id", "value"), "user_id", "value")
+      .select("n_users", "gini").as[(Long, Option[Double])].head()
+    assert(g == ((0L, None)))
+    // all-null values: KS has no sample -> empty; trimmed mean too
+    val allNull = Seq(("t", ts("2024-01-10 00:00:00"), None: Option[Double], 1L),
+      ("t", ts("2024-01-20 00:00:00"), None, 2L))
+      .toDF("event_type", "ts", "value", "user_id")
+    assert(EventOps.driftKs(allNull, "event_type", "ts", "value",
+      "2024-01-16 00:00:00").count() == 0)
+    assert(EventOps.trimmedMean(allNull, "event_type", "user_id",
+      "value").count() == 0)
+    // but the stats gate still reports the type: nulls ARE its signal
+    val sd = EventOps.statsDrift(allNull, "event_type", "ts", "value",
+      "user_id", "2024-01-16 00:00:00")
+      .select("n_a", "null_a", "null_b").as[(Long, Long, Long)].head()
+    assert(sd == ((1L, 1L, 1L)))
+  }
+
+  test("round-5 text/series additions survive empty and too-short input") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextOps.ngramNovelty(empty, "doc_id", "text", 3).count() == 0)
+    assert(TextOps.bigramFluency(empty, "doc_id", "text").count() == 0)
+    assert(TextOps.crossSourceOverlap(empty, "text").count() == 0)
+    // docs too short for any shingle/bigram contribute no rows
+    val short = Seq((1L, "word", "s1"), (2L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.ngramNovelty(short, "doc_id", "text", 3).count() == 0)
+    assert(TextOps.bigramFluency(short, "doc_id", "text").count() == 0)
+    // interpolation/autocorr/trend on empty rollups are empty
+    val emptyRollup = Seq.empty[(String, Timestamp, Double)]
+      .toDF("sym", "bucket_ts", "close")
+    assert(CandleOps.resampleInterpolate(emptyRollup, Seq("sym"),
+      "bucket_ts", "close", "1h").count() == 0)
+    assert(CandleOps.autocorrelation(emptyRollup, Seq("sym"),
+      "bucket_ts", "close").count() == 0)
+    assert(CandleOps.trendSlope(emptyRollup, Seq("sym"), "bucket_ts",
+      "close", "2024-01-01 00:00:00").count() == 0)
+  }
 }
