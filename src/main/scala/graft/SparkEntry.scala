@@ -2113,7 +2113,13 @@ object SparkEntry {
     // ----- Traffic burstiness: Fano factor + peak-to-mean of hourly
     // counts per type, exact integer moments --------------------------
     "q_burstiness" -> ((s, dir) =>
-      EventOps.burstiness(Tables.events(s, dir), "event_type", "ts"))
+      EventOps.burstiness(Tables.events(s, dir), "event_type", "ts")),
+
+    // ----- CUSUM change-point: WHERE the per-type value level shifted,
+    // exact-integer argmax with smallest-index tie-break --------------
+    "q_changepoint" -> ((s, dir) =>
+      EventOps.changePoint(Tables.events(s, dir), "event_type", "ts",
+        "event_id", "value"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5330,7 +5336,32 @@ object SparkEntry {
                 CASE WHEN s = 0 THEN NULL
                      ELSE CAST(CAST(peak_hour_events AS HUGEINT) * n_hours AS DOUBLE)
                           / CAST(s AS DOUBLE) END AS peak_to_mean
-         FROM m"""
+         FROM m""",
+    "q_changepoint" ->
+      """WITH c AS (SELECT event_type, ts, event_id,
+                CAST(round(value * 100) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL),
+         p AS (SELECT event_type, ts, event_id, y,
+                 CAST(row_number() OVER w AS BIGINT) AS i,
+                 CAST(sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                 CAST(sum(y) OVER (PARTITION BY event_type) AS HUGEINT) AS s
+               FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+         d AS (SELECT event_type, ts, i, n, cum, s,
+                 abs(cum * n - i * s) AS dstat
+               FROM p WHERE i < n),
+         best AS (SELECT event_type, n AS n_obs, ts AS change_ts,
+                    i AS split_idx,
+                    CAST(dstat AS VARCHAR) AS cusum_num,
+                    CAST(cum AS DOUBLE) / CAST(i AS DOUBLE) / 100.0 AS mean_before,
+                    CAST(s - cum AS DOUBLE) / CAST(n - i AS DOUBLE) / 100.0 AS mean_after,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY dstat DESC, i) AS rk
+                  FROM d)
+         SELECT event_type, n_obs, change_ts, split_idx, cusum_num,
+                mean_before, mean_after
+         FROM best WHERE rk = 1"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

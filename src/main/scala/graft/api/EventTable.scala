@@ -104,6 +104,10 @@ final case class EventTable(
   /** Hourly-count Fano factor + peak-to-mean per type. */
   def burstiness(): DataFrame = EventOps.burstiness(df, typeCol, tsCol)
 
+  /** CUSUM change-point: where each type's value level shifted. */
+  def changePoint(valueCol: String): DataFrame =
+    EventOps.changePoint(df, typeCol, tsCol, idCol, valueCol)
+
   /** Inactivity-gap sessions per user. */
   def sessions(gap: String, valueCol: String): DataFrame =
     SessionOps.sessionSummaries(df, Seq(userCol), tsCol, valueCol, gap)

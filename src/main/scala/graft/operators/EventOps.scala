@@ -999,6 +999,63 @@ object EventOps {
           col("n_kept").cast(DoubleType) / lit(100.0)).as("trimmed_mean"))
   }
 
+  /** CUSUM change-point localization per type: the split index
+    * maximizing |cum_i·n − i·S| — the unnormalized CUSUM statistic
+    * max_i |S_i − (i/n)·S_n| scaled by n, in EXACT decimal(38,0)
+    * integers — plus the exact means either side of the split. The
+    * companion to [[driftKs]]: KS says "this cohort's distribution
+    * moved"; this says WHERE in the sequence the level shifted (the
+    * first question an on-call asks after the drift page).
+    *
+    * Deterministic end to end: the argmax orders by the exact integer
+    * statistic with a smallest-index tie-break, so engines and
+    * partitionings agree bitwise; the statistic crosses as a digit
+    * string, the two means divide exact sums once each.
+    *
+    * One exchange: every window (rank, prefix sum, totals, argmax)
+    * partitions by the type key. Per-type ordering state is the same
+    * precedent as the exact median/trimmed mean — pre-bucket to grain
+    * counts at extreme per-type cardinality.
+    */
+  def changePoint(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(idCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(typeCol))
+    val y = round(col(valueCol) * 100).cast(LongType)
+    val p = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(typeCol), col(tsCol), col(idCol), y.as("__y"))
+      .withColumn("__i", row_number().over(wOrd).cast(LongType))
+      .withColumn("__cum", sum(col("__y")).over(wCum).cast(dec))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__y")).over(wAll).cast(dec))
+      .filter(col("__i") < col("__n"))
+      .withColumn("__d",
+        abs(col("__cum") * col("__n").cast(dec) - col("__i").cast(dec) * col("__s")))
+    val wBest = Window.partitionBy(col(typeCol))
+      .orderBy(col("__d").desc, col("__i"))
+    p.withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(
+        col(typeCol).as("event_type"),
+        col("__n").as("n_obs"),
+        col(tsCol).as("change_ts"),
+        col("__i").as("split_idx"),
+        col("__d").cast("string").as("cusum_num"),
+        (col("__cum").cast(DoubleType) / col("__i").cast(DoubleType) / lit(100.0))
+          .as("mean_before"),
+        ((col("__s") - col("__cum")).cast(DoubleType) /
+          (col("__n") - col("__i")).cast(DoubleType) / lit(100.0))
+          .as("mean_after"))
+  }
+
   /** Traffic burstiness per type over hourly buckets: the Fano factor
     * (variance-to-mean of per-hour event counts; 1 = Poisson, higher =
     * bursty) plus peak-to-mean — the load-shape pair a capacity model

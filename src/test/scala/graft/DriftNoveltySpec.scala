@@ -262,6 +262,31 @@ class DriftNoveltySpec extends SparkSpec {
       "event_type", "ts")) == 2)
   }
 
+  test("changePoint localizes a planted level shift exactly, one exchange") {
+    // 5 values at 1.0 then 5 at 9.0: the CUSUM argmax must land on the
+    // last low observation (i = 5) with exact means either side
+    val rows = (1 to 10).map(i =>
+      ("t", ts(f"2024-03-01 08:${i}%02d:00"), i.toLong,
+        if (i <= 5) 1.0 else 9.0))
+    val df = rows.toDF("event_type", "ts", "event_id", "value")
+    val cp = EventOps.changePoint(df, "event_type", "ts", "event_id", "value")
+    val got = cp.select("event_type", "n_obs", "split_idx",
+      "mean_before", "mean_after")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("t", 10L, 5L, 1.0, 9.0)))
+    assert(cp.as[(String, Long, Timestamp, Long, String, Double, Double)]
+      .head()._3 == ts("2024-03-01 08:05:00"))
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(cp.queryExecution.executedPlan.toString).size
+    assert(n == 1, s"expected 1 exchange, got $n")
+    // invariance under repartitioning
+    val again = EventOps.changePoint(df.repartition(7),
+      "event_type", "ts", "event_id", "value")
+      .select("event_type", "n_obs", "split_idx", "mean_before", "mean_after")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("driftKs raises past the exact-compare bound instead of NULLing") {
     // den bound is checked before any squared compare; a synthetic
     // cohort product over 3.3e16 must fail loudly
