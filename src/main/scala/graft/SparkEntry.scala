@@ -1089,6 +1089,15 @@ object SparkEntry {
         col("vec_id") < 20, kCoarse = 8, coarseIterations = 3,
         m = 8, ksub = 16, pqIterations = 3, nprobe = 2, k = 10)),
 
+    // ----- IVFADC at iterations = 1: the identical architecture with
+    // both quantizers pinned at their deterministic seeds, so coarse
+    // probing, residual encoding, AND ADC scoring are hash-checked
+    // (Lloyd's-refined codebooks stay exercised by q_ivfadc_topk) -----
+    "q_ivfadc_pinned" -> ((s, dir) =>
+      ProductQuantizer.ivfadcTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 20, kCoarse = 8, coarseIterations = 1,
+        m = 8, ksub = 16, pqIterations = 1, nprobe = 2, k = 10)),
+
     // ----- Multi-probe IVF: nprobe=2 probes each query's two nearest
     // centroids — the recall knob of a production IVF index. Like
     // q_knn_kmeans_ivf, iterations = 1 pins the coarse quantizer at
@@ -3711,6 +3720,68 @@ object SparkEntry {
                        / (qnorm * sqrt(cs[1]+cs[2]+cs[3]+cs[4]+cs[5]+cs[6]+cs[7]+cs[8]))
              END AS sim
            FROM parts)
+         SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         WHERE rnk <= 10""",
+    // IVFADC with both quantizers at their deterministic seeds: coarse
+    // cells = first-8 vectors (assignment argmin |c|^2 - 2 v.c, ties
+    // to the lower cell), probing = top-2 cells by RAW DOT descending
+    // (the MIPS contract — not distance), residual PQ codebooks =
+    // sub-slices of the first-16 residuals, ADC score = coarse dot +
+    // per-subspace lookups folded in ascending j (left-assoc chain
+    // mirrors the engine's accumulation bit for bit)
+    "q_ivfadc_pinned" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cseed AS (SELECT emb AS cent, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         casg AS (SELECT vec_id, cl FROM (
+             SELECT e.vec_id, c.cl,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_inner_product(c.cent, c.cent)
+                               - 2.0 * list_inner_product(e.emb, c.cent), c.cl) AS rn
+             FROM e, cseed c) WHERE rn = 1),
+         res AS (SELECT e.vec_id, a.cl,
+                   [e.emb[i] - c.cent[i] for i in generate_series(1, 64)] AS r
+                 FROM e JOIN casg a USING (vec_id) JOIN cseed c ON c.cl = a.cl),
+         pseed AS (SELECT r, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+                   FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16)),
+         js AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+         cent2 AS (SELECT js.j, pseed.c,
+                     list_slice(pseed.r, js.j * 8 + 1, js.j * 8 + 8) AS cent,
+                     list_inner_product(
+                       list_slice(pseed.r, js.j * 8 + 1, js.j * 8 + 8),
+                       list_slice(pseed.r, js.j * 8 + 1, js.j * 8 + 8)) AS c2
+                   FROM pseed, js),
+         enc AS (SELECT vec_id, cl, j, c FROM (
+             SELECT res.vec_id, res.cl, t.j, t.c,
+                    row_number() OVER (PARTITION BY res.vec_id, t.j
+                      ORDER BY t.c2 - 2.0 * list_inner_product(
+                        list_slice(res.r, t.j * 8 + 1, t.j * 8 + 8), t.cent), t.c) AS rn
+             FROM res, cent2 t) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+         pr AS (SELECT query_id, cl AS probe_cl, coarse_dot FROM (
+             SELECT q.query_id, c.cl,
+                    list_inner_product(q.qemb, c.cent) AS coarse_dot,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_inner_product(q.qemb, c.cent) DESC, c.cl) AS rn
+             FROM q, cseed c) WHERE rn <= 2),
+         dt AS (SELECT q.query_id, t.j, t.c,
+                  list_inner_product(
+                    list_slice(q.qemb, t.j * 8 + 1, t.j * 8 + 8), t.cent) AS d
+                FROM q, cent2 t),
+         parts AS (SELECT q.query_id, enc.vec_id, enc.cl,
+                     list(dt.d ORDER BY enc.j) AS ds
+                   FROM enc
+                   JOIN q ON enc.vec_id <> q.query_id
+                   JOIN dt ON dt.query_id = q.query_id AND dt.j = enc.j AND dt.c = enc.c
+                   GROUP BY 1, 2, 3),
+         scored AS (SELECT p.query_id, p.vec_id AS neighbor_id,
+                      pr.coarse_dot + ds[1] + ds[2] + ds[3] + ds[4]
+                        + ds[5] + ds[6] + ds[7] + ds[8] AS sim
+                    FROM parts p
+                    JOIN pr ON pr.query_id = p.query_id AND pr.probe_cl = p.cl)
          SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM (
            SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
