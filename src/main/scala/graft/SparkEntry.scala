@@ -2128,7 +2128,32 @@ object SparkEntry {
     // exact-integer argmax with smallest-index tie-break --------------
     "q_changepoint" -> ((s, dir) =>
       EventOps.changePoint(Tables.events(s, dir), "event_type", "ts",
-        "event_id", "value"))
+        "event_id", "value")),
+
+    // ----- Daily top movers: largest absolute day-over-day returns.
+    // Rank key is floor basis points in INTEGERS (a float-ratio sort
+    // could tie-break differently across engines); reported bps stays
+    // the one IEEE division. TakeOrdered top-k, no global sort -------
+    "q_top_movers" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket_ts"))
+      val cents = round(col("close") * 100).cast(LongType)
+      r1d.select(col("user_id"), col("bucket_ts"), cents.as("close_cents"))
+        .withColumn("prev_cents", lag(col("close_cents"), 1).over(w))
+        .filter(col("prev_cents").isNotNull && col("prev_cents") =!= 0)
+        .withColumn("move_cents", col("close_cents") - col("prev_cents"))
+        .withColumn("__bps_floor",
+          expr("abs(move_cents) * 10000 div abs(prev_cents)"))
+        .withColumn("move_bps",
+          (col("move_cents") * lit(10000L)).cast(DoubleType) /
+            col("prev_cents").cast(DoubleType))
+        .orderBy(col("__bps_floor").desc, col("user_id"), col("bucket_ts"))
+        .limit(25)
+        .select(col("user_id"), col("bucket_ts"), col("close_cents"),
+          col("prev_cents"), col("move_cents"), col("move_bps"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5432,7 +5457,27 @@ object SparkEntry {
                   FROM d)
          SELECT event_type, n_obs, change_ts, split_idx, cusum_num,
                 mean_before, mean_after
-         FROM best WHERE rk = 1"""
+         FROM best WHERE rk = 1""",
+    "q_top_movers" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS close_cents FROM r1d),
+         m AS (SELECT user_id, bucket_ts, close_cents,
+                 lag(close_cents) OVER (PARTITION BY user_id
+                   ORDER BY bucket_ts) AS prev_cents
+               FROM c),
+         d AS (SELECT user_id, bucket_ts, close_cents, prev_cents,
+                 close_cents - prev_cents AS move_cents
+               FROM m WHERE prev_cents IS NOT NULL AND prev_cents <> 0)
+         SELECT user_id, bucket_ts, close_cents, prev_cents, move_cents,
+                CAST(move_cents * 10000 AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+                  AS move_bps
+         FROM d
+         ORDER BY abs(move_cents) * 10000 // abs(prev_cents) DESC,
+                  user_id, bucket_ts
+         LIMIT 25"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights
