@@ -2130,6 +2130,15 @@ object SparkEntry {
       EventOps.changePoint(Tables.events(s, dir), "event_type", "ts",
         "event_id", "value")),
 
+    // ----- Heikin-Ashi candles: ha_close one division of the cents
+    // OHLC sum; ha_open the truncated dyadic-weight EWMA of past
+    // ha_closes (exact longs, one division), seeded at raw (o+c)/2 ---
+    "q_heikin_ashi" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.heikinAshi(r1h, Seq("user_id"), "bucket_ts", nWindow = 12)
+    }),
+
     // ----- Daily top movers: largest absolute day-over-day returns.
     // Rank key is floor basis points in INTEGERS (a float-ratio sort
     // could tie-break differently across engines); reported bps stays
@@ -5458,6 +5467,7 @@ object SparkEntry {
          SELECT event_type, n_obs, change_ts, split_idx, cusum_num,
                 mean_before, mean_after
          FROM best WHERE rk = 1""",
+    "q_heikin_ashi" -> haOracleSql(nWindow = 12),
     "q_top_movers" ->
       """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
                 arg_max(value, ts) AS close
@@ -5533,6 +5543,44 @@ object SparkEntry {
                 macd_micro, sig_v AS signal_micro,
                 CAST(macd_micro AS DOUBLE) - sig_v AS hist_micro
          FROM sig"""
+  }
+
+  /** Oracle for q_heikin_ashi: hc4 = cents OHLC sum (= 4·ha_close
+    * cents); ha_open = Σ 2^(n-j)·hc4_lag_j / (400·Σ 2^(n-j) present),
+    * the engine's truncated dyadic EWMA, seeded at raw (o+c)/2.
+    */
+  private def haOracleSql(nWindow: Int): String = {
+    def lagExpr(j: Int) = s"lag(hc4, $j) OVER w"
+    val numTerms = (1 to nWindow).map { j =>
+      s"CASE WHEN ${lagExpr(j)} IS NOT NULL THEN ${1L << (nWindow - j)} * ${lagExpr(j)} ELSE 0 END"
+    }.mkString("\n                + ")
+    val wTerms = (1 to nWindow).map { j =>
+      s"CASE WHEN ${lagExpr(j)} IS NOT NULL THEN CAST(${1L << (nWindow - j)} AS BIGINT) ELSE 0 END"
+    }.mkString("\n                + ")
+    s"""WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_min(value, ts) AS open, max(value) AS high,
+                min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts, open, high, low, close,
+                 CAST(round(open * 100) AS BIGINT) AS oc,
+                 CAST(round(close * 100) AS BIGINT) AS cc,
+                 CAST(round(open * 100) AS BIGINT) + CAST(round(high * 100) AS BIGINT)
+                   + CAST(round(low * 100) AS BIGINT) + CAST(round(close * 100) AS BIGINT) AS hc4
+               FROM r1h),
+         h AS (SELECT user_id, bucket_ts, high, low, oc, cc, hc4,
+                 $numTerms AS num,
+                 $wTerms AS wsum
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         ha AS (SELECT user_id, bucket_ts, high, low,
+                 CASE WHEN wsum = 0
+                      THEN CAST(oc + cc AS DOUBLE) / 200.0
+                      ELSE CAST(num AS DOUBLE) / CAST(wsum * 400 AS DOUBLE) END AS ha_open,
+                 CAST(hc4 AS DOUBLE) / 400.0 AS ha_close
+               FROM h)
+         SELECT user_id, bucket_ts, ha_open, ha_close,
+                greatest(high, ha_open, ha_close) AS ha_high,
+                least(low, ha_open, ha_close) AS ha_low
+         FROM ha"""
   }
 
   private def emaOracleSql(nWindow: Int): String = {

@@ -140,6 +140,10 @@ final class CandleTable private (
   def autocorrelation(timeframe: String, k: Int = 1): DataFrame =
     CandleOps.autocorrelation(rollup(timeframe), rkeys, "bucket_ts", "close", k)
 
+  /** Heikin-Ashi candles over a rollup (truncated exact open). */
+  def heikinAshi(timeframe: String, nWindow: Int = 12): DataFrame =
+    CandleOps.heikinAshi(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
   /** Volume-at-price profile over a rollup. */
   def volumeProfile(timeframe: String, bucketCents: Long = 100L): DataFrame =
     CandleOps.volumeProfile(rollup(timeframe), rkeys, "close", "volume", bucketCents)

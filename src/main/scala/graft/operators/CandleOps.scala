@@ -875,6 +875,55 @@ object CandleOps {
           .as("intercept_cents")): _*)
   }
 
+  /** Heikin-Ashi candles with a truncated exact open. ha_close =
+    * (o+h+l+c)/4 is ONE IEEE division of a cents-integer sum. The
+    * classical recursive ha_open = (ha_open' + ha_close')/2 unrolls
+    * to an EWMA(1/2) of past ha_closes whose dyadic denominator grows
+    * without bound, so (like [[ema]]) the engine ships the truncated,
+    * renormalized form over the trailing `nWindow` lags: integer
+    * weights 2^(n-j) on lag j make numerator and denominator exact
+    * longs and ha_open ONE division — bit-reproducible anywhere. A
+    * bar with no history seeds at the raw (o+c)/2. ha_high/ha_low are
+    * exact max/min over raw extremes and the two computed doubles.
+    *
+    * One window per key, same single-exchange shape as the indicator
+    * family; the n explicit lags stay inside one codegen'd frame.
+    */
+  def heikinAshi(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int = 12
+  ): DataFrame = {
+    require(nWindow >= 1 && nWindow <= 40,
+      s"nWindow=$nWindow outside [1, 40]: 2^n weights must stay long-exact"
+        + " against cent sums")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val oc = round(col("open") * 100).cast(LongType)
+    val cc = round(col("close") * 100).cast(LongType)
+    val hc4 = (round(col("open") * 100) + round(col("high") * 100) +
+      round(col("low") * 100) + round(col("close") * 100)).cast(LongType)
+    val terms = (1 to nWindow).map { j =>
+      val xj = lag(hc4, j).over(wOrd)
+      val wj = lit(1L << (nWindow - j))
+      (when(xj.isNotNull, xj * wj).otherwise(lit(0L)),
+        when(xj.isNotNull, wj).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val wsum = terms.map(_._2).reduce(_ + _)
+    val haClose = hc4.cast(DoubleType) / lit(400.0)
+    val haOpen = when(wsum === 0, (oc + cc).cast(DoubleType) / lit(200.0))
+      .otherwise(num.cast(DoubleType) / (wsum * lit(400L)).cast(DoubleType))
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        haOpen.as("ha_open") :+ haClose.as("ha_close") :+
+        col("high") :+ col("low")): _*)
+      .select(
+        (keys.map(col) :+ col(bucketCol) :+ col("ha_open") :+ col("ha_close") :+
+          greatest(col("high"), col("ha_open"), col("ha_close")).as("ha_high") :+
+          least(col("low"), col("ha_open"), col("ha_close")).as("ha_low")): _*)
+  }
+
   /** Per-key lag-`k` autocorrelation of close cents — the mean-
     * reversion / momentum diagnostic (is the next bar correlated with
     * this one?). Pearson r over (y_{t-k}, y_t) pairs from exact

@@ -287,6 +287,23 @@ class DriftNoveltySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("heikinAshi: seed open, smoothed open, and extreme envelopes are exact") {
+    val rollup = Seq(
+      ("s", ts("2024-01-01 00:00:00"), 1.0, 3.0, 1.0, 3.0),
+      ("s", ts("2024-01-01 01:00:00"), 3.0, 5.0, 3.0, 5.0)
+    ).toDF("sym", "bucket_ts", "open", "high", "low", "close")
+    val got = graft.operators.CandleOps
+      .heikinAshi(rollup, Seq("sym"), "bucket_ts", nWindow = 12)
+      .as[(String, Timestamp, Double, Double, Double, Double)]
+      .collect().sortBy(_._2.getTime).toSeq
+    // bar0: ha_close = (1+3+1+3)/4 = 2, ha_open seeds at (o+c)/2 = 2;
+    // bar1: ha_close = 4, ha_open = single-lag EWMA = prior ha_close =
+    // 2 exactly; envelopes take the raw extremes where wider
+    assert(got == Seq(
+      ("s", ts("2024-01-01 00:00:00"), 2.0, 2.0, 3.0, 1.0),
+      ("s", ts("2024-01-01 01:00:00"), 2.0, 4.0, 5.0, 2.0)))
+  }
+
   test("driftKs raises past the exact-compare bound instead of NULLing") {
     // den bound is checked before any squared compare; a synthetic
     // cohort product over 3.3e16 must fail loudly
