@@ -2130,6 +2130,29 @@ object SparkEntry {
       EventOps.changePoint(Tables.events(s, dir), "event_type", "ts",
         "event_id", "value")),
 
+    // ----- Global five-number summary by EXACT distributed order
+    // statistics: rank selection at ceil(n*p) over the range-
+    // partitioned ranking — no approx sketch, no one-task sort -------
+    "q_five_number" -> ((s, dir) => {
+      val t = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast(LongType).as("cents"),
+          col("event_id"))
+      val ranked = graft.operators.RankOps.distributedRank(
+        t, Seq(col("cents"), col("event_id")), "__r")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      ranked.join(broadcast(n))
+        .agg(
+          max(col("__n")).as("n_values"),
+          max(when(col("__r") === 1, col("cents"))).as("min_cents"),
+          max(when(col("__r") === expr("(__n + 3) div 4"), col("cents")))
+            .as("p25_cents"),
+          max(when(col("__r") === expr("(__n + 1) div 2"), col("cents")))
+            .as("median_cents"),
+          max(when(col("__r") === expr("(3 * __n + 3) div 4"), col("cents")))
+            .as("p75_cents"),
+          max(when(col("__r") === col("__n"), col("cents"))).as("max_cents"))
+    }),
+
     // ----- Heikin-Ashi candles: ha_close one division of the cents
     // OHLC sum; ha_open the truncated dyadic-weight EWMA of past
     // ha_closes (exact longs, one division), seeded at raw (o+c)/2 ---
@@ -5467,6 +5490,20 @@ object SparkEntry {
          SELECT event_type, n_obs, change_ts, split_idx, cusum_num,
                 mean_before, mean_after
          FROM best WHERE rk = 1""",
+    "q_five_number" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+            FROM events WHERE value IS NOT NULL),
+         r AS (SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) AS i,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+               FROM c)
+         SELECT max(n) AS n_values,
+                max(CASE WHEN i = 1 THEN cents END) AS min_cents,
+                max(CASE WHEN i = (n + 3) // 4 THEN cents END) AS p25_cents,
+                max(CASE WHEN i = (n + 1) // 2 THEN cents END) AS median_cents,
+                max(CASE WHEN i = (3 * n + 3) // 4 THEN cents END) AS p75_cents,
+                max(CASE WHEN i = n THEN cents END) AS max_cents
+         FROM r""",
     "q_heikin_ashi" -> haOracleSql(nWindow = 12),
     "q_top_movers" ->
       """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
