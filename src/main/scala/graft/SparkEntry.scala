@@ -2130,6 +2130,34 @@ object SparkEntry {
       EventOps.changePoint(Tables.events(s, dir), "event_type", "ts",
         "event_id", "value")),
 
+    // ----- Lorenz curve deciles: the distribution behind q_gini —
+    // cumulative spend share per user-decile, deciles from the
+    // distributed exact ntile, shares one division each -------------
+    "q_lorenz_deciles" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val totals = Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("__x"))
+      val tiled = graft.operators.RankOps.distributedNtile(totals,
+        Seq(col("__x"), col("user_id")), buckets = 10, outCol = "decile")
+      val perDecile = tiled
+        .groupBy(col("decile").cast(LongType).as("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("__x").cast(dec)).cast(LongType).as("decile_cents"))
+      // 10-row frame: the unpartitioned windows here order DECILES,
+      // not users — same bounded shape as RankOps' offset frame
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wTot = org.apache.spark.sql.expressions.Window.partitionBy()
+      perDecile
+        .withColumn("cum_cents", sum(col("decile_cents")).over(wCum))
+        .withColumn("total_cents", sum(col("decile_cents")).over(wTot))
+        .select(col("decile"), col("n_users"), col("decile_cents"),
+          col("cum_cents"),
+          (col("cum_cents").cast(DoubleType) /
+            col("total_cents").cast(DoubleType)).as("cum_share"))
+    }),
+
     // ----- Global five-number summary by EXACT distributed order
     // statistics: rank selection at ceil(n*p) over the range-
     // partitioned ranking — no approx sketch, no one-task sort -------
@@ -5490,6 +5518,24 @@ object SparkEntry {
          SELECT event_type, n_obs, change_ts, split_idx, cusum_num,
                 mean_before, mean_after
          FROM best WHERE rk = 1""",
+    "q_lorenz_deciles" ->
+      """WITH t AS (SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+         d AS (SELECT x,
+                 CAST(ntile(10) OVER (ORDER BY x, user_id) AS BIGINT) AS decile
+               FROM t),
+         p AS (SELECT decile, count(*) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS decile_cents
+               FROM d GROUP BY 1)
+         SELECT decile, n_users, decile_cents,
+                CAST(sum(decile_cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_cents,
+                CAST(sum(decile_cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(sum(decile_cents) OVER () AS DOUBLE) AS cum_share
+         FROM p""",
     "q_five_number" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
             FROM events WHERE value IS NOT NULL),
