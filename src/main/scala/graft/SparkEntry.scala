@@ -2130,6 +2130,34 @@ object SparkEntry {
       EventOps.changePoint(Tables.events(s, dir), "event_type", "ts",
         "event_id", "value")),
 
+    // ----- Longest up/down day streaks per user: gaps-and-islands on
+    // the sign of the daily move (flat days break streaks); the
+    // momentum-persistence readout of the candle series -------------
+    "q_streaks" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket_ts"))
+      val cents = round(col("close") * 100).cast(LongType)
+      val sgn = when(cents > lag(cents, 1).over(w), 1)
+        .when(cents < lag(cents, 1).over(w), -1).otherwise(0)
+      val wSgn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("sgn")).orderBy(col("bucket_ts"))
+      r1d.select(col("user_id"), col("bucket_ts"), sgn.as("sgn"),
+          lag(cents, 1).over(w).isNotNull.as("__has_prev"))
+        .filter(col("__has_prev") && col("sgn") =!= 0)
+        .withColumn("__isl",
+          row_number().over(w) - row_number().over(wSgn))
+        .groupBy(col("user_id"), col("sgn"), col("__isl"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(max(when(col("sgn") === 1, col("__len"))), lit(0L))
+            .as("longest_up"),
+          coalesce(max(when(col("sgn") === -1, col("__len"))), lit(0L))
+            .as("longest_down"))
+    }),
+
     // ----- Lorenz curve deciles: the distribution behind q_gini —
     // cumulative spend share per user-decile, deciles from the
     // distributed exact ntile, shares one division each -------------
@@ -5518,6 +5546,29 @@ object SparkEntry {
          SELECT event_type, n_obs, change_ts, split_idx, cusum_num,
                 mean_before, mean_after
          FROM best WHERE rk = 1""",
+    "q_streaks" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1d),
+         m AS (SELECT user_id, bucket_ts,
+                 CASE WHEN cents > lag(cents) OVER w THEN 1
+                      WHEN cents < lag(cents) OVER w THEN -1 ELSE 0 END AS sgn,
+                 lag(cents) OVER w IS NOT NULL AS has_prev
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         f AS (SELECT user_id, bucket_ts, sgn,
+                 row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts)
+                 - row_number() OVER (PARTITION BY user_id, sgn ORDER BY bucket_ts) AS isl
+               FROM m WHERE has_prev AND sgn <> 0),
+         s AS (SELECT user_id, sgn, isl, CAST(count(*) AS BIGINT) AS len
+               FROM f GROUP BY 1, 2, 3)
+         SELECT user_id,
+                CAST(coalesce(max(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT)
+                  AS longest_up,
+                CAST(coalesce(max(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT)
+                  AS longest_down
+         FROM s GROUP BY 1""",
     "q_lorenz_deciles" ->
       """WITH t AS (SELECT user_id,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
