@@ -516,9 +516,13 @@ object SparkEntry {
         shingleSize = 3, bucketCap = 10000L)
       val bb = batchBanded.localCheckpoint(true)
       val oldPairs = TextOps.minhashPairsFromBanded(cb, "doc_id", keyCols)
-      val standing = graft.operators.DedupGroups
-        .resolveKeepers(docs, "doc_id", oldPairs)
-        .select(col("doc_id"), col("keeper_id").as("group_id"))
+      // Standing labels = the CC solve's own (checkpointed) output —
+      // rows only for docs in some group. Singletons need no standing
+      // row: the fold treats their ids as new and the final coalesce
+      // labels them self, so resolveKeepers' docs-join (whose
+      // unmaterialized lineage incrementalGroups replayed four times)
+      // buys nothing.
+      val standing = graft.operators.DedupGroups.connectedComponents(oldPairs)
       val cross = TextOps.minhashCrossFromBanded(bb, "doc_id", cb, "doc_id", keyCols)
         .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
       val within = TextOps.minhashPairsFromBanded(bb, "doc_id", keyCols)

@@ -27,11 +27,18 @@ object DedupGroups {
     // (Tried: AQE off for the loop — 1.5-2x SLOWER. The adaptive
     // coalescing of each round's tiny shuffles down to 1-2 partitions
     // is worth far more than the re-planning overhead it costs.)
+    // Both edge directions come from ONE pass over the pair lineage
+    // (explode, not self-union — the union form executed the upstream
+    // pair generation twice before the cache could fill), and edges
+    // are NOT distinct'd: every consumer is a min() aggregate or a
+    // min-feeding join, both insensitive to duplicate edges, so the
+    // dedup shuffle bought nothing.
     val edges = pairs
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .unionByName(pairs.select(
-        col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
-      .distinct()
+      .select(col("doc_a").cast("long").as("__a"), col("doc_b").cast("long").as("__b"))
+      .select(explode(array(
+        struct(col("__a").as("src"), col("__b").as("dst")),
+        struct(col("__b").as("src"), col("__a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .cache()
 
     // localCheckpoint each round: iterative self-referential lineage
@@ -47,6 +54,10 @@ object DedupGroups {
     // common case for near-dup groups: mutually-similar docs pair all
     // ways) converge at init, so the loop's first round is already the
     // no-change detection round.
+    // (Tried: leaving init unmaterialized so round 0 computes it
+    // inline — measured ~20% SLOWER across the family; the round's two
+    // uses of the init subtree don't reliably collapse into one
+    // ReusedExchange under AQE, so the eager checkpoint stays.)
     var labels = edges
       .groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
@@ -54,13 +65,14 @@ object DedupGroups {
         least(col("src"), col("__m")).as("group_id"))
       .localCheckpoint(true)
 
-    // convergence check: labels only ever decrease, so the label sum
-    // strictly decreases iff any node changed — one tiny aggregate
-    // instead of a join per round
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("group_id"), lit(0L))).head().getLong(0)
-
-    var prevSum = labelSum(labels)
+    // Convergence probe: a per-row __changed flag set where the
+    // propagation step lowered a label, folded max() over the
+    // checkpointed round output. Exact — labels only ever decrease, so
+    // "no row lowered" IS the propagation fixpoint — and it replaces
+    // the old label-sum probe, whose extra init-round action it
+    // deletes. Probing the PRE-doubling state is sound: at a
+    // propagation fixpoint every neighbor pair shares a label, so each
+    // label is its component min and doubling is the identity.
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -75,23 +87,41 @@ object DedupGroups {
       val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
-          least(col("group_id"), coalesce(col("__nmin"), col("group_id"))).as("group_id"))
+          least(col("group_id"), coalesce(col("__nmin"), col("group_id"))).as("group_id"),
+          (coalesce(col("__nmin"), col("group_id")) < col("group_id")).as("__changed"))
       // pointer doubling: label(u) <- label(label(u)). Labels are
       // always doc ids present in the table, so the self-join is
       // total. One extra shuffle of the (small) label table per round
       // turns convergence from O(diameter) rounds into O(log diameter)
       // — a pathological 1000-doc duplicate chain converges in ~10
       // rounds instead of 1000.
-      val updated = propagated.as("a")
-        .join(
-          propagated.select(col("doc_id").as("__l"), col("group_id").as("__lg")),
-          col("a.group_id") === col("__l"))
-        .select(col("a.doc_id").as("doc_id"), col("__lg").as("group_id"))
-        .localCheckpoint(true)
-      val curSum = labelSum(updated)
-      labels = updated
-      converged = curSum == prevSum
-      prevSum = curSum
+      // (Tried: persist() + flag-probe as ONE materializing action per
+      // round instead of checkpoint-then-probe — persist does not
+      // truncate the LOGICAL lineage, and the self-join below
+      // references `propagated` twice, so the plan tree doubles per
+      // round and deep-chain graphs abort in plan printing long
+      // before any data problem. The eager checkpoint stays; the
+      // probe job scans its materialized blocks in ~0.1 s.)
+      //
+      // Round 0 skips the doubling self-join: init is already the
+      // 1-hop min, so cliques — the overwhelmingly common near-dup
+      // component shape — converge at init and round 0 is only the
+      // no-change confirmation; paying a label(label(u)) join there
+      // buys nothing. Deep chains still get doubling from round 1 on,
+      // keeping O(log diameter) convergence one round later at worst.
+      val next =
+        if (it == 0) propagated
+        else propagated.as("a")
+          .join(
+            propagated.select(col("doc_id").as("__l"), col("group_id").as("__lg")),
+            col("a.group_id") === col("__l"))
+          .select(col("a.doc_id").as("doc_id"), col("__lg").as("group_id"),
+            col("a.__changed").as("__changed"))
+      val updated = next.localCheckpoint(true)
+      val anyChanged = updated
+        .agg(coalesce(max(col("__changed")), lit(false))).head().getBoolean(0)
+      labels = updated.drop("__changed")
+      converged = !anyChanged
       it += 1
     }
     edges.unpersist()

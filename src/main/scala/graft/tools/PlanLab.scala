@@ -71,6 +71,45 @@ object PlanLab {
         val tf = TextOps.hashingTfSparseWithNorm(docs2, "doc_id", "text", 4096)
         time(s"knn 1shot ${sys.env.getOrElse("GRAFT_KNN_VARIANT", "plain")}")(
           println(TextOps.sparseCosineTopK(tf, col("doc_id") % 50 === 0, k = 5).count()))
+      case "basket" =>
+        import graft.sources.Tables
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(spark, dir)
+        time("scan count")(println(li.select("l_orderkey", "l_partkey").count()))
+        val baskets = li
+          .groupBy(col("l_orderkey").as("__b"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+        time("baskets gather")(println(baskets.count()))
+        time("baskets gather 2nd")(println(baskets.count()))
+        val pairs = baskets.select(explode(expr(
+          """flatten(transform(__items, (x, i) ->
+            |  transform(slice(__items, i + 2, size(__items)),
+            |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("__p"))
+        time("pair explode")(println(pairs.count()))
+        val full = graft.operators.BasketOps.coOccurrence(li, "l_orderkey", "l_partkey", 100)
+        time("full coOccurrence")(println(full.count()))
+        time("full coOccurrence 2nd")(println(full.count()))
+      case "basket2" =>
+        import graft.sources.Tables
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(spark, dir)
+        val baskets = li
+          .groupBy(col("l_orderkey").as("__b"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+        time("warm gather")(println(baskets.count()))
+        val pairs2 = baskets
+          .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "item_a")))
+          .select(col("item_a"),
+            explode(slice(col("__items"), col("__i") + lit(2), size(col("__items")))).as("item_b"))
+        time("pair explode v2")(println(pairs2.count()))
+        time("pair explode v2 2nd")(println(pairs2.count()))
+        val full2 = pairs2
+          .groupBy(col("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("n_baskets"))
+          .orderBy(col("n_baskets").desc, col("item_a").asc, col("item_b").asc)
+          .limit(100)
+        time("full v2")(println(full2.count()))
+        time("full v2 2nd")(println(full2.count()))
       case "bench1" =>
         val name = args(1)
         val sfDir = args(2)
