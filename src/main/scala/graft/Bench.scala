@@ -33,7 +33,7 @@ object Bench {
     // paths, ~1% of the data.
     val warmDir = "/root/testdata/sf0.001"
     Seq("q_ohlcv_rollup_15m", "q_dedup_groups", "q_knn_kmeans_ivf",
-      "q_simhash_neardup", "q_winnow_neardup").foreach { q =>
+      "q_simhash_neardup", "q_winnow_neardup", "q_copurchase").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }

@@ -6,13 +6,21 @@ import org.apache.spark.sql.functions._
 /** Market-basket co-occurrence over an order/item fact table — the
   * "frequently bought together" read (reference domain analog: which
   * symbols trade in the same account-session). One hash aggregate
-  * gathers each basket's (deduped, sorted) item set; a codegen'd
-  * nested `transform` explodes the C(items,2) ordered pairs row-side;
-  * one more hash aggregate counts per pair.
+  * gathers each basket's (deduped, sorted) item set; two chained
+  * Generates (posexplode, then explode over the tail slice) emit the
+  * C(items,2) ordered pairs; one more hash aggregate counts per pair.
+  *
+  * The pair expansion is deliberately lambda-free: the earlier nested
+  * `transform(... transform(slice(...)))` form evaluated its
+  * higher-order lambdas on the interpreted path inside every row
+  * (HOFs don't participate in whole-stage codegen) and profiled as
+  * the dominant stage; explode/slice/posexplode are plain codegen'd
+  * operators. Measured on the sf0.1 entry at local[32]: ~1.9 s warm
+  * for the lambda form vs ~1.3 s for this one (the distinct +
+  * self-join shape both replaced measured 3.8 s).
   *
   * Scale posture: two shuffles total (basket gather, pair count) —
-  * a distinct + self-join shape pays three and a join besides (this
-  * rewrite took the sf0.1 bench entry from 3.8 s to ~1 s). Per-basket
+  * a distinct + self-join shape pays three and a join besides. Per-basket
   * fan-out is C(items,2), bounded by the per-basket line cap (TPC-H:
   * ≤ 7 → ≤ 21 pairs) — linear in the table with a constant factor. A
   * pathological mega-basket would amplify quadratically, so
@@ -43,11 +51,11 @@ object BasketOps {
       if (maxBasketItems <= 0L) baskets
       else baskets.filter(size(col("__items")) <= maxBasketItems)
     guarded
-      .select(explode(expr(
-        """flatten(transform(__items, (x, i) ->
-          |  transform(slice(__items, i + 2, size(__items)),
-          |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("__p"))
-      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
+      .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "item_a")))
+      // slice is 1-based and tolerates over-long lengths, so
+      // (i+2, size) is exactly the strict tail after position __i
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__i") + lit(2), size(col("__items")))).as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .orderBy(col("n_baskets").desc, col("item_a").asc, col("item_b").asc)
