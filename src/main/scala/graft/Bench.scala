@@ -23,7 +23,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(new org.apache.spark.SparkConf().setAll(graft.sources.Tables.ReaderConfs))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup outside the timed loop (codegen, parquet
@@ -57,12 +59,13 @@ object Bench {
     // driver box runs other round work concurrently, and a transient
     // CPU spike can inflate one query 10-20x in a single-shot reading
     // (the round-3 artifact recorded 20 s for a query that measures
-    // ~1 s unloaded). min-of-2 on queries over 1 s bounds that noise
-    // for ~15 s of extra wall time; the sub-second tail isn't worth
-    // a second pass.
+    // ~1 s unloaded; the round-5 driver run inflated the whole suite
+    // 22% over the same-code builder bench). min-of-2 on queries over
+    // 0.5 s bounds that noise for ~30 s of extra wall time; the
+    // sub-half-second tail contributes too little to re-measure.
     val errored = errors.map(_._1).toSet
     val results = selected.zip(firstPass).map { case ((name, fn), (_, t1)) =>
-      if (t1 >= 1.0 && !errored(name)) name -> math.min(t1, timeOne(name, fn))
+      if (t1 >= 0.5 && !errored(name)) name -> math.min(t1, timeOne(name, fn))
       else name -> t1
     }
     // The driver keeps only a ~2 KB tail of stdout (the round-2

@@ -159,10 +159,29 @@ object GapOps {
     *
     * Scale design: the raw events are bucketed ONCE at the finest
     * grain (distinct (key, bucket) — the same shape as the 1m rollup
-    * store); every coarser grain re-buckets that already-tiny set, the
-    * cascade trick applied to gap scanning. 8 grains cost one scan of
-    * the events plus 8 aggregations of rollup-sized data — not 8 scans
-    * of the raw table.
+    * store), then ONE lag-window over that set serves every grain.
+    * Two facts carry the whole scan:
+    *  - a missing range is exactly the space between two CONSECUTIVE
+    *    observed buckets more than one step apart — one lag over the
+    *    rollup-sized observed set. Never materialize the missing grid:
+    *    a sparse key at a fine grain would explode it (measured 6M+
+    *    grid rows and a window over all of them at sf0.01);
+    *  - every coarse-grain gap is visible in a finest-grain gap pair:
+    *    `floor(b,g) − floor(prev,g) > g` forces `b − prev > finest`
+    *    (b ≥ its floor, prev ≤ its floor + g − finest), and each
+    *    maximal missing run at grain g comes from exactly ONE finest
+    *    pair — the last observed finest bucket in the run's left
+    *    neighbor and the first in its right neighbor are consecutive,
+    *    since any finest bucket between them would sit in a coarse
+    *    bucket inside the run. So: lag once at the finest grain, keep
+    *    only the gap pairs, explode those few rows across grains, and
+    *    a per-grain floor comparison (plain codegen filter, no second
+    *    window, no per-grain distinct) yields every grain's ranges.
+    *
+    * 8 grains cost one scan of the events, one distinct, and ONE
+    * window exchange — not 8 distincts + 8 windows + an 8-way union.
+    * All grains are fixed-seconds (Timeframe bans calendar units), so
+    * micros arithmetic ≡ INTERVAL arithmetic in the UTC-pinned session.
     *
     * Output: (keys..., grain, range_start, range_end, n_missing), one
     * row per maximal run of missing buckets per key per grain.
@@ -176,37 +195,34 @@ object GapOps {
     val finest = grains.minBy(_.seconds)
     require(grains.forall(g => finest.divides(g)),
       s"all grains must be integer multiples of the finest (${finest.label})")
-    val obsFinest = observedBuckets(df, keys, tsCol, finest.sparkInterval)
+    val finestStepUs = finest.seconds * 1000000L
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("__fb"))
+    val gapPairs = observedBuckets(df, keys, tsCol, finest.sparkInterval)
       .withColumnRenamed("bucket_ts", "__fb")
-      .cache()
-    val perGrain = grains.map { g =>
-      val obs =
-        if (g.seconds == finest.seconds)
-          obsFinest.select(keys.map(col) :+ col("__fb").as("bucket_ts"): _*)
-        else
-          obsFinest
-            .select(keys.map(col) :+
-              CandleOps.floorToGrain(col("__fb"), g.sparkInterval).as("bucket_ts"): _*)
-            .distinct()
-      // a missing range is exactly the space between two CONSECUTIVE
-      // observed buckets more than one step apart — one lag over the
-      // rollup-sized observed set. Never materialize the missing grid:
-      // a sparse key at a fine grain would explode it (measured 6M+
-      // grid rows and a window over all of them at sf0.01).
-      val stepUs = g.seconds * 1000000L
-      val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket_ts"))
-      obs
-        .withColumn("__prev", lag(col("bucket_ts"), 1).over(byKey))
-        .filter(col("__prev").isNotNull &&
-          unix_micros(col("bucket_ts")) - unix_micros(col("__prev")) > stepUs)
-        .select(
-          keys.map(col) :+ lit(g.label).as("grain") :+
-            (col("__prev") + expr(s"INTERVAL ${g.sparkInterval}")).as("range_start") :+
-            (col("bucket_ts") - expr(s"INTERVAL ${g.sparkInterval}")).as("range_end") :+
-            (((unix_micros(col("bucket_ts")) - unix_micros(col("__prev"))) / stepUs) - 1L)
-              .cast(LongType).as("n_missing"): _*)
-    }
-    perGrain.reduce(_ unionByName _)
+      .withColumn("__prev", lag(col("__fb"), 1).over(byKey))
+      .filter(col("__prev").isNotNull &&
+        unix_micros(col("__fb")) - unix_micros(col("__prev")) > finestStepUs)
+    // one struct per grain per gap pair; step carried as a column so
+    // the range arithmetic below is grain-generic
+    val grainStructs = array(grains.map { g =>
+      def fl(c: Column): Column =
+        if (g.seconds == finest.seconds) c
+        else CandleOps.floorToGrain(c, g.sparkInterval)
+      struct(
+        lit(g.label).as("grain"),
+        lit(g.seconds * 1000000L).as("step_us"),
+        fl(col("__prev")).as("prev_b"),
+        fl(col("__fb")).as("cur_b"))
+    }: _*)
+    gapPairs
+      .select(keys.map(col) :+ explode(grainStructs).as("__g"): _*)
+      .filter(unix_micros(col("__g.cur_b")) - unix_micros(col("__g.prev_b")) > col("__g.step_us"))
+      .select(
+        keys.map(col) :+ col("__g.grain").as("grain") :+
+          timestamp_micros(unix_micros(col("__g.prev_b")) + col("__g.step_us")).as("range_start") :+
+          timestamp_micros(unix_micros(col("__g.cur_b")) - col("__g.step_us")).as("range_end") :+
+          (((unix_micros(col("__g.cur_b")) - unix_micros(col("__g.prev_b"))) / col("__g.step_us")) - 1L)
+            .cast(LongType).as("n_missing"): _*)
   }
 
   /** P5 — listing diff: ids present on one side only, labeled. The

@@ -12,26 +12,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * row-obscuring transforms before the first filter).
   */
 object Tables {
-  /** Parquet `isAdjustedToUTC=false` timestamps would otherwise infer
-    * as TIMESTAMP_NTZ (Spark 4 default), which breaks `unix_micros`
-    * and every epoch-arithmetic operator downstream. Pin the reader to
-    * TIMESTAMP_LTZ: sessions run with timeZone=UTC, so the stored
-    * micros are bit-identical either way — and identical to DuckDB's
-    * naive-timestamp reading of the same files.
+
+  /** The session confs this engine's parquet readers require. Sessions
+    * built by this repo (Bench, Verify, tests, tools) set them at build
+    * time; `ensure` is the fallback for externally-built sessions (the
+    * driver constructs its own and calls `SparkEntry.queries` directly).
+    * Check-then-set: a session already carrying the right values is
+    * never mutated, so repeated reads are side-effect-free. Neither
+    * conf is available as a per-read data-source option (verified
+    * against ParquetOptions in Spark 4.1.2), and both are consulted at
+    * execution time, not just schema inference — a scoped set/restore
+    * around the lazy `spark.read` would break at action time.
     */
+  val ReaderConfs: Seq[(String, String)] = Seq(
+    // Parquet `isAdjustedToUTC=false` timestamps would otherwise infer
+    // as TIMESTAMP_NTZ (Spark 4 default), which breaks `unix_micros`
+    // and every epoch-arithmetic operator downstream. Pin the reader to
+    // TIMESTAMP_LTZ: sessions run with timeZone=UTC, so the stored
+    // micros are bit-identical either way — and identical to DuckDB's
+    // naive-timestamp reading of the same files.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
+    // reader otherwise rejects; read it as epoch-nanos long.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  private def ensure(spark: SparkSession): Unit =
+    ReaderConfs.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ensure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read it as epoch-nanos long (legacy conf, runtime
-    * settable) and truncate to microseconds — integer `div`, never
-    * double division: epoch-nanos (~1.7e18) exceeds 2^53. This matches
-    * DuckDB's nanos→micros truncation bit-for-bit.
+  /** `events.ts` arrives as epoch-nanos long (see [[ReaderConfs]]);
+    * truncate to microseconds — integer `div`, never double division:
+    * epoch-nanos (~1.7e18) exceeds 2^53. This matches DuckDB's
+    * nanos→micros truncation bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

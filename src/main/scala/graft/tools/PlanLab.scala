@@ -110,6 +110,22 @@ object PlanLab {
           .limit(100)
         time("full v2")(println(full2.count()))
         time("full v2 2nd")(println(full2.count()))
+      case "gaps" =>
+        import graft.sources.Tables
+        val ev = Tables.events(spark, dir)
+        time("warmup events count")(println(ev.count()))
+        import graft.model.Timeframe
+        val obs = graft.operators.GapOps.observedBuckets(
+          ev, Seq("user_id"), "ts", Timeframe.RollupGrains.head.sparkInterval)
+        time("obsFinest distinct count")(println(obs.count()))
+        for (i <- 1 to 3) {
+          val scan = graft.SparkEntry.queries("q_rollup_gap_scan")(spark, dir)
+          time(s"q_rollup_gap_scan $i")(println(scan.count()))
+        }
+        for (i <- 1 to 3) {
+          val al = graft.SparkEntry.queries("q_alerts")(spark, dir)
+          time(s"q_alerts $i")(println(al.count()))
+        }
       case "bench1" =>
         val name = args(1)
         val sfDir = args(2)

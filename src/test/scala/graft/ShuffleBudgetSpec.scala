@@ -84,6 +84,22 @@ class ShuffleBudgetSpec extends SparkSpec {
       rows(EventOps.cohortLtv(evWild, "user_id", "ts", "value", pred)))
   }
 
+  test("multi-grain gap scan: two exchanges and ONE window for all 8 grains") {
+    // round-6 single-pass rewrite: distinct finest buckets (exchange 1),
+    // one lag-window per key (exchange 2), then explode+filter per grain
+    // — never a distinct or window per grain. 8 grains previously cost
+    // 16 exchanges; a regression back to per-grain windows multiplies
+    // the shuffled volume by the grain count at 100 TB.
+    val ev = (0 until 400).filter(i => i % 97 != 0).map { i =>
+      ((i % 3).toLong, new Timestamp(ts("2024-03-01 00:00:00").getTime + i * 60000L))
+    }.toDF("user_id", "ts")
+    val scan = operators.GapOps.multiGrainGapScan(
+      ev, Seq("user_id"), "ts", graft.model.Timeframe.RollupGrains)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 2, s"expected 2 exchanges:\n$plan")
+    assert("Window ".r.findAllIn(plan).size == 1, s"expected 1 window:\n$plan")
+  }
+
   test("feature-store query: raw shuffles once, day grain once") {
     val events = (1 to 200).map { i =>
       (i.toLong % 9, "view",

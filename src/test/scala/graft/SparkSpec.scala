@@ -12,6 +12,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(new org.apache.spark.SparkConf().setAll(graft.sources.Tables.ReaderConfs))
       // fresh warehouse per JVM: catalog state is per-JVM in-memory, so
       // a persistent warehouse dir would orphan table locations
       .config("spark.sql.warehouse.dir",
