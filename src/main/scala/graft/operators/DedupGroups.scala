@@ -117,9 +117,29 @@ object DedupGroups {
             col("a.group_id") === col("__l"))
           .select(col("a.doc_id").as("doc_id"), col("__lg").as("group_id"),
             col("a.__changed").as("__changed"))
-      val updated = next.localCheckpoint(true)
-      val anyChanged = updated
-        .agg(coalesce(max(col("__changed")), lit(false))).head().getBoolean(0)
+      // The probe rides the checkpoint: observe() metrics fire on the
+      // eager localCheckpoint's own action (verified on Spark 4.1.2),
+      // so convergence detection costs ZERO extra jobs per round. The
+      // metric arrives on the listener bus, i.e. asynchronously —
+      // poll briefly, then fall back to the explicit aggregate over
+      // the checkpointed blocks (the pre-round-6 probe) if it never
+      // lands. An empty round observes [null] -> no change.
+      val obs = new org.apache.spark.sql.Observation()
+      val updated = next
+        .observe(obs, max(col("__changed")).as("any"))
+        .localCheckpoint(true)
+      var probed: Option[Boolean] = None
+      var waitedMs = 0
+      while (probed.isEmpty && waitedMs < 1000) {
+        obs.future.value match {
+          case Some(scala.util.Success(row)) =>
+            probed = Some(!row.isNullAt(0) && row.getBoolean(0))
+          case Some(scala.util.Failure(_)) => waitedMs = 1000
+          case None => Thread.sleep(2); waitedMs += 2
+        }
+      }
+      val anyChanged = probed.getOrElse(
+        updated.agg(coalesce(max(col("__changed")), lit(false))).head().getBoolean(0))
       labels = updated.drop("__changed")
       converged = !anyChanged
       it += 1
@@ -133,20 +153,31 @@ object DedupGroups {
     * actually performs daily (you never re-cluster the world; you
     * merge the day's near-dup pairs into yesterday's groups).
     *
-    * Only components touched by the batch are re-solved: star edges
-    * (doc_id, group_id) reproduce their old connectivity exactly, and
-    * CC runs over star ∪ new pairs — a graph the size of the touched
-    * COMPONENTS (usually ~ the batch; group-sized if one pair lands
-    * in a giant standing group, and those rows shuffle but are never
-    * broadcast). The standing label table itself is SCANNED three
-    * times but never shuffled: the node probes and the one-row-per-
-    * touched-group (old → new group) remap are broadcast back. New pairs may reference docs
-    * absent from `labels` (a brand-new batch); those come back labeled
-    * too. Docs in no pair and no standing row stay absent (coalesce at
-    * the call site, as [[resolveKeepers]] does).
+    * The fold runs CC on the COLLAPSED graph: each pair endpoint is
+    * replaced by its standing group id (or kept as itself when the doc
+    * is new), and edges that land inside one group are dropped. Nodes
+    * are then group ids and new ids only, so the solved graph is
+    * bounded by the DAY'S PAIRS — never by the size of the touched
+    * groups (one hot pair into a billion-doc standing group costs one
+    * collapsed node, not a billion star edges; the earlier star-edge
+    * formulation paid the whole touched component). Because standing
+    * labels are min-labelings (group_id = min member id — the contract
+    * below), the min over collapsed node ids IS the min over all
+    * underlying member ids, so the collapsed solve and the full solve
+    * agree exactly.
+    *
+    * The standing label table itself is SCANNED twice but never
+    * shuffled: the node probe and the (old group → new group) remap
+    * are broadcast into it. New pairs may reference docs absent from
+    * `labels` (a brand-new batch); those come back labeled too. Docs
+    * in no pair and no standing row stay absent (coalesce at the call
+    * site, as [[resolveKeepers]] does).
     *
     * @param labels standing assignment (doc_id, group_id) — an earlier
-    *               [[connectedComponents]]/[[resolveKeepers]] output
+    *               [[connectedComponents]]/[[resolveKeepers]] output.
+    *               MUST be a min-labeling: group_id = min doc_id of the
+    *               group (what both of those produce). A score-based
+    *               [[resolveKeepersBy]] labeling is NOT a valid input.
     * @param newPairs columns (doc_a, doc_b) — the new batch's edges
     */
   def incrementalGroups(
@@ -155,7 +186,7 @@ object DedupGroups {
       maxIterations: Int = 10,
       broadcastBatch: Boolean = true
   ): DataFrame = {
-    // The batch-bounded frames (nodes/touched/remap/...) are hinted
+    // The batch-bounded frames (nodes/nodeLbl/remap/...) are hinted
     // broadcast by default — right for the daily-ingest shape where
     // the batch is orders of magnitude under the corpus. A batch too
     // big to broadcast (a backfill merging months at once) would
@@ -170,27 +201,27 @@ object DedupGroups {
       col("doc_id").cast("long").as("doc_id"), col("group_id").cast("long").as("group_id"))
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    // groups with any member incident to a new pair (batch-bounded)
-    val touched = lbl.join(hint(nodes), Seq("doc_id"))
-      .select(col("group_id")).distinct()
-    val affected = lbl.join(hint(touched), Seq("group_id"))
-    val starEdges = affected
-      .select(col("doc_id").as("doc_a"), col("group_id").as("doc_b"))
-    val cc = connectedComponents(starEdges.unionByName(pairs), maxIterations)
-    // every member of an old group shares one cc label (star edges keep
-    // the group connected), so the remap is one row per touched group.
-    // cc and affected are touched-COMPONENT-sized (one hot pair into a
-    // giant standing group makes them group-sized), so this join stays
-    // a plain shuffle of the touched components — only the
-    // group-count-bounded remap result is ever broadcast.
-    val remap = affected.withColumnRenamed("group_id", "old_group")
-      .join(cc, Seq("doc_id"))
-      .select(col("old_group"), col("group_id")).distinct()
-    val existingNodes = lbl.join(hint(nodes), Seq("doc_id")).select(col("doc_id"))
-    val newIds = nodes.join(hint(existingNodes), Seq("doc_id"), "left_anti")
+    // standing rows for docs incident to a new pair (batch-bounded);
+    // the one scan of the corpus-sized label table on the fold path
+    val nodeLbl = lbl.join(hint(nodes), Seq("doc_id"))
+    // collapse endpoints to their standing groups; an edge whose ends
+    // share a group carries no new information and is dropped
+    val collapsed = pairs
+      .join(hint(nodeLbl.select(col("doc_id").as("doc_a"), col("group_id").as("__ga"))),
+        Seq("doc_a"), "left")
+      .join(hint(nodeLbl.select(col("doc_id").as("doc_b"), col("group_id").as("__gb"))),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("__ga"), col("doc_a")).as("doc_a"),
+        coalesce(col("__gb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // cc nodes = touched group ids + new doc ids; labels = component
+    // min over them = component min over all underlying members
+    val cc = connectedComponents(collapsed, maxIterations)
+    val newIds = nodes.join(hint(nodeLbl.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     val newDocRows = cc.join(hint(newIds), Seq("doc_id"))
     lbl.withColumnRenamed("group_id", "old_group")
-      .join(hint(remap), Seq("old_group"), "left")
+      .join(hint(cc.select(col("doc_id").as("old_group"), col("group_id"))),
+        Seq("old_group"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("old_group")).as("group_id"))
       .unionByName(newDocRows)

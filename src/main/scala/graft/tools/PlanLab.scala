@@ -126,12 +126,94 @@ object PlanLab {
           val al = graft.SparkEntry.queries("q_alerts")(spark, dir)
           time(s"q_alerts $i")(println(al.count()))
         }
+      case "observe" =>
+        // does localCheckpoint(true) fire Dataset.observe metrics?
+        import org.apache.spark.sql.functions._
+        val obs = new org.apache.spark.sql.Observation("probe")
+        val df = spark.range(100).toDF("id")
+          .withColumn("__changed", col("id") > 90)
+          .observe(obs, max(col("__changed")).as("any"))
+          .localCheckpoint(true)
+        println(s"[planlab] ckpt rows=${df.count()}")
+        Thread.sleep(200)
+        println(s"[planlab] observed=${obs.future.value}")
+      case "foldaqe" =>
+        // AQE on/off comparison for the fold query (tiny-graph CC: does
+        // adaptive re-planning overhead outweigh its coalescing?)
+        for (aqe <- Seq("true", "false", "true", "false")) {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          val q = graft.SparkEntry.queries("q_dedup_incremental_fold")(spark, dir)
+          time(s"fold aqe=$aqe")(println(q.count()))
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      case "jobs" =>
+        // per-Spark-job wall breakdown of one query execution
+        val name = args(1)
+        val sfDir = args(2)
+        val jobs = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]
+        val starts = new scala.collection.mutable.HashMap[Int, (Long, String)]
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.synchronized { starts(js.jobId) =
+              (js.time, Option(js.properties.getProperty("spark.job.description")).getOrElse("?")) }
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.synchronized { starts.get(je.jobId).foreach { case (t0, d) =>
+              jobs += ((je.jobId, je.time - t0, d)) } }
+        })
+        // warm once, then measure
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        jobs.clear()
+        val t0 = System.nanoTime()
+        println(graft.SparkEntry.queries(name)(spark, sfDir).count())
+        println(f"[planlab] $name total: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        Thread.sleep(500)
+        jobs.sortBy(_._1).foreach { case (id, ms, d) =>
+          println(f"[planlab] job $id%3d ${ms / 1000.0}%6.2f s  ${d.take(80)}") }
+      case "fold" =>
+        import graft.sources.Tables
+        import graft.functions.TextOps
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, dir)
+        val off = broadcast(docs.agg((max(col("doc_id")) + lit(1L)).as("__off")))
+        val newBatch = docs.filter(col("doc_id") % 10 === 0).crossJoin(off)
+          .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+        val standing = docs
+          .select(col("doc_id"), md5(col("text")).as("__h"))
+          .withColumn("group_id", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+          .select(col("doc_id"), col("group_id"))
+        time("standing")(println(standing.count()))
+        val cross = newBatch
+          .select(col("doc_id").as("doc_a"), md5(col("text")).as("__h"))
+          .join(docs.select(col("doc_id").as("doc_b"), md5(col("text")).as("__h")), "__h")
+          .select(col("doc_a"), col("doc_b"))
+        time("cross")(println(cross.count()))
+        val within = TextOps.minhashCandidatePairs(newBatch, "doc_id", "text",
+          bands = 4, rowsPerBand = 2, shingleSize = 3)
+        time("within")(println(within.count()))
+        for (i <- 1 to 2) {
+          val inc = graft.operators.DedupGroups.incrementalGroups(
+            standing, cross.unionByName(within))
+          time(s"fold $i")(println(inc.count()))
+        }
       case "bench1" =>
         val name = args(1)
         val sfDir = args(2)
         val q = graft.SparkEntry.queries(name)(spark, sfDir)
         q.explain("formatted")
         time(s"$name count")(println(q.count()))
+        // warm re-runs (fresh query object: some entries train/collect
+        // inside the builder, which a cached DataFrame would hide)
+        val reps = sys.env.getOrElse("GRAFT_PLANLAB_REPS", "3").toInt
+        val times = (2 to reps).map { i =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[planlab] $name count $i: $dt%.2f s")
+          dt
+        }
+        if (times.nonEmpty)
+          println(f"[planlab] $name min=${times.min}%.2f median=${times.sorted.apply(times.size / 2)}%.2f")
     }
     spark.stop()
   }

@@ -68,4 +68,35 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.train(docs.repartition(13), "text", nMerges = 8) == got)
     }
   }
+
+  test("pinned merge table: engine encode equals the closed-form oracle on overlap traps") {
+    // q_bpe_pinned's oracle computes tokens = non-ws chars − Σ pattern
+    // occurrences; this must equal the REAL greedy encode under the
+    // pinned table. Fixtures cover the proof's edge cases: run overlaps
+    // (ththe, thththe), chain formation (the), near-misses where the
+    // chain must NOT fire (tthhe: th forms but no e follows), and
+    // cross-group adjacency (inou, asin).
+    val merges = Seq(Merge(0, "t", "h"), Merge(1, "th", "e"),
+      Merge(2, "i", "n"), Merge(3, "o", "u"), Merge(4, "a", "s"))
+    val texts = Seq(
+      (0L, "the ththe thththe"),
+      (1L, "tthhe theth ethe"),
+      (2L, "inou asin ouas inin"),
+      (3L, "plain words without patterns xyz qqq"),
+      (4L, "This Mixes CASE and the chain THE"),
+      (5L, ""))
+    def occ(s: String, p: String): Int = {
+      var n = 0; var i = s.indexOf(p)
+      while (i >= 0) { n += 1; i = s.indexOf(p, i + p.length) }
+      n
+    }
+    val expected = texts.map { case (id, raw) =>
+      val t = raw.toLowerCase(java.util.Locale.ROOT)
+      val nonWs = t.count(!_.isWhitespace)
+      id -> (nonWs - Seq("th", "the", "in", "ou", "as").map(occ(t, _)).sum).toLong
+    }.toMap
+    val got = Bpe.tokenCounts(texts.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"$got vs $expected")
+  }
 }
