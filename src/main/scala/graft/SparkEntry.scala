@@ -2196,8 +2196,11 @@ object SparkEntry {
         "event_id", "value")),
 
     // ----- Longest up/down day streaks per user: gaps-and-islands on
-    // the sign of the daily move (flat days break streaks); the
-    // momentum-persistence readout of the candle series -------------
+    // the sign of the daily move; the momentum-persistence readout of
+    // the candle series. Flat days BREAK streaks: the overall day
+    // index (__rn_all) is assigned BEFORE flat rows are dropped, so a
+    // flat day leaves a hole in __rn_all and splits the island — an
+    // up-flat-up sequence is two 1-day streaks, not one 2-day streak.
     "q_streaks" -> ((s, dir) => {
       val r1d = CandleOps.ohlcvRollup(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
@@ -2210,9 +2213,11 @@ object SparkEntry {
         .partitionBy(col("user_id"), col("sgn")).orderBy(col("bucket_ts"))
       r1d.select(col("user_id"), col("bucket_ts"), sgn.as("sgn"),
           lag(cents, 1).over(w).isNotNull.as("__has_prev"))
-        .filter(col("__has_prev") && col("sgn") =!= 0)
+        .filter(col("__has_prev"))
+        .withColumn("__rn_all", row_number().over(w))
+        .filter(col("sgn") =!= 0)
         .withColumn("__isl",
-          row_number().over(w) - row_number().over(wSgn))
+          col("__rn_all") - row_number().over(wSgn))
         .groupBy(col("user_id"), col("sgn"), col("__isl"))
         .agg(count(lit(1)).as("__len"))
         .groupBy(col("user_id"))
@@ -5667,10 +5672,13 @@ object SparkEntry {
                       WHEN cents < lag(cents) OVER w THEN -1 ELSE 0 END AS sgn,
                  lag(cents) OVER w IS NOT NULL AS has_prev
                FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         g AS (SELECT user_id, bucket_ts, sgn,
+                 row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS rn_all
+               FROM m WHERE has_prev),
          f AS (SELECT user_id, bucket_ts, sgn,
-                 row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts)
+                 rn_all
                  - row_number() OVER (PARTITION BY user_id, sgn ORDER BY bucket_ts) AS isl
-               FROM m WHERE has_prev AND sgn <> 0),
+               FROM g WHERE sgn <> 0),
          s AS (SELECT user_id, sgn, isl, CAST(count(*) AS BIGINT) AS len
                FROM f GROUP BY 1, 2, 3)
          SELECT user_id,

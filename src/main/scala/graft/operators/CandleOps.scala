@@ -845,8 +845,19 @@ object CandleOps {
       originTs: String
   ): DataFrame = {
     val dec = DecimalType(38, 0)
-    val x = expr(s"(unix_micros($tsCol) - unix_micros(TIMESTAMP '$originTs'))" +
-      " div 3600000000")
+    // originTs is spliced into a SQL literal — reject anything that is
+    // not a plain 'yyyy-mm-dd hh:mm:ss[.f]' timestamp up front (throws
+    // IllegalArgumentException), closing the injection/typo hole before
+    // expr() sees it. Interpretation still happens via TIMESTAMP '...'
+    // in the UTC-pinned session, NOT via the JVM-default-zone
+    // Timestamp.valueOf result, which is used only as a format check.
+    java.sql.Timestamp.valueOf(originTs.trim): Unit
+    // FLOOR division (pmod keeps the remainder non-negative), not
+    // `div`'s truncation toward zero: buckets EARLIER than originTs
+    // get the hour index ⌊diff/3600s⌋ exactly as DuckDB's `//` does,
+    // so the bit-equality contract holds on both sides of the origin.
+    val diffUs = s"(unix_micros($tsCol) - unix_micros(TIMESTAMP '${originTs.trim}'))"
+    val x = expr(s"($diffUs - pmod($diffUs, 3600000000)) div 3600000000")
     val y = round(col(closeCol) * 100).cast(LongType)
     val keys = keyCols.map(col)
     val m = candles
@@ -895,14 +906,25 @@ object CandleOps {
       bucketCol: String,
       nWindow: Int = 12
   ): DataFrame = {
-    require(nWindow >= 1 && nWindow <= 40,
-      s"nWindow=$nWindow outside [1, 40]: 2^n weights must stay long-exact"
+    // num ≤ (2^nWindow − 1) · |hc4|: at 24 lags the truncated-EWMA tail
+    // weight is < 2^-24 ≈ 6e-8 of the open (far beyond any price tick),
+    // and cent sums to ~5.5e11 (a $5.5B OHLC sum) stay long-exact. The
+    // runtime guard below raises — not silently overflows — on the bars
+    // that would break even that bound.
+    require(nWindow >= 1 && nWindow <= 24,
+      s"nWindow=$nWindow outside [1, 24]: 2^n weights must stay long-exact"
         + " against cent sums")
+    val hc4Bound = Long.MaxValue >> nWindow
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val oc = round(col("open") * 100).cast(LongType)
     val cc = round(col("close") * 100).cast(LongType)
-    val hc4 = (round(col("open") * 100) + round(col("high") * 100) +
+    val hc4Raw = (round(col("open") * 100) + round(col("high") * 100) +
       round(col("low") * 100) + round(col("close") * 100)).cast(LongType)
+    val hc4 = when(abs(hc4Raw) <= hc4Bound, hc4Raw)
+      .otherwise(raise_error(concat(
+        lit("heikinAshi: |o+h+l+c| cents "), hc4Raw.cast("string"),
+        lit(s" exceeds the long-exact bound $hc4Bound at nWindow=$nWindow;"
+          + " lower nWindow or rescale prices"))))
     val terms = (1 to nWindow).map { j =>
       val xj = lag(hc4, j).over(wOrd)
       val wj = lit(1L << (nWindow - j))

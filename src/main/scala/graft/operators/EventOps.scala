@@ -1176,9 +1176,14 @@ object EventOps {
       tsCol: String,
       valueCol: String,
       splitTs: String,
-      c2Milli: Long = 1844L
+      c2Milli: Long = 1844L,
+      // decimal(38,0) exact-compare ceiling on n_a*n_b (~1.8e8 per
+      // cohort); injectable so a unit test can trip the raise path at
+      // tiny scale — production callers keep the default
+      exactBound: Long = 33000000000000000L
   ): DataFrame = {
     require(c2Milli > 0, s"c2Milli=$c2Milli must be positive")
+    require(exactBound > 0, s"exactBound=$exactBound must be positive")
     val dec = DecimalType(38, 0)
     val inA = col(tsCol) < lit(splitTs).cast("timestamp")
     val perValue = events
@@ -1210,7 +1215,7 @@ object EventOps {
       .withColumn("__num",
         // strict bound: past ~1.8e8-per-cohort the squared compare
         // would exceed decimal(38,0) and non-ANSI Spark would NULL it
-        when(den < lit(33000000000000000L).cast(dec), col("__num"))
+        when(den < lit(exactBound).cast(dec), col("__num"))
           .otherwise(raise_error(concat(
             lit("driftKs: cohort product "), den.cast("string"),
             lit(" exceeds the decimal(38,0) exact-compare bound;"

@@ -305,15 +305,43 @@ class DriftNoveltySpec extends SparkSpec {
   }
 
   test("driftKs raises past the exact-compare bound instead of NULLing") {
-    // den bound is checked before any squared compare; a synthetic
-    // cohort product over 3.3e16 must fail loudly
     val big = spark.range(2).select(
       lit("t").as("event_type"),
       when(col("id") === 0, before).otherwise(after).as("ts"),
       col("id").cast("double").as("value"))
-    // cannot plant 1.8e8 real rows; instead prove the guard wiring by
-    // checking the happy path stays silent at tiny scale
+    // happy path stays silent at the production bound...
     val ok = EventOps.driftKs(big, "event_type", "ts", "value", split).collect()
     assert(ok.length == 1)
+    // ...and the raise path genuinely fires: the bound is injectable,
+    // so exactBound=1 makes this 1x1-cohort product trip the guard
+    val boom = intercept[Exception] {
+      EventOps.driftKs(big, "event_type", "ts", "value", split,
+        exactBound = 1L).collect()
+    }
+    assert(boom.getMessage != null &&
+      boom.getMessage.contains("exceeds the decimal(38,0) exact-compare bound"),
+      s"unexpected error: ${boom.getMessage}")
+  }
+
+  test("heikinAshi raises on cent sums past the long-exact weight bound") {
+    // at nWindow=24 the guard bound is Long.MaxValue >> 24 ≈ 5.5e11
+    // cents; a $2e9 price makes hc4 = 8e11 and must fail loudly on the
+    // LAGGED bar (bar0's hc4 only enters a window frame via bar1)
+    val rollup = Seq(
+      ("s", ts("2024-01-01 00:00:00"), 2e9, 2e9, 2e9, 2e9),
+      ("s", ts("2024-01-01 01:00:00"), 1.0, 1.0, 1.0, 1.0)
+    ).toDF("sym", "bucket_ts", "open", "high", "low", "close")
+    val boom = intercept[Exception] {
+      graft.operators.CandleOps
+        .heikinAshi(rollup, Seq("sym"), "bucket_ts", nWindow = 24)
+        .collect()
+    }
+    assert(boom.getMessage != null &&
+      boom.getMessage.contains("exceeds the long-exact bound"),
+      s"unexpected error: ${boom.getMessage}")
+    // and an over-range nWindow is rejected before any plan is built
+    assertThrows[IllegalArgumentException] {
+      graft.operators.CandleOps.heikinAshi(rollup, Seq("sym"), "bucket_ts", nWindow = 25)
+    }
   }
 }
