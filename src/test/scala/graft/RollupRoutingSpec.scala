@@ -101,6 +101,55 @@ class RollupRoutingSpec extends SparkSpec {
     assert(got.sameElements(want), s"routed result differs: got ${got.length} rows, want ${want.length}")
   }
 
+  test("the multi-grain gap scan reads the rollup store, not the base table (G7 routing)") {
+    // the reference's read-side quality loop scans rollup tables, not
+    // raw candles (clickhouse_schema.py:167-206); here the SAME
+    // GapOps.multiGrainGapScan code routes transparently: its finest
+    // observedBuckets is a distinct over (keys, TimeBucket(ts)) — an
+    // Aggregate with no agg functions — which the route rule rewrites
+    // onto the materialized 1m-grain-compatible rollup scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_gap").toString
+    val basePath = s"$dir/base"
+    val rollupPath = s"$dir/rollup_1h"
+    // per-minute candles with real holes: BTC loses hours 5-6 (a 2h
+    // run), ETH loses hour 20 (1h run, invisible at the 4h grain)
+    val base = (for {
+      sym <- Seq("BTC", "ETH"); m <- 0 until 24 * 60
+      h = m / 60
+      if !(sym == "BTC" && (h == 5 || h == 6)) && !(sym == "ETH" && h == 20)
+    } yield (sym, new Timestamp(ts("2024-03-01 00:00:00").getTime + m * 60000L),
+      100.0 + (m * 13 % 31))).toDF("symbol", "t", "price")
+    base.write.mode("overwrite").parquet(basePath)
+    RollupStore.buildWithCarriers(
+      spark.read.parquet(basePath), Seq("symbol"), "t", "price", "1 hour", rollupPath)
+    RollupRouter.clear()
+    RollupRouter.register(RollupRouter.Route(
+      basePath, Seq("symbol"), "t", "price", Map(3600L -> rollupPath)))
+    val rule = new RollupRouter.RouteRule(spark)
+    spark.experimental.extraOptimizations = Seq(rule)
+    try {
+      val grains = Seq("1h", "2h", "4h").map(graft.model.Timeframe.parse)
+      def scan() = graft.operators.GapOps.multiGrainGapScan(
+        spark.read.parquet(basePath), Seq("symbol"), "t", grains)
+      val routed = scan()
+      val plan = routed.queryExecution.executedPlan.toString()
+      assert(plan.contains("rollup_1h"), s"expected routed scan, got:\n$plan")
+      assert(!plan.contains("/base"), s"base still scanned:\n$plan")
+      val got = routed.collect().map(_.toString).toSet
+      spark.experimental.extraOptimizations = Nil
+      val want = scan().collect().map(_.toString).toSet
+      assert(got == want)
+      // the planted holes are found: BTC 2h run at 1h grain, its 1-run
+      // collapse at 2h; ETH's single hour only at the 1h grain
+      assert(got.exists(_.contains("[BTC,1h,2024-03-01 05:00:00")), got.toString)
+      assert(got.exists(_.contains("[ETH,1h,2024-03-01 20:00:00")), got.toString)
+      assert(got.nonEmpty && want.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouter.clear()
+    }
+  }
+
   test("a fresh session rebuilds routes from store manifests (restart recovery)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_route_manifest").toString
     val basePath = s"$dir/base"
