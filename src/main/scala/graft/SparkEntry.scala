@@ -1075,6 +1075,28 @@ object SparkEntry {
     "q_knn_ivf_topk" -> ((s, dir) =>
       VectorOps.knnTopKIvf(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", col("vec_id") < 50, k = 5)),
+
+    // ----- 1-NN label purity: the embedding-quality readout behind
+    // semantic dedup and clustering — per label, how often a probe's
+    // nearest neighbor (self excluded, exact brute force) shares its
+    // label. Integer counts + ONE division; probes bounded by the
+    // predicate, candidates never shuffled (broadcast query side, the
+    // knnTopK shape) --------------------------------------------------
+    "q_knn_label_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nn1 = VectorOps.knnTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 10 === 0, k = 1)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      nn1
+        .join(lbl.select(col("vec_id").as("query_id"), col("label").as("__ql")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("__nl")), "neighbor_id")
+        .groupBy(col("__ql").as("label"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("__nl") === col("__ql"), 1L).otherwise(0L)).as("n_pure"))
+        .withColumn("purity",
+          col("n_pure").cast(DoubleType) / col("n_probes").cast(DoubleType))
+    }),
     "q_embed_neardup" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.45)),
@@ -1750,6 +1772,14 @@ object SparkEntry {
       val r1h = CandleOps.ohlcvRollup(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
       CandleOps.donchian(r1h, Seq("user_id"), "bucket_ts", nWindow = 20)
+    }),
+
+    // ----- Ichimoku cloud: channel midpoints + displaced spans, every
+    // line ONE division of exact integer cents -----------------------
+    "q_ichimoku" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.ichimoku(r1h, Seq("user_id"), "bucket_ts")
     }),
 
     // ----- On-balance volume: signed cumulative volume in exact
@@ -3823,6 +3853,20 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          FROM y GROUP BY 1, 2""",
+    "q_knn_label_purity" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS ql, emb AS qemb FROM e WHERE vec_id % 10 = 0),
+         p AS (SELECT query_id, ql, e.vec_id AS neighbor_id, e.label AS nl,
+                 list_cosine_similarity(qemb, e.emb) AS sim
+               FROM q JOIN e ON e.vec_id <> query_id),
+         r AS (SELECT query_id, ql, nl,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM p)
+         SELECT ql AS label, count(*) AS n_probes,
+                CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+                CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS purity
+         FROM r WHERE rnk = 1 GROUP BY 1""",
     "q_knn_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
@@ -4866,6 +4910,33 @@ object SparkEntry {
          FROM c
          WINDOW w20 AS (PARTITION BY user_id ORDER BY bucket_ts
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_ichimoku" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts, close,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l
+               FROM r1h),
+         m AS (SELECT user_id, bucket_ts, close,
+                 max(h) OVER w9 + min(l) OVER w9 AS t2,
+                 max(h) OVER w26 + min(l) OVER w26 AS k2,
+                 max(h) OVER w52 + min(l) OVER w52 AS b2
+               FROM c
+               WINDOW w9 AS (PARTITION BY user_id ORDER BY bucket_ts
+                             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                      w26 AS (PARTITION BY user_id ORDER BY bucket_ts
+                              ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+                      w52 AS (PARTITION BY user_id ORDER BY bucket_ts
+                              ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts,
+                CAST(t2 AS DOUBLE) / 200.0 AS tenkan,
+                CAST(k2 AS DOUBLE) / 200.0 AS kijun,
+                CAST(lag(t2 + k2, 26) OVER wo AS DOUBLE) / 400.0 AS senkou_a,
+                CAST(lag(b2, 26) OVER wo AS DOUBLE) / 200.0 AS senkou_b,
+                lead(close, 26) OVER wo AS chikou
+         FROM m
+         WINDOW wo AS (PARTITION BY user_id ORDER BY bucket_ts)""",
     "q_obv" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,

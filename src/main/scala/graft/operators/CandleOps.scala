@@ -946,6 +946,54 @@ object CandleOps {
           least(col("low"), col("ha_open"), col("ha_close")).as("ha_low")): _*)
   }
 
+  /** Ichimoku cloud over a rolled-up candle frame: conversion/base
+    * lines are midpoints of rolling high/low channels, the two cloud
+    * spans are displaced FORWARD (the value plotted at bar t was
+    * computed `displacement` bars earlier → lag), and the lagging span
+    * is the close displaced BACKWARD (→ lead). All lines are exact:
+    * channel extremes are integer cents, midpoints are (hh+ll)/2, and
+    * each published double is ONE IEEE division of an exact integer —
+    * bit-reproducible anywhere, same discipline as the rest of the
+    * indicator family.
+    *
+    * Same single-exchange shape as [[donchian]]: every window shares
+    * one (keys, bucket) sort, and the displacement lags/leads stack on
+    * it without a second exchange.
+    */
+  def ichimoku(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      pTenkan: Int = 9,
+      pKijun: Int = 26,
+      pSenkouB: Int = 52,
+      displacement: Int = 26
+  ): DataFrame = {
+    require(pTenkan >= 1 && pKijun >= pTenkan && pSenkouB >= pKijun,
+      s"periods must satisfy 1 <= tenkan($pTenkan) <= kijun($pKijun) <= senkouB($pSenkouB)")
+    require(displacement >= 1, s"displacement=$displacement must be positive")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    def frame(n: Int) = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+    val hc = round(col("high") * 100).cast(LongType)
+    val lc = round(col("low") * 100).cast(LongType)
+    // channel midpoints in DOUBLED cents (hh+ll) — kept integer until
+    // the final single division per published line
+    val tenkan2 = max(hc).over(frame(pTenkan)) + min(lc).over(frame(pTenkan))
+    val kijun2 = max(hc).over(frame(pKijun)) + min(lc).over(frame(pKijun))
+    val senkouB2 = max(hc).over(frame(pSenkouB)) + min(lc).over(frame(pSenkouB))
+    rollup
+      .select((keys.map(col) :+ col(bucketCol) :+ col("close") :+
+        tenkan2.as("__t2") :+ kijun2.as("__k2") :+ senkouB2.as("__b2")): _*)
+      .select((keys.map(col) :+ col(bucketCol) :+
+        (col("__t2").cast(DoubleType) / lit(200.0)).as("tenkan") :+
+        (col("__k2").cast(DoubleType) / lit(200.0)).as("kijun") :+
+        (lag(col("__t2") + col("__k2"), displacement).over(wOrd).cast(DoubleType) /
+          lit(400.0)).as("senkou_a") :+
+        (lag(col("__b2"), displacement).over(wOrd).cast(DoubleType) / lit(200.0))
+          .as("senkou_b") :+
+        lead(col("close"), displacement).over(wOrd).as("chikou")): _*)
+  }
+
   /** Per-key lag-`k` autocorrelation of close cents — the mean-
     * reversion / momentum diagnostic (is the next bar correlated with
     * this one?). Pearson r over (y_{t-k}, y_t) pairs from exact

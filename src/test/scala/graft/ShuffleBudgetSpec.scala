@@ -35,7 +35,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       "donchian" -> CandleOps.donchian(candles, Seq("sym"), "bucket_ts", 20),
       "obv" -> CandleOps.obv(candles, Seq("sym"), "bucket_ts", "close", "volume"),
       "macd" -> CandleOps.macd(candles, Seq("sym"), "bucket_ts", "close", 6, 13, 5),
-      "pivotPoints" -> CandleOps.pivotPoints(candles, Seq("sym"), "bucket_ts")
+      "pivotPoints" -> CandleOps.pivotPoints(candles, Seq("sym"), "bucket_ts"),
+      "ichimoku" -> CandleOps.ichimoku(candles, Seq("sym"), "bucket_ts",
+        pTenkan = 3, pKijun = 5, pSenkouB = 9, displacement = 5)
     )
     plans.foreach { case (name, df) =>
       val n = exchanges(df.queryExecution.executedPlan.toString)
