@@ -1774,6 +1774,29 @@ object SparkEntry {
       CandleOps.donchian(r1h, Seq("user_id"), "bucket_ts", nWindow = 20)
     }),
 
+    // ----- SAX words: 6-segment symbolic shape of each user's last 24
+    // daily closes (the test streams span ~30 active days), digitized
+    // against the window's own exact quartiles — regime/motif matching
+    // as a string join ------------------------------------------------
+    "q_sax" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      CandleOps.saxWords(r1d, Seq("user_id"), "bucket_ts", "close",
+        nDays = 24, segLen = 4)
+    }),
+
+    // ----- Benford first-digit audit per metric: exact counts from the
+    // cents DECIMAL STRING, one division for the share ----------------
+    "q_benford" -> ((s, dir) =>
+      EventOps.benfordDigits(Tables.events(s, dir), "event_type", "value")),
+
+    // ----- Exact weighted median: the median CHARACTER lives in a doc
+    // of this length, per source — integer cumulative-weight compare,
+    // no division -----------------------------------------------------
+    "q_weighted_median" -> ((s, dir) =>
+      graft.operators.RankOps.weightedMedian(
+        Tables.documents(s, dir), Seq("source"), "n_chars", "n_chars", "doc_id")),
+
     // ----- Ichimoku cloud: channel midpoints + displaced spans, every
     // line ONE division of exact integer cents -----------------------
     "q_ichimoku" -> ((s, dir) => {
@@ -4910,6 +4933,52 @@ object SparkEntry {
          FROM c
          WINDOW w20 AS (PARTITION BY user_id ORDER BY bucket_ts
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_sax" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts, CAST(round(close * 100) AS BIGINT) AS v FROM r1d),
+         r AS (SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts DESC) AS rn
+               FROM c),
+         k AS (SELECT user_id, v, rn, count(*) OVER (PARTITION BY user_id) AS nk
+               FROM r WHERE rn <= 24),
+         f AS (SELECT user_id, v, rn, (24 - rn) // 4 AS seg,
+                 row_number() OVER (PARTITION BY user_id ORDER BY v, rn) AS qr
+               FROM k WHERE nk = 24),
+         q AS (SELECT user_id,
+                 max(CASE WHEN qr = 6 THEN v END) AS q1,
+                 max(CASE WHEN qr = 12 THEN v END) AS q2,
+                 max(CASE WHEN qr = 18 THEN v END) AS q3
+               FROM f GROUP BY 1),
+         s AS (SELECT user_id, seg, sum(v) AS sv FROM f GROUP BY 1, 2),
+         y AS (SELECT s.user_id, s.seg,
+                 CASE WHEN sv < q1 * 4 THEN 'a'
+                      WHEN sv < q2 * 4 THEN 'b'
+                      WHEN sv < q3 * 4 THEN 'c'
+                      ELSE 'd' END AS sym
+               FROM s JOIN q USING (user_id))
+         SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax_word
+         FROM y GROUP BY 1""",
+    "q_benford" ->
+      """WITH c AS (SELECT event_type, abs(CAST(round(value * 100) AS BIGINT)) AS v
+                    FROM events WHERE value IS NOT NULL),
+         d AS (SELECT event_type, substr(CAST(v AS VARCHAR), 1, 1) AS digit
+               FROM c WHERE v > 0)
+         SELECT event_type, digit, count(*) AS n,
+                CAST(count(*) AS DOUBLE)
+                  / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+         FROM d GROUP BY 1, 2""",
+    "q_weighted_median" ->
+      """WITH c AS (SELECT source, n_chars, doc_id FROM documents
+                    WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT source, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 sum(n_chars) OVER (PARTITION BY source) AS tw
+               FROM c)
+         SELECT source, min(n_chars) AS weighted_median,
+                CAST(max(tw) AS BIGINT) AS total_weight
+         FROM r WHERE cw * 2 >= tw GROUP BY 1""",
     "q_ichimoku" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 max(value) AS high, min(value) AS low, arg_max(value, ts) AS close

@@ -994,6 +994,71 @@ object CandleOps {
         lead(col("close"), displacement).over(wOrd).as("chikou")): _*)
   }
 
+  /** SAX words (symbolic aggregate approximation) over each key's most
+    * recent `nDays` closes: the series is cut into `nDays/segLen`
+    * equal segments, each segment's mean is digitized against the
+    * window's own exact quartiles into {a,b,c,d}, and the symbols
+    * concatenate into one word per key — the shape index behind
+    * motif/regime matching ("which series currently look like
+    * low-low-rise-high?") that joins on a STRING instead of a DTW
+    * scan.
+    *
+    * Classic SAX z-normalizes and cuts at Gaussian breakpoints; both
+    * steps would put transcendental constants and a sqrt-division in
+    * the hot path. Digitizing against the window's own empirical
+    * quartiles keeps the contract (distribution-adaptive breakpoints,
+    * equal-occupancy symbols) in EXACT integer arithmetic: segment
+    * mean vs quartile compares as `segLen·q ≤ sum`, quartiles are
+    * type-1 order statistics (values AT sorted positions — integers),
+    * so the word is bit-reproducible on any engine.
+    *
+    * One exchange: both windows (recency rank, sort rank) and both
+    * aggregates partition by the key. Keys with fewer than `nDays`
+    * observed days are omitted (a partial window would skew the
+    * quartiles silently).
+    */
+  def saxWords(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      nDays: Int = 32,
+      segLen: Int = 4
+  ): DataFrame = {
+    require(segLen >= 1 && nDays % segLen == 0 && nDays / segLen >= 2,
+      s"nDays=$nDays must be a multiple of segLen=$segLen with >= 2 segments")
+    require(nDays % 4 == 0, s"nDays=$nDays must be divisible by 4 for exact quartile ranks")
+    val keyCols = keys.map(col)
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val wDesc = Window.partitionBy(keyCols: _*).orderBy(col(bucketCol).desc)
+    val recent = rollup
+      .select((keyCols :+ col(bucketCol) :+ cents.as("__c")): _*)
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= nDays)
+      .withColumn("__nk", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+      .filter(col("__nk") === nDays)
+      .withColumn("__seg", expr(s"($nDays - __rn) div $segLen"))
+      .withColumn("__qr",
+        row_number().over(Window.partitionBy(keyCols: _*).orderBy(col("__c"), col("__rn"))))
+    val (p1, p2, p3) = (nDays / 4, nDays / 2, 3 * nDays / 4)
+    val quarts = recent.groupBy(keyCols: _*).agg(
+      max(when(col("__qr") === p1, col("__c"))).as("__q1"),
+      max(when(col("__qr") === p2, col("__c"))).as("__q2"),
+      max(when(col("__qr") === p3, col("__c"))).as("__q3"))
+    val segs = recent.groupBy((keyCols :+ col("__seg")): _*)
+      .agg(sum(col("__c")).as("__s"))
+    val sym = when(col("__s") < col("__q1") * segLen, "a")
+      .when(col("__s") < col("__q2") * segLen, "b")
+      .when(col("__s") < col("__q3") * segLen, "c")
+      .otherwise("d")
+    segs.join(quarts, keys)
+      .select((keyCols :+ col("__seg") :+ sym.as("__sym")): _*)
+      .groupBy(keyCols: _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__seg"), col("__sym")))),
+          x => x.getField("__sym")), "").as("sax_word"))
+  }
+
   /** Per-key lag-`k` autocorrelation of close cents — the mean-
     * reversion / momentum diagnostic (is the next bar correlated with
     * this one?). Pearson r over (y_{t-k}, y_t) pairs from exact

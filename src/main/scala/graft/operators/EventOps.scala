@@ -1015,6 +1015,31 @@ object EventOps {
           col("n_kept").cast(DoubleType) / lit(100.0)).as("trimmed_mean"))
   }
 
+  /** First-significant-digit audit (Benford screen): fabricated or
+    * unit-mixed metrics flout the log distribution real multiplicative
+    * data follows. The digit comes from the DECIMAL STRING of the
+    * cents integer — no log10/pow doubles anywhere — so counts are
+    * exact and the published share is ONE division of exact counts.
+    * One combinable aggregate; the share window runs over types × ≤9
+    * digit rows.
+    */
+  def benfordDigits(
+      events: DataFrame,
+      typeCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val cents = abs(round(col(valueCol) * 100).cast(LongType))
+    val wTot = Window.partitionBy(col("event_type"))
+    events
+      .filter(col(valueCol).isNotNull && cents > 0)
+      .select(col(typeCol).as("event_type"),
+        substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wTot).cast("double"))
+  }
+
   /** CUSUM change-point localization per type: the split index
     * maximizing |cum_i·n − i·S| — the unnormalized CUSUM statistic
     * max_i |S_i − (i/n)·S_n| scaled by n, in EXACT decimal(38,0)

@@ -21,6 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object RankOps {
 
+  /** Exact weighted median per group: the smallest value v such that
+    * the weight at-or-below v reaches half the group's total
+    * (2·cumw ≥ W as an integer compare — no division, no doubles).
+    * The statistic a token-budgeted corpus actually wants: with
+    * weight = doc length, "the median byte lives in a doc of length
+    * X", which mean/plain-median both misstate under skew.
+    *
+    * One window per group (cumulative + total share the same sort) and
+    * one aggregate: the qualifying rows are a sorted suffix, so the
+    * group min of qualifying values IS the first qualifying value.
+    * Ties in `valueCol` are broken by `idCol` for a deterministic
+    * cumulative order; the RESULT is tie-independent (equal values
+    * contribute interchangeable weight).
+    */
+  def weightedMedian(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val ord = Window.partitionBy(keys: _*).orderBy(col(valueCol), col(idCol))
+    val cum = sum(col(weightCol)).over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col(weightCol)).over(
+      Window.partitionBy(keys: _*))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select((keys :+ col(valueCol) :+ cum.as("__cw") :+ tot.as("__tw")): _*)
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(keys: _*)
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("__tw")).as("total_weight"))
+  }
+
   /** Append `outCol` = ntile(`buckets`) over the TOTAL order `order`,
     * computed without ever materializing a single-partition sort.
     */

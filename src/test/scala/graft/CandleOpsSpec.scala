@@ -348,4 +348,20 @@ class CandleOpsSpec extends SparkSpec {
       CandleOps.ema(closes, Seq("sym"), "bucket_ts", "close", nWindow = 21)
     }
   }
+
+  test("saxWords: hand-computed word on an ascending series; short series omitted") {
+    // user A: 24 daily closes 0.01..0.24 -> cents 1..24. Quartiles at
+    // sorted ranks 6/12/18 = 6,12,18. Oldest-first segment sums:
+    // 10,26,42,58,74,90 vs 4*q = 24/48/72 -> a,b,b,c,d,d.
+    // user B has 23 days: a partial window must be omitted, not skewed.
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows =
+      (1 to 24).map(d => ("A", new java.sql.Timestamp(ts0 + d * 86400000L), d / 100.0)) ++
+        (1 to 23).map(d => ("B", new java.sql.Timestamp(ts0 + d * 86400000L), d / 100.0))
+    val rollup = rows.toDF("sym", "bucket_ts", "close")
+    val got = graft.operators.CandleOps
+      .saxWords(rollup, Seq("sym"), "bucket_ts", "close", nDays = 24, segLen = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("A" -> "abbcdd"), got.toString)
+  }
 }

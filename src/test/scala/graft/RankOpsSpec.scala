@@ -53,4 +53,19 @@ class RankOpsSpec extends SparkSpec {
       .select("id", "nt").as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 1, 3L -> 2, 2L -> 3))
   }
+
+  test("weightedMedian: the median unit of weight, exact, vs a plain median") {
+    // group g: values 1,2,100 with weights 1,1,10 -> total 12, half 6;
+    // cumulative 1,2,12 -> first value reaching 6 is 100 (the plain
+    // median would say 2). Zero/negative weights are dropped.
+    val df = Seq(
+      ("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 100L, 10L, 3L),
+      ("h", 5L, 3L, 4L), ("h", 7L, 3L, 5L), ("h", 9L, 0L, 6L)
+    ).toDF("src", "v", "w", "id")
+    val m = RankOps.weightedMedian(df, Seq("src"), "v", "w", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("g") == (100L, 12L), m.toString)
+    // h: weights 3,3 (9 dropped) -> total 6, cum 3,6; 2*3 >= 6 -> 5
+    assert(m("h") == (5L, 6L), m.toString)
+  }
 }
