@@ -1774,6 +1774,24 @@ object SparkEntry {
       CandleOps.donchian(r1h, Seq("user_id"), "bucket_ts", nWindow = 20)
     }),
 
+    // ----- Item-graph triangles: degree-ordered orientation bounds
+    // the wedge join by the O(sqrt m) arboricity bound — per-node
+    // triangle counts + local clustering, all exact ------------------
+    "q_triangles" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.triangleStats(edges)
+    }),
+
+    // ----- Pinned fixed-point PageRank over the co-purchase graph:
+    // integer-scaled ranks, floor divisions, 3 iterations — the CC
+    // loop's join+aggregate shape, bit-identical on any engine -------
+    "q_pagerank" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.pagerankPinned(edges, iterations = 3)
+    }),
+
     // ----- SAX words: 6-segment symbolic shape of each user's last 24
     // daily closes (the test streams span ~30 active days), digitized
     // against the window's own exact quartiles — regime/motif matching
@@ -4933,6 +4951,56 @@ object SparkEntry {
          FROM c
          WINDOW w20 AS (PARTITION BY user_id ORDER BY bucket_ts
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_triangles" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                 SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+         t AS (SELECT e1.x AS a, e1.y AS bb, e2.y AS c
+               FROM e e1 JOIN e e2 ON e1.y = e2.x
+                         JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                  SELECT a AS node FROM t
+                  UNION ALL SELECT bb FROM t
+                  UNION ALL SELECT c FROM t) GROUP BY 1)
+         SELECT d.node, d.degree, coalesce(pn.n_triangles, 0) AS n_triangles,
+                CASE WHEN d.degree >= 2
+                     THEN CAST(coalesce(pn.n_triangles, 0) * 2 AS DOUBLE)
+                          / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                     ELSE 0.0 END AS clustering
+         FROM d LEFT JOIN pn USING (node)""",
+    // 3 unrolled fixed-point iterations; every arithmetic step is a
+    // positive-integer floor, so HUGEINT intermediates cast back to
+    // BIGINT losslessly and the ranks match the engine bit for bit
+    "q_pagerank" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         bo AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+         d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bo GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+         r0 AS (SELECT src AS node, CAST(1000000000 // nn AS BIGINT) AS rank, deg
+                FROM d CROSS JOIN n),
+         c0 AS (SELECT node AS src, rank // deg AS c FROM r0),
+         i0 AS (SELECT bo.dst AS node, sum(c0.c) AS i FROM bo JOIN c0 USING (src) GROUP BY 1),
+         r1 AS (SELECT d.src AS node,
+                  CAST(15000000000 // (100 * n.nn)
+                       + (85 * coalesce(i0.i, 0)) // 100 AS BIGINT) AS rank, d.deg
+                FROM d CROSS JOIN n LEFT JOIN i0 ON i0.node = d.src),
+         c1 AS (SELECT node AS src, rank // deg AS c FROM r1),
+         i1 AS (SELECT bo.dst AS node, sum(c1.c) AS i FROM bo JOIN c1 USING (src) GROUP BY 1),
+         r2 AS (SELECT d.src AS node,
+                  CAST(15000000000 // (100 * n.nn)
+                       + (85 * coalesce(i1.i, 0)) // 100 AS BIGINT) AS rank, d.deg
+                FROM d CROSS JOIN n LEFT JOIN i1 ON i1.node = d.src),
+         c2 AS (SELECT node AS src, rank // deg AS c FROM r2),
+         i2 AS (SELECT bo.dst AS node, sum(c2.c) AS i FROM bo JOIN c2 USING (src) GROUP BY 1),
+         r3 AS (SELECT d.src AS node,
+                  CAST(15000000000 // (100 * n.nn)
+                       + (85 * coalesce(i2.i, 0)) // 100 AS BIGINT) AS rank
+                FROM d CROSS JOIN n LEFT JOIN i2 ON i2.node = d.src)
+         SELECT node, rank AS rank_scaled FROM r3""",
     "q_sax" ->
       """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
                 arg_max(value, ts) AS close FROM events GROUP BY 1, 2),

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Graph analytics over co-occurrence graphs — the network step after
+  * [[BasketOps]]: items that sell together form a graph; its triangles
+  * and stationary ranks answer "which item communities are tight" and
+  * "which items anchor the catalog" (the same shapes near-dup cluster
+  * audits need). Everything is exact integer arithmetic, so results
+  * hash-match any engine.
+  */
+object GraphOps {
+
+  /** Canonical co-occurrence edges (x < y) with support ≥ `minSupport`
+    * baskets. Two shuffles: basket gather + pair count — the
+    * [[BasketOps.coOccurrence]] shape with a support threshold instead
+    * of a top-N.
+    */
+  def itemEdges(
+      facts: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long
+  ): DataFrame = {
+    val baskets = facts
+      .groupBy(col(basketCol).as("__b"))
+      .agg(sort_array(collect_set(col(itemCol).cast(LongType))).as("__items"))
+    baskets
+      .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "x")))
+      .select(col("x"),
+        explode(slice(col("__items"), col("__i") + lit(2), size(col("__items")))).as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("x"), col("y"))
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over
+    * canonical (x < y) edges.
+    *
+    * Scale shape — degree-ordered orientation: each edge points from
+    * its lower-(degree, id) endpoint to the higher, wedges form only
+    * at each node's OUT-neighbors, and a wedge closes iff its two ends
+    * are an edge. Out-degrees under this orientation are bounded by
+    * O(√m) on any graph (arboricity bound), so the wedge join is
+    * Σ outdeg² — not the Σ deg² of a naive wedge enumeration that a
+    * power-law hub would blow up. Each triangle is produced exactly
+    * once (at its unique lowest-(degree, id) vertex).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+    val deg = canon.select(col("x").as("node"))
+      .unionByName(canon.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // orient: (src, dst) with (deg, id) of src < of dst
+    val dx = deg.select(col("node").as("x"), col("degree").as("__dx"))
+    val dy = deg.select(col("node").as("y"), col("degree").as("__dy"))
+    val oriented = canon.join(dx, "x").join(dy, "y")
+      .select(
+        when(col("__dx") < col("__dy") ||
+          (col("__dx") === col("__dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(col("__dx") < col("__dy") ||
+          (col("__dx") === col("__dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("dst"))
+    val w1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val w2 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    // wedge ends in canonical order so the closing join hits the
+    // canonical edge list directly
+    val wedges = w1.join(w2, "a").filter(col("b") < col("c"))
+    val tris = wedges.join(canon,
+      col("b") === col("x") && col("c") === col("y"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Fixed-point PageRank over the undirected graph, pinned for
+    * hash-equality: ranks are integers scaled by `scale`, every
+    * division is a FLOOR of positive integers, and the iteration count
+    * is fixed — so two engines produce bit-identical ranks (floats
+    * would drift by summation order; floor-quantized fixed point
+    * cannot). The usual price: ~1e-9 of mass floors away per hop,
+    * which is noise against the teleport term.
+    *
+    * Iteration shape = the CC loop's: one join + one aggregate per
+    * round over (edge, rank) — rank state is node-sized, edges shuffle
+    * once per round keyed by src.
+    */
+  def pagerankPinned(
+      edges: DataFrame,
+      iterations: Int = 3,
+      scale: Long = 1000000000L,
+      dampingPct: Long = 85L
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, s"iterations=$iterations outside [1, 10]")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct=$dampingPct outside [0, 100]")
+    val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+    val both = canon.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(canon.select(col("y").as("src"), col("x").as("dst")))
+    val deg = both.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val nNodes = broadcast(deg.agg(count(lit(1)).as("__n")))
+    var ranks = deg.crossJoin(nNodes)
+      .select(col("src").as("node"), expr(s"$scale div __n").as("rank"), col("__deg"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.select(col("node").as("src"), expr("rank div __deg").as("__c"))
+      val inbound = both.join(contrib, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = ranks.drop("rank").join(inbound, Seq("node"), "left")
+        .crossJoin(nNodes)
+        .withColumn("rank",
+          // teleport constant folded in Scala: scale*(100-d) overflows
+          // an INT32 literal if left to the SQL parser
+          expr(s"((${scale * (100L - dampingPct)}L div (100 * __n)))" +
+            s" + (($dampingPct * coalesce(__in, 0)) div 100)"))
+        .select(col("node"), col("rank"), col("__deg"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank").as("rank_scaled"))
+  }
+}
