@@ -612,6 +612,26 @@ object SparkEntry {
           Tables.events(s, dir), Seq("user_id"), "ts", gapSeconds = 43200L)
         .select("event_id", "user_id", "session_n")),
 
+    // ----- Peak concurrency: ±1 interval sweep over 30-min-timeout
+    // activity windows, running count by DISTRIBUTED prefix sum (range
+    // partitions + broadcast offsets — never a one-task global window)
+    "q_peak_concurrency" -> ((s, dir) => {
+      val sess = SessionOps.sessionSummaries(
+          Tables.events(s, dir), Seq("user_id"), "ts", "value", "30 minutes")
+        .withColumn("active_until", col("session_end") + expr("INTERVAL 30 minutes"))
+      SessionOps.peakConcurrency(sess, "session_start", "active_until")
+    }),
+
+    // ----- Daily union coverage: how much of each day was SOMEONE
+    // active — cross-midnight split + per-day island merge, exact
+    // microseconds ---------------------------------------------------
+    "q_daily_coverage" -> ((s, dir) => {
+      val sess = SessionOps.sessionSummaries(
+          Tables.events(s, dir), Seq("user_id"), "ts", "value", "30 minutes")
+        .withColumn("active_until", col("session_end") + expr("INTERVAL 30 minutes"))
+      SessionOps.dailyCoverage(sess, "session_start", "active_until")
+    }),
+
     // ----- Span-level dedup: drop 6-token blocks shared by >= 2 docs,
     // reassemble the survivors ---------------------------------------
     "q_span_dedup" -> ((s, dir) =>
@@ -3446,6 +3466,49 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
          FROM e""",
+    "q_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                 sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sn
+               FROM e),
+         iv AS (SELECT min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+                FROM s GROUP BY user_id, sn),
+         d AS (SELECT st AS ts, 1 AS dd FROM iv UNION ALL SELECT en, -1 FROM iv),
+         r AS (SELECT ts, dd,
+                 sum(dd) OVER (ORDER BY ts, dd DESC ROWS UNBOUNDED PRECEDING) AS conc
+               FROM d),
+         p AS (SELECT max(conc) AS peak FROM r)
+         SELECT CAST(p.peak AS BIGINT) AS peak_concurrency, min(r.ts) AS first_peak_ts
+         FROM r, p WHERE r.conc = p.peak GROUP BY 1""",
+    "q_daily_coverage" ->
+      """WITH e AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS f
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                 sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sn
+               FROM e),
+         iv AS (SELECT min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+                FROM s GROUP BY user_id, sn),
+         pc AS (SELECT unnest(generate_series(date_trunc('day', st), date_trunc('day', en),
+                  INTERVAL 1 DAY)) AS day, st, en FROM iv),
+         pp AS (SELECT day, greatest(st, day) AS ps,
+                  least(en, day + INTERVAL 1 DAY) AS pe FROM pc),
+         fl AS (SELECT day, ps, pe,
+                  max(pe) OVER (PARTITION BY day ORDER BY ps, pe
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+                FROM pp),
+         fb AS (SELECT day, ps, pe,
+                  sum(CASE WHEN maxe IS NULL OR ps > maxe THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY day ORDER BY ps, pe ROWS UNBOUNDED PRECEDING) AS blk
+                FROM fl),
+         bl AS (SELECT day, blk, min(ps) AS bs, max(pe) AS be FROM fb GROUP BY 1, 2)
+         SELECT day, count(*) AS n_blocks,
+                CAST(sum(epoch_us(be) - epoch_us(bs)) AS BIGINT) AS covered_us
+         FROM bl GROUP BY 1""",
     "q_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          bl AS (SELECT doc_id,

@@ -57,9 +57,40 @@ object RankOps {
         max(col("__tw")).as("total_weight"))
   }
 
-  /** Append `outCol` = ntile(`buckets`) over the TOTAL order `order`,
-    * computed without ever materializing a single-partition sort.
+  /** Append `outCol` = the global running sum of `valueCol` over
+    * `order` — the distributed prefix sum behind interval sweeps
+    * (concurrency counting), cumulative distributions, and any "state
+    * at time t" scan. Same two-phase trick as [[distributedRank]]:
+    * local prefix sums per range partition + broadcast partition-total
+    * offsets; never a single-partition window.
+    *
+    * Determinism: rows tying on the full `order` must have COMMUTING
+    * values (equal, or summed the same either way — true for sweep
+    * deltas where ties carry the same delta); then every prefix value
+    * is order-independent.
     */
+  def distributedPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      valueCol: String,
+      outCol: String
+  ): DataFrame = {
+    val byRange = df.repartitionByRange(order: _*)
+      .withColumn("__ps_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__ps_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = byRange.withColumn("__ps_ls", sum(col(valueCol)).over(wLocal))
+    val totals = local.groupBy(col("__ps_pid")).agg(sum(col(valueCol)).as("__ps_t"))
+    val wOff = Window.orderBy(col("__ps_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__ps_off", coalesce(sum(col("__ps_t")).over(wOff), lit(0L)))
+      .select(col("__ps_pid"), col("__ps_off"))
+    local.join(broadcast(offsets), "__ps_pid")
+      .withColumn(outCol, col("__ps_off") + col("__ps_ls"))
+      .drop("__ps_pid", "__ps_ls", "__ps_off")
+  }
+
   /** Range-partitioned local row_numbers plus the broadcastable
     * (#partitions)-row offset/total frame — the shared core of
     * [[distributedRank]] and [[distributedNtile]].

@@ -85,6 +85,72 @@ object SessionOps {
       .drop("__prev_us", "__new")
   }
 
+  /** Peak concurrency over activity intervals [startCol, endCol]
+    * (closed: touching intervals count as concurrent — starts order
+    * before ends at the same instant): the classic ±1 sweep, with the
+    * running count computed by [[RankOps.distributedPrefixSum]] so the
+    * global time order never collapses into one task. Two passes over
+    * the swept frame (global max, then first instant reaching it) —
+    * both full scans, no extra shuffle beyond the sweep's range
+    * partitioning. Output: one row (peak_concurrency, first_peak_ts).
+    */
+  def peakConcurrency(
+      sessions: DataFrame,
+      startCol: String,
+      endCol: String
+  ): DataFrame = {
+    val deltas = sessions
+      .select(col(startCol).as("ts"), lit(1L).as("__d"))
+      .unionByName(sessions.select(col(endCol).as("ts"), lit(-1L).as("__d")))
+    // closed intervals: +1 sorts before -1 at equal ts (__d desc)
+    val swept = RankOps.distributedPrefixSum(
+      deltas, Seq(col("ts"), col("__d").desc), "__d", "concurrency")
+    val peak = broadcast(swept.agg(max(col("concurrency")).as("__peak")))
+    swept.crossJoin(peak)
+      .filter(col("concurrency") === col("__peak"))
+      .groupBy(col("__peak").as("peak_concurrency"))
+      .agg(min(col("ts")).as("first_peak_ts"))
+  }
+
+  /** Per-day union coverage of activity intervals [startCol, endCol):
+    * how much of each day was SOMEONE active, and in how many
+    * contiguous blocks. Cross-midnight intervals split at day bounds
+    * (sequence/explode — sessions are short, pieces are ≤ a handful),
+    * then the classic running-max-end island merge runs per day — the
+    * window partitions by day, so a year of data is 365 independent
+    * partitions, never one global sort. Exact microsecond arithmetic.
+    */
+  def dailyCoverage(
+      sessions: DataFrame,
+      startCol: String,
+      endCol: String
+  ): DataFrame = {
+    val pieces = sessions
+      .select(col(startCol).as("__s"), col(endCol).as("__e"))
+      .filter(col("__e") >= col("__s"))
+      .select(
+        explode(sequence(date_trunc("day", col("__s")), date_trunc("day", col("__e")),
+          expr("INTERVAL 1 day"))).as("day"),
+        col("__s"), col("__e"))
+      .select(col("day"),
+        greatest(col("__s"), col("day")).as("__ps"),
+        least(col("__e"), col("day") + expr("INTERVAL 1 day")).as("__pe"))
+    val w = Window.partitionBy(col("day")).orderBy(col("__ps"), col("__pe"))
+    val flagged = pieces
+      .withColumn("__maxe",
+        max(col("__pe")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__maxe").isNull || col("__ps") > col("__maxe"), 1L).otherwise(0L))
+      .withColumn("__blk",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("day"), col("__blk"))
+      .agg(min(col("__ps")).as("__bs"), max(col("__pe")).as("__be"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(unix_micros(col("__be")) - unix_micros(col("__bs"))).as("covered_us"))
+  }
+
   /** Per-key bounce rate over a [[sessionSummaries]] frame: sessions,
     * single-event ("bounce") sessions, and their ratio — one hash
     * aggregate over the already-small session frame, one IEEE

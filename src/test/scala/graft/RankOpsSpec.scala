@@ -68,4 +68,25 @@ class RankOpsSpec extends SparkSpec {
     // h: weights 3,3 (9 dropped) -> total 6, cum 3,6; 2*3 >= 6 -> 5
     assert(m("h") == (5L, 6L), m.toString)
   }
+
+  test("distributedPrefixSum equals the one-partition running sum, any partitioning") {
+    val rows = (1 to 500).map(i => ((i * 37) % 1000, (i % 7).toLong - 3L, i.toLong))
+    val df = rows.toDF("k", "v", "id").repartition(13)
+    val got = RankOps.distributedPrefixSum(
+        df, Seq(col("k"), col("id")), "v", "run")
+      .select("id", "run").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(r => (r._1, r._3))
+      .scanLeft((0L, 0L)) { case ((_, acc), (_, v, id)) => (id, acc + v) }
+      .drop(1).toMap
+    assert(got == want)
+    // peak-sweep tie semantics (closed intervals): at a shared instant
+    // starts (+1) order before ends (-1), so two intervals ending at
+    // t=2 and one starting there are 3-concurrent; equal (ts, delta)
+    // rows commute, so the max prefix is stable under physical order
+    val sweep = Seq((1L, 1L), (1L, 1L), (2L, -1L), (2L, 1L)).toDF("ts", "d")
+    val m = RankOps.distributedPrefixSum(
+        sweep.repartition(5), Seq(col("ts"), col("d").desc), "d", "c")
+      .agg(max(col("c"))).head().getLong(0)
+    assert(m == 3L)
+  }
 }
