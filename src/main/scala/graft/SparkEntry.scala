@@ -612,6 +612,57 @@ object SparkEntry {
           Tables.events(s, dir), Seq("user_id"), "ts", gapSeconds = 43200L)
         .select("event_id", "user_id", "session_n")),
 
+    // ----- Token collocations by lift: pairs of tokens co-occurring in
+    // documents far above independence — PMI's decision ordering
+    // without its logarithm (lift = n_ab·N / (n_a·n_b), exact integer
+    // operands, ONE division). The pair space is vocabulary-bounded
+    // (V²/2 distinct keys with map-side combine), never corpus-bounded
+    "q_token_lift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      val byDoc = toks.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("tok"))).as("__ts"))
+      val pairs = byDoc
+        .select(col("__ts"), posexplode(col("__ts")).as(Seq("__i", "token_a")))
+        .select(col("token_a"),
+          explode(slice(col("__ts"), col("__i") + lit(2), size(col("__ts")))).as("token_b"))
+        .groupBy(col("token_a"), col("token_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val nt = toks.groupBy(col("tok")).agg(count(lit(1)).as("__nt"))
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("__nd")))
+      pairs
+        .join(nt.select(col("tok").as("token_a"), col("__nt").as("__na")), "token_a")
+        .join(nt.select(col("tok").as("token_b"), col("__nt").as("__nb")), "token_b")
+        .crossJoin(nDocs)
+        .select(col("token_a"), col("token_b"), col("n_ab"),
+          ((col("n_ab") * col("__nd")).cast(DoubleType) /
+            (col("__na") * col("__nb")).cast(DoubleType)).as("lift"))
+        .orderBy(col("lift").desc, col("token_a"), col("token_b"))
+        .limit(50)
+    }),
+
+    // ----- Audience overlap: per event-type pair, users doing both —
+    // exact distinct-user Jaccard, one division ----------------------
+    "q_audience_overlap" -> ((s, dir) => {
+      val ue = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val na = ue.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+      val both = ue.select(col("event_type").as("type_a"), col("user_id"))
+        .join(ue.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(na.select(col("event_type").as("type_a"), col("__n").as("__na")), "type_a")
+        .join(na.select(col("event_type").as("type_b"), col("__n").as("__nb")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          (col("n_both").cast(DoubleType) /
+            (col("__na") + col("__nb") - col("n_both")).cast(DoubleType)).as("jaccard"))
+    }),
+
     // ----- Peak concurrency: ±1 interval sweep over 30-min-timeout
     // activity windows, running count by DISTRIBUTED prefix sum (range
     // partitions + broadcast offsets — never a one-task global window)
@@ -3466,6 +3517,29 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
          FROM e""",
+    "q_token_lift" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+                     FROM documents),
+         tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+         pr AS (SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+                FROM tk2 a JOIN tk2 b USING (doc_id) WHERE a.tok < b.tok),
+         nab AS (SELECT ta, tb, count(*) AS n_ab FROM pr GROUP BY 1, 2
+                 HAVING count(*) >= 5),
+         nt AS (SELECT tok, count(*) AS n_t FROM tk2 GROUP BY 1),
+         nn AS (SELECT count(*) AS nd FROM documents)
+         SELECT ta AS token_a, tb AS token_b, n_ab,
+                CAST(n_ab * nd AS DOUBLE) / CAST(na.n_t * nb.n_t AS DOUBLE) AS lift
+         FROM nab JOIN nt na ON na.tok = ta JOIN nt nb ON nb.tok = tb CROSS JOIN nn
+         ORDER BY lift DESC, ta, tb LIMIT 50""",
+    "q_audience_overlap" ->
+      """WITH ue AS (SELECT DISTINCT event_type, user_id FROM events),
+         na AS (SELECT event_type, count(*) AS n FROM ue GROUP BY 1),
+         bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+                FROM ue a JOIN ue b USING (user_id)
+                WHERE a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT type_a, type_b, n_both,
+                CAST(n_both AS DOUBLE) / CAST(x.n + y.n - n_both AS DOUBLE) AS jaccard
+         FROM bo JOIN na x ON x.event_type = type_a JOIN na y ON y.event_type = type_b""",
     "q_peak_concurrency" ->
       """WITH e AS (SELECT user_id, ts,
               CASE WHEN lag(ts) OVER w IS NULL
