@@ -612,6 +612,45 @@ object SparkEntry {
           Tables.events(s, dir), Seq("user_id"), "ts", gapSeconds = 43200L)
         .select("event_id", "user_id", "session_n")),
 
+    // ----- ANN recall audit: recall@5 of the pinned IVF probe against
+    // exact brute-force kNN, per query — THE index-ops metric (is the
+    // speedup worth the misses?). Integer hit counts, one division ----
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = VectorOps.knnTopK(emb, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 1)
+      val withCluster = emb.join(
+        VectorOps.kmeansAssign(emb, "vec_id", "embedding", k = 8, iterations = 1)
+          .withColumnRenamed("id", "vec_id"), "vec_id")
+      val ivf = VectorOps.knnTopKIvfProbe(withCluster, "vec_id", "embedding", "cluster",
+        VectorOps.centroidsDF(s, cents), col("vec_id") < 20, k = 5, nprobe = 2)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast(DoubleType) / col("k").cast(DoubleType))
+    }),
+
+    // ----- Export-shard manifest: deterministic md5 sharding + a
+    // per-shard id checksum — the reproducible-delivery audit row a
+    // corpus hand-off ships with (same md5-bucket discipline as
+    // split/sample assignment; the checksum pins membership, not just
+    // counts, so a silently re-sharded export cannot pass) -----------
+    "q_export_manifest" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast(LongType) % 8).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("id_checksum"))),
+
     // ----- Token collocations by lift: pairs of tokens co-occurring in
     // documents far above independence — PMI's decision ordering
     // without its logarithm (lift = n_ab·N / (n_a·n_b), exact integer
@@ -3517,6 +3556,55 @@ object SparkEntry {
          SELECT event_id, user_id,
                 CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
          FROM e""",
+    // recall@5: the q_knn_ivf_probe pinned-IVF CTEs + the q_knn_topk
+    // exact CTE, joined on (query, neighbor)
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         seed AS (SELECT emb AS cent,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         c2 AS (SELECT j, cent, list_inner_product(cent, cent) AS cc FROM seed),
+         asg AS (SELECT vec_id, j AS cluster FROM (
+             SELECT e.vec_id, t.j,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY t.cc - 2.0 * list_inner_product(e.emb, t.cent), t.j) AS rn
+             FROM e, c2 t) WHERE rn = 1),
+         ec AS (SELECT e.vec_id, e.emb, asg.cluster FROM e JOIN asg USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, emb AS qemb
+               FROM ec WHERE vec_id < 20),
+         pr AS (SELECT query_id, j AS probe_cluster FROM (
+             SELECT q.query_id, t.j,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY t.cc - 2.0 * list_inner_product(q.qemb, t.cent), t.j) AS rn
+             FROM q, c2 t) WHERE rn <= 2),
+         p AS (SELECT q.query_id, ec.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.qemb, ec.emb) AS sim
+               FROM q JOIN pr USING (query_id)
+               JOIN ec ON ec.vec_id <> q.query_id AND ec.cluster = pr.probe_cluster),
+         iv AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM p) WHERE rnk <= 5),
+         xp AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qemb, e.emb) AS sim
+                FROM q JOIN e ON e.vec_id <> q.query_id),
+         xx AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM xp) WHERE rnk <= 5)
+         SELECT xx.query_id, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(iv.neighbor_id) AS BIGINT) AS n_hits,
+                CAST(count(iv.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         FROM xx LEFT JOIN iv USING (query_id, neighbor_id)
+         GROUP BY 1""",
+    "q_export_manifest" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+              FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS id_checksum
+         FROM s GROUP BY 1""",
     "q_token_lift" ->
       """WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
                      FROM documents),

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_topk" -> "broadcast query set (brute-force kNN contract)",
     "q_knn_label_purity" -> "broadcast probe set (brute-force 1-NN purity contract)",
     "q_token_lift" -> "broadcast ONE-row doc-count frame into the pair aggregate",
+    "q_ann_recall" -> "broadcast query set (brute-force exact side of the recall audit)",
     "q_bm25" -> "query-term doc-frequencies + 1-row corpus stats",
     "q_rfm" -> "1-row dataset-max timestamp (recency as-of)",
     "q22_wealthy_inactive" -> "1-row positive-balance (count, sum) totals",
