@@ -50,7 +50,11 @@ object GraphOps {
     * once (at its unique lowest-(degree, id) vertex).
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // the edge list feeds five plan branches (degrees, two orientation
+    // sides, the closing join, the final report); materialize it once
+    // instead of re-running the upstream pair generation per branch
     val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+      .localCheckpoint(true)
     val deg = canon.select(col("x").as("node"))
       .unionByName(canon.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -106,9 +110,13 @@ object GraphOps {
   ): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations outside [1, 10]")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct=$dampingPct outside [0, 100]")
+    // materialize the directed edge list once: every iteration joins
+    // it, and the degree/count frames derive from it — without this
+    // the co-occurrence pair generation re-runs 3x per iteration
     val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
     val both = canon.select(col("x").as("src"), col("y").as("dst"))
       .unionByName(canon.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint(true)
     val deg = both.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val nNodes = broadcast(deg.agg(count(lit(1)).as("__n")))
     var ranks = deg.crossJoin(nNodes)

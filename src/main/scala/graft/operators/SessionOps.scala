@@ -102,9 +102,11 @@ object SessionOps {
     val deltas = sessions
       .select(col(startCol).as("ts"), lit(1L).as("__d"))
       .unionByName(sessions.select(col(endCol).as("ts"), lit(-1L).as("__d")))
-    // closed intervals: +1 sorts before -1 at equal ts (__d desc)
+    // closed intervals: +1 sorts before -1 at equal ts (__d desc).
+    // Materialized once: both the max pass and the argmax pass scan it
     val swept = RankOps.distributedPrefixSum(
       deltas, Seq(col("ts"), col("__d").desc), "__d", "concurrency")
+      .localCheckpoint(true)
     val peak = broadcast(swept.agg(max(col("concurrency")).as("__peak")))
     swept.crossJoin(peak)
       .filter(col("concurrency") === col("__peak"))
