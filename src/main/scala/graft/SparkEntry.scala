@@ -1925,6 +1925,23 @@ object SparkEntry {
       graft.operators.RankOps.weightedMedian(
         Tables.documents(s, dir), Seq("source"), "n_chars", "n_chars", "doc_id")),
 
+    // ----- Theil–Sen robust trend: lower median of all pairwise daily
+    // slopes — the outlier-immune complement to q_trend_slope --------
+    "q_theil_sen" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      CandleOps.theilSen(r1d, Seq("user_id"), "bucket_ts", "close")
+    }),
+
+    // ----- Runs test: do up/down days streak beyond chance? Exact
+    // counts; expected/variance one division each; z mirrors the
+    // oracle op-for-op -----------------------------------------------
+    "q_runs_test" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      CandleOps.runsTest(r1d, Seq("user_id"), "bucket_ts", "close")
+    }),
+
     // ----- Ichimoku cloud: channel midpoints + displaced spans, every
     // line ONE division of exact integer cents -----------------------
     "q_ichimoku" -> ((s, dir) => {
@@ -5176,6 +5193,48 @@ object SparkEntry {
          FROM c
          WINDOW w20 AS (PARTITION BY user_id ORDER BY bucket_ts
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_theil_sen" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close FROM events GROUP BY 1, 2),
+         p AS (SELECT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(bucket_ts AS DATE)) AS x,
+                 CAST(round(close * 100) AS BIGINT) AS y FROM r1d),
+         s AS (SELECT a.user_id,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+               FROM p a JOIN p b ON a.user_id = b.user_id AND a.x < b.x),
+         r AS (SELECT user_id, sl,
+                 row_number() OVER (PARTITION BY user_id ORDER BY sl) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS m
+               FROM s)
+         SELECT user_id, CAST(max(m) AS BIGINT) AS n_pairs, min(sl) AS theil_sen_slope
+         FROM r WHERE rk * 2 = m OR rk * 2 = m + 1 GROUP BY 1""",
+    "q_runs_test" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts, CAST(round(close * 100) AS BIGINT) AS v FROM r1d),
+         m AS (SELECT user_id, bucket_ts,
+                 CASE WHEN v > lag(v) OVER w THEN 1
+                      WHEN v < lag(v) OVER w THEN -1 ELSE 0 END AS sgn
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         f AS (SELECT user_id, bucket_ts, sgn,
+                 lag(sgn) OVER (PARTITION BY user_id ORDER BY bucket_ts) AS prev
+               FROM m WHERE sgn <> 0),
+         g AS (SELECT user_id,
+                 CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+                 CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+                 CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+               FROM f GROUP BY 1)
+         SELECT user_id, n_plus, n_minus, n_runs,
+                1.0 + CAST(n_plus * n_minus * 2 AS DOUBLE)
+                      / CAST(n_plus + n_minus AS DOUBLE) AS expected_runs,
+                CASE WHEN (n_plus * n_minus * 2) * (n_plus * n_minus * 2 - (n_plus + n_minus)) > 0
+                     THEN (CAST(n_runs AS DOUBLE)
+                           - (1.0 + CAST(n_plus * n_minus * 2 AS DOUBLE)
+                                    / CAST(n_plus + n_minus AS DOUBLE)))
+                          / sqrt(CAST((n_plus * n_minus * 2) * (n_plus * n_minus * 2 - (n_plus + n_minus)) AS DOUBLE)
+                                 / CAST((n_plus + n_minus) * (n_plus + n_minus) * (n_plus + n_minus - 1) AS DOUBLE))
+                END AS z
+         FROM g WHERE n_plus + n_minus >= 2 AND n_plus > 0 AND n_minus > 0""",
     "q_triangles" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)

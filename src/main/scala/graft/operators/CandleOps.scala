@@ -994,6 +994,93 @@ object CandleOps {
         lead(col("close"), displacement).over(wOrd).as("chikou")): _*)
   }
 
+  /** Theil–Sen robust trend per key: the (lower) median of all
+    * pairwise slopes (y_j − y_i)/(x_j − x_i) — the outlier-immune
+    * complement to [[trendSlope]]'s OLS (one wild bar moves OLS, not
+    * the slope median). Each slope is ONE IEEE division of exact
+    * integers (cents over day counts), so slope values — and therefore
+    * their order and the median — are engine-identical; the median is
+    * the type-1 order statistic at rank ⌈m/2⌉, deterministic under
+    * ties because equal values occupy the boundary either way.
+    *
+    * Cost is the estimator's own O(n²) pairs per key — right for
+    * bounded windows (a month of dailies = 276 pairs); at unbounded n
+    * sample pairs upstream, the standard practice.
+    */
+  def theilSen(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String
+  ): DataFrame = {
+    val keyCols = keys.map(col)
+    // day index via datediff, NOT unix_micros/86400e9: that division
+    // runs in doubles whose ulp at 1e18 micros is ~256, and a rounded
+    // quotient can cross a day boundary
+    val pts = rollup.select((keyCols :+
+      datediff(col(bucketCol).cast("date"), to_date(lit("1970-01-01")))
+        .cast(LongType).as("__x") :+
+      round(col(closeCol) * 100).cast(LongType).as("__y")): _*)
+    val a = pts.select((keyCols :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
+    val b = pts.select((keyCols :+ col("__x").as("__x2") :+ col("__y").as("__y2")): _*)
+    val slopes = a.join(b, keys).filter(col("__x1") < col("__x2"))
+      .select((keyCols :+
+        ((col("__y2") - col("__y1")).cast(DoubleType) /
+          (col("__x2") - col("__x1")).cast(DoubleType)).as("__s")): _*)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__s"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    slopes
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .filter(col("__r") * 2 === col("__m") || col("__r") * 2 === col("__m") + 1)
+      .groupBy(keyCols: _*)
+      .agg(max(col("__m")).as("n_pairs"),
+        min(col("__s")).as("theil_sen_slope"))
+  }
+
+  /** Wald–Wolfowitz runs test on the daily move signs per key: are
+    * up/down days independent, or do they streak/alternate beyond
+    * chance? Counts are exact integers (flat days dropped, the
+    * classical treatment); the expected run count and variance are
+    * each ONE division of exact integer cross-products, and the z
+    * score divides their difference by a correctly-rounded sqrt —
+    * every float op deterministic given the same integers, mirrored
+    * operation-for-operation in the oracle.
+    */
+  def runsTest(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String
+  ): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val sgn = when(cents > lag(cents, 1).over(w), 1)
+      .when(cents < lag(cents, 1).over(w), -1).otherwise(0)
+    val wSgnOrd = Window.partitionBy(keyCols: _*).orderBy(col(bucketCol))
+    val moves = rollup
+      .select((keyCols :+ col(bucketCol) :+ sgn.as("__sgn")): _*)
+      .filter(col("__sgn") =!= 0)
+      .withColumn("__prev", lag(col("__sgn"), 1).over(wSgnOrd))
+      .withColumn("__newrun",
+        when(col("__prev").isNull || col("__prev") =!= col("__sgn"), 1L).otherwise(0L))
+    val agg = moves.groupBy(keyCols: _*).agg(
+      sum(when(col("__sgn") === 1, 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("__sgn") === -1, 1L).otherwise(0L)).as("n_minus"),
+      sum(col("__newrun")).as("n_runs"))
+    val n = col("n_plus") + col("n_minus")
+    val two = col("n_plus") * col("n_minus") * 2
+    // E = 1 + 2ab/n ; Var = 2ab(2ab − n) / (n²(n−1)); both ONE division
+    val e = lit(1.0) + two.cast(DoubleType) / n.cast(DoubleType)
+    val v = (two * (two - n)).cast(DoubleType) / (n * n * (n - 1)).cast(DoubleType)
+    agg.filter(n >= 2 && col("n_plus") > 0 && col("n_minus") > 0)
+      .select((keyCols :+ col("n_plus") :+ col("n_minus") :+ col("n_runs") :+
+        e.as("expected_runs") :+
+        (when(v > 0, (col("n_runs").cast(DoubleType) - e) / sqrt(v))
+          .otherwise(lit(null).cast(DoubleType))).as("z")): _*)
+  }
+
   /** SAX words (symbolic aggregate approximation) over each key's most
     * recent `nDays` closes: the series is cut into `nDays/segLen`
     * equal segments, each segment's mean is digitized against the
