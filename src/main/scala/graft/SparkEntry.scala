@@ -1925,6 +1925,19 @@ object SparkEntry {
       graft.operators.RankOps.weightedMedian(
         Tables.documents(s, dir), Seq("source"), "n_chars", "n_chars", "doc_id")),
 
+    // ----- Mann–Kendall monotonic-trend gate: exact integer pair
+    // concordance + tie-corrected variance, one sqrt-division z ------
+    "q_mann_kendall" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      CandleOps.mannKendall(r1d, Seq("user_id"), "bucket_ts", "close")
+    }),
+
+    // ----- Whale gate: per-metric user-concentration HHI as one exact
+    // rational division, with effective-user count ---------------------
+    "q_concentration" -> ((s, dir) =>
+      EventOps.concentration(Tables.events(s, dir), "event_type", "user_id")),
+
     // ----- Theil–Sen robust trend: lower median of all pairwise daily
     // slopes — the outlier-immune complement to q_trend_slope --------
     "q_theil_sen" -> ((s, dir) => {
@@ -5193,6 +5206,38 @@ object SparkEntry {
          FROM c
          WINDOW w20 AS (PARTITION BY user_id ORDER BY bucket_ts
                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    "q_mann_kendall" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close FROM events GROUP BY 1, 2),
+         p AS (SELECT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(bucket_ts AS DATE)) AS x,
+                 CAST(round(close * 100) AS BIGINT) AS y FROM r1d),
+         sp AS (SELECT a.user_id, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+                FROM p a JOIN p b ON a.user_id = b.user_id AND a.x < b.x GROUP BY 1),
+         tg AS (SELECT user_id, y, count(*) AS t FROM p GROUP BY 1, 2),
+         ti AS (SELECT user_id, CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tieterm
+                FROM tg GROUP BY 1)
+         SELECT sp.user_id, ti.n AS n_obs, sp.s_stat,
+                ti.n * (ti.n - 1) * (ti.n * 2 + 5) - ti.tieterm AS var18,
+                CAST(CASE WHEN sp.s_stat > 0 THEN sp.s_stat - 1
+                          WHEN sp.s_stat < 0 THEN sp.s_stat + 1
+                          ELSE 0 END AS DOUBLE)
+                  / sqrt(CAST(ti.n * (ti.n - 1) * (ti.n * 2 + 5) - ti.tieterm AS DOUBLE)
+                         / 18.0) AS z
+         FROM sp JOIN ti USING (user_id)
+         WHERE ti.n * (ti.n - 1) * (ti.n * 2 + 5) - ti.tieterm > 0""",
+    "q_concentration" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) AS c
+                     FROM events GROUP BY 1, 2)
+         SELECT event_type, count(*) AS n_users,
+                CAST(sum(c) AS BIGINT) AS n_events,
+                CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
+                  / CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT) AS DOUBLE) AS hhi,
+                1.0 / (CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
+                       / CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT) AS DOUBLE))
+                  AS effective_users
+         FROM pu GROUP BY 1""",
     "q_theil_sen" ->
       """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
                 arg_max(value, ts) AS close FROM events GROUP BY 1, 2),

@@ -1038,6 +1038,51 @@ object CandleOps {
         min(col("__s")).as("theil_sen_slope"))
   }
 
+  /** Mann–Kendall trend test per key: S = Σ sgn(y_j − y_i) over all
+    * ordered pairs — EXACT integer concordance — with the tie-corrected
+    * variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) also exact, and
+    * the continuity-corrected z = (S ∓ 1)/√Var the only float work
+    * (one division under one correctly-rounded sqrt). The
+    * non-parametric "is there a monotonic trend at all" gate usually
+    * read before [[theilSen]]'s slope; same bounded-window O(n²) pair
+    * frame, same upstream-sampling advice past that.
+    */
+  def mannKendall(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String
+  ): DataFrame = {
+    val keyCols = keys.map(col)
+    val pts = rollup.select((keyCols :+
+      datediff(col(bucketCol).cast("date"), to_date(lit("1970-01-01")))
+        .cast(LongType).as("__x") :+
+      round(col(closeCol) * 100).cast(LongType).as("__y")): _*)
+    val a = pts.select((keyCols :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
+    val b = pts.select((keyCols :+ col("__x").as("__x2") :+ col("__y").as("__y2")): _*)
+    val sPerKey = a.join(b, keys).filter(col("__x1") < col("__x2"))
+      .groupBy(keyCols: _*)
+      .agg(sum(signum(col("__y2") - col("__y1")).cast(LongType)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = pts.groupBy((keyCols :+ col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__t")).as("__n"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tieterm"))
+    val n = col("__n")
+    val var18 = n * (n - 1) * (n * 2 + 5) - col("__tieterm")
+    // continuity correction toward zero; S = 0 → z = 0 by convention
+    val zNum = when(col("s_stat") > 0, col("s_stat") - 1)
+      .when(col("s_stat") < 0, col("s_stat") + 1)
+      .otherwise(lit(0L))
+    sPerKey.join(ties, keys)
+      .filter(var18 > 0)
+      .select((keyCols :+ col("__n").as("n_obs") :+ col("s_stat") :+
+        var18.as("var18") :+
+        (zNum.cast(DoubleType) /
+          sqrt(var18.cast(DoubleType) / lit(18.0))).as("z")): _*)
+  }
+
   /** Wald–Wolfowitz runs test on the daily move signs per key: are
     * up/down days independent, or do they streak/alternate beyond
     * chance? Counts are exact integers (flat days dropped, the

@@ -1015,6 +1015,36 @@ object EventOps {
           col("n_kept").cast(DoubleType) / lit(100.0)).as("trimmed_mean"))
   }
 
+  /** Herfindahl concentration per event type: Σ share² of per-user
+    * event counts, computed as the RATIONAL Σc²/(Σc)² — the integer
+    * numerator and denominator stay exact (decimal(38,0): per-user
+    * counts at corpus scale square past a long) and divide ONCE, so
+    * no order-dependent float summation of shares ever happens. The
+    * "is this metric driven by a few whales" gate (1/n = uniform,
+    * 1 = single user), with the effective-user count 1/HHI as its
+    * readable twin.
+    */
+  def concentration(
+      events: DataFrame,
+      typeCol: String,
+      userCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perUser = events
+      .groupBy(col(typeCol).as("event_type"), col(userCol))
+      .agg(count(lit(1)).as("__c"))
+    perUser
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__c")).as("n_events"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__ss"))
+      .withColumn("hhi",
+        col("__ss").cast(DoubleType) /
+          (col("n_events").cast(dec) * col("n_events").cast(dec)).cast(DoubleType))
+      .withColumn("effective_users", lit(1.0) / col("hhi"))
+      .drop("__ss")
+  }
+
   /** First-significant-digit audit (Benford screen): fabricated or
     * unit-mixed metrics flout the log distribution real multiplicative
     * data follows. The digit comes from the DECIMAL STRING of the
