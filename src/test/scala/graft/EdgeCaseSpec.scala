@@ -375,4 +375,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(CandleOps.trendSlope(emptyRollup, Seq("sym"), "bucket_ts",
       "close", "2024-01-01 00:00:00").count() == 0)
   }
+
+  test("round-6 operators survive empty, degenerate, and singleton input") {
+    import graft.operators.{EventOps, GraphOps, RankOps, SessionOps}
+    // graph ops: empty edge set -> empty stats; a single edge -> two
+    // degree-1 nodes, zero triangles; pagerank conserves positivity
+    val noEdges = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(GraphOps.triangleStats(noEdges).count() == 0)
+    assert(GraphOps.pagerankPinned(noEdges).count() == 0)
+    val oneEdge = Seq((1L, 2L)).toDF("x", "y")
+    val ts1 = GraphOps.triangleStats(oneEdge).collect()
+    assert(ts1.length == 2 && ts1.forall(r => r.getLong(2) == 0L))
+    val pr1 = GraphOps.pagerankPinned(oneEdge).collect()
+    assert(pr1.length == 2 && pr1.forall(_.getLong(1) > 0L))
+    // benford: all-null and zero values contribute nothing
+    val z = Seq(("a", Option.empty[Double]), ("a", Some(0.0)), ("a", Some(0.004)))
+      .toDF("event_type", "value")
+    assert(EventOps.benfordDigits(z, "event_type", "value").count() == 0)
+    // concentration on an empty frame is empty, single user -> hhi 1
+    val one = Seq(("t", 7L), ("t", 7L)).toDF("event_type", "user_id")
+    val c = EventOps.concentration(one, "event_type", "user_id").head()
+    assert(c.getAs[Double]("hhi") == 1.0)
+    // sweeps: empty sessions -> empty outputs; zero-length interval
+    // coverage is zero but the block still counts
+    val noSess = Seq.empty[(Timestamp, Timestamp)].toDF("s", "e")
+    assert(SessionOps.peakConcurrency(noSess, "s", "e").count() == 0)
+    assert(SessionOps.dailyCoverage(noSess, "s", "e").count() == 0)
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val point = Seq((t0, t0)).toDF("s", "e")
+    val cov = SessionOps.dailyCoverage(point, "s", "e").head()
+    assert(cov.getAs[Long]("n_blocks") == 1L && cov.getAs[Long]("covered_us") == 0L)
+    // pairwise estimators: a single observation yields no pairs
+    val lone = Seq(("u", t0, 1.0)).toDF("sym", "bucket_ts", "close")
+    assert(CandleOps.theilSen(lone, Seq("sym"), "bucket_ts", "close").count() == 0)
+    assert(CandleOps.mannKendall(lone, Seq("sym"), "bucket_ts", "close").count() == 0)
+    assert(CandleOps.runsTest(lone, Seq("sym"), "bucket_ts", "close").count() == 0)
+    // weighted median: all weights non-positive -> group disappears
+    val wz = Seq(("g", 5L, 0L, 1L)).toDF("src", "v", "w", "id")
+    assert(RankOps.weightedMedian(wz, Seq("src"), "v", "w", "id").count() == 0)
+  }
 }
