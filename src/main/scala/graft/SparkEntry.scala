@@ -535,6 +535,41 @@ object SparkEntry {
           coalesce(col("group_id"), col("doc_id")).as("group_id"))
     }),
 
+    // ----- Dedup funnel: the stage-attribution report over the full
+    // cascade — raw → exact → minhash near-dup → semantic — answering
+    // "which stage removes how much" (the number that decides whether
+    // the expensive stages pay for themselves). Each stage feeds the
+    // next (semantic runs only on near-dup survivors, vec_id ≡ doc_id);
+    // counts are exact, four rows out. ---------------------------------
+    "q_dedup_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val exactKeepers = TextOps.exactDedupGroups(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val exactKept = docs.join(exactKeepers, Seq("doc_id")).localCheckpoint(true)
+      val pairs = TextOps.minhashCandidatePairs(exactKept, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3)
+      val nearKeepers = graft.operators.DedupGroups
+        .resolveKeepers(exactKept, "doc_id", pairs)
+        .filter(col("is_keeper")).select("doc_id").localCheckpoint(true)
+      val survEmb = emb
+        .join(nearKeepers.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .localCheckpoint(true)
+      val semPairs = VectorOps.cosineNearDupPairs(
+          survEmb, "vec_id", "embedding", "label", threshold = 0.30)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val semKeepers = graft.operators.DedupGroups
+        .resolveKeepers(survEmb, "vec_id", semPairs)
+        .filter(col("is_keeper")).select(col("doc_id"))
+      docs.agg(count(lit(1)).as("n_kept")).select(lit("1_raw").as("stage"), col("n_kept"))
+        .unionByName(exactKeepers.agg(count(lit(1)).as("n_kept"))
+          .select(lit("2_exact").as("stage"), col("n_kept")))
+        .unionByName(nearKeepers.agg(count(lit(1)).as("n_kept"))
+          .select(lit("3_near_dup").as("stage"), col("n_kept")))
+        .unionByName(semKeepers.agg(count(lit(1)).as("n_kept"))
+          .select(lit("4_semantic").as("stage"), col("n_kept")))
+    }),
+
     // ----- Fold-ONLY incremental dedup — the daily-ingest shape the
     // 100 TB story actually runs: standing labels are READ (here: a
     // closed-form exact-text grouping standing in for yesterday's
@@ -3262,6 +3297,43 @@ object SparkEntry {
                 CAST(bit_count(xor(n.sh, k.sh)) AS BIGINT) AS hamming
          FROM guarded_n n JOIN guarded k USING (band, h)
          WHERE bit_count(xor(n.sh, k.sh)) <= 3""",
+    // Dedup funnel: each stage's keeper set restated in SQL — exact
+    // hash-groups, minhash CC over exact keepers, semantic CC over
+    // near-dup survivors (two recursive CTEs in one WITH RECURSIVE).
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE
+         keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         kdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN keep1 USING (doc_id)),
+         ${minhashSigCtes("kdocs")},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         near AS (SELECT k.doc_id FROM kdocs k LEFT JOIN grp g USING (doc_id)
+                  WHERE coalesce(g.group_id, k.doc_id) = k.doc_id),
+         se AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb
+                FROM embeddings e JOIN near n ON n.doc_id = e.vec_id
+                QUALIFY count(*) OVER (PARTITION BY e.label) <= 10000),
+         scand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                   FROM se a JOIN se b ON a.label = b.label AND a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30),
+         sedges AS (SELECT doc_a AS src, doc_b AS dst FROM scand
+                    UNION SELECT doc_b, doc_a FROM scand),
+         reach2(id, lbl) AS (
+           SELECT DISTINCT src, src FROM sedges
+           UNION
+           SELECT g2.src, r.lbl FROM sedges g2 JOIN reach2 r ON r.id = g2.dst),
+         sgrp AS (SELECT id, min(lbl) AS group_id FROM reach2 GROUP BY id),
+         sem AS (SELECT s.vec_id FROM se s LEFT JOIN sgrp g ON g.id = s.vec_id
+                 WHERE coalesce(g.group_id, s.vec_id) = s.vec_id)
+         SELECT '1_raw' AS stage, count(*) AS n_kept FROM documents
+         UNION ALL SELECT '2_exact', count(*) FROM keep1
+         UNION ALL SELECT '3_near_dup', count(*) FROM near
+         UNION ALL SELECT '4_semantic', count(*) FROM sem""",
     // Incremental CC folds new pairs into standing groups; the oracle
     // is the EQUIVALENT global statement — transitive closure over the
     // union of old and new candidate edges (star edges reproduce old
