@@ -2279,6 +2279,80 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // ----- TPC-H Q8 shape: one nation's market share of a part type
+    // in one region's orders, per year — the share is ONE division of
+    // two exact decimal sums --------------------------------------------
+    "q8_market_share" -> ((s, dir) => {
+      val dec = DecimalType(25, 8)
+      val nc = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__ck"), col("n_regionkey").as("__crk"))
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("__ck"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("__crk") === col("r_regionkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("__sk"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast(dec))).as("__nv"),
+          sum(vol).as("__tv"))
+        .select(col("o_year"),
+          (col("__nv").cast(DoubleType) / col("__tv").cast(DoubleType)).as("mkt_share"),
+          col("__nv").cast(DoubleType).as("nation_volume"),
+          col("__tv").cast(DoubleType).as("total_volume"))
+    }),
+
+    // ----- TPC-H Q13 shape: order-count distribution across customers
+    // including the zero-order tail (left join, count non-null) --------
+    "q13_custdist" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // ----- TPC-H Q21 shape: suppliers who alone kept a finished order
+    // waiting — a late line, EXISTS another supplier in the order,
+    // NOT EXISTS another LATE supplier (semi + anti self-correlation
+    // on lineitem; late = shipped >60 days past order date, the
+    // receipt/commit columns this schema does not carry) ---------------
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val withOrd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 days"))
+      val l1 = withOrd.filter(col("__late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("__o2"), col("l_suppkey").as("__s2"))
+      val l3 = withOrd.filter(col("__late"))
+        .select(col("l_orderkey").as("__o3"), col("l_suppkey").as("__s3"))
+      l1
+        .join(l2, col("l_orderkey") === col("__o2") && col("l_suppkey") =!= col("__s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("__o3") && col("l_suppkey") =!= col("__s3"),
+          "left_anti")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // ----- TPC-H Q9 shape: product-line profit by nation and year
     // (retail-price cost proxy — the schema carries no partsupp) -------
     "q9_product_profit" -> ((s, dir) => {
@@ -6022,6 +6096,53 @@ object SparkEntry {
            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
          GROUP BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))
+                              ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE)
+                  AS mkt_share,
+                CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))
+                              ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE) AS nation_volume,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE)
+                  AS total_volume
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         GROUP BY 1""",
+    "q21_waiting_suppliers" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+         l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+         w AS (SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+               FROM l JOIN f ON l_orderkey = o_orderkey),
+         l1 AS (SELECT l_orderkey, l_suppkey FROM w WHERE late)
+         SELECT s_name, count(*) AS numwait
+         FROM l1
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM l l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM w l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
     "q9_product_profit" ->
       """SELECT n_name,
                 CAST(year(l_shipdate) AS BIGINT) AS o_year,
