@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{Bpe, ProductQuantizer, SimHash64, TextOps, VectorOps}
-import graft.operators.{AsOfJoin, BasketOps, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MultimodalOps, PurgeOps, QualityReport, RangeJoin, SessionOps, SketchStore}
+import graft.operators.{AsOfJoin, BasketOps, CandleOps, EntityOps, EventOps, GapOps, IngestOps, MicrostructureOps, MultimodalOps, PurgeOps, QualityReport, RangeJoin, SessionOps, SketchStore}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2631,6 +2631,91 @@ object SparkEntry {
         .limit(25)
         .select(col("user_id"), col("bucket_ts"), col("close_cents"),
           col("prev_cents"), col("move_cents"), col("move_bps"))
+    }),
+
+    // ----- Williams %R: close position in the trailing high/low
+    // envelope; exact cent bounds, one division --------------------------
+    "q_williams_r" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.williamsR(r1h, Seq("user_id"), "bucket_ts", nWindow = 14)
+    }),
+
+    // ----- Aroon: bars-since-extreme via the packed-integer rolling
+    // argmax (no first/last nondeterminism), one division ----------------
+    "q_aroon" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.aroon(r1h, Seq("user_id"), "bucket_ts", nWindow = 14)
+    }),
+
+    // ----- Money flow index: volume-weighted RSI on 3x typical price
+    // (exact longs), one division ----------------------------------------
+    "q_mfi" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.mfi(r1h, Seq("user_id"), "bucket_ts", nWindow = 14)
+    }),
+
+    // ----- CCI: the window's OWN mean deviation folded exactly with a
+    // higher-order aggregate over the collected window ------------------
+    "q_cci" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.cci(r1h, Seq("user_id"), "bucket_ts", nWindow = 20)
+    }),
+
+    // ----- Roll's implied spread: 2*sqrt(-serial autocovariance) of
+    // cent moves; integer co-moments, sqrt of one division --------------
+    "q_roll_spread" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.rollSpread(r1h, Seq("user_id"), "bucket_ts")
+    }),
+
+    // ----- Kyle's lambda: OLS of cent move on tick-rule signed cent
+    // volume — price impact per key, decimal co-moments -----------------
+    "q_kyle_lambda" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.kyleLambda(r1h, Seq("user_id"), "bucket_ts")
+    }),
+
+    // ----- Amihud-style illiquidity, ratio-of-sums per (key, day):
+    // cents moved per cent of volume, one division -----------------------
+    "q_amihud" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.amihud(r1h, Seq("user_id"), "bucket_ts")
+    }),
+
+    // ----- Pairwise return-correlation matrix: bucket-aligned self-
+    // join (universe^2 pairs, map-side-combined co-moments) --------------
+    "q_corr_matrix" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
+    }),
+
+    // ----- TPC-H Q2 shape (adapted — no partsupp table): cheapest
+    // supplier per part from observed lineitem prices, the argmin as a
+    // packed integer (cents * 2^32 + suppkey) so ties break to the
+    // smallest suppkey deterministically in ONE min aggregate ------------
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val P = 1L << 32
+      val epC = round(col("l_extendedprice") * 100).cast(LongType)
+      val packed = min(epC * P + col("l_suppkey")).as("__p")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(packed)
+        .select(col("l_partkey"),
+          shiftright(col("__p"), 32).as("min_price_cents"),
+          col("__p").bitwiseAND(lit(P - 1)).as("supp_key"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("supp_key") === col("s_suppkey"))
+        .select(col("l_partkey"), col("min_price_cents"), col("supp_key"),
+          col("s_name"))
     })
   )
 
@@ -6469,7 +6554,209 @@ object SparkEntry {
          FROM d
          ORDER BY abs(move_cents) * 10000 // abs(prev_cents) DESC,
                   user_id, bucket_ts
-         LIMIT 25"""
+         LIMIT 25""",
+    "q_williams_r" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1h),
+         e AS (SELECT user_id, bucket_ts,
+                 max(h) OVER w AS hh, min(l) OVER w AS ll, cl
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts,
+                hh - cl AS hh_minus_close_cents,
+                hh - ll AS range_cents,
+                CASE WHEN hh - ll > 0 THEN
+                  CAST((hh - cl) * -100 AS DOUBLE) / CAST(hh - ll AS DOUBLE)
+                END AS willr
+         FROM e""",
+    "q_aroon" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts)
+                      AS BIGINT) AS rn
+               FROM r1h),
+         p AS (SELECT user_id, bucket_ts, rn,
+                 h * 4294967296 + rn AS ph,
+                 l * 4294967296 + (4294967295 - rn) AS pl
+               FROM c),
+         e AS (SELECT user_id, bucket_ts, rn,
+                 CAST(count(*) OVER w AS BIGINT) AS m,
+                 max(ph) OVER w AS mph, min(pl) OVER w AS mpl
+               FROM p WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts,
+                rn - (mph % 4294967296) AS bars_since_high,
+                rn - (4294967295 - (mpl % 4294967296)) AS bars_since_low,
+                CAST((m - (rn - (mph % 4294967296))) * 100 AS DOUBLE)
+                  / CAST(m AS DOUBLE) AS aroon_up,
+                CAST((m - (rn - (4294967295 - (mpl % 4294967296)))) * 100 AS DOUBLE)
+                  / CAST(m AS DOUBLE) AS aroon_down
+         FROM e""",
+    "q_mfi" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) + CAST(round(low * 100) AS BIGINT)
+                   + CAST(round(close * 100) AS BIGINT) AS tp3,
+                 CAST(round(volume * 100) AS BIGINT) AS v
+               FROM r1h),
+         d AS (SELECT user_id, bucket_ts,
+                 CASE WHEN tp3 - lag(tp3) OVER o > 0 THEN tp3 * v ELSE 0 END AS pos,
+                 CASE WHEN tp3 - lag(tp3) OVER o < 0 THEN tp3 * v ELSE 0 END AS neg
+               FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         e AS (SELECT user_id, bucket_ts,
+                 CAST(sum(pos) OVER w AS BIGINT) AS pf,
+                 CAST(sum(neg) OVER w AS BIGINT) AS nf
+               FROM d WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts, pf AS pos_flow, nf AS neg_flow,
+                CASE WHEN pf + nf > 0 THEN
+                  CAST(pf * 100 AS DOUBLE) / CAST(pf + nf AS DOUBLE)
+                END AS mfi
+         FROM e""",
+    "q_cci" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) + CAST(round(low * 100) AS BIGINT)
+                   + CAST(round(close * 100) AS BIGINT) AS tp3
+               FROM r1h),
+         e AS (SELECT user_id, bucket_ts, tp3,
+                 CAST(count(*) OVER w AS BIGINT) AS m,
+                 CAST(sum(tp3) OVER w AS BIGINT) AS s,
+                 list(tp3) OVER w AS l
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         f AS (SELECT user_id, bucket_ts, tp3, m, s,
+                 CAST(list_sum(list_transform(l, x -> abs(m * x - s))) AS BIGINT)
+                   AS dev_sum
+               FROM e)
+         SELECT user_id, bucket_ts,
+                m * tp3 - s AS tp3_dev,
+                dev_sum,
+                CASE WHEN dev_sum > 0 THEN
+                  CAST(m * (m * tp3 - s) * 1000 AS DOUBLE)
+                  / CAST(dev_sum * 15 AS DOUBLE)
+                END AS cci
+         FROM f""",
+    "q_roll_spread" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         d AS (SELECT user_id, bucket_ts,
+                 cl - lag(cl) OVER o AS dt
+               FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         p AS (SELECT user_id, dt, lag(dt) OVER o AS dp
+               FROM d WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         g AS (SELECT user_id, count(*) AS n,
+                 CAST(sum(dt) AS BIGINT) AS sx, CAST(sum(dp) AS BIGINT) AS sy,
+                 CAST(sum(dt * dp) AS BIGINT) AS sxy
+               FROM p WHERE dt IS NOT NULL AND dp IS NOT NULL GROUP BY 1)
+         SELECT user_id, n AS n_pairs, sx AS sum_dt, sy AS sum_dp,
+                sxy AS sum_dtdp,
+                CASE WHEN n > 1 AND n * sxy - sx * sy < 0 THEN
+                  sqrt(CAST(sx * sy - n * sxy AS DOUBLE)
+                       / CAST(n * n AS DOUBLE)) * 2.0
+                END AS roll_spread_cents
+         FROM g""",
+    "q_kyle_lambda" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl,
+                 CAST(round(volume * 100) AS BIGINT) AS v
+               FROM r1h),
+         d AS (SELECT user_id,
+                 cl - lag(cl) OVER o AS y,
+                 CASE WHEN cl - lag(cl) OVER o > 0 THEN v
+                      WHEN cl - lag(cl) OVER o < 0 THEN -v
+                      ELSE 0 END AS x
+               FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         g AS (SELECT user_id, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+               FROM d WHERE y IS NOT NULL GROUP BY 1)
+         SELECT user_id, n AS n_moves,
+                CAST(sx AS BIGINT) AS sum_sv, CAST(sy AS BIGINT) AS sum_d,
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                END AS kyle_lambda
+         FROM g""",
+    "q_amihud" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl,
+                 CAST(round(volume * 100) AS BIGINT) AS v
+               FROM r1h),
+         d AS (SELECT user_id, CAST(bucket_ts AS DATE) AS day,
+                 cl - lag(cl) OVER o AS dd, v
+               FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, day, count(*) AS n_moves,
+                CAST(sum(abs(dd)) AS BIGINT) AS sum_abs_move_cents,
+                CAST(sum(v) AS BIGINT) AS sum_volume_cents,
+                CASE WHEN CAST(sum(v) AS BIGINT) > 0 THEN
+                  CAST(CAST(sum(abs(dd)) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                END AS illiq
+         FROM d WHERE dd IS NOT NULL GROUP BY 1, 2""",
+    "q_corr_matrix" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         m AS (SELECT user_id, bucket_ts, dd FROM (
+                 SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+               WHERE dd IS NOT NULL),
+         j AS (SELECT a.user_id AS key_a, b.user_id AS key_b,
+                 a.dd AS da, b.dd AS db
+               FROM m a JOIN m b
+                 ON a.bucket_ts = b.bucket_ts AND a.user_id < b.user_id),
+         g AS (SELECT key_a, key_b, count(*) AS n,
+                 CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+                 CAST(sum(da * db) AS BIGINT) AS sab,
+                 CAST(sum(da * da) AS BIGINT) AS saa,
+                 CAST(sum(db * db) AS BIGINT) AS sbb
+               FROM j GROUP BY 1, 2)
+         SELECT key_a, key_b, n AS n_aligned, sab AS sum_ab, saa AS sum_aa,
+                sbb AS sum_bb,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS corr
+         FROM g""",
+    "q2_min_cost_supplier" ->
+      """WITH g AS (SELECT l_partkey,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296
+                     + l_suppkey) AS p
+               FROM lineitem GROUP BY 1)
+         SELECT g.l_partkey,
+                g.p // 4294967296 AS min_price_cents,
+                g.p % 4294967296 AS supp_key,
+                s.s_name
+         FROM g JOIN supplier s ON g.p % 4294967296 = s.s_suppkey"""
   )
 
   /** Oracle for q_ema: the same truncated-EWMA integer weights

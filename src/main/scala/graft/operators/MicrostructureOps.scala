@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Market-microstructure and extended-indicator operators over OHLCV
+  * rollups (the `[[CandleOps.ohlcvRollup]]` schema: keys…, bucket_ts,
+  * open/high/low/close, trades, volume).
+  *
+  * Same determinism contract as the CandleOps indicator family
+  * (reference: the reference computes its indicator screens client-side
+  * over `SELECT … FROM candles` reads, e.g. app/load_history.py:690-704
+  * history pulls; here they are pushed into the engine): every
+  * intermediate is an exact cent/integer quantity, and each published
+  * double is ONE IEEE operation (division, or division-then-sqrt) of
+  * exactly-represented operands — so the DuckDB oracle agrees bitwise.
+  *
+  * Scale shape: everything here is either a per-key ordered window
+  * (one hash exchange on the key, identical to the rollup's own
+  * partitioning, so AQE reuses it) or a single hash aggregation;
+  * [[corrMatrix]] is the one deliberate fan-out and documents its
+  * bound.
+  */
+object MicrostructureOps {
+
+  private val dec = DecimalType(38, 0)
+  private def cts(c: String) = round(col(c) * 100).cast(LongType)
+
+  /** Williams %R: where the close sits inside the trailing
+    * `nWindow`-bar high/low envelope, scaled to [-100, 0].
+    * num = HH − C and den = HH − LL are exact cent longs; `willr` is
+    * one division, NULL on a flat envelope (den = 0) rather than a
+    * synthetic midpoint — degenerate windows are reported, not faked.
+    */
+  def williamsR(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    val hh = max(cts("high")).over(w)
+    val ll = min(cts("low")).over(w)
+    val num = hh - cts("close")
+    val den = hh - ll
+    rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        num.as("hh_minus_close_cents") :+ den.as("range_cents") :+
+        when(den > 0, (num * -100).cast(DoubleType) / den.cast(DoubleType))
+          .as("willr")): _*)
+  }
+
+  /** Aroon up/down: how recently the trailing-window extreme printed.
+    * The rolling argmax is computed WITHOUT any non-deterministic
+    * first/last trick: each bar's high is packed as
+    * `high_cents * 2^32 + row_number` so a plain integer `max` over the
+    * window recovers both the extreme and its position, ties resolving
+    * to the most recent bar (the packed value grows with row number at
+    * equal cents). Lows pack the row number complemented so `min`
+    * tie-breaks the same direction. aroon = 100·(m − bars_since)/m over
+    * the actual frame size m — one division of exact longs.
+    *
+    * The pack is long-exact for prices under 2^30 cents (~$10M) and
+    * 2^32 bars per key (490k years of hourly buckets); out-of-range
+    * cents raise rather than silently mis-rank, the [[CandleOps
+    * .heikinAshi]] discipline.
+    */
+  def aroon(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    val P = 1L << 32
+    val maxCents = (1L << 30) - 1
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    def guarded(c: String) = {
+      val raw = cts(c)
+      when(abs(raw) <= maxCents, raw).otherwise(raise_error(concat(
+        lit(s"aroon: |$c| cents "), raw.cast("string"),
+        lit(s" exceeds the pack-exact bound $maxCents; rescale prices"))))
+    }
+    val rn = row_number().over(wOrd).cast(LongType)
+    val base = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ rn.as("__rn") :+
+        (guarded("high") * P + rn).as("__ph") :+
+        (guarded("low") * P + (lit(P - 1) - rn)).as("__pl")): _*)
+    val m = count(lit(1)).over(w)
+    val sinceHigh = col("__rn") - pmod(max(col("__ph")).over(w), lit(P))
+    val sinceLow = col("__rn") - (lit(P - 1) - pmod(min(col("__pl")).over(w), lit(P)))
+    base.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        sinceHigh.as("bars_since_high") :+ sinceLow.as("bars_since_low") :+
+        ((m - sinceHigh) * 100).cast(DoubleType).divide(m.cast(DoubleType))
+          .as("aroon_up") :+
+        ((m - sinceLow) * 100).cast(DoubleType).divide(m.cast(DoubleType))
+          .as("aroon_down")): _*)
+  }
+
+  /** Money flow index: volume-weighted RSI over the typical price.
+    * Works on 3× the typical price (h+l+c cents — an exact long, never
+    * the /3 rational) and cent volumes, so positive/negative money-flow
+    * window sums are exact; MFI = 100·pos/(pos+neg) is one division.
+    * First bar of a key has no direction and contributes to neither
+    * side (textbook convention); a flat typical price likewise.
+    */
+  def mfi(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1, s"nWindow=$nWindow must exceed 1")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    val tp3 = cts("high") + cts("low") + cts("close")
+    val volC = round(col("volume") * 100).cast(LongType)
+    val dir = tp3 - lag(tp3, 1).over(wOrd)
+    val mf = tp3 * volC
+    val base = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        when(dir > 0, mf).otherwise(lit(0L)).as("__pos") :+
+        when(dir < 0, mf).otherwise(lit(0L)).as("__neg")): _*)
+    val pos = sum(col("__pos")).over(w)
+    val neg = sum(col("__neg")).over(w)
+    base.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        pos.as("pos_flow") :+ neg.as("neg_flow") :+
+        when(pos + neg > 0,
+          (pos * 100).cast(DoubleType) / (pos + neg).cast(DoubleType))
+          .as("mfi")): _*)
+  }
+
+  /** Commodity channel index, exactly: CCI = (tp − SMA)/(0.015·MD)
+    * where MD is the mean absolute deviation of the typical price over
+    * the SAME trailing window. The window's deviations depend on that
+    * window's own mean, so no rolling sum can carry them — the window's
+    * tp3 values are collected once and folded with a higher-order
+    * `aggregate` against the window sum: dev_sum = Σ|m·tp3ᵢ − S| stays
+    * an exact long (the /m is deferred), and
+    * CCI = 1000·m·(m·tp3 − S) / (15·dev_sum) is one division.
+    * The list is bounded by `nWindow` (≤ 100 enforced) — this is a
+    * fixed-size per-row buffer, not a per-key materialization.
+    */
+  def cci(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      nWindow: Int
+  ): DataFrame = {
+    require(nWindow > 1 && nWindow <= 100,
+      s"nWindow=$nWindow outside [2, 100]: the per-row window buffer is meant to stay small")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
+    val tp3 = cts("high") + cts("low") + cts("close")
+    val base = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ tp3.as("__tp3")): _*)
+    val m = count(lit(1)).over(w)
+    val s = sum(col("__tp3")).over(w)
+    val lst = collect_list(col("__tp3")).over(w)
+    val withW = base.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("__tp3") :+
+        m.as("__m") :+ s.as("__s") :+ lst.as("__l")): _*)
+    val devSum = aggregate(
+      col("__l"), lit(0L),
+      (acc, v) => acc + abs(col("__m") * v - col("__s")))
+    withW.select(
+      (keys.map(col) :+ col(bucketCol) :+
+        (col("__m") * col("__tp3") - col("__s")).as("tp3_dev") :+
+        devSum.as("dev_sum") :+
+        when(devSum > 0,
+          (col("__m") * (col("__m") * col("__tp3") - col("__s")) * 1000)
+            .cast(DoubleType) / (devSum * 15).cast(DoubleType))
+          .as("cci")): _*)
+  }
+
+  /** Roll's implied effective spread: s = 2·√(−cov(Δpₜ, Δpₜ₋₁)) per
+    * key, from the classic result that bid-ask bounce makes adjacent
+    * trade-price changes negatively autocorrelated (Roll 1984). The
+    * serial co-moments are exact long sums of cent products; the
+    * spread is √ of one division, published only when the
+    * autocovariance is actually negative (otherwise the model is
+    * inapplicable and the row says so with a NULL, keeping n and the
+    * raw sums for the caller). One window + one hash aggregate.
+    */
+  def rollSpread(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val withPair = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ d.as("__dt")): _*)
+      .select((keys.map(col) :+ col("__dt") :+
+        lag(col("__dt"), 1).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol)))
+          .as("__dp")): _*)
+      .filter(col("__dt").isNotNull && col("__dp").isNotNull)
+    val n = count(lit(1))
+    val sx = sum(col("__dt").cast(dec)).cast(LongType)
+    val sy = sum(col("__dp").cast(dec)).cast(LongType)
+    val sxy = sum((col("__dt") * col("__dp")).cast(dec)).cast(LongType)
+    withPair.groupBy(keys.map(col): _*)
+      .agg(
+        n.as("n_pairs"), sx.as("sum_dt"), sy.as("sum_dp"), sxy.as("sum_dtdp"),
+        when(n > 1 && n * sxy - sx * sy < 0,
+          sqrt((sx * sy - n * sxy).cast(DoubleType) /
+            (n * n).cast(DoubleType)) * 2.0)
+          .as("roll_spread_cents"))
+  }
+
+  /** Kyle's lambda (price impact): the OLS slope of the cent move on
+    * the signed cent volume, per key — λ = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²), the [[CandleOps.betaVsBenchmark]] co-moment pattern with
+    * x = sign(Δclose)·volume. Signed volume is the tick-rule proxy for
+    * order-flow direction (no quote data in the schema — same proxy
+    * Roll's model makes). Products run through decimal(38,0) so a
+    * hot key cannot overflow the partials; published as BIGINT where
+    * the schema contract fits (sums of cent moves), DOUBLE for λ.
+    */
+  def kyleLambda(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val volC = round(col("volume") * 100).cast(LongType)
+    val sv = signum(d).cast(LongType) * volC
+    val base = rollup.select(
+      (keys.map(col) :+ d.as("__y") :+ sv.as("__x")): _*)
+      .filter(col("__y").isNotNull)
+    val n = count(lit(1))
+    val sx = sum(col("__x").cast(dec))
+    val sy = sum(col("__y").cast(dec))
+    val sxy = sum((col("__x") * col("__y")).cast(dec))
+    val sxx = sum((col("__x") * col("__x")).cast(dec))
+    base.groupBy(keys.map(col): _*)
+      .agg(
+        n.as("n_moves"),
+        sx.cast(LongType).as("sum_sv"),
+        sy.cast(LongType).as("sum_d"),
+        (n * sxy - sx * sy).as("__num"),
+        (n * sxx - sx * sx).as("__den"))
+      .select((keys.map(col) :+ col("n_moves") :+ col("sum_sv") :+ col("sum_d") :+
+        when(col("__den") > 0,
+          col("__num").cast(DoubleType) / col("__den").cast(DoubleType))
+          .as("kyle_lambda")): _*)
+  }
+
+  /** Amihud-style illiquidity, ratio-of-sums form: per key and day,
+    * Σ|Δclose cents| / Σ volume cents — "how many cents does a cent of
+    * flow move the price". The textbook mean-of-ratios needs a per-bar
+    * rational sum that no engine keeps exact; the ratio-of-sums
+    * estimator is the standard robust variant (it weights bars by
+    * volume) and is ONE division of two exact longs. One window + one
+    * hash aggregate keyed (key, day).
+    */
+  def amihud(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val volC = round(col("volume") * 100).cast(LongType)
+    val base = rollup.select(
+      (keys.map(col) :+ to_date(col(bucketCol)).as("day") :+
+        d.as("__d") :+ volC.as("__v")): _*)
+      .filter(col("__d").isNotNull)
+    val sAbs = sum(abs(col("__d")).cast(dec)).cast(LongType)
+    val sVol = sum(col("__v").cast(dec)).cast(LongType)
+    base.groupBy((keys.map(col) :+ col("day")): _*)
+      .agg(
+        count(lit(1)).as("n_moves"),
+        sAbs.as("sum_abs_move_cents"),
+        sVol.as("sum_volume_cents"),
+        when(sVol > 0, sAbs.cast(DoubleType) / sVol.cast(DoubleType))
+          .as("illiq"))
+  }
+
+  /** Pairwise return-correlation matrix across keys: close-to-close
+    * cent moves self-joined on the bucket (equi-join — one shuffle per
+    * side on bucket_ts), co-moment longs per (a, b) pair with a < b,
+    * corr = one division by the correctly-rounded √ of a product of
+    * exact casts — bit-stable, the [[CandleOps.betaVsBenchmark]]
+    * contract generalized to all pairs.
+    *
+    * Scale bound: the fan-out is (keys aligned per bucket)², i.e. the
+    * SYMBOL UNIVERSE squared — thousands, not the row count — and the
+    * pair aggregate combines map-side, so the shuffle carries one row
+    * per (pair, partition), never per bucket. This is the standard
+    * all-pairs layout; for a capped variant route through
+    * `VectorOps.cosineNearDupPairs`-style bucketing instead.
+    */
+  def corrMatrix(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val moves = rollup.select(
+      col(keyCol), col(bucketCol).as("__b"), d.as("__d"))
+      .filter(col("__d").isNotNull)
+    val left = moves.select(
+      col(keyCol).as("key_a"), col("__b"), col("__d").as("__da"))
+    val right = moves.select(
+      col(keyCol).as("key_b"), col("__b").as("__b2"), col("__d").as("__db"))
+    val joined = left.join(right,
+      col("__b") === col("__b2") && col("key_a") < col("key_b"))
+    val n = count(lit(1))
+    val sa = sum(col("__da").cast(dec)).cast(LongType)
+    val sb = sum(col("__db").cast(dec)).cast(LongType)
+    val sab = sum((col("__da") * col("__db")).cast(dec)).cast(LongType)
+    val saa = sum((col("__da") * col("__da")).cast(dec)).cast(LongType)
+    val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
+    joined.groupBy(col("key_a"), col("key_b"))
+      .agg(
+        n.as("n_aligned"),
+        sab.as("sum_ab"), saa.as("sum_aa"), sbb.as("sum_bb"),
+        when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,
+          (n * sab - sa * sb).cast(DoubleType) /
+            sqrt((n * saa - sa * sa).cast(DoubleType) *
+              (n * sbb - sb * sb).cast(DoubleType)))
+          .as("corr"))
+  }
+}

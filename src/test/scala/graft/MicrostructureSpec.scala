@@ -1,0 +1,201 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CandleOps, MicrostructureOps}
+
+/** Semantics of the microstructure family on hand-computable series.
+  * Every operator publishes exact integer evidence columns next to its
+  * one-division double, so the assertions here check BOTH: the integer
+  * core against pencil-and-paper values, and the double against the
+  * same single IEEE operation performed in the test.
+  */
+class MicrostructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bars(rows: Seq[(String, Int, Double, Double, Double, Double)]): DataFrame =
+    rows.map { case (k, i, o, h, l, c) =>
+      (k, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), o, h, l, c,
+        1L, 100.0)
+    }.toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+
+  test("williamsR: close at the high is 0, at the low is -100, mid-range -50") {
+    val df = bars(Seq(
+      ("A", 0, 1.0, 10.0, 2.0, 10.0), // close == HH -> 0
+      ("A", 1, 1.0, 8.0, 2.0, 2.0),   // HH=10, LL=2, close=2 -> -100
+      ("A", 2, 1.0, 8.0, 2.0, 6.0)))  // HH=10, LL=2, close=6 -> -50
+    val out = MicrostructureOps.williamsR(df, Seq("sym"), "bucket_ts", nWindow = 14)
+      .orderBy("bucket_ts").select("willr").as[Double].collect()
+    assert(out.toSeq == Seq(0.0, -100.0, -50.0))
+  }
+
+  test("williamsR: flat envelope reports NULL, not a synthetic midpoint") {
+    val df = bars(Seq(("A", 0, 5.0, 5.0, 5.0, 5.0)))
+    val out = MicrostructureOps.williamsR(df, Seq("sym"), "bucket_ts", 5)
+      .select("willr").collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("aroon: bars-since counts from the extreme; ties go to the most recent bar") {
+    // highs: 10, 10, 7 — the tied high at bar 1 wins, so at bar 2
+    // bars_since_high = 1 (not 2); lows 3, 1, 1 — tie at bar 2 wins.
+    val df = bars(Seq(
+      ("A", 0, 1.0, 10.0, 3.0, 5.0),
+      ("A", 1, 1.0, 10.0, 1.0, 5.0),
+      ("A", 2, 1.0, 7.0, 1.0, 5.0)))
+    val out = MicrostructureOps.aroon(df, Seq("sym"), "bucket_ts", nWindow = 14)
+      .orderBy("bucket_ts")
+      .select("bars_since_high", "bars_since_low", "aroon_up", "aroon_down")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out(0) == ((0L, 0L, 100.0, 100.0)))
+    assert(out(1) == ((0L, 0L, 100.0, 100.0)))
+    assert(out(2)._1 == 1L) // high printed 1 bar ago (tie resolved recent)
+    assert(out(2)._2 == 0L) // low tie at the current bar
+    assert(out(2)._3 == (3 - 1) * 100.0 / 3)
+  }
+
+  test("aroon: out-of-range cents raise instead of silently mis-ranking") {
+    // 2e10 dollars = 2e12 cents: inside long range (so the ANSI cast
+    // passes) but past the 2^30-cent pack bound — the guard must fire.
+    val df = bars(Seq(("A", 0, 1.0, 2e10, 1.0, 1.0)))
+    val ex = intercept[Exception] {
+      MicrostructureOps.aroon(df, Seq("sym"), "bucket_ts", 5).collect()
+    }
+    assert(ex.getMessage.contains("pack-exact bound")
+      || ex.getCause != null && ex.getCause.getMessage.contains("pack-exact bound"))
+  }
+
+  test("mfi: rising typical price is all-positive flow (100), falling all-negative (0)") {
+    def bar(k: String, i: Int, px: Double, vol: Double) =
+      (k, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"),
+        px, px, px, px, 1L, vol)
+    val df = Seq(
+      bar("UP", 0, 1.0, 10.0), bar("UP", 1, 2.0, 10.0), bar("UP", 2, 3.0, 10.0),
+      bar("DN", 0, 3.0, 10.0), bar("DN", 1, 2.0, 10.0), bar("DN", 2, 1.0, 10.0))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.mfi(df, Seq("sym"), "bucket_ts", 14)
+      .filter(col("bucket_ts") === "2024-01-01 02:00:00")
+      .select("sym", "mfi").as[(String, Double)].collect().toMap
+    assert(out("UP") == 100.0)
+    assert(out("DN") == 0.0)
+  }
+
+  test("mfi: first bar and flat bars feed neither side") {
+    val df = bars(Seq(
+      ("A", 0, 5.0, 5.0, 5.0, 5.0),
+      ("A", 1, 5.0, 5.0, 5.0, 5.0)))
+    val out = MicrostructureOps.mfi(df, Seq("sym"), "bucket_ts", 5)
+      .select("pos_flow", "neg_flow", "mfi").as[(Long, Long, Option[Double])]
+      .collect()
+    assert(out.forall(r => r._1 == 0L && r._2 == 0L && r._3.isEmpty))
+  }
+
+  test("cci: matches the hand-computed mean deviation on a 3-bar window") {
+    // tp3 values (h=l=c=px): 3*px*100 -> 300, 600, 1200
+    // At bar 2 (window of 3): m=3, S=2100, devs |3*300-2100|=1200,
+    // |3*600-2100|=300, |3*1200-2100|=1500 -> dev_sum=3000
+    // tp3_dev = 3*1200-2100 = 1500; cci = 3*1500*1000 / (3000*15) = 100.0
+    val df = bars(Seq(
+      ("A", 0, 1.0, 1.0, 1.0, 1.0),
+      ("A", 1, 2.0, 2.0, 2.0, 2.0),
+      ("A", 2, 4.0, 4.0, 4.0, 4.0)))
+    val out = MicrostructureOps.cci(df, Seq("sym"), "bucket_ts", nWindow = 3)
+      .orderBy("bucket_ts").select("tp3_dev", "dev_sum", "cci")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(out(2)._1 == 1500L)
+    assert(out(2)._2 == 3000L)
+    assert(out(2)._3.contains(100.0))
+    // bar 0: single-element window deviates 0 from itself -> NULL cci
+    assert(out(0)._2 == 0L && out(0)._3.isEmpty)
+  }
+
+  test("rollSpread: a pure bid-ask bounce of +/-s/2 recovers spread s") {
+    // Price alternates 100, 101, 100, 101... -> moves +100,-100,+100...
+    // cov(dt,dp) = -10000 (every adjacent pair is opposite-signed),
+    // spread = 2*sqrt(10000) = 200 cents = the true bounce width 1.00*2?
+    // With half-spread 50c the bounce is +/-100c; Roll gives 2*sqrt(cov-)
+    val px = (0 until 20).map(i => if (i % 2 == 0) 100.0 else 101.0)
+    val df = bars(px.zipWithIndex.map { case (p, i) => ("A", i, p, p, p, p) })
+    val out = MicrostructureOps.rollSpread(df, Seq("sym"), "bucket_ts")
+      .select("n_pairs", "roll_spread_cents").as[(Long, Double)].collect()
+    val (n, s) = out.head
+    assert(n == 18L)
+    // exact co-moments: dt,dp in {+100,-100}, always opposite ->
+    // sxy = -18*10000; sx=sy=0 except boundary terms; compute directly:
+    val moves = px.sliding(2).map { case Seq(a, b) => math.round(b * 100) - math.round(a * 100) }.toSeq
+    val pairs = moves.sliding(2).map { case Seq(p, t) => (t, p) }.toSeq
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val nn = pairs.size.toLong
+    val want = 2.0 * math.sqrt((sx * sy - nn * sxy).toDouble / (nn * nn).toDouble)
+    assert(s == want)
+    assert(math.abs(s - 200.0) < 25.0) // ~the bounce width in cents
+  }
+
+  test("rollSpread: trending prices (positive autocov) report NULL spread") {
+    val df = bars((0 until 10).map(i => ("A", i, 1.0 + i, 1.0 + i, 1.0 + i, 1.0 + i)))
+    val out = MicrostructureOps.rollSpread(df, Seq("sym"), "bucket_ts")
+      .select("roll_spread_cents").collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("kyleLambda: a perfect linear impact d = lambda * signed_volume is recovered exactly") {
+    // volume=|d|/lambda with lambda=0.01 cents per volume-cent:
+    // choose moves +200,-400,+600 cents, volumes 20000,40000,60000 cents
+    // (volume col is dollars: 200.0, 400.0, 600.0)
+    val rows = Seq(
+      ("A", 0, 100.00, 0.0), // base px 100.00
+      ("A", 1, 102.00, 200.0), // +200c, v=20000c, sv=+20000
+      ("A", 2, 98.00, 400.0), // -400c, sv=-40000
+      ("A", 3, 104.00, 600.0)) // +600c, sv=+60000
+    val df = rows.map { case (k, i, px, vol) =>
+      (k, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), px, px, px, px, 1L, vol)
+    }.toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.kyleLambda(df, Seq("sym"), "bucket_ts")
+      .select("n_moves", "kyle_lambda").as[(Long, Double)].collect().head
+    assert(out._1 == 3L)
+    assert(out._2 == 0.01) // exact: the OLS of a perfectly linear relation
+  }
+
+  test("amihud: cents moved per cent of volume, per day, ratio of sums") {
+    val rows = Seq(
+      ("A", "2024-01-01 01:00:00", 100.00, 100.0),
+      ("A", "2024-01-01 02:00:00", 101.00, 300.0), // +100c on 30000c vol
+      ("A", "2024-01-01 03:00:00", 100.00, 100.0), // -100c on 10000c vol
+      ("A", "2024-01-02 01:00:00", 105.00, 100.0), // new day: +500c/10000c
+      ("A", "2024-01-02 02:00:00", 105.00, 100.0)) // flat: abs 0
+    val df = rows.map { case (k, t, px, vol) =>
+      (k, Timestamp.valueOf(t), px, px, px, px, 1L, vol) }
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.amihud(df, Seq("sym"), "bucket_ts")
+      .orderBy("day")
+      .select("n_moves", "sum_abs_move_cents", "sum_volume_cents", "illiq")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((2L, 200L, 40000L, 200.0 / 40000.0)))
+    // day 2: the 01:00 bar's lag crosses midnight FROM day 1 — its move
+    // belongs to day 2 (the day the move printed on)
+    assert(out(1) == ((2L, 500L, 20000L, 500.0 / 20000.0)))
+  }
+
+  test("corrMatrix: co-moving keys corr=1, anti-moving corr=-1, key_a < key_b only") {
+    // Small cent moves keep every co-moment product under 2^53, so the
+    // perfect-correlation sqrt is of an exactly-representable perfect
+    // square and the +/-1.0 comparison below is exact, not approximate.
+    def series(k: String, mul: Int) = (0 until 12).map { i =>
+      val px = 100.0 + mul * 0.01 * (if (i % 2 == 0) i else -i)
+      (k, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), px, px, px, px, 1L, 1.0)
+    }
+    val df = (series("a1", 1) ++ series("a2", 2) ++ series("b1", -1))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.corrMatrix(df, "sym", "bucket_ts")
+      .select("key_a", "key_b", "corr").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set(("a1", "a2"), ("a1", "b1"), ("a2", "b1")))
+    assert(out(("a1", "a2")) == 1.0)
+    assert(out(("a1", "b1")) == -1.0)
+    assert(out(("a2", "b1")) == -1.0)
+  }
+}
