@@ -2697,6 +2697,22 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Edge-level neighborhood Jaccard (tie strength / bridge
+    // detection): triangles exploded onto their 3 edges, one division -
+    "q_edge_overlap" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.edgeOverlap(edges)
+    }),
+
+    // ----- Degree distribution of the co-purchase graph: the hub
+    // health check before any pairwise op -------------------------------
+    "q_degree_dist" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.degreeHistogram(edges)
+    }),
+
     // ----- TPC-H Q2 shape (adapted — no partsupp table): cheapest
     // supplier per part from observed lineitem prices, the argmin as a
     // packed integer (cents * 2^32 + suppkey) so ties break to the
@@ -6747,6 +6763,40 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_edge_overlap" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                 SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+         t AS (SELECT e1.x AS a, e1.y AS bb, e2.y AS c
+               FROM e e1 JOIN e e2 ON e1.y = e2.x
+                         JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         ed AS (SELECT a AS x, bb AS y FROM t
+                UNION ALL SELECT a, c FROM t
+                UNION ALL SELECT bb, c FROM t),
+         cm AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common
+                FROM ed GROUP BY 1, 2)
+         SELECT e.x, e.y, dx.degree AS deg_x, dy.degree AS deg_y,
+                coalesce(cm.common, 0) AS common_neighbors,
+                dx.degree + dy.degree - 2 - coalesce(cm.common, 0)
+                  AS union_neighbors,
+                CASE WHEN dx.degree + dy.degree - 2 - coalesce(cm.common, 0) > 0
+                     THEN CAST(coalesce(cm.common, 0) AS DOUBLE)
+                          / CAST(dx.degree + dy.degree - 2
+                                 - coalesce(cm.common, 0) AS DOUBLE)
+                END AS jaccard
+         FROM e LEFT JOIN cm ON e.x = cm.x AND e.y = cm.y
+                JOIN d dx ON e.x = dx.node
+                JOIN d dy ON e.y = dy.node""",
+    "q_degree_dist" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                 SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM d GROUP BY 1""",
     "q2_min_cost_supplier" ->
       """WITH g AS (SELECT l_partkey,
                  min(CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296

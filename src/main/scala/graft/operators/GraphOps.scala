@@ -37,8 +37,9 @@ object GraphOps {
       .select(col("x"), col("y"))
   }
 
-  /** Per-node triangle counts + local clustering coefficient over
-    * canonical (x < y) edges.
+  /** Shared triangle enumeration: canonical edges, degrees, and the
+    * exactly-once triangle list (a, b, c) — `a` the lowest-(degree, id)
+    * vertex, `b < c` the canonical closing edge.
     *
     * Scale shape — degree-ordered orientation: each edge points from
     * its lower-(degree, id) endpoint to the higher, wedges form only
@@ -47,9 +48,10 @@ object GraphOps {
     * O(√m) on any graph (arboricity bound), so the wedge join is
     * Σ outdeg² — not the Σ deg² of a naive wedge enumeration that a
     * power-law hub would blow up. Each triangle is produced exactly
-    * once (at its unique lowest-(degree, id) vertex).
+    * once (at its unique lowest-(degree, id) vertex). [[edgeOverlap]]
+    * reuses the same enumeration so the two reports can never disagree.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  private def trianglesOf(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // the edge list feeds five plan branches (degrees, two orientation
     // sides, the closing join, the final report); materialize it once
     // instead of re-running the upstream pair generation per branch
@@ -77,6 +79,15 @@ object GraphOps {
     val tris = wedges.join(canon,
       col("b") === col("x") && col("c") === col("y"))
       .select(col("a"), col("b"), col("c"))
+    (canon, deg, tris)
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over
+    * canonical (x < y) edges — see [[trianglesOf]] for the wedge-join
+    * bound. Clustering = 2T/deg(deg−1), one division of exact longs.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val (_, deg, tris) = trianglesOf(edges)
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
@@ -89,6 +100,58 @@ object GraphOps {
             (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Edge-level neighborhood overlap: for every canonical edge (x, y),
+    * the common-neighbor count (= triangles through that edge), the
+    * neighborhood-union size |N(x)∪N(y)|∖{x,y} = deg(x)+deg(y)−2−common,
+    * and their Jaccard similarity — the tie-strength measure behind
+    * weak-tie/bridge detection (a low-Jaccard edge joins communities;
+    * a high one sits inside a clique).
+    *
+    * No new join shape: each triangle from [[trianglesOf]] is exploded
+    * into its 3 canonical edges and counted — the expensive part is the
+    * same arboricity-bounded wedge join the triangle report pays, and
+    * the explode adds 3 rows per triangle, shuffled once by edge.
+    * Jaccard is one division of exact longs; an isolated edge (union 0)
+    * reports NULL rather than a fake 0 or 1.
+    */
+  def edgeOverlap(edges: DataFrame): DataFrame = {
+    val (canon, deg, tris) = trianglesOf(edges)
+    // the 3 edges of (a,b,c): a is min-(deg,id), not min-id — but each
+    // pair below IS id-canonical: (a,b),(a,c) came oriented off canon
+    // edges, and (b,c) is the canonical closing edge with b < c… except
+    // (a,b)/(a,c) when a is the HIGHER id (orientation is by degree).
+    // Normalize with least/greatest so the count lands on canon's key.
+    val triEdges = tris.select(explode(array(
+      struct(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y")),
+      struct(least(col("a"), col("c")).as("x"), greatest(col("a"), col("c")).as("y")),
+      struct(least(col("b"), col("c")).as("x"), greatest(col("b"), col("c")).as("y"))))
+      .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val common = triEdges.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val dx = deg.select(col("node").as("x"), col("degree").as("deg_x"))
+    val dy = deg.select(col("node").as("y"), col("degree").as("deg_y"))
+    val cn = coalesce(col("common_neighbors"), lit(0L))
+    val union = col("deg_x") + col("deg_y") - lit(2L) - cn
+    canon.join(common, Seq("x", "y"), "left")
+      .join(dx, "x").join(dy, "y")
+      .select(col("x"), col("y"), col("deg_x"), col("deg_y"),
+        cn.as("common_neighbors"), union.as("union_neighbors"),
+        when(union > 0, cn.cast("double") / union.cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Degree distribution of the co-occurrence graph: how many nodes
+    * have each degree — the one-line health check that catches a
+    * degenerate basket (a hub touching everything) before it blows up
+    * a downstream pairwise op. Two hash aggregates, no joins.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("x").cast(LongType).as("node"))
+      .unionByName(edges.select(col("y").cast(LongType).as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
   /** Fixed-point PageRank over the undirected graph, pinned for
     * hash-equality: ranks are integers scaled by `scale`, every
