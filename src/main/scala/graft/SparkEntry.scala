@@ -2697,6 +2697,17 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- RAKE keyword extraction, ratio-of-sums scoring: stopword-
+    // delimited phrase runs, word degree/freq longs, ONE division,
+    // top-K by the floor-scaled integer ratio ---------------------------
+    "q_rake_keywords" -> ((s, dir) =>
+      TextOps.rakeKeywords(Tables.documents(s, dir), "doc_id", "text", topK = 25)),
+
+    // ----- Flesch reading ease: letter-run words, [.!?]+ sentences,
+    // vowel-group syllables — a per-row fixed expression tree ------------
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(Tables.documents(s, dir), "doc_id", "text")),
+
     // ----- Edge-level neighborhood Jaccard (tie strength / bridge
     // detection): triangles exploded onto their 3 edges, one division -
     "q_edge_overlap" -> ((s, dir) => {
@@ -6763,6 +6774,59 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_rake_keywords" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         tk AS (SELECT doc_id, t[i] AS tok, i AS pos
+                FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                      FROM toks)
+                WHERE t[i] <> ''),
+         ns AS (SELECT doc_id, tok, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM tk
+                WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')),
+         pl AS (SELECT doc_id, grp, tok, pos,
+                  CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS len
+                FROM ns),
+         ws AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(len) AS BIGINT) AS degree FROM pl GROUP BY 1),
+         pp AS (SELECT pl.doc_id, pl.grp,
+                  string_agg(pl.tok, ' ' ORDER BY pl.pos) AS phrase,
+                  CAST(count(*) AS BIGINT) AS len,
+                  CAST(sum(ws.degree) AS BIGINT) AS sdeg,
+                  CAST(sum(ws.freq) AS BIGINT) AS sfreq
+                FROM pl JOIN ws USING (tok) GROUP BY 1, 2),
+         g AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+                 max(len) AS n_words, max(sdeg) AS sum_degree,
+                 max(sfreq) AS sum_freq
+               FROM pp GROUP BY 1)
+         SELECT phrase, n_occurrences, n_words, sum_degree, sum_freq,
+                CAST(sum_degree AS DOUBLE) / CAST(sum_freq AS DOUBLE)
+                  AS rake_score
+         FROM g
+         ORDER BY sum_degree * 10000 // sum_freq DESC, phrase
+         LIMIT 25""",
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id, text,
+                list_filter(string_split(
+                  regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                  x -> x <> '') AS w
+            FROM documents),
+         s AS (SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                   AS n_sentences,
+                 CAST(coalesce(list_sum(list_transform(w,
+                   x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))),
+                   0) AS BIGINT) AS n_syllables
+               FROM c)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words > 0 THEN
+                  206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                END AS flesch
+         FROM s""",
     "q_edge_overlap" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)

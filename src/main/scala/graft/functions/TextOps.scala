@@ -1585,4 +1585,100 @@ object TextOps {
         col("fluency_sum_milli").cast(DoubleType) /
           col("n_bigrams").cast(DoubleType))
   }
+
+  /** The RAKE delimiter stopwords — the same tiny deterministic list
+    * [[textStats]]/[[langId]] count (a real deployment swaps in a full
+    * list; the operator contract is identical).
+    */
+  val RakeStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** RAKE keyword extraction (Rose et al. 2010), ratio-of-sums
+    * scoring: candidate phrases are maximal stopword-free token runs;
+    * each word's freq counts its occurrences and its degree sums the
+    * lengths of the phrases it appears in (the co-occurrence-graph
+    * degree, self included). The classic phrase score Σ deg(w)/freq(w)
+    * is a rational sum no engine keeps exact, so this scores
+    * Σ deg(w) / Σ freq(w) — the same ranking intuition ("long phrases
+    * of widely-co-occurring words win") with ONE division of exact
+    * longs, and the top-K ordered by the floor-scaled integer ratio so
+    * tie-breaks cannot differ across engines.
+    *
+    * Scale shape: one posexplode (corpus-token rows), the run-grouping
+    * window on (doc, pos) — the exchange every per-doc op pays — then
+    * hash aggregates; the word-stats join is vocabulary-bounded.
+    * TakeOrderedAndProject for the top-K, no global sort.
+    */
+  def rakeKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int
+  ): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val runs = toks
+      .filter(!col("tok").isInCollection(RakeStopwords))
+      .withColumn("grp", col("pos") - row_number().over(w))
+    val withLen = runs.withColumn("len",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("grp"))))
+    val wordStats = withLen.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("degree"))
+    val perPhrase = withLen
+      .join(wordStats, Seq("tok"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("__len"),
+        sum(col("degree")).as("__sdeg"),
+        sum(col("freq")).as("__sfreq"))
+    perPhrase
+      .groupBy(col("phrase"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        max(col("__len")).as("n_words"),
+        max(col("__sdeg")).as("sum_degree"),
+        max(col("__sfreq")).as("sum_freq"))
+      .withColumn("rake_score",
+        col("sum_degree").cast(DoubleType) / col("sum_freq").cast(DoubleType))
+      .orderBy(expr("sum_degree * 10000 div sum_freq").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Flesch reading ease per document, fully deterministic: words are
+    * letter runs of the lowercased text, sentences are [.!?]+ runs
+    * (min 1), syllables the vowel-group count per word (min 1) — the
+    * standard dictionary-free heuristic. The score
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is a FIXED expression tree
+    * of correctly-rounded IEEE ops on exact integer operands — a
+    * per-row scalar, so no summation-order hazard — and hash-matches
+    * any engine evaluating the same tree.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksC = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z]+", " "), " "),
+      t => length(t) > 0)
+    val nw = size(toksC).cast("long")
+    val ns = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val syl = aggregate(toksC, lit(0L), (acc, t) =>
+      acc + greatest(lit(1),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))).cast("long"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nw.as("n_words"), ns.as("n_sentences"), syl.as("n_syllables"),
+      when(nw > 0,
+        lit(206.835)
+          - lit(1.015) * (nw.cast(DoubleType) / ns.cast(DoubleType))
+          - lit(84.6) * (syl.cast(DoubleType) / nw.cast(DoubleType)))
+        .as("flesch"))
+  }
 }

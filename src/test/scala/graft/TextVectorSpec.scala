@@ -665,4 +665,47 @@ class TextVectorSpec extends SparkSpec {
     // label 1: meanA = (3e6, 3.5e6), meanB = (1e6, 1e6) -> dim 1, 2.5e6
     assert(got(1) == ((1, 2L, 2500000.0, 1L)))
   }
+
+  test("rakeKeywords: stopword-delimited runs, degree/freq sums, ratio-of-sums order") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "big data systems of big data pipelines"),
+      (2L, "the quick brown fox and big data")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .select("phrase", "n_occurrences", "n_words", "sum_degree", "sum_freq")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // hand-checked: freq(big)=freq(data)=3, deg(big)=deg(data)=3+3+2=8;
+    // 'quick brown fox' words all deg 3 freq 1 -> score 3.0 ranks first,
+    // the tied 19/7 phrases break alphabetically, 'big data' (16/6) last
+    assert(got == Seq(
+      ("quick brown fox", 1L, 3L, 9L, 3L),
+      ("big data pipelines", 1L, 3L, 19L, 7L),
+      ("big data systems", 1L, 3L, 19L, 7L),
+      ("big data", 1L, 2L, 16L, 6L)))
+  }
+
+  test("rakeKeywords: repeated phrase counts occurrences once per run") {
+    import graft.functions.TextOps
+    val docs = Seq((1L, "alpha beta and alpha beta")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text", topK = 5)
+      .select("phrase", "n_occurrences", "sum_degree", "sum_freq")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // each word: freq 2, degree 2+2=4; phrase sums 8/4, two occurrences
+    assert(got == Seq(("alpha beta", 2L, 8L, 4L)))
+  }
+
+  test("readability: counts words, sentence runs, vowel-group syllables; flesch formula") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "Hello world. This is it!"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 5 words, 2 sentence runs ('.' and '!'), syllables 2+1+1+1+1 = 6
+    val flesch = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0)
+    assert(got(1L) == ((5L, 2L, 6L, Some(flesch))))
+    // empty doc: zero words -> NULL score, one default sentence
+    assert(got(2L) == ((0L, 1L, 0L, None)))
+  }
 }
