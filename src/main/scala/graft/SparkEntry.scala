@@ -2697,6 +2697,21 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- TextRank keywords: pinned integer PageRank run directly on
+    // word nodes of the adjacency graph; exact scaled-long ranks ---------
+    "q_textrank" -> ((s, dir) =>
+      TextOps.textrankKeywords(Tables.documents(s, dir), "doc_id", "text", topK = 25)),
+
+    // ----- Lead-lag cross-correlation vs the benchmark key: who moves
+    // first — co-moment longs per (key, lag), broadcast lag-exploded
+    // benchmark, one division -------------------------------------------
+    "q_lead_lag" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.leadLagCorr(
+        r1h, "user_id", "bucket_ts", col("user_id") === 7, maxLag = 3)
+    }),
+
     // ----- RAKE keyword extraction, ratio-of-sums scoring: stopword-
     // delimited phrase runs, word degree/freq longs, ONE division,
     // top-K by the floor-scaled integer ratio ---------------------------
@@ -6773,6 +6788,71 @@ object SparkEntry {
                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
+         FROM g""",
+    "q_textrank" ->
+      """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+         pr AS (SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM toks)),
+         e AS (SELECT least(w1, w2) AS x, greatest(w1, w2) AS y FROM pr
+               WHERE w1 <> '' AND w2 <> '' AND w1 <> w2
+                 AND w1 NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+                 AND w2 NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+               GROUP BY 1, 2),
+         bo AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+         d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bo GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+         r0 AS (SELECT src AS node, CAST(1000000000 // nn AS BIGINT) AS rank, deg
+                FROM d CROSS JOIN n),
+         c0 AS (SELECT node AS src, rank // deg AS c FROM r0),
+         i0 AS (SELECT bo.dst AS node, sum(c0.c) AS i FROM bo JOIN c0 USING (src) GROUP BY 1),
+         r1 AS (SELECT d.src AS node,
+                  CAST(15000000000 // (100 * n.nn)
+                       + (85 * coalesce(i0.i, 0)) // 100 AS BIGINT) AS rank, d.deg
+                FROM d CROSS JOIN n LEFT JOIN i0 ON i0.node = d.src),
+         c1 AS (SELECT node AS src, rank // deg AS c FROM r1),
+         i1 AS (SELECT bo.dst AS node, sum(c1.c) AS i FROM bo JOIN c1 USING (src) GROUP BY 1),
+         r2 AS (SELECT d.src AS node,
+                  CAST(15000000000 // (100 * n.nn)
+                       + (85 * coalesce(i1.i, 0)) // 100 AS BIGINT) AS rank, d.deg
+                FROM d CROSS JOIN n LEFT JOIN i1 ON i1.node = d.src),
+         c2 AS (SELECT node AS src, rank // deg AS c FROM r2),
+         i2 AS (SELECT bo.dst AS node, sum(c2.c) AS i FROM bo JOIN c2 USING (src) GROUP BY 1),
+         r3 AS (SELECT d.src AS node,
+                  CAST(15000000000 // (100 * n.nn)
+                       + (85 * coalesce(i2.i, 0)) // 100 AS BIGINT) AS rank
+                FROM d CROSS JOIN n LEFT JOIN i2 ON i2.node = d.src)
+         SELECT node AS word, rank AS rank_scaled FROM r3
+         ORDER BY rank DESC, word LIMIT 25""",
+    "q_lead_lag" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         m AS (SELECT user_id, epoch_us(bucket_ts) AS us, dd FROM (
+                 SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+               WHERE dd IS NOT NULL),
+         b AS (SELECT us AS bus, dd AS db FROM m WHERE user_id = 7),
+         l AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+         bl AS (SELECT CAST(l.lag AS BIGINT) AS lag_hours,
+                  b.bus + l.lag * 3600000000 AS jus, b.db
+                FROM b CROSS JOIN l),
+         j AS (SELECT m.user_id, bl.lag_hours, m.dd AS da, bl.db
+               FROM m JOIN bl ON m.us = bl.jus WHERE m.user_id <> 7),
+         g AS (SELECT user_id, lag_hours, count(*) AS n,
+                 CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+                 CAST(sum(da * db) AS BIGINT) AS sab,
+                 CAST(sum(da * da) AS BIGINT) AS saa,
+                 CAST(sum(db * db) AS BIGINT) AS sbb
+               FROM j GROUP BY 1, 2)
+         SELECT user_id, lag_hours, n AS n_aligned,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS xcorr
          FROM g""",
     "q_rake_keywords" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

@@ -1653,6 +1653,50 @@ object TextOps {
       .limit(topK)
   }
 
+  /** TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    * word-adjacency graph — an undirected edge links each pair of
+    * DISTINCT non-stopword tokens adjacent in the text (window 2), and
+    * [[graft.operators.GraphOps.pagerankPinnedKeyed]] runs the pinned
+    * integer fixed-point directly on the word nodes (no id mapping —
+    * ranks are exact scaled longs, so the top-K order cannot drift
+    * across engines; ties break on the word).
+    *
+    * Scale shape: bigram generation is row-local (the [[bigramFluency]]
+    * transform), edges collapse to the vocabulary-adjacency size before
+    * any iteration, and each PageRank round is one join + one aggregate
+    * over that edge list.
+    */
+  def textrankKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int
+  ): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    val pairs = docs
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(
+        when(size(col("__t")) >= 2,
+          transform(sequence(lit(1), size(col("__t")) - 1), i =>
+            struct(element_at(col("__t"), i).as("w1"),
+              element_at(col("__t"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val edges = pairs
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0 &&
+        col("w1") =!= col("w2") &&
+        !col("w1").isInCollection(RakeStopwords) &&
+        !col("w2").isInCollection(RakeStopwords))
+      .select(least(col("w1"), col("w2")).as("x"),
+        greatest(col("w1"), col("w2")).as("y"))
+      .distinct()
+    graft.operators.GraphOps.pagerankPinnedKeyed(edges)
+      .select(col("node").as("word"), col("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Flesch reading ease per document, fully deterministic: words are
     * letter runs of the lowercased text, sentences are [.!?]+ runs
     * (min 1), syllables the vowel-group count per word (min 1) — the

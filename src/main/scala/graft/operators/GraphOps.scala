@@ -170,13 +170,27 @@ object GraphOps {
       iterations: Int = 3,
       scale: Long = 1000000000L,
       dampingPct: Long = 85L
+  ): DataFrame =
+    pagerankPinnedKeyed(
+      edges.select(col("x").cast(LongType), col("y").cast(LongType)),
+      iterations, scale, dampingPct)
+
+  /** [[pagerankPinned]] without the long-id cast: node ids keep their
+    * type (string words for TextRank, longs for item graphs) — the
+    * fixed-point arithmetic never touches the id, only joins on it.
+    */
+  def pagerankPinnedKeyed(
+      edges: DataFrame,
+      iterations: Int = 3,
+      scale: Long = 1000000000L,
+      dampingPct: Long = 85L
   ): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations outside [1, 10]")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct=$dampingPct outside [0, 100]")
     // materialize the directed edge list once: every iteration joins
     // it, and the degree/count frames derive from it — without this
     // the co-occurrence pair generation re-runs 3x per iteration
-    val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+    val canon = edges.select(col("x"), col("y"))
     val both = canon.select(col("x").as("src"), col("y").as("dst"))
       .unionByName(canon.select(col("y").as("src"), col("x").as("dst")))
       .localCheckpoint(true)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -284,6 +284,54 @@ object MicrostructureOps {
         sVol.as("sum_volume_cents"),
         when(sVol > 0, sAbs.cast(DoubleType) / sVol.cast(DoubleType))
           .as("illiq"))
+  }
+
+  /** Lead-lag cross-correlation against one benchmark key: for each
+    * key and each lag L in [−maxLag, +maxLag] hours, the correlation of
+    * the key's cent move at t with the benchmark's move at t+L — a
+    * positive-lag peak means the benchmark LEADS the key by L hours —
+    * the key at t is moving with the benchmark's move from t−L (the
+    * classic price-discovery diagnostic). Same exact-co-moment contract as
+    * [[corrMatrix]]; the benchmark's move series is one key's buckets,
+    * so the (2·maxLag+1)-fold lag explode stays tiny and BROADCASTS
+    * into the epoch-equality join — the full rollup never reshuffles
+    * beyond its own key window.
+    */
+  def leadLagCorr(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      benchmark: Column,
+      maxLag: Int
+  ): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 48, s"maxLag=$maxLag outside [1, 48]")
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val moves = rollup.select(
+      col(keyCol), unix_micros(col(bucketCol)).as("__us"), d.as("__d"))
+      .filter(col("__d").isNotNull)
+    val bench = moves.filter(benchmark)
+      .select(col("__us").as("__bus"), col("__d").as("__db"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .select(col("lag").cast(LongType).as("lag_hours"),
+        (col("__bus") + col("lag").cast(LongType) * lit(3600000000L)).as("__jus"),
+        col("__db"))
+    val joined = moves.filter(!benchmark)
+      .join(broadcast(bench), col("__us") === col("__jus"))
+    val n = count(lit(1))
+    val sa = sum(col("__d").cast(dec)).cast(LongType)
+    val sb = sum(col("__db").cast(dec)).cast(LongType)
+    val sab = sum((col("__d") * col("__db")).cast(dec)).cast(LongType)
+    val saa = sum((col("__d") * col("__d")).cast(dec)).cast(LongType)
+    val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
+    joined.groupBy(col(keyCol), col("lag_hours"))
+      .agg(
+        n.as("n_aligned"),
+        when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,
+          (n * sab - sa * sb).cast(DoubleType) /
+            sqrt((n * saa - sa * sa).cast(DoubleType) *
+              (n * sbb - sb * sb).cast(DoubleType)))
+          .as("xcorr"))
   }
 
   /** Pairwise return-correlation matrix across keys: close-to-close

@@ -180,6 +180,29 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(1) == ((2L, 500L, 20000L, 500.0 / 20000.0)))
   }
 
+  test("leadLagCorr: a key that copies the benchmark an hour later peaks at lag +1") {
+    val benchPx = Seq(100.00, 101.00, 100.50, 102.00, 101.00,
+      103.00, 102.50, 104.00, 103.00, 105.00)
+    def row(k: Long, i: Int, px: Double) =
+      (k, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), px, px, px, px, 1L, 1.0)
+    val bench = benchPx.zipWithIndex.map { case (p, i) => row(7L, i, p) }
+    val follower = benchPx.zipWithIndex.map { case (p, i) => row(1L, i + 1, p) }
+    val df = (bench ++ follower)
+      .toDF("user_id", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.leadLagCorr(
+      df, "user_id", "bucket_ts", col("user_id") === 7, maxLag = 2)
+      .select("user_id", "lag_hours", "n_aligned", "xcorr")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the follower's move series IS the benchmark's shifted +1h: all 9
+    // aligned pairs identical -> exact 1.0 (co-moments stay under 2^53)
+    assert(out((1L, 1L)) == ((9L, Some(1.0))))
+    // at lag 0 the sequences are genuinely different
+    assert(out((1L, 0L))._2.exists(_ < 1.0))
+    // the benchmark never correlates against itself
+    assert(!out.keySet.exists(_._1 == 7L))
+  }
+
   test("corrMatrix: co-moving keys corr=1, anti-moving corr=-1, key_a < key_b only") {
     // Small cent moves keep every co-moment product under 2^53, so the
     // perfect-correlation sqrt is of an exactly-representable perfect

@@ -694,6 +694,23 @@ class TextVectorSpec extends SparkSpec {
     assert(got == Seq(("alpha beta", 2L, 8L, 4L)))
   }
 
+  test("textrankKeywords: the hub of a word star ranks first; stopwords never enter the graph") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta"),
+      (4L, "the alpha")). // stopword bigram -> contributes no edge
+      toDF("doc_id", "text")
+    val got = TextOps.textrankKeywords(docs, "doc_id", "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("alpha", "beta", "delta", "gamma"))
+    // the three spokes are structurally identical: exact same rank
+    val spokes = got.filter(_._1 != "alpha").map(_._2).distinct
+    assert(spokes.size == 1)
+    assert(got.head._2 > spokes.head)
+  }
+
   test("readability: counts words, sentence runs, vowel-group syllables; flesch formula") {
     import graft.functions.TextOps
     val docs = Seq(
