@@ -2697,6 +2697,16 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Distributed OLS (trend + weekend dummy) by exact normal
+    // equations: nine integer sufficient statistics, Cramer dets in
+    // decimal, one division per coefficient -----------------------------
+    "q_ols_trend" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.olsSeasonalTrend(
+        r1h, Seq("user_id"), "bucket_ts", originTs = "2024-01-01 00:00:00")
+    }),
+
     // ----- TextRank keywords: pinned integer PageRank run directly on
     // word nodes of the adjacency graph; exact scaled-long ranks ---------
     "q_textrank" -> ((s, dir) =>
@@ -6789,6 +6799,39 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_ols_trend" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         v AS (SELECT user_id,
+                 (epoch_us(bucket_ts)
+                  - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000 AS x1,
+                 CASE WHEN dayofweek(bucket_ts) IN (0, 6) THEN 1 ELSE 0 END AS x2,
+                 CAST(round(close * 100) AS BIGINT) AS y
+               FROM r1h),
+         g AS (SELECT user_id, count(*) AS n,
+                 sum(x1) AS s1, sum(x2) AS s2,
+                 sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+                 sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+               FROM v GROUP BY 1),
+         d AS (SELECT user_id, n,
+                 n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s2 * s11) AS det,
+                 sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+               FROM g)
+         SELECT user_id, CAST(n AS BIGINT) AS n_obs, CAST(det AS DOUBLE) AS det,
+                CASE WHEN det <> 0 THEN
+                  CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS intercept_cents,
+                CASE WHEN det <> 0 THEN
+                  CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS trend_cents_per_hour,
+                CASE WHEN det <> 0 THEN
+                  CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS weekend_shift_cents
+         FROM d""",
     "q_textrank" ->
       """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
          pr AS (SELECT t[i] AS w1, t[i + 1] AS w2

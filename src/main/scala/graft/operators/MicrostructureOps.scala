@@ -286,6 +286,78 @@ object MicrostructureOps {
           .as("illiq"))
   }
 
+  /** Two-regressor OLS by exact normal equations, per key: close cents
+    * regressed on (hour index since `originTs`, weekend dummy) —
+    * "trend plus weekend shift" fit in ONE aggregation pass. The nine
+    * sufficient statistics are exact integer sums (decimal-accumulated,
+    * overflow-impossible partials); the 3×3 system solves by Cramer's
+    * rule with determinants expanded in decimal(38,0) — products of
+    * three sums stay far inside 38 digits under the guarded bounds
+    * (|hour index| < 2²⁰ ≈ 120 years, |cents| < 2³⁰; out-of-range rows
+    * raise, the [[aroon]] discipline) — and each coefficient is ONE
+    * division of exact operands. A singular system (constant regressor,
+    * under-determined key) reports NULL coefficients, keeping n and the
+    * determinant as evidence.
+    *
+    * This is the distributed-OLS template: any regressor set that fits
+    * integer encoding gets a closed-form fit with no iteration, no
+    * float feedback, and bit-identical results on any partitioning.
+    */
+  def olsSeasonalTrend(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      originTs: String
+  ): DataFrame = {
+    java.sql.Timestamp.valueOf(originTs.trim): Unit // format check only
+    val diffUs = s"(unix_micros($bucketCol) - unix_micros(TIMESTAMP '${originTs.trim}'))"
+    val x1Raw = expr(s"($diffUs - pmod($diffUs, 3600000000)) div 3600000000")
+    val x1Bound = (1L << 20) - 1
+    val yBound = (1L << 30) - 1
+    val x1 = when(abs(x1Raw) <= x1Bound, x1Raw)
+      .otherwise(raise_error(concat(
+        lit("olsSeasonalTrend: |hour index| "), x1Raw.cast("string"),
+        lit(s" exceeds the det-exact bound $x1Bound; move originTs"))))
+    val yRaw = cts("close")
+    val y = when(abs(yRaw) <= yBound, yRaw)
+      .otherwise(raise_error(concat(
+        lit("olsSeasonalTrend: |close| cents "), yRaw.cast("string"),
+        lit(s" exceeds the det-exact bound $yBound; rescale prices"))))
+    val x2 = when(dayofweek(col(bucketCol)).isin(1, 7), lit(1L)).otherwise(lit(0L))
+    val base = rollup.select(
+      (keys.map(col) :+ x1.as("__x1") :+ x2.as("__x2") :+ y.as("__y")): _*)
+    val agged = base.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x1").cast(dec)).as("__s1"),
+        sum(col("__x2").cast(dec)).as("__s2"),
+        sum((col("__x1") * col("__x1")).cast(dec)).as("__s11"),
+        sum((col("__x1") * col("__x2")).cast(dec)).as("__s12"),
+        sum((col("__x2") * col("__x2")).cast(dec)).as("__s22"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x1") * col("__y")).cast(dec)).as("__s1y"),
+        sum((col("__x2") * col("__y")).cast(dec)).as("__s2y"))
+    val (n, s1, s2) = (col("__n"), col("__s1"), col("__s2"))
+    val (s11, s12, s22) = (col("__s11"), col("__s12"), col("__s22"))
+    val (sy, s1y, s2y) = (col("__sy"), col("__s1y"), col("__s2y"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s2 * s11)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    def coef(num: Column) =
+      when(det =!= 0, num.cast(DoubleType) / det.cast(DoubleType))
+    agged.select(
+      (keys.map(col) :+ col("__n").cast(LongType).as("n_obs") :+
+        det.cast(DoubleType).as("det") :+
+        coef(det0).as("intercept_cents") :+
+        coef(det1).as("trend_cents_per_hour") :+
+        coef(det2).as("weekend_shift_cents")): _*)
+  }
+
   /** Lead-lag cross-correlation against one benchmark key: for each
     * key and each lag L in [−maxLag, +maxLag] hours, the correlation of
     * the key's cent move at t with the benchmark's move at t+L — a

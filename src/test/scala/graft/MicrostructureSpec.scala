@@ -180,6 +180,40 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(1) == ((2L, 500L, 20000L, 500.0 / 20000.0)))
   }
 
+  test("olsSeasonalTrend recovers a planted trend + weekend shift exactly") {
+    // y = 10000 + 5*x1 + 300*weekend cents; 2024-01-01 is a Monday
+    val rows = Seq(
+      ("2024-01-01 00:00:00", 100.00), // x1=0,   weekday
+      ("2024-01-01 01:00:00", 100.05), // x1=1
+      ("2024-01-02 05:00:00", 101.45), // x1=29
+      ("2024-01-06 00:00:00", 109.00), // x1=120, saturday: +300
+      ("2024-01-07 03:00:00", 110.35)) // x1=147, sunday:   +300
+    val df = rows.map { case (t, px) =>
+      ("A", Timestamp.valueOf(t), px, px, px, px, 1L, 1.0) }
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.olsSeasonalTrend(
+      df, Seq("sym"), "bucket_ts", originTs = "2024-01-01 00:00:00")
+      .select("n_obs", "intercept_cents", "trend_cents_per_hour", "weekend_shift_cents")
+      .as[(Long, Double, Double, Double)].collect().head
+    // a perfect fit: each Cramer numerator is exactly coefficient*det,
+    // so the one division returns the coefficient bit-exactly
+    assert(out == ((5L, 10000.0, 5.0, 300.0)))
+  }
+
+  test("olsSeasonalTrend: a constant regressor makes the system singular -> NULLs, not garbage") {
+    val rows = Seq( // all weekdays: x2 identically 0
+      ("2024-01-01 00:00:00", 100.00),
+      ("2024-01-01 01:00:00", 100.05),
+      ("2024-01-02 05:00:00", 101.45))
+    val df = rows.map { case (t, px) =>
+      ("A", Timestamp.valueOf(t), px, px, px, px, 1L, 1.0) }
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.olsSeasonalTrend(
+      df, Seq("sym"), "bucket_ts", originTs = "2024-01-01 00:00:00").collect().head
+    assert(out.getAs[Double]("det") == 0.0)
+    assert(out.isNullAt(out.fieldIndex("trend_cents_per_hour")))
+  }
+
   test("leadLagCorr: a key that copies the benchmark an hour later peaks at lag +1") {
     val benchPx = Seq(100.00, 101.00, 100.50, 102.00, 101.00,
       103.00, 102.50, 104.00, 103.00, 105.00)

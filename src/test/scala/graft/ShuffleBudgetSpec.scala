@@ -45,6 +45,38 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
   }
 
+  test("round-6 microstructure indicators ride one per-key exchange") {
+    import graft.operators.MicrostructureOps
+    val tradeBars = candles.withColumn("trades", lit(3L))
+    val plans = Seq(
+      "williamsR" -> MicrostructureOps.williamsR(tradeBars, Seq("sym"), "bucket_ts", 14),
+      "aroon" -> MicrostructureOps.aroon(tradeBars, Seq("sym"), "bucket_ts", 14),
+      "mfi" -> MicrostructureOps.mfi(tradeBars, Seq("sym"), "bucket_ts", 14),
+      "cci" -> MicrostructureOps.cci(tradeBars, Seq("sym"), "bucket_ts", 20),
+      "amihud" -> MicrostructureOps.amihud(tradeBars, Seq("sym"), "bucket_ts")
+    )
+    plans.foreach { case (name, df) =>
+      val n = exchanges(df.queryExecution.executedPlan.toString)
+      // the keyed aggregates (amihud) may add ONE aggregation exchange
+      // on top of the window's — never more
+      assert(n <= 2, s"$name: expected <=2 exchanges, got $n")
+      if (Seq("williamsR", "aroon", "mfi", "cci").contains(name))
+        assert(n == 1, s"$name: expected 1 exchange, got $n")
+    }
+  }
+
+  test("leadLagCorr broadcasts the lag-exploded benchmark; the rollup never reshuffles for the join") {
+    import graft.operators.MicrostructureOps
+    val twoKeys = candles.unionByName(candles.withColumn("sym", lit("T")))
+      .withColumn("trades", lit(3L))
+    val plan = MicrostructureOps.leadLagCorr(
+      twoKeys, "sym", "bucket_ts", col("sym") === "S", maxLag = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+    // one window exchange + one (key, lag) aggregation exchange
+    assert(exchanges(plan) <= 3, s"too many exchanges:\n$plan")
+  }
+
   test("basket pairs: two exchanges and a per-partition top-N") {
     val facts = (1 to 300).map(i => (i.toLong / 3, (i % 17).toLong))
       .toDF("basket", "item")
