@@ -414,4 +414,54 @@ class EdgeCaseSpec extends SparkSpec {
     val wz = Seq(("g", 5L, 0L, 1L)).toDF("src", "v", "w", "id")
     assert(RankOps.weightedMedian(wz, Seq("src"), "v", "w", "id").count() == 0)
   }
+
+  test("round-6 session-2 operators survive empty, singleton, and degenerate input") {
+    import graft.functions.TextOps
+    import graft.operators.MicrostructureOps
+    val emptyBars = Seq.empty[(String, Timestamp, Double, Double, Double, Double, Long, Double)]
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val oneBar = Seq(("A", ts("2024-01-01 00:00:00"), 1.0, 2.0, 0.5, 1.5, 1L, 10.0))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    // window indicators: empty in -> empty out; a single bar computes
+    // from its one-element window without nulls exploding
+    for (df <- Seq(
+        MicrostructureOps.williamsR(emptyBars, Seq("sym"), "bucket_ts", 14),
+        MicrostructureOps.aroon(emptyBars, Seq("sym"), "bucket_ts", 14),
+        MicrostructureOps.mfi(emptyBars, Seq("sym"), "bucket_ts", 14),
+        MicrostructureOps.cci(emptyBars, Seq("sym"), "bucket_ts", 20),
+        MicrostructureOps.amihud(emptyBars, Seq("sym"), "bucket_ts"),
+        MicrostructureOps.rollSpread(emptyBars, Seq("sym"), "bucket_ts"),
+        MicrostructureOps.kyleLambda(emptyBars, Seq("sym"), "bucket_ts"),
+        MicrostructureOps.olsSeasonalTrend(
+          emptyBars, Seq("sym"), "bucket_ts", "2024-01-01 00:00:00"),
+        MicrostructureOps.corrMatrix(emptyBars, "sym", "bucket_ts"),
+        MicrostructureOps.leadLagCorr(
+          emptyBars, "sym", "bucket_ts", col("sym") === "Z", 3)))
+      assert(df.count() == 0)
+    val a1 = MicrostructureOps.aroon(oneBar, Seq("sym"), "bucket_ts", 14).head()
+    assert(a1.getAs[Long]("bars_since_high") == 0L &&
+      a1.getAs[Double]("aroon_up") == 100.0)
+    // a single bar has no move: the move-based reports drop it
+    assert(MicrostructureOps.rollSpread(oneBar, Seq("sym"), "bucket_ts").count() == 0)
+    assert(MicrostructureOps.kyleLambda(oneBar, Seq("sym"), "bucket_ts").count() == 0)
+    assert(MicrostructureOps.amihud(oneBar, Seq("sym"), "bucket_ts").count() == 0)
+    // a 2-bar key: one move, zero pairs -> rollSpread still empty,
+    // kyleLambda emits a singular (NULL) fit rather than dividing by 0
+    val twoBars = oneBar.unionByName(
+      Seq(("A", ts("2024-01-01 01:00:00"), 1.0, 2.0, 0.5, 2.5, 1L, 10.0))
+        .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume"))
+    assert(MicrostructureOps.rollSpread(twoBars, Seq("sym"), "bucket_ts").count() == 0)
+    val kl = MicrostructureOps.kyleLambda(twoBars, Seq("sym"), "bucket_ts").head()
+    assert(kl.getAs[Long]("n_moves") == 1L &&
+      kl.isNullAt(kl.fieldIndex("kyle_lambda")))
+    // text ops: empty corpus and an all-stopword doc produce no
+    // phrases/edges but never throw
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.rakeKeywords(noDocs, "doc_id", "text", 5).count() == 0)
+    assert(TextOps.textrankKeywords(noDocs, "doc_id", "text", 5).count() == 0)
+    assert(TextOps.readability(noDocs, "doc_id", "text").count() == 0)
+    val allStop = Seq((1L, "the and of to in is a")).toDF("doc_id", "text")
+    assert(TextOps.rakeKeywords(allStop, "doc_id", "text", 5).count() == 0)
+    assert(TextOps.textrankKeywords(allStop, "doc_id", "text", 5).count() == 0)
+  }
 }
