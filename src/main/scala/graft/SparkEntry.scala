@@ -2741,6 +2741,22 @@ object SparkEntry {
       graft.operators.GraphOps.edgeOverlap(edges)
     }),
 
+    // ----- Degree assortativity: do hub items co-sell with hubs?
+    // One number, exact decimal co-moments over edges x degrees ----------
+    "q_assortativity" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.assortativity(edges)
+    }),
+
+    // ----- Community detection: synchronous label propagation, 3
+    // pinned rounds, ties to the smallest label via the integer pack ----
+    "q_label_prop" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.labelPropagationPinned(edges, rounds = 3)
+    }),
+
     // ----- Degree distribution of the co-purchase graph: the hub
     // health check before any pairwise op -------------------------------
     "q_degree_dist" -> ((s, dir) => {
@@ -6976,6 +6992,53 @@ object SparkEntry {
          FROM e LEFT JOIN cm ON e.x = cm.x AND e.y = cm.y
                 JOIN d dx ON e.x = dx.node
                 JOIN d dy ON e.y = dy.node""",
+    "q_assortativity" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         bo AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+         d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+               FROM bo GROUP BY 1),
+         j AS (SELECT ds.degree AS da, dd.degree AS db
+               FROM bo JOIN d ds ON bo.src = ds.node
+                       JOIN d dd ON bo.dst = dd.node),
+         g AS (SELECT count(*) AS n, sum(da) AS sa, sum(db) AS sb,
+                 sum(da * db) AS sab, sum(da * da) AS saa,
+                 sum(db * db) AS sbb
+               FROM j)
+         SELECT CAST(n AS BIGINT) AS n_directed_edges,
+                CAST(sa AS BIGINT) AS sum_deg,
+                CAST(sab AS BIGINT) AS sum_deg_prod,
+                CAST(saa AS BIGINT) AS sum_deg_sq,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS assortativity
+         FROM g""",
+    "q_label_prop" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         bo AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+         nodes AS (SELECT DISTINCT src AS node FROM bo),
+         l0 AS (SELECT node, node AS lbl FROM nodes),
+         n1 AS (SELECT bo.dst AS node, l0.lbl FROM bo JOIN l0 ON bo.src = l0.node),
+         c1 AS (SELECT node, lbl, CAST(count(*) AS BIGINT) AS c FROM n1 GROUP BY 1, 2),
+         p1 AS (SELECT node, max(c * 4294967296 + (4294967295 - lbl)) AS pk
+                FROM c1 GROUP BY 1),
+         l1 AS (SELECT node, 4294967295 - (pk % 4294967296) AS lbl FROM p1),
+         n2 AS (SELECT bo.dst AS node, l1.lbl FROM bo JOIN l1 ON bo.src = l1.node),
+         c2 AS (SELECT node, lbl, CAST(count(*) AS BIGINT) AS c FROM n2 GROUP BY 1, 2),
+         p2 AS (SELECT node, max(c * 4294967296 + (4294967295 - lbl)) AS pk
+                FROM c2 GROUP BY 1),
+         l2 AS (SELECT node, 4294967295 - (pk % 4294967296) AS lbl FROM p2),
+         n3 AS (SELECT bo.dst AS node, l2.lbl FROM bo JOIN l2 ON bo.src = l2.node),
+         c3 AS (SELECT node, lbl, CAST(count(*) AS BIGINT) AS c FROM n3 GROUP BY 1, 2),
+         p3 AS (SELECT node, max(c * 4294967296 + (4294967295 - lbl)) AS pk
+                FROM c3 GROUP BY 1),
+         l3 AS (SELECT node, 4294967295 - (pk % 4294967296) AS lbl FROM p3)
+         SELECT node, lbl AS community FROM l3""",
     "q_degree_dist" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -152,6 +152,86 @@ object GraphOps {
       .unionByName(edges.select(col("y").cast(LongType).as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Degree assortativity (practical variant): the Pearson correlation
+    * of endpoint degrees over the DIRECTED both-orientation edge list —
+    * positive means hubs link hubs, negative means hubs fan out to the
+    * periphery (what a co-purchase catalog usually does). Exact long
+    * co-moments, one division by a correctly-rounded sqrt — the
+    * [[MicrostructureOps.corrMatrix]] contract on graph structure.
+    * One aggregate over (edges ⋈ degrees); no iteration.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+    val both = canon.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(canon.select(col("y").as("src"), col("x").as("dst")))
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val ds = deg.select(col("node").as("src"), col("degree").as("__da"))
+    val dd = deg.select(col("node").as("dst"), col("degree").as("__db"))
+    val joined = both.join(ds, "src").join(dd, "dst")
+    // decimal co-moments: n·Σd² on a hub-heavy graph runs past int64
+    // long before the graph is "big" (1e6 edges of degree 1e4 already
+    // overflow); DuckDB's HUGEINT mirrors the decimal exactly
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = count(lit(1)).cast(dec)
+    val sa = sum(col("__da").cast(dec))
+    val sb = sum(col("__db").cast(dec))
+    val sab = sum((col("__da") * col("__db")).cast(dec))
+    val saa = sum((col("__da") * col("__da")).cast(dec))
+    val sbb = sum((col("__db") * col("__db")).cast(dec))
+    joined.agg(
+      n.cast(LongType).as("n_directed_edges"),
+      sa.cast(LongType).as("sum_deg"),
+      sab.cast(LongType).as("sum_deg_prod"),
+      saa.cast(LongType).as("sum_deg_sq"),
+      when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,
+        (n * sab - sa * sb).cast("double") /
+          sqrt((n * saa - sa * sa).cast("double") *
+            (n * sbb - sb * sb).cast("double")))
+        .as("assortativity"))
+  }
+
+  /** Synchronous label propagation with PINNED rounds: every node
+    * starts labeled by its own id; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label —
+    * picked by one integer max over `count·2³² + (2³²−1−label)` (the
+    * [[MicrostructureOps.aroon]] pack: no first/last nondeterminism,
+    * no float). A fixed round count instead of convergence detection
+    * makes the result a pure function of the edge list — bit-identical
+    * on any engine — at the price the PageRank pin already documents
+    * (sync LPA can oscillate on bipartite structures; a pinned horizon
+    * reports that state honestly).
+    *
+    * Each round = one join + two hash aggregates over (edge, label);
+    * label state is node-sized and checkpointed per round.
+    */
+  def labelPropagationPinned(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds=$rounds outside [1, 10]")
+    val P = 1L << 32
+    val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+    val both = canon.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(canon.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint(true)
+    val guard = (c: Column) => when(c >= 0 && c < P - 1, c)
+      .otherwise(raise_error(concat(
+        lit("labelPropagationPinned: node id "), c.cast("string"),
+        lit(s" outside the pack-exact range [0, ${P - 2}]"))))
+    var labels = both.select(guard(col("src")).as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = both.join(
+        labels.select(col("node").as("src"), col("lbl")), "src")
+      val picked = nbr.groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(col("__c") * P + (lit(P - 1) - col("lbl"))).as("__pk"))
+      labels = picked
+        .select(col("node"), (lit(P - 1) - pmod(col("__pk"), lit(P))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 
   /** Fixed-point PageRank over the undirected graph, pinned for
     * hash-equality: ranks are integers scaled by `scale`, every

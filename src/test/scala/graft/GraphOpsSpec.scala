@@ -63,6 +63,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("assortativity: a star is exactly -1, a clique has zero degree variance -> NULL") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("x", "y")
+    val s = GraphOps.assortativity(star).head()
+    // every directed edge pairs degree 4 with degree 1: the co-moment
+    // algebra collapses to -k^2(k-1)^2 / k^2(k-1)^2 — exactly -1
+    assert(s.getAs[Long]("n_directed_edges") == 8L)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("x", "y")
+    val c = GraphOps.assortativity(clique).head()
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+  }
+
+  test("labelPropagationPinned: disjoint triangles converge to per-component min labels") {
+    val twoTriangles = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("x", "y")
+    val got = GraphOps.labelPropagationPinned(twoTriangles, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagationPinned: tie on neighbor counts resolves to the smallest label") {
+    // node 5 sits between two equal-size camps labeled 1 and 9 after
+    // round 1 bootstraps from ids; its round-2 pick must be the SMALLER
+    val path = Seq((1L, 5L), (5L, 9L)).toDF("x", "y")
+    val got = GraphOps.labelPropagationPinned(path, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: 1 -> 5, 9 -> 5, 5 -> min(1, 9) = 1
+    // round 2: 5's neighbors both carry label 5 -> 5; 1 and 9 take 1
+    assert(got(1L) == 1L && got(9L) == 1L && got(5L) == 5L)
+  }
+
   test("empty graph: both reports are empty, not errors") {
     val none = Seq.empty[(Long, Long)].toDF("x", "y")
     assert(GraphOps.edgeOverlap(none).count() == 0)
