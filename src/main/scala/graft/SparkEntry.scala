@@ -2741,6 +2741,14 @@ object SparkEntry {
       graft.operators.GraphOps.edgeOverlap(edges)
     }),
 
+    // ----- k-core by 4 pinned peeling rounds: the tightly-knit
+    // sub-catalog that survives repeated low-degree removal ---------------
+    "q_kcore" -> ((s, dir) => {
+      val edges = graft.operators.GraphOps.itemEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      graft.operators.GraphOps.kCorePinned(edges, k = 3, rounds = 4)
+    }),
+
     // ----- Degree assortativity: do hub items co-sell with hubs?
     // One number, exact decimal co-moments over edges x degrees ----------
     "q_assortativity" -> ((s, dir) => {
@@ -6992,6 +7000,29 @@ object SparkEntry {
          FROM e LEFT JOIN cm ON e.x = cm.x AND e.y = cm.y
                 JOIN d dx ON e.x = dx.node
                 JOIN d dy ON e.y = dy.node""",
+    "q_kcore" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         a0 AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+         k1 AS (SELECT src FROM a0 GROUP BY 1 HAVING count(*) >= 3),
+         a1 AS (SELECT a0.src, a0.dst FROM a0
+                WHERE a0.src IN (SELECT src FROM k1)
+                  AND a0.dst IN (SELECT src FROM k1)),
+         k2 AS (SELECT src FROM a1 GROUP BY 1 HAVING count(*) >= 3),
+         a2 AS (SELECT a1.src, a1.dst FROM a1
+                WHERE a1.src IN (SELECT src FROM k2)
+                  AND a1.dst IN (SELECT src FROM k2)),
+         k3 AS (SELECT src FROM a2 GROUP BY 1 HAVING count(*) >= 3),
+         a3 AS (SELECT a2.src, a2.dst FROM a2
+                WHERE a2.src IN (SELECT src FROM k3)
+                  AND a2.dst IN (SELECT src FROM k3)),
+         k4 AS (SELECT src FROM a3 GROUP BY 1 HAVING count(*) >= 3),
+         a4 AS (SELECT a3.src, a3.dst FROM a3
+                WHERE a3.src IN (SELECT src FROM k4)
+                  AND a3.dst IN (SELECT src FROM k4))
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS residual_degree
+         FROM a4 GROUP BY 1""",
     "q_assortativity" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)

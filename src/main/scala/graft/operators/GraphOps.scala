@@ -233,6 +233,40 @@ object GraphOps {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** k-core by PINNED peeling rounds: each round simultaneously drops
+    * every node whose CURRENT degree is below `k`, then recomputes
+    * degrees over the surviving subgraph. True k-core peeling runs to a
+    * fixpoint; a fixed round count keeps the result a pure function of
+    * the edge list (the [[pagerankPinned]]/[[labelPropagationPinned]]
+    * pin) and reports the un-converged residue honestly: surviving
+    * nodes carry their residual degree, which may still dip under `k`
+    * if `rounds` didn't reach the fixpoint — callers see it, not a
+    * silent wrong core. Peeling is monotone, so every TRUE k-core
+    * member always survives every round.
+    *
+    * Each round = one aggregate + two semi-joins over the alive edge
+    * list, which only shrinks; state is edge-sized, checkpointed per
+    * round.
+    */
+  def kCorePinned(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(rounds >= 1 && rounds <= 10, s"rounds=$rounds outside [1, 10]")
+    val canon = edges.select(col("x").cast(LongType), col("y").cast(LongType))
+    var alive = canon.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(canon.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = alive.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src"))
+      alive = alive
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    alive.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("residual_degree"))
+  }
+
   /** Fixed-point PageRank over the undirected graph, pinned for
     * hash-equality: ranks are integers scaled by `scale`, every
     * division is a FLOOR of positive integers, and the iteration count

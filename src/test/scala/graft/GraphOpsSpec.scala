@@ -96,6 +96,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == 1L && got(9L) == 1L && got(5L) == 5L)
   }
 
+  test("kCorePinned: pendant chains peel away, the clique core survives with full degree") {
+    // K4 on {1,2,3,4} plus a chain 4-5-6: 5 and 6 never reach degree 3
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("x", "y")
+    val got = GraphOps.kCorePinned(g, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // after peel 1: 6 (deg 1) and 5 (deg 2) drop... 5's degree was 2 at
+    // round 1 so both leave in two rounds; K4 keeps degree 3 throughout
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCorePinned: a cycle is its own 2-core; k=3 on a cycle empties it") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    val core2 = GraphOps.kCorePinned(cycle, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(GraphOps.kCorePinned(cycle, k = 3, rounds = 3).count() == 0)
+  }
+
   test("empty graph: both reports are empty, not errors") {
     val none = Seq.empty[(Long, Long)].toDF("x", "y")
     assert(GraphOps.edgeOverlap(none).count() == 0)
