@@ -2773,6 +2773,23 @@ object SparkEntry {
       graft.operators.GraphOps.degreeHistogram(edges)
     }),
 
+    // ----- TPC-H Q11 shape (adapted — no partsupp): parts carrying
+    // more than 1/1600 of total observed value. The threshold compare is
+    // an integer cross-multiply in decimal (value*1600 > total): no
+    // float fraction, no global sort — the filter IS the answer --------
+    "q11_important_stock" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val cents = round(col("l_extendedprice") * 100).cast(LongType)
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents.cast(dec)).cast(LongType).as("value_cents"))
+      val tot = broadcast(perPart.agg(
+        sum(col("value_cents").cast(dec)).as("__tot")))
+      perPart.crossJoin(tot)
+        .filter(col("value_cents").cast(dec) * lit(1600) > col("__tot"))
+        .select(col("l_partkey"), col("value_cents"))
+    }),
+
     // ----- TPC-H Q2 shape (adapted — no partsupp table): cheapest
     // supplier per part from observed lineitem prices, the argmin as a
     // packed integer (cents * 2^32 + suppkey) so ties break to the
@@ -7000,6 +7017,15 @@ object SparkEntry {
          FROM e LEFT JOIN cm ON e.x = cm.x AND e.y = cm.y
                 JOIN d dx ON e.x = dx.node
                 JOIN d dy ON e.y = dy.node""",
+    "q11_important_stock" ->
+      """WITH p AS (SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(value_cents) AS tot FROM p)
+         SELECT l_partkey, value_cents
+         FROM p CROSS JOIN t
+         WHERE value_cents * 1600 > tot""",
     "q_kcore" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
