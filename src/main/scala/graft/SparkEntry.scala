@@ -2697,6 +2697,21 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Lo-MacKinlay variance ratio (q=4): random-walk diagnostic,
+    // both variances rational, one division of decimal products ---------
+    "q_variance_ratio" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.varianceRatio(r1h, Seq("user_id"), "bucket_ts", q = 4)
+    }),
+
+    // ----- k-anonymity / l-diversity release gate over quasi-
+    // identifiers: one hash aggregate with an exact distinct ------------
+    "q_k_anonymity" -> ((s, dir) =>
+      PurgeOps.kAnonymityReport(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", k = 10L, l = 5L)),
+
     // ----- Distributed OLS (trend + weekend dummy) by exact normal
     // equations: nine integer sufficient statistics, Cramer dets in
     // decimal, one division per coefficient -----------------------------
@@ -6840,6 +6855,33 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_variance_ratio" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         d AS (SELECT user_id,
+                 cl - lag(cl, 1) OVER o AS d1,
+                 cl - lag(cl, 4) OVER o AS dq
+               FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         g AS (SELECT user_id, count(d1) AS n1, count(dq) AS nq,
+                 sum(d1) AS s1, sum(d1 * d1) AS s11,
+                 sum(dq) AS sq, sum(dq * dq) AS sqq
+               FROM d GROUP BY 1)
+         SELECT user_id, CAST(n1 AS BIGINT) AS n_1, CAST(nq AS BIGINT) AS n_q,
+                CASE WHEN nq > 0 AND n1 * s11 - s1 * s1 > 0 THEN
+                  CAST((nq * sqq - sq * sq) * n1 * n1 AS DOUBLE)
+                  / CAST((n1 * s11 - s1 * s1) * nq * nq * 4 AS DOUBLE)
+                END AS variance_ratio
+         FROM g""",
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS group_size,
+                CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+                count(*) >= 10 AS meets_k,
+                count(DISTINCT c_acctbal) >= 5 AS meets_l
+         FROM customer GROUP BY 1, 2""",
     "q_ols_trend" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close

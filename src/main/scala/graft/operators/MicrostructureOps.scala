@@ -286,6 +286,46 @@ object MicrostructureOps {
           .as("illiq"))
   }
 
+  /** Lo-MacKinlay variance ratio per key: Var(q-period move) against
+    * q·Var(1-period move) — the random-walk diagnostic (VR ≈ 1 under a
+    * random walk, > 1 momentum, < 1 mean reversion). Both variances
+    * stay RATIONAL: VR = [(n_q·Σd_q² − (Σd_q)²)·n₁²] /
+    * [q·(n₁·Σd₁² − (Σd₁)²)·n_q²] with every product expanded in
+    * decimal(38,0), so the published ratio is ONE division of exact
+    * operands. A flat 1-period series (zero variance) reports NULL.
+    * Two lag windows on the same key exchange + one hash aggregate.
+    */
+  def varianceRatio(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      q: Int
+  ): DataFrame = {
+    require(q >= 2 && q <= 240, s"q=$q outside [2, 240]")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val c = cts("close")
+    val base = rollup.select(
+      (keys.map(col) :+
+        (c - lag(c, 1).over(wOrd)).as("__d1") :+
+        (c - lag(c, q).over(wOrd)).as("__dq")): _*)
+    val n1 = sum(when(col("__d1").isNotNull, 1L).otherwise(0L)).cast(dec)
+    val nq = sum(when(col("__dq").isNotNull, 1L).otherwise(0L)).cast(dec)
+    val s1 = sum(col("__d1").cast(dec))
+    val s11 = sum((col("__d1") * col("__d1")).cast(dec))
+    val sq = sum(col("__dq").cast(dec))
+    val sqq = sum((col("__dq") * col("__dq")).cast(dec))
+    val varNum1 = n1 * s11 - s1 * s1
+    val varNumQ = nq * sqq - sq * sq
+    base.groupBy(keys.map(col): _*)
+      .agg(
+        n1.cast(LongType).as("n_1"),
+        nq.cast(LongType).as("n_q"),
+        when(nq > 0 && varNum1 > 0,
+          (varNumQ * n1 * n1).cast(DoubleType) /
+            (varNum1 * nq * nq * q).cast(DoubleType))
+          .as("variance_ratio"))
+  }
+
   /** Two-regressor OLS by exact normal equations, per key: close cents
     * regressed on (hour index since `originTs`, weekend dummy) —
     * "trend plus weekend shift" fit in ONE aggregation pass. The nine

@@ -71,4 +71,34 @@ object PurgeOps {
     custAudit.unionByName(orderAudit).unionByName(lineAudit)
       .withColumn("n_after", col("n_before") - col("n_purged"))
   }
+
+  /** k-anonymity / l-diversity audit: for every quasi-identifier
+    * combination, the group size and the number of DISTINCT sensitive
+    * values it hides, with pass flags against `k` and `l` — the
+    * release-gate check a training-data export runs after
+    * [[graft.functions.TextOps.redactPii]]-style scrubbing (a group of
+    * fewer than k rows re-identifies; one with fewer than l sensitive
+    * values discloses even without re-identification).
+    *
+    * One hash aggregate on the quasi columns; the exact distinct count
+    * rides the same shuffle (partial distinct aggregation). Groups
+    * come back sorted nowhere — the caller filters `meets_k AND
+    * meets_l` or aggregates the flags; both stay map-side-combinable.
+    */
+  def kAnonymityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long,
+      l: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k=$k, l=$l must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("meets_k", col("group_size") >= k)
+      .withColumn("meets_l", col("l_distinct") >= l)
+  }
 }

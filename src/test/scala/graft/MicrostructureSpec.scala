@@ -180,6 +180,34 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(1) == ((2L, 500L, 20000L, 500.0 / 20000.0)))
   }
 
+  test("varianceRatio: perfect mean reversion scores 0, a flat base NULLs, a known series matches hand co-moments") {
+    // alternating +/-1.00 bounce: every 2-period move is exactly 0
+    val alt = bars((0 until 12).map(i =>
+      ("A", i, 0.0, 0.0, 0.0, if (i % 2 == 0) 100.0 else 101.0)))
+    val vr = MicrostructureOps.varianceRatio(alt, Seq("sym"), "bucket_ts", q = 2)
+      .select("n_1", "n_q", "variance_ratio")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(vr == ((11L, 10L, Some(0.0))))
+    // constant price: 1-period variance 0 -> NULL, not a division blowup
+    val flat = bars((0 until 6).map(i => ("A", i, 0.0, 0.0, 0.0, 50.0)))
+    val out = MicrostructureOps.varianceRatio(flat, Seq("sym"), "bucket_ts", q = 2)
+      .select("variance_ratio").collect().head
+    assert(out.isNullAt(0))
+    // arbitrary series: bit-equal to the formula computed in the test
+    val px = Seq(100.0, 101.5, 100.2, 102.7, 101.9, 103.3, 102.0, 104.4)
+    val s = bars(px.zipWithIndex.map { case (p, i) => ("A", i, 0.0, 0.0, 0.0, p) })
+    val got = MicrostructureOps.varianceRatio(s, Seq("sym"), "bucket_ts", q = 3)
+      .select("variance_ratio").as[Double].collect().head
+    val cl = px.map(p => math.round(p * 100))
+    val d1 = cl.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    val dq = cl.indices.drop(3).map(i => cl(i) - cl(i - 3))
+    def mom(d: Seq[Long]) = (d.size.toLong, d.sum, d.map(x => x * x).sum)
+    val (n1, s1, s11) = mom(d1); val (nq, sq, sqq) = mom(dq)
+    val want = ((nq * sqq - sq * sq) * n1 * n1).toDouble /
+      ((n1 * s11 - s1 * s1) * nq * nq * 3).toDouble
+    assert(got == want)
+  }
+
   test("olsSeasonalTrend recovers a planted trend + weekend shift exactly") {
     // y = 10000 + 5*x1 + 300*weekend cents; 2024-01-01 is a Monday
     val rows = Seq(

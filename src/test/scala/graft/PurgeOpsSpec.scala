@@ -49,4 +49,20 @@ class PurgeOpsSpec extends SparkSpec {
       .select("n_purged").as[Long].collect().toSeq
     assert(audit == Seq(0L, 0L, 0L))
   }
+
+  test("kAnonymityReport: group sizes, distinct sensitive values, and both pass flags") {
+    val rows = Seq(
+      // quasi group (1, "a"): 3 rows, 2 distinct salaries
+      (1, "a", 100.0), (1, "a", 100.0), (1, "a", 200.0),
+      // quasi group (2, "b"): 1 row — re-identifiable
+      (2, "b", 300.0))
+      .toDF("region", "segment", "salary")
+    val got = PurgeOps.kAnonymityReport(
+      rows, Seq("region", "segment"), "salary", k = 2L, l = 2L)
+      .select("region", "segment", "group_size", "l_distinct", "meets_k", "meets_l")
+      .as[(Int, String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got((1, "a")) == ((3L, 2L, true, true)))
+    assert(got((2, "b")) == ((1L, 1L, false, false)))
+  }
 }
