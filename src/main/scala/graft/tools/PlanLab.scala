@@ -40,6 +40,25 @@ object PlanLab {
         val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
         pairs.explain("formatted")
         time("pairs count")(println(pairs.count()))
+      case "edges" =>
+        import graft.sources.Tables
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(spark, dir)
+        def current() = graft.operators.GraphOps.itemEdges(
+          li, "l_orderkey", "l_partkey", 2L)
+        def selfJoin() = {
+          val di = li.select(col("l_orderkey").as("__b"),
+            col("l_partkey").cast("long").as("it")).distinct()
+          val d2 = di.select(col("__b"), col("it").as("it2"))
+          di.join(d2, "__b").filter(col("it") < col("it2"))
+            .groupBy(col("it").as("x"), col("it2").as("y"))
+            .agg(count(lit(1)).as("support"))
+            .filter(col("support") >= 2).select(col("x"), col("y"))
+        }
+        for (i <- 1 to 3) {
+          time(s"collect_set+slice run $i")(println(current().count()))
+          time(s"distinct+self-join run $i")(println(selfJoin().count()))
+        }
       case "ext" =>
         graft.GraftExtensions.register(spark)
         spark.sql(
