@@ -2697,6 +2697,16 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- VPIN-style flow toxicity on the volume clock: equal-volume
+    // buckets via a per-key prefix sum, tick-rule signed flow, one
+    // division per bucket -----------------------------------------------
+    "q_vpin" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.vpin(r1h, Seq("user_id"), "bucket_ts",
+        bucketVolumeCents = 50000L)
+    }),
+
     // ----- Lo-MacKinlay variance ratio (q=4): random-walk diagnostic,
     // both variances rational, one division of decimal products ---------
     "q_variance_ratio" -> ((s, dir) => {
@@ -6855,6 +6865,30 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_vpin" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl,
+                 CAST(round(volume * 100) AS BIGINT) AS v FROM r1h),
+         d AS (SELECT user_id, bucket_ts, cl - lag(cl) OVER o AS dd, v
+               FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         f AS (SELECT user_id, bucket_ts,
+                 CASE WHEN dd > 0 THEN v WHEN dd < 0 THEN -v ELSE 0 END AS sv, v
+               FROM d WHERE dd IS NOT NULL AND v > 0),
+         s AS (SELECT user_id, sv, v,
+                 sum(v) OVER (PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS cum
+               FROM f),
+         b AS (SELECT user_id, cum // 50000 AS vol_bucket, sv, v FROM s)
+         SELECT user_id, vol_bucket, CAST(count(*) AS BIGINT) AS n_bars,
+                CAST(abs(sum(sv)) AS BIGINT) AS imbalance_cents,
+                CAST(sum(v) AS BIGINT) AS total_cents,
+                CAST(abs(sum(sv)) * 10000 AS DOUBLE)
+                  / CAST(sum(v) AS DOUBLE) AS toxicity_bps
+         FROM b GROUP BY 1, 2""",
     "q_variance_ratio" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close

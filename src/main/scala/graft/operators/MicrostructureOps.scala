@@ -286,6 +286,49 @@ object MicrostructureOps {
           .as("illiq"))
   }
 
+  /** VPIN-style order-flow toxicity per equal-VOLUME bucket: bars are
+    * assigned to buckets by their running cent-volume (the
+    * volume-clock — information arrives per unit traded, not per unit
+    * time), flow is signed by the tick rule, and each bucket reports
+    * |Σ signed volume| / Σ volume — ONE division of exact longs. The
+    * running volume is a per-key ordered-window prefix sum (the same
+    * key exchange every indicator pays — per-key state means no global
+    * prefix machinery is needed). First bars with no prior close have
+    * no tick sign and are excluded from the clock, matching the
+    * tick-rule convention everywhere else in this family.
+    */
+  def vpin(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      bucketVolumeCents: Long
+  ): DataFrame = {
+    require(bucketVolumeCents > 0, s"bucketVolumeCents=$bucketVolumeCents must be positive")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val volC = round(col("volume") * 100).cast(LongType)
+    val base = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+ volC.as("__v")): _*)
+      .filter(col("__d").isNotNull && col("__v") > 0)
+    val signedV = signum(col("__d")).cast(LongType) * col("__v")
+    val cum = sum(col("__v")).over(
+      Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val bucketed = base.select(
+      (keys.map(col) :+ signedV.as("__sv") :+ col("__v") :+
+        ((cum - 1L).cast(LongType)).as("__cum")): _*)
+      .withColumn("vol_bucket", expr(s"__cum div ${bucketVolumeCents}L"))
+    val imb = abs(sum(col("__sv")))
+    val tot = sum(col("__v"))
+    bucketed.groupBy((keys.map(col) :+ col("vol_bucket")): _*)
+      .agg(
+        count(lit(1)).as("n_bars"),
+        imb.as("imbalance_cents"),
+        tot.as("total_cents"),
+        (imb * 10000).cast(DoubleType).divide(tot.cast(DoubleType))
+          .as("toxicity_bps"))
+  }
+
   /** Lo-MacKinlay variance ratio per key: Var(q-period move) against
     * q·Var(1-period move) — the random-walk diagnostic (VR ≈ 1 under a
     * random walk, > 1 momentum, < 1 mean reversion). Both variances

@@ -180,6 +180,24 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(1) == ((2L, 500L, 20000L, 500.0 / 20000.0)))
   }
 
+  test("vpin: volume-clock buckets, tick-rule imbalance, first bar excluded") {
+    val rows = Seq(
+      ("2024-01-01 00:00:00", 100.0, 1.0), // no prior close: off the clock
+      ("2024-01-01 01:00:00", 101.0, 2.0), // +200c signed, cum 200
+      ("2024-01-01 02:00:00", 100.0, 1.0), // -100c signed, cum 300
+      ("2024-01-01 03:00:00", 102.0, 3.0)) // +300c signed, cum 600
+    val df = rows.map { case (t, px, vol) =>
+      ("A", Timestamp.valueOf(t), px, px, px, px, 1L, vol) }
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.vpin(df, Seq("sym"), "bucket_ts",
+      bucketVolumeCents = 300L)
+      .select("vol_bucket", "n_bars", "imbalance_cents", "total_cents", "toxicity_bps")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 2L, 100L, 300L, 100.0 * 10000 / 300),
+      (1L, 1L, 300L, 300L, 10000.0)))
+  }
+
   test("varianceRatio: perfect mean reversion scores 0, a flat base NULLs, a known series matches hand co-moments") {
     // alternating +/-1.00 bounce: every 2-period move is exactly 0
     val alt = bars((0 until 12).map(i =>

@@ -118,6 +118,34 @@ class ShuffleBudgetSpec extends SparkSpec {
       rows(EventOps.cohortLtv(evWild, "user_id", "ts", "value", pred)))
   }
 
+  test("round-6 microstructure/graph operators are bit-identical under repartitioning") {
+    import graft.operators.{GraphOps, MicrostructureOps}
+    val bars = candles.withColumn("trades", lit(3L))
+    val wild = bars.repartition(9)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(MicrostructureOps.aroon(bars, Seq("sym"), "bucket_ts", 14)) ==
+      rows(MicrostructureOps.aroon(wild, Seq("sym"), "bucket_ts", 14)))
+    assert(rows(MicrostructureOps.cci(bars, Seq("sym"), "bucket_ts", 20)) ==
+      rows(MicrostructureOps.cci(wild, Seq("sym"), "bucket_ts", 20)))
+    assert(rows(MicrostructureOps.mfi(bars, Seq("sym"), "bucket_ts", 14)) ==
+      rows(MicrostructureOps.mfi(wild, Seq("sym"), "bucket_ts", 14)))
+    assert(rows(MicrostructureOps.varianceRatio(bars, Seq("sym"), "bucket_ts", 4)) ==
+      rows(MicrostructureOps.varianceRatio(wild, Seq("sym"), "bucket_ts", 4)))
+    assert(rows(MicrostructureOps.olsSeasonalTrend(
+      bars, Seq("sym"), "bucket_ts", "2024-03-01 00:00:00")) ==
+      rows(MicrostructureOps.olsSeasonalTrend(
+        wild, Seq("sym"), "bucket_ts", "2024-03-01 00:00:00")))
+    val edges = (1 to 60).map(i => ((i % 9).toLong, 9L + i % 13)).distinct
+      .filter(e => e._1 != e._2).toDF("x", "y")
+    val eWild = edges.repartition(5)
+    assert(rows(GraphOps.labelPropagationPinned(edges, 3)) ==
+      rows(GraphOps.labelPropagationPinned(eWild, 3)))
+    assert(rows(GraphOps.edgeOverlap(edges)) == rows(GraphOps.edgeOverlap(eWild)))
+    assert(rows(GraphOps.kCorePinned(edges, 2, 4)) ==
+      rows(GraphOps.kCorePinned(eWild, 2, 4)))
+  }
+
   test("multi-grain gap scan: two exchanges and ONE window for all 8 grains") {
     // round-6 single-pass rewrite: distinct finest buckets (exchange 1),
     // one lag-window per key (exchange 2), then explode+filter per grain
