@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{Candle, Timeframe}
-import graft.operators.{CandleOps, GapOps, IngestOps}
+import graft.operators.{CandleOps, GapOps, IngestOps, MicrostructureOps}
 
 /** The user-facing facade: one object that gives a reference-service
   * user everything their ClickHouse tables + watchdog gave them, as
@@ -151,6 +151,42 @@ final class CandleTable private (
   /** Per-key max drawdown of a rollup's closes. */
   def drawdown(timeframe: String): DataFrame =
     CandleOps.drawdown(rollup(timeframe), rkeys, "bucket_ts", "close")
+
+  /** Williams %R over a rollup. */
+  def williamsR(timeframe: String, nWindow: Int = 14): DataFrame =
+    MicrostructureOps.williamsR(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
+  /** Aroon up/down via the packed-integer rolling argmax. */
+  def aroon(timeframe: String, nWindow: Int = 14): DataFrame =
+    MicrostructureOps.aroon(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
+  /** Money flow index over a rollup. */
+  def mfi(timeframe: String, nWindow: Int = 14): DataFrame =
+    MicrostructureOps.mfi(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
+  /** Commodity channel index (exact own-window mean deviation). */
+  def cci(timeframe: String, nWindow: Int = 20): DataFrame =
+    MicrostructureOps.cci(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+
+  /** Roll's implied spread from serial move autocovariance. */
+  def rollSpread(timeframe: String): DataFrame =
+    MicrostructureOps.rollSpread(rollup(timeframe), rkeys, "bucket_ts")
+
+  /** Kyle's lambda: price impact per signed cent of volume. */
+  def kyleLambda(timeframe: String): DataFrame =
+    MicrostructureOps.kyleLambda(rollup(timeframe), rkeys, "bucket_ts")
+
+  /** Amihud-style illiquidity per (key, day). */
+  def amihud(timeframe: String): DataFrame =
+    MicrostructureOps.amihud(rollup(timeframe), rkeys, "bucket_ts")
+
+  /** Lo-MacKinlay variance ratio (random-walk diagnostic). */
+  def varianceRatio(timeframe: String, q: Int = 4): DataFrame =
+    MicrostructureOps.varianceRatio(rollup(timeframe), rkeys, "bucket_ts", q)
+
+  /** VPIN-style flow toxicity on the volume clock. */
+  def vpin(timeframe: String, bucketVolumeCents: Long): DataFrame =
+    MicrostructureOps.vpin(rollup(timeframe), rkeys, "bucket_ts", bucketVolumeCents)
 
   /** Typed view for case-class-level logic. */
   def typed(implicit spark: SparkSession): Dataset[Candle] = {

@@ -103,4 +103,19 @@ class CandleTableSpec extends SparkSpec {
     assert(t.stochastic("15m").count() > 0 && t.macd("15m").count() > 0)
     assert(t.volumeProfile("15m").count() > 0)
   }
+
+  test("microstructure facades carry the operator column contracts and run") {
+    val t = CandleTable(spark.createDataFrame(raw)).validated.deduped
+    assert(t.williamsR("15m").columns.contains("willr"))
+    assert(t.aroon("15m").columns.contains("aroon_up"))
+    assert(t.mfi("15m").columns.contains("mfi"))
+    assert(t.cci("15m").columns.contains("cci"))
+    assert(t.rollSpread("15m").columns.contains("roll_spread_cents"))
+    assert(t.kyleLambda("15m").columns.contains("kyle_lambda"))
+    assert(t.amihud("15m").columns.contains("illiq"))
+    assert(t.varianceRatio("15m").columns.contains("variance_ratio"))
+    assert(t.vpin("15m", 1000L).columns.contains("toxicity_bps"))
+    assert(t.williamsR("15m").count() > 0 && t.aroon("15m").count() > 0)
+    assert(t.cci("15m").count() > 0 && t.mfi("15m").count() > 0)
+  }
 }
