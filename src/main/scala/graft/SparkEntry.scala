@@ -2697,6 +2697,24 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- ABC / Pareto classes over part value: distributed prefix
+    // sum + integer cross-multiplied class cuts, no float shares --------
+    "q_abc_classes" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType).cast(dec))
+          .cast(LongType).as("value_cents"))
+      graft.operators.RankOps.abcClasses(perPart, "l_partkey", "value_cents")
+    }),
+
+    // ----- Top-k leaderboard churn: day-over-day overlap of the top-10
+    // users by value; ranks tie-broken on the key, day pairs by
+    // observed-day lag so calendar holes don't fake churn ---------------
+    "q_topk_churn" -> ((s, dir) =>
+      EventOps.topKSetChurn(
+        Tables.events(s, dir), "user_id", "ts", "value", k = 10)),
+
     // ----- VPIN-style flow toxicity on the volume clock: equal-volume
     // buckets via a per-key prefix sum, tick-rule signed flow, one
     // division per bucket -----------------------------------------------
@@ -6865,6 +6883,48 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_abc_classes" ->
+      """WITH p AS (SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(value_cents) AS tot FROM p),
+         c AS (SELECT l_partkey, value_cents,
+                 CAST(sum(value_cents) OVER (ORDER BY value_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_value
+               FROM p)
+         SELECT l_partkey, value_cents, cum_value,
+                CASE WHEN cum_value * 100 <= tot * 80 THEN 'A'
+                     WHEN cum_value * 100 <= tot * 95 THEN 'B'
+                     ELSE 'C' END AS abc_class
+         FROM c CROSS JOIN t""",
+    "q_topk_churn" ->
+      """WITH pd AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+         tp AS (SELECT day, user_id FROM (
+                  SELECT day, user_id, row_number() OVER (
+                    PARTITION BY day ORDER BY v DESC, user_id) AS rn FROM pd)
+                WHERE rn <= 10),
+         dy AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev_day
+                FROM (SELECT DISTINCT day FROM tp)),
+         dp AS (SELECT day, prev_day FROM dy WHERE prev_day IS NOT NULL),
+         sz AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM tp GROUP BY 1),
+         cm AS (SELECT dp.day, dp.prev_day, CAST(count(*) AS BIGINT) AS n_common
+                FROM dp JOIN tp c ON c.day = dp.day
+                WHERE EXISTS (SELECT 1 FROM tp p
+                              WHERE p.day = dp.prev_day AND p.user_id = c.user_id)
+                GROUP BY 1, 2)
+         SELECT dp.day, dp.prev_day, s1.n AS k_today, s2.n AS k_prev,
+                coalesce(cm.n_common, 0) AS n_common,
+                s1.n - coalesce(cm.n_common, 0) AS n_new,
+                CAST(coalesce(cm.n_common, 0) * 100 AS DOUBLE)
+                  / CAST(s1.n + s2.n - coalesce(cm.n_common, 0) AS DOUBLE)
+                  AS overlap_pct
+         FROM dp JOIN sz s1 ON s1.day = dp.day
+                 JOIN sz s2 ON s2.day = dp.prev_day
+                 LEFT JOIN cm ON cm.day = dp.day AND cm.prev_day = dp.prev_day""",
     "q_vpin" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,

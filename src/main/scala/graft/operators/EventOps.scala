@@ -1369,4 +1369,57 @@ object EventOps {
         col("lo_cents_b") < col("lo_cents_a") ||
           col("hi_cents_b") > col("hi_cents_a"))
   }
+
+  /** Top-k set churn: the day-over-day stability of the "top k keys by
+    * value" leaderboard — for each observed day (and its PREVIOUS
+    * observed day, so calendar holes don't fake total churn), the
+    * overlap of the two top-k sets, their Jaccard, and how many
+    * entrants are new. Ranks tie-break on the key, so the set is a
+    * pure function of the data; the day-pair join touches only the
+    * ≤ 2k leaderboard rows per day, never the fact table.
+    */
+  def topKSetChurn(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val dec = DecimalType(38, 0)
+    val cents = round(col(valueCol) * 100).cast(LongType)
+    val perDay = events
+      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol))
+      .agg(sum(cents.cast(dec)).cast(LongType).as("__v"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("__v").desc, col(keyCol).asc)
+    val top = perDay
+      .withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") <= k)
+      .select(col("day"), col(keyCol))
+    val days = top.select(col("day")).distinct()
+      .withColumn("prev_day", lag(col("day"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("prev_day").isNotNull)
+    val cur = top.select(col("day"), col(keyCol).as("__k"))
+    val prev = top.select(col("day").as("prev_day"), col(keyCol).as("__k"))
+    val sizes = top.groupBy(col("day")).agg(count(lit(1)).as("__n"))
+    val common = days
+      .join(cur, Seq("day"))
+      .join(prev, Seq("prev_day", "__k"), "left_semi")
+      .groupBy(col("day"), col("prev_day"))
+      .agg(count(lit(1)).as("n_common"))
+    days
+      .join(common, Seq("day", "prev_day"), "left")
+      .join(sizes, Seq("day"))
+      .join(sizes.select(col("day").as("prev_day"), col("__n").as("__np")),
+        Seq("prev_day"))
+      .select(col("day"), col("prev_day"),
+        col("__n").as("k_today"), col("__np").as("k_prev"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (col("__n") - coalesce(col("n_common"), lit(0L))).as("n_new"),
+        (coalesce(col("n_common"), lit(0L)) * 100).cast(DoubleType)
+          .divide((col("__n") + col("__np") -
+            coalesce(col("n_common"), lit(0L))).cast(DoubleType))
+          .as("overlap_pct"))
+  }
 }

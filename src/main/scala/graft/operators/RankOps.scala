@@ -146,4 +146,34 @@ object RankOps {
       .withColumn(outCol, bucket.cast("int"))
       .drop("__rk_pid", "__rk_lr", "__rk_off", "__rk_n")
   }
+
+  /** ABC / Pareto classification: keys ranked by value descending, the
+    * running share decides the class — A while cumulative value is
+    * inside `aPct`% of the total, B inside `bPct`%, C after. The
+    * running total is the DISTRIBUTED prefix sum (range partition +
+    * broadcast per-partition offsets — no single-task global window),
+    * and both class cuts are integer cross-multiplies in decimal
+    * (cum·100 ≤ total·pct) against a broadcast one-row grand total —
+    * no float share ever computed, so the class boundary cannot
+    * wobble between engines.
+    */
+  def abcClasses(
+      perKey: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      aPct: Long = 80L,
+      bPct: Long = 95L
+  ): DataFrame = {
+    require(aPct >= 1 && aPct < bPct && bPct < 100,
+      s"need 1 <= aPct($aPct) < bPct($bPct) < 100")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tot = broadcast(perKey.agg(sum(col(valueCol).cast(dec)).as("__tot")))
+    val cum = distributedPrefixSum(
+      perKey, Seq(col(valueCol).desc, col(keyCol).asc), valueCol, "cum_value")
+    cum.crossJoin(tot)
+      .select(col(keyCol), col(valueCol), col("cum_value"),
+        when(col("cum_value").cast(dec) * 100 <= col("__tot") * aPct, "A")
+          .when(col("cum_value").cast(dec) * 100 <= col("__tot") * bPct, "B")
+          .otherwise("C").as("abc_class"))
+  }
 }

@@ -690,4 +690,37 @@ class EventOpsSpec extends SparkSpec {
       (ts("2024-03-01 00:00:00"), 2L, 3L, 2.0 / 3.0),
       (ts("2024-03-02 00:00:00"), 2L, 3L, 2.0 / 3.0)))
   }
+
+  test("topKSetChurn: overlap across OBSERVED days, ranks tie-broken on the key") {
+    val events = Seq(
+      // day 1 top-2 by value: a (5.0), b (3.0); c (1.0) misses
+      (ts("2024-03-01 10:00:00"), "a", 5.0),
+      (ts("2024-03-01 11:00:00"), "b", 3.0),
+      (ts("2024-03-01 12:00:00"), "c", 1.0),
+      // day 3 (calendar hole at day 2) top-2: b (4.0), c (2.0)
+      (ts("2024-03-03 10:00:00"), "b", 4.0),
+      (ts("2024-03-03 11:00:00"), "c", 2.0),
+      (ts("2024-03-03 12:00:00"), "a", 0.5)
+    ).toDF("ts", "name", "value")
+    val got = EventOps.topKSetChurn(events, "name", "ts", "value", k = 2)
+      .select("day", "prev_day", "k_today", "k_prev", "n_common", "n_new", "overlap_pct")
+      .collect()
+    assert(got.length == 1) // the hole pairs day 3 with day 1, not day 2
+    val r = got.head
+    assert(r.getDate(0).toString == "2024-03-03" &&
+      r.getDate(1).toString == "2024-03-01")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L) // {b} shared, {c} new
+    assert(r.getDouble(6) == 100.0 / 3.0) // |{b}| / |{a,b,c}|
+  }
+
+  test("topKSetChurn: identical consecutive leaderboards score full overlap") {
+    val events = Seq(
+      (ts("2024-03-01 10:00:00"), "a", 2.0), (ts("2024-03-01 11:00:00"), "b", 1.0),
+      (ts("2024-03-02 10:00:00"), "a", 2.0), (ts("2024-03-02 11:00:00"), "b", 1.0)
+    ).toDF("ts", "name", "value")
+    val r = EventOps.topKSetChurn(events, "name", "ts", "value", k = 2).head()
+    assert(r.getAs[Long]("n_common") == 2L && r.getAs[Long]("n_new") == 0L)
+    assert(r.getAs[Double]("overlap_pct") == 100.0)
+  }
 }

@@ -89,4 +89,23 @@ class RankOpsSpec extends SparkSpec {
       .agg(max(col("c"))).head().getLong(0)
     assert(m == 3L)
   }
+
+  test("abcClasses: exact cross-multiplied cuts, boundary values stay inside the class") {
+    // shares 50/30/15/5: cum 50 (A), 80 (exactly the A cut -> A),
+    // 95 (exactly the B cut -> B), 100 (C)
+    val perKey = Seq(("w", 50L), ("x", 30L), ("y", 15L), ("z", 5L))
+      .toDF("k", "value_cents").repartition(3)
+    val got = RankOps.abcClasses(perKey, "k", "value_cents")
+      .select("k", "cum_value", "abc_class")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "w" -> ((50L, "A")), "x" -> ((80L, "A")),
+      "y" -> ((95L, "B")), "z" -> ((100L, "C"))))
+    // equal values: rank (and therefore cum) tie-breaks on the key
+    val ties = Seq(("b", 10L), ("a", 10L)).toDF("k", "value_cents")
+    val cums = RankOps.abcClasses(ties, "k", "value_cents")
+      .select("k", "cum_value").as[(String, Long)].collect().toMap
+    assert(cums == Map("a" -> 10L, "b" -> 20L))
+  }
 }
