@@ -2697,6 +2697,41 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Seasonal value index: what an hour-of-day is WORTH vs the
+    // type's average, exact cross-multiplied basis points ---------------
+    "q_seasonal_index" -> ((s, dir) =>
+      EventOps.seasonalIndex(Tables.events(s, dir), "event_type", "ts", "value")),
+
+    // ----- Demand-slope screen: OLS of quantity on observed unit price
+    // per part type — the betaVsBenchmark co-moment pattern on a
+    // dimension join ----------------------------------------------------
+    "q_price_elasticity" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val up = round(col("l_extendedprice") * 100 / col("l_quantity"))
+        .cast(LongType)
+      val qty = round(col("l_quantity")).cast(LongType)
+      val base = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"), up.as("__x"), qty.as("__y"))
+      val n = count(lit(1))
+      val sx = sum(col("__x").cast(dec))
+      val sy = sum(col("__y").cast(dec))
+      val sxy = sum((col("__x") * col("__y")).cast(dec))
+      val sxx = sum((col("__x") * col("__x")).cast(dec))
+      base.groupBy(col("p_type"))
+        .agg(
+          n.as("n_lines"),
+          sx.cast(LongType).as("sum_price_cents"),
+          sy.cast(LongType).as("sum_qty"),
+          when(n * sxx - sx * sx > 0,
+            (n * sxy - sx * sy).cast(DoubleType) /
+              (n * sxx - sx * sx).cast(DoubleType))
+            .as("demand_slope"))
+    }),
+
     // ----- ABC / Pareto classes over part value: distributed prefix
     // sum + integer cross-multiplied class cuts, no float shares --------
     "q_abc_classes" -> ((s, dir) => {
@@ -6882,6 +6917,37 @@ object SparkEntry {
                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
+         FROM g""",
+    "q_seasonal_index" ->
+      """WITH ph AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(n_events) AS nt, sum(sum_cents) AS st
+               FROM ph GROUP BY 1)
+         SELECT ph.event_type, ph.hour_of_day, ph.n_events, ph.sum_cents,
+                CASE WHEN t.st <> 0 THEN
+                  CAST(ph.sum_cents * t.nt * 10000 AS DOUBLE)
+                  / CAST(ph.n_events * t.st AS DOUBLE)
+                END AS index_bps
+         FROM ph JOIN t USING (event_type)""",
+    "q_price_elasticity" ->
+      """WITH b AS (SELECT p.p_type,
+                 CAST(round(l.l_extendedprice * 100 / l.l_quantity) AS BIGINT) AS x,
+                 CAST(round(l.l_quantity) AS BIGINT) AS y
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE l.l_quantity > 0),
+         g AS (SELECT p_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+               FROM b GROUP BY 1)
+         SELECT p_type, CAST(n AS BIGINT) AS n_lines,
+                CAST(sx AS BIGINT) AS sum_price_cents,
+                CAST(sy AS BIGINT) AS sum_qty,
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                END AS demand_slope
          FROM g""",
     "q_abc_classes" ->
       """WITH p AS (SELECT l_partkey,

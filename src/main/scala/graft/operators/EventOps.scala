@@ -1370,6 +1370,37 @@ object EventOps {
           col("hi_cents_b") > col("hi_cents_a"))
   }
 
+  /** Seasonal VALUE index per (type, hour-of-day): how that hour's
+    * average value compares to the type's overall average, in basis
+    * points — index = (Σ_h · n_total · 10⁴) / (n_h · Σ_total) with
+    * every product expanded in decimal, ONE division. The count-based
+    * [[seasonalityProfile]] says WHEN things happen; this says what
+    * they're WORTH when they do. Two hash aggregates + a broadcast
+    * per-type totals join (type cardinality, not data-sized).
+    */
+  def seasonalIndex(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = round(col(valueCol) * 100).cast(LongType)
+    val perHour = events.filter(col(valueCol).isNotNull)
+      .groupBy(col(typeCol), hour(col(tsCol)).cast(LongType).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents.cast(dec)).cast(LongType).as("sum_cents"))
+    val totals = perHour.groupBy(col(typeCol))
+      .agg(sum(col("n_events")).as("__nt"),
+        sum(col("sum_cents").cast(dec)).cast(LongType).as("__st"))
+    perHour.join(broadcast(totals), typeCol)
+      .select(col(typeCol), col("hour_of_day"), col("n_events"), col("sum_cents"),
+        when(col("__st") =!= 0,
+          (col("sum_cents").cast(dec) * col("__nt") * 10000).cast(DoubleType) /
+            (col("n_events").cast(dec) * col("__st")).cast(DoubleType))
+          .as("index_bps"))
+  }
+
   /** Top-k set churn: the day-over-day stability of the "top k keys by
     * value" leaderboard — for each observed day (and its PREVIOUS
     * observed day, so calendar holes don't fake total churn), the

@@ -691,6 +691,23 @@ class EventOpsSpec extends SparkSpec {
       (ts("2024-03-02 00:00:00"), 2L, 3L, 2.0 / 3.0)))
   }
 
+  test("seasonalIndex: hour value vs type average in exact cross-multiplied bps") {
+    val events = Seq(
+      ("t", ts("2024-03-01 00:10:00"), Some(1.0)),
+      ("t", ts("2024-03-02 00:20:00"), Some(1.0)), // hour 0: avg 100c
+      ("t", ts("2024-03-01 01:10:00"), Some(4.0)), // hour 1: avg 400c
+      ("t", ts("2024-03-01 02:00:00"), None) // null value: excluded
+    ).toDF("event_type", "ts", "value")
+    val got = EventOps.seasonalIndex(events, "event_type", "ts", "value")
+      .select("hour_of_day", "n_events", "sum_cents", "index_bps")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // overall avg 200c: hour 0 runs at half par (5000 bps), hour 1 at 2x
+    assert(got == Map(
+      0L -> ((2L, 200L, 5000.0)),
+      1L -> ((1L, 400L, 20000.0))))
+  }
+
   test("topKSetChurn: overlap across OBSERVED days, ranks tie-broken on the key") {
     val events = Seq(
       // day 1 top-2 by value: a (5.0), b (3.0); c (1.0) misses
