@@ -394,6 +394,31 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "value", "asof_ts", "asof_value")
     }),
 
+    // ----- Forward as-of: the next click AT OR AFTER each purchase ----
+    "q_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      AsOfJoin.asofForward(
+        left = e.filter(col("event_type") === "purchase"),
+        right = e.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), tsCol = "ts",
+        leftPayload = Seq("event_id", "value"),
+        rightPayload = Seq("value"))
+        .select("event_id", "ts", "user_id", "value", "asof_ts", "asof_value")
+    }),
+
+    // ----- Nearest as-of: closer of the backward/forward click, ties
+    // backward (pandas direction='nearest'); one union, one exchange ----
+    "q_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      AsOfJoin.asofNearest(
+        left = e.filter(col("event_type") === "purchase"),
+        right = e.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), tsCol = "ts",
+        leftPayload = Seq("event_id", "value"),
+        rightPayload = Seq("value"))
+        .select("event_id", "ts", "user_id", "value", "asof_ts", "asof_value")
+    }),
+
     // ----- Training-data pipeline: deduplication ----------------------
     "q_doc_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedupGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -3605,6 +3630,31 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.ts, p.user_id, p.value, c.ts AS asof_ts, c.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts <= c.ts""",
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         b AS (SELECT p.event_id, p.ts, p.user_id, p.value,
+                 c.ts AS bts, c.value AS bval
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts),
+         f AS (SELECT p.event_id, c.ts AS fts, c.value AS fval
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.ts <= c.ts)
+         SELECT b.event_id, b.ts, b.user_id, b.value,
+                CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                       epoch_us(b.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(b.ts))
+                     THEN bts ELSE fts END AS asof_ts,
+                CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                       epoch_us(b.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(b.ts))
+                     THEN bval ELSE fval END AS asof_value
+         FROM b JOIN f USING (event_id)""",
     "q_doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",

@@ -45,4 +45,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L).contains(11.0))   // 0s old
     assert(out(4L).contains(20.0))   // 4s old, within
   }
+
+  test("forward as-of: earliest quote at-or-after each trade, per key") {
+    val out = AsOfJoin.asofForward(trades, quotes, Seq("sym"), "ts",
+        leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"))
+      .select("trade_id", "asof_ts", "asof_bid")
+      .as[(Long, Option[Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(ts("2024-03-01 08:00:10")), Some(11.0))))
+    assert(out(2L) == ((Some(ts("2024-03-01 08:00:10")), Some(11.0)))) // tie inclusive
+    assert(out(3L) == ((Some(ts("2024-03-01 08:00:00")), Some(10.0)))) // next ahead
+    assert(out(4L) == ((None, None))) // B's only quote precedes the trade
+  }
+
+  test("forward tolerance bounds how far ahead the match may be") {
+    val out = AsOfJoin.asofForward(trades, quotes, Seq("sym"), "ts",
+        leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"),
+        toleranceUs = Some(4000000L)) // 4s
+      .select("trade_id", "asof_bid")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)          // next quote is 5s ahead
+    assert(out(2L).contains(11.0))   // 0s ahead
+    assert(out(3L).isEmpty)          // 60s ahead
+  }
+
+  test("nearest as-of: closer side wins, exact ties go backward") {
+    val out = AsOfJoin.asofNearest(trades, quotes, Seq("sym"), "ts",
+        leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"))
+      .select("trade_id", "asof_ts", "asof_bid")
+      .as[(Long, Option[Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // trade 1 at 08:00:05: back quote 5s behind, fwd 5s ahead -> tie -> backward
+    assert(out(1L) == ((Some(ts("2024-03-01 08:00:00")), Some(10.0))))
+    assert(out(2L) == ((Some(ts("2024-03-01 08:00:10")), Some(11.0)))) // exact hit
+    // trade 3 has no backward match; the forward one fills in
+    assert(out(3L) == ((Some(ts("2024-03-01 08:00:00")), Some(10.0))))
+    assert(out(4L) == ((Some(ts("2024-03-01 08:00:01")), Some(20.0))))
+  }
+
+  test("nearest tolerance drops both sides independently") {
+    val out = AsOfJoin.asofNearest(trades, quotes, Seq("sym"), "ts",
+        leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"),
+        toleranceUs = Some(4000000L)) // 4s
+      .select("trade_id", "asof_bid")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)          // both candidates 5s away
+    assert(out(2L).contains(11.0))
+    assert(out(3L).isEmpty)          // forward candidate 60s away
+    assert(out(4L).contains(20.0))   // backward 4s, inside
+  }
 }
