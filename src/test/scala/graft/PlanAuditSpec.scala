@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_rfm" -> "1-row dataset-max timestamp (recency as-of)",
     "q22_wealthy_inactive" -> "1-row positive-balance (count, sum) totals",
     "q_five_number" -> "1-row grand count for the exact rank cuts",
-    "q11_important_stock" -> "1-row grand value total for the share threshold"
+    "q11_important_stock" -> "1-row grand value total for the share threshold",
+    "q_abc_classes" -> "1-row grand value total for the class cuts"
   )
 
   test("no query plans a cartesian product; nested-loop joins are bounded") {
