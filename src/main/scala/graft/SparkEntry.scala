@@ -2722,6 +2722,18 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Ship-delay SLA: exact p50/p90/p99 of integer delay days per
+    // priority via the value histogram — no per-group sort, no approx --
+    "q_ship_delay_sla" -> ((s, dir) => {
+      val delays = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast(LongType)
+            .as("delay_days"))
+      graft.operators.RankOps.histogramPercentiles(
+        delays, Seq("o_orderpriority"), "delay_days", Seq(50, 90, 99))
+    }),
+
     // ----- Seasonal value index: what an hour-of-day is WORTH vs the
     // type's average, exact cross-multiplied basis points ---------------
     "q_seasonal_index" -> ((s, dir) =>
@@ -6968,6 +6980,25 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_ship_delay_sla" ->
+      """WITH d AS (SELECT o.o_orderpriority,
+                 CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS delay_days
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         h AS (SELECT o_orderpriority, delay_days, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY 1, 2),
+         c AS (SELECT o_orderpriority, delay_days, n,
+                 CAST(sum(n) OVER (PARTITION BY o_orderpriority
+                   ORDER BY delay_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+                 CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+               FROM h)
+         SELECT o_orderpriority, max(tot) AS n_values,
+                min(CASE WHEN cum * 100 >= tot * 50 THEN delay_days END) AS p50,
+                min(CASE WHEN cum * 100 >= tot * 90 THEN delay_days END) AS p90,
+                min(CASE WHEN cum * 100 >= tot * 99 THEN delay_days END) AS p99
+         FROM c GROUP BY 1""",
     "q_seasonal_index" ->
       """WITH ph AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
                  CAST(count(*) AS BIGINT) AS n_events,

@@ -147,6 +147,42 @@ object RankOps {
       .drop("__rk_pid", "__rk_lr", "__rk_off", "__rk_n")
   }
 
+  /** Exact grouped percentiles for BOUNDED-cardinality integer values
+    * (latency days, delay buckets, retry counts): build the per-group
+    * value histogram, cumulate over the DISTINCT values, and take the
+    * nearest-rank cut `smallest v with 100·cum(v) ≥ p·n` — an integer
+    * cross-multiply, no float rank, no per-group row sort. The shuffle
+    * carries one row per (group, distinct value) — at 100 TB that is
+    * groups × value-range, not the row count — which is why this beats
+    * both a per-group window sort (skew: one task per hot group) and
+    * approx_percentile (not exact) whenever the value domain is small.
+    */
+  def histogramPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      percentiles: Seq[Int]
+  ): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles $percentiles must be in [1, 100]")
+    val gCols = groupCols.map(col)
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy((gCols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy(gCols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gCols: _*)
+    val withCum = h
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+    val cuts = percentiles.map { p =>
+      min(when(col("__cum") * 100 >= col("__tot") * p, col(valueCol)))
+        .as(s"p${p}")
+    }
+    withCum.groupBy(gCols: _*)
+      .agg(max(col("__tot")).as("n_values"), cuts: _*)
+  }
+
   /** ABC / Pareto classification: keys ranked by value descending, the
     * running share decides the class — A while cumulative value is
     * inside `aPct`% of the total, B inside `bPct`%, C after. The

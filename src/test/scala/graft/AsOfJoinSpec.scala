@@ -83,6 +83,56 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == ((Some(ts("2024-03-01 08:00:01")), Some(20.0))))
   }
 
+  test("property: all three directions equal brute force on 8 random fixtures") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed * 31 + 7)
+      def stamp() =
+        ts(f"2024-03-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+      val lRows = (1 to 40).map(i =>
+        (s"k${rnd.nextInt(3)}", stamp(), i.toLong, i * 1.0))
+      // rights unique per (key, ts): with duplicates the matched
+      // payload would be engine-chosen, not semantics-defined
+      val rRows = (1 to 25).map(i => (s"k${rnd.nextInt(3)}", stamp(), 1000.0 + i))
+        .groupBy(q => (q._1, q._2)).map(_._2.head).toSeq
+      val l = lRows.toDF("sym", "ts", "trade_id", "px")
+      val r = rRows.toDF("sym", "ts", "bid")
+      val tol = if (seed % 2 == 0) Some(1800L * 1000000L) else None
+      def brute(dir: String): Map[Long, Option[Double]] =
+        lRows.map { case (k, t, id, _) =>
+          val cand = rRows.filter(_._1 == k)
+          def within(q: (String, Timestamp, Double)) = tol.forall(tu =>
+            math.abs(q._2.getTime - t.getTime) * 1000L <= tu)
+          val back = cand.filter(q => !q._2.after(t)).filter(within)
+            .sortBy(_._2.getTime).lastOption
+          val fwd = cand.filter(q => !q._2.before(t)).filter(within)
+            .sortBy(_._2.getTime).headOption
+          val pick = dir match {
+            case "back" => back
+            case "fwd" => fwd
+            case "near" => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (t.getTime - b._2.getTime <= f._2.getTime - t.getTime) Some(b)
+                else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          id -> pick.map(_._3)
+        }.toMap
+      def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+        df.select("trade_id", "asof_bid")
+          .as[(Long, Option[Double])].collect().toMap
+      assert(got(AsOfJoin.asof(l, r, Seq("sym"), "ts",
+        Seq("trade_id", "px"), Seq("bid"), toleranceUs = tol)) == brute("back"),
+        s"seed=$seed back")
+      assert(got(AsOfJoin.asofForward(l, r, Seq("sym"), "ts",
+        Seq("trade_id", "px"), Seq("bid"), toleranceUs = tol)) == brute("fwd"),
+        s"seed=$seed fwd")
+      assert(got(AsOfJoin.asofNearest(l, r, Seq("sym"), "ts",
+        Seq("trade_id", "px"), Seq("bid"), toleranceUs = tol)) == brute("near"),
+        s"seed=$seed near")
+    }
+  }
+
   test("nearest tolerance drops both sides independently") {
     val out = AsOfJoin.asofNearest(trades, quotes, Seq("sym"), "ts",
         leftPayload = Seq("trade_id", "px"), rightPayload = Seq("bid"),

@@ -90,6 +90,31 @@ class RankOpsSpec extends SparkSpec {
     assert(m == 3L)
   }
 
+  test("histogramPercentiles: nearest-rank cuts on a known ladder and vs brute force") {
+    val ladder = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
+    val got = RankOps.histogramPercentiles(ladder, Seq("grp"), "v", Seq(50, 90, 99))
+      .select("n_values", "p50", "p90", "p99")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((10L, 5L, 9L, 10L)))
+    // property: equals the sorted nearest-rank on random multisets
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 101 + 3)
+      val rows = (1 to 200).map(_ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(12).toLong))
+      val got2 = RankOps.histogramPercentiles(
+        rows.toDF("grp", "v").repartition(7), Seq("grp"), "v", Seq(50, 90, 99))
+        .select("grp", "p50", "p90", "p99")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        val sorted = xs.map(_._2).sorted
+        def cut(p: Int) = sorted((math.ceil(p * sorted.size / 100.0) - 1).toInt.max(0))
+        g -> ((cut(50), cut(90), cut(99)))
+      }
+      assert(got2 == want, s"seed=$seed")
+    }
+  }
+
   test("abcClasses: exact cross-multiplied cuts, boundary values stay inside the class") {
     // shares 50/30/15/5: cum 50 (A), 80 (exactly the A cut -> A),
     // 95 (exactly the B cut -> B), 100 (C)
