@@ -419,6 +419,24 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "value", "asof_ts", "asof_value")
     }),
 
+    // ----- As-of staleness SLA: how old the matched click is at each
+    // purchase, exact p50/p90/p99 MINUTES per weekday — asof composed
+    // with the histogram-percentile cut ---------------------------------
+    "q_quote_staleness" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val matched = AsOfJoin.asof(
+        left = e.filter(col("event_type") === "purchase"),
+        right = e.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), tsCol = "ts",
+        leftPayload = Seq("event_id"), rightPayload = Seq("event_id"))
+      val ages = matched.filter(col("asof_ts").isNotNull)
+        .select(dayofweek(col("ts")).cast(LongType).as("weekday"),
+          expr("(unix_micros(ts) - unix_micros(asof_ts)) div 60000000")
+            .as("age_minutes"))
+      graft.operators.RankOps.histogramPercentiles(
+        ages, Seq("weekday"), "age_minutes", Seq(50, 90, 99))
+    }),
+
     // ----- Training-data pipeline: deduplication ----------------------
     "q_doc_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedupGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -3642,6 +3660,27 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q_quote_staleness" ->
+      """WITH m AS (SELECT p.ts, c.ts AS asof_ts
+               FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts),
+         a AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+                 (epoch_us(ts) - epoch_us(asof_ts)) // 60000000 AS age_minutes
+               FROM m WHERE asof_ts IS NOT NULL),
+         h AS (SELECT weekday, age_minutes, CAST(count(*) AS BIGINT) AS n
+               FROM a GROUP BY 1, 2),
+         c AS (SELECT weekday, age_minutes, n,
+                 CAST(sum(n) OVER (PARTITION BY weekday ORDER BY age_minutes
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+                 CAST(sum(n) OVER (PARTITION BY weekday) AS BIGINT) AS tot
+               FROM h)
+         SELECT weekday, max(tot) AS n_values,
+                min(CASE WHEN cum * 100 >= tot * 50 THEN age_minutes END) AS p50,
+                min(CASE WHEN cum * 100 >= tot * 90 THEN age_minutes END) AS p90,
+                min(CASE WHEN cum * 100 >= tot * 99 THEN age_minutes END) AS p99
+         FROM c GROUP BY 1""",
     "q_asof_forward" ->
       """SELECT p.event_id, p.ts, p.user_id, p.value, c.ts AS asof_ts, c.value AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

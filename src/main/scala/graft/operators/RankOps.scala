@@ -165,6 +165,10 @@ object RankOps {
   ): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles $percentiles must be in [1, 100]")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty: an ungrouped call would plan a single-task " +
+        "global window — aggregate to one synthetic group explicitly if global " +
+        "percentiles over a BOUNDED value domain are really wanted")
     val gCols = groupCols.map(col)
     val h = df.filter(col(valueCol).isNotNull)
       .groupBy((gCols :+ col(valueCol)): _*)

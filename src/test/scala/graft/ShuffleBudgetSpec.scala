@@ -77,6 +77,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(exchanges(plan) <= 3, s"too many exchanges:\n$plan")
   }
 
+  test("asofNearest: both directions ride ONE union exchange (two sorts, no second shuffle)") {
+    import graft.operators.AsOfJoin
+    val l = (0 until 50).map(i =>
+      ("S", new Timestamp(ts("2024-03-01 00:00:00").getTime + i * 60000L), i.toLong, i * 1.0))
+      .toDF("sym", "ts", "trade_id", "px")
+    val r = (0 until 30).map(i =>
+      ("S", new Timestamp(ts("2024-03-01 00:00:30").getTime + i * 90000L), 10.0 + i))
+      .toDF("sym", "ts", "bid")
+    val plan = AsOfJoin.asofNearest(l, r, Seq("sym"), "ts",
+      Seq("trade_id", "px"), Seq("bid"))
+      .queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 1, s"expected 1 exchange:\n$plan")
+    assert("Sort ".r.findAllIn(plan).size >= 2, "both sort orders expected")
+  }
+
   test("basket pairs: two exchanges and a per-partition top-N") {
     val facts = (1 to 300).map(i => (i.toLong / 3, (i % 17).toLong))
       .toDF("basket", "item")
