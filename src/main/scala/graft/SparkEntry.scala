@@ -2740,6 +2740,46 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Day-of-week return seasonality: mean daily move per
+    // weekday as a ratio of exact sums — "is Monday red?" ---------------
+    "q_dow_returns" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket_ts"))
+      val cents = round(col("close") * 100).cast(LongType)
+      val dec = DecimalType(38, 0)
+      r1d.select(col("user_id"), col("bucket_ts"),
+        (cents - lag(cents, 1).over(w)).as("__d"))
+        .filter(col("__d").isNotNull)
+        .groupBy(dayofweek(col("bucket_ts")).cast(LongType).as("weekday"))
+        .agg(
+          count(lit(1)).as("n_moves"),
+          sum(col("__d").cast(dec)).cast(LongType).as("sum_move_cents"),
+          sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_up"),
+          (sum(col("__d").cast(dec)).cast(LongType).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mean_move_cents"))
+    }),
+
+    // ----- Overnight gaps: each day's open vs the prior day's close,
+    // exact cents and one bps division ----------------------------------
+    "q_overnight_gaps" -> ((s, dir) => {
+      val r1d = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 day")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket_ts"))
+      val openC = round(col("open") * 100).cast(LongType)
+      val closeC = round(col("close") * 100).cast(LongType)
+      r1d.select(col("user_id"), col("bucket_ts"), openC.as("open_cents"),
+        lag(closeC, 1).over(w).as("prev_close_cents"))
+        .filter(col("prev_close_cents").isNotNull &&
+          col("prev_close_cents") =!= 0)
+        .withColumn("gap_cents", col("open_cents") - col("prev_close_cents"))
+        .withColumn("gap_bps",
+          (col("gap_cents") * 10000).cast(DoubleType) /
+            abs(col("prev_close_cents")).cast(DoubleType))
+    }),
+
     // ----- Ship-delay SLA: exact p50/p90/p99 of integer delay days per
     // priority via the value histogram — no per-group sort, no approx --
     "q_ship_delay_sla" -> ((s, dir) => {
@@ -7019,6 +7059,35 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_dow_returns" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1d),
+         d AS (SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                 (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+         SELECT CAST(dayofweek(bucket_ts) + 1 AS BIGINT) AS weekday,
+                count(*) AS n_moves,
+                CAST(sum(dd) AS BIGINT) AS sum_move_cents,
+                CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+                CAST(CAST(sum(dd) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_move_cents
+         FROM d WHERE dd IS NOT NULL GROUP BY 1""",
+    "q_overnight_gaps" ->
+      """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                arg_min(value, ts) AS open, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(open * 100) AS BIGINT) AS open_cents,
+                 lag(CAST(round(close * 100) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS prev_close_cents
+               FROM r1d)
+         SELECT user_id, bucket_ts, open_cents, prev_close_cents,
+                open_cents - prev_close_cents AS gap_cents,
+                CAST((open_cents - prev_close_cents) * 10000 AS DOUBLE)
+                  / CAST(abs(prev_close_cents) AS DOUBLE) AS gap_bps
+         FROM c WHERE prev_close_cents IS NOT NULL AND prev_close_cents <> 0""",
     "q_ship_delay_sla" ->
       """WITH d AS (SELECT o.o_orderpriority,
                  CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
