@@ -2740,6 +2740,14 @@ object SparkEntry {
       MicrostructureOps.corrMatrix(r1h, "user_id", "bucket_ts")
     }),
 
+    // ----- Kaplan-Meier time-to-first-purchase by entry cohort: exact
+    // risk sets and death counts, the survival product folded left-to-
+    // right as a fixed IEEE tree (censoring handled, the estimator's
+    // point) -------------------------------------------------------------
+    "q_survival_km" -> ((s, dir) =>
+      EventOps.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+        col("event_type") === "purchase")),
+
     // ----- Day-of-week return seasonality: mean daily move per
     // weekday as a ratio of exact sums — "is Monday red?" ---------------
     "q_dow_returns" -> ((s, dir) => {
@@ -7059,6 +7067,38 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    "q_survival_km" ->
+      """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+                 max(CAST(ts AS DATE)) AS ld,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) AS ed
+               FROM events GROUP BY 1),
+         v AS (SELECT CAST(date_trunc('month', fd) AS DATE) AS cohort,
+                 CAST(CASE WHEN ed IS NOT NULL THEN datediff('day', fd, ed)
+                      ELSE datediff('day', fd, ld) END AS BIGINT)
+                   AS duration_days,
+                 CASE WHEN ed IS NOT NULL THEN 1 ELSE 0 END AS ch
+               FROM u),
+         g AS (SELECT cohort, duration_days,
+                 CAST(count(*) AS BIGINT) AS na, CAST(sum(ch) AS BIGINT) AS d
+               FROM v GROUP BY 1, 2),
+         r AS (SELECT cohort, duration_days, d,
+                 CAST(sum(na) OVER (PARTITION BY cohort
+                   ORDER BY duration_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n
+               FROM g),
+         e AS (SELECT * FROM r WHERE d > 0),
+         k AS (SELECT cohort, duration_days, n AS n_at_risk, d AS n_churned,
+                 list(struct_pack(d := d, n := n)) OVER (PARTITION BY cohort
+                   ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+               FROM e)
+         SELECT cohort, duration_days, n_at_risk, n_churned,
+                list_reduce(list_transform(l,
+                  x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+                  (a, b) -> a * b) AS km_survival
+         FROM k""",
     "q_dow_returns" ->
       """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
                 arg_max(value, ts) AS close

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -1368,6 +1368,61 @@ object EventOps {
       .withColumn("range_widened",
         col("lo_cents_b") < col("lo_cents_a") ||
           col("hi_cents_b") > col("hi_cents_a"))
+  }
+
+  /** Kaplan-Meier time-to-event survival per entry cohort: duration =
+    * days from a user's FIRST event to their first `eventPredicate`
+    * event (the "death": first purchase, first error, …); users who
+    * never fire it are right-CENSORED at their last activity — they
+    * shrink the risk set without ever counting as deaths, which is the
+    * estimator's whole reason to exist (a naive conversion rate
+    * over-counts the still-converting tail). At each duration with
+    * deaths, S(t) = Π_{s≤t} (1 − d_s/n_s); the risk set n_s is a
+    * suffix sum over per-duration counts (one window), and the product
+    * folds the collected per-cohort factor list LEFT-TO-RIGHT — a
+    * fixed expression tree of correctly-rounded IEEE steps, so the
+    * curve hash-matches DuckDB's `list_reduce` of the identical list.
+    * Everything upstream of the fold is exact integers.
+    *
+    * Scale shape: one user-level aggregate, one (cohort, duration)
+    * aggregate, two windows over rows bounded by cohorts × distinct
+    * durations (days) — never the event count.
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      eventPredicate: Column
+  ): DataFrame = {
+    val per = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__fd"),
+        max(to_date(col(tsCol))).as("__ld"),
+        min(when(eventPredicate, to_date(col(tsCol)))).as("__ed"))
+    val v = per.select(
+      trunc(col("__fd"), "month").as("cohort"),
+      when(col("__ed").isNotNull, datediff(col("__ed"), col("__fd")))
+        .otherwise(datediff(col("__ld"), col("__fd")))
+        .cast(LongType).as("duration_days"),
+      when(col("__ed").isNotNull, 1L).otherwise(0L).as("__ch"))
+    val g = v.groupBy(col("cohort"), col("duration_days"))
+      .agg(count(lit(1)).as("__na"), sum(col("__ch")).as("__d"))
+    val wDesc = Window.partitionBy(col("cohort"))
+      .orderBy(col("duration_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g.withColumn("__n", sum(col("__na")).over(wDesc))
+      .filter(col("__d") > 0)
+    val wAsc = Window.partitionBy(col("cohort"))
+      .orderBy(col("duration_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val factors = collect_list(struct(col("__d").as("d"), col("__n").as("n")))
+      .over(wAsc)
+    r.withColumn("__l", factors)
+      .select(col("cohort"), col("duration_days"),
+        col("__n").as("n_at_risk"), col("__d").as("n_churned"),
+        aggregate(col("__l"), lit(1.0), (acc, x) =>
+          acc * (lit(1.0) - x.getField("d").cast(DoubleType) /
+            x.getField("n").cast(DoubleType)))
+          .as("km_survival"))
   }
 
   /** Seasonal VALUE index per (type, hour-of-day): how that hour's

@@ -691,6 +691,29 @@ class EventOpsSpec extends SparkSpec {
       (ts("2024-03-02 00:00:00"), 2L, 3L, 2.0 / 3.0)))
   }
 
+  test("kaplanMeier: censored users shrink the risk set without counting as deaths") {
+    // all users enter 2024-03-01; deaths = first purchase
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00"), "view"), (1L, ts("2024-03-02 10:00:00"), "purchase"),
+      (2L, ts("2024-03-01 10:00:00"), "view"), (2L, ts("2024-03-03 10:00:00"), "purchase"),
+      (3L, ts("2024-03-01 10:00:00"), "view"), (3L, ts("2024-03-02 10:00:00"), "view"),
+      (4L, ts("2024-03-01 10:00:00"), "view"), (4L, ts("2024-03-04 10:00:00"), "view"),
+      (5L, ts("2024-03-01 10:00:00"), "view"), (5L, ts("2024-03-02 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.kaplanMeier(events, "user_id", "ts",
+      col("event_type") === "purchase")
+      .select("duration_days", "n_at_risk", "n_churned", "km_survival")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // t=1: risk 5 (u3 censored AT 1 still at risk), deaths u1+u5
+    // t=2: risk 2 (u2, u4), death u2; u4 censored at t=3 never a death
+    val s1 = 1.0 - 2.0 / 5.0
+    val s2 = s1 * (1.0 - 1.0 / 2.0)
+    assert(got == Map(1L -> ((5L, 2L, s1)), 2L -> ((2L, 1L, s2))))
+    // rows exist only at death durations: the censor-only t=3 is absent
+    assert(!got.contains(3L))
+  }
+
   test("seasonalIndex: hour value vs type average in exact cross-multiplied bps") {
     val events = Seq(
       ("t", ts("2024-03-01 00:10:00"), Some(1.0)),
