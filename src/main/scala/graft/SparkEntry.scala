@@ -7097,7 +7097,10 @@ object SparkEntry {
          SELECT cohort, duration_days, n_at_risk, n_churned,
                 list_reduce(list_transform(l,
                   x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
-                  (a, b) -> a * b) AS km_survival
+                  (a, b) -> a * b) AS km_survival,
+                list_reduce(list_transform(l,
+                  x -> CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+                  (a, b) -> a + b) AS na_cum_hazard
          FROM k""",
     "q_dow_returns" ->
       """WITH r1d AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,

@@ -1422,7 +1422,14 @@ object EventOps {
         aggregate(col("__l"), lit(1.0), (acc, x) =>
           acc * (lit(1.0) - x.getField("d").cast(DoubleType) /
             x.getField("n").cast(DoubleType)))
-          .as("km_survival"))
+          .as("km_survival"),
+        // Nelson-Aalen cumulative hazard off the SAME factor list —
+        // a left-to-right sum instead of a product, equally a fixed
+        // IEEE tree (ordered fold, not an order-free aggregate)
+        aggregate(col("__l"), lit(0.0), (acc, x) =>
+          acc + x.getField("d").cast(DoubleType) /
+            x.getField("n").cast(DoubleType))
+          .as("na_cum_hazard"))
   }
 
   /** Seasonal VALUE index per (type, hour-of-day): how that hour's

@@ -702,14 +702,16 @@ class EventOpsSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_type")
     val got = EventOps.kaplanMeier(events, "user_id", "ts",
       col("event_type") === "purchase")
-      .select("duration_days", "n_at_risk", "n_churned", "km_survival")
-      .as[(Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .select("duration_days", "n_at_risk", "n_churned", "km_survival", "na_cum_hazard")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // t=1: risk 5 (u3 censored AT 1 still at risk), deaths u1+u5
     // t=2: risk 2 (u2, u4), death u2; u4 censored at t=3 never a death
     val s1 = 1.0 - 2.0 / 5.0
     val s2 = s1 * (1.0 - 1.0 / 2.0)
-    assert(got == Map(1L -> ((5L, 2L, s1)), 2L -> ((2L, 1L, s2))))
+    val h1 = 2.0 / 5.0
+    val h2 = h1 + 1.0 / 2.0
+    assert(got == Map(1L -> ((5L, 2L, s1, h1)), 2L -> ((2L, 1L, s2, h2))))
     // rows exist only at death durations: the censor-only t=3 is absent
     assert(!got.contains(3L))
   }
