@@ -165,6 +165,20 @@ final case class EventTable(
     EventOps.rollingUserFeatures(df, userCol, tsCol, valueCol,
       col(typeCol) === purchaseType)
 
+  /** Day-over-day churn of the top-k users by `valueCol`. */
+  def topKChurn(valueCol: String, k: Int = 10): DataFrame =
+    EventOps.topKSetChurn(df, userCol, tsCol, valueCol, k)
+
+  /** Hour-of-day value index per type, exact cross-multiplied bps. */
+  def seasonalIndex(valueCol: String): DataFrame =
+    EventOps.seasonalIndex(df, typeCol, tsCol, valueCol)
+
+  /** Kaplan-Meier time-to-first-`eventType` survival + cumulative
+    * hazard per entry cohort, never-converting users right-censored.
+    */
+  def survival(eventType: String): DataFrame =
+    EventOps.kaplanMeier(df, userCol, tsCol, col(typeCol) === eventType)
+
   /** Restrict to one event type (pushes down to the scan). */
   def ofType(eventType: String): EventTable =
     copy(df = df.filter(col(typeCol) === eventType))

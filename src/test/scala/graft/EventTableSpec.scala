@@ -85,4 +85,18 @@ class EventTableSpec extends SparkSpec {
     assert(n == 2L)
     assert(ev.ofType("purchase").df.count() == 1L)
   }
+
+  test("round-6 facades carry the operator column contracts and run") {
+    assert(ev.topKChurn("value", k = 2).columns.contains("n_common"))
+    val si = ev.seasonalIndex("value")
+    assert(si.columns.contains("index_bps") && si.count() > 0)
+    val sv = ev.survival("purchase")
+    assert(sv.columns.contains("km_survival") &&
+      sv.columns.contains("na_cum_hazard"))
+    // user 1 converts at duration 0, user 2 never does (censored):
+    // S(0) = 1 - 1/2
+    val row = sv.select("duration_days", "n_at_risk", "n_churned", "km_survival")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(row == Seq((0L, 2L, 1L, 0.5)))
+  }
 }
