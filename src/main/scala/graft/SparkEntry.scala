@@ -6915,11 +6915,11 @@ object SparkEntry {
                FROM p WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          SELECT user_id, bucket_ts,
-                rn - (mph % 4294967296) AS bars_since_high,
-                rn - (4294967295 - (mpl % 4294967296)) AS bars_since_low,
-                CAST((m - (rn - (mph % 4294967296))) * 100 AS DOUBLE)
+                rn - (((mph % 4294967296) + 4294967296) % 4294967296) AS bars_since_high,
+                rn - (4294967295 - (((mpl % 4294967296) + 4294967296) % 4294967296)) AS bars_since_low,
+                CAST((m - (rn - (((mph % 4294967296) + 4294967296) % 4294967296))) * 100 AS DOUBLE)
                   / CAST(m AS DOUBLE) AS aroon_up,
-                CAST((m - (rn - (4294967295 - (mpl % 4294967296)))) * 100 AS DOUBLE)
+                CAST((m - (rn - (4294967295 - (((mpl % 4294967296) + 4294967296) % 4294967296)))) * 100 AS DOUBLE)
                   / CAST(m AS DOUBLE) AS aroon_down
          FROM e""",
     "q_mfi" ->
@@ -7229,8 +7229,8 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
-                 CAST(round(close * 100) AS BIGINT) AS cl,
-                 CAST(round(volume * 100) AS BIGINT) AS v FROM r1h),
+                 CAST(CAST(close AS DECIMAL(18,2)) * 100 AS BIGINT) AS cl,
+                 CAST(CAST(volume AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM r1h),
          d AS (SELECT user_id, bucket_ts, cl - lag(cl) OVER o AS dd, v
                FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
          f AS (SELECT user_id, bucket_ts,
@@ -7354,18 +7354,18 @@ object SparkEntry {
                WHERE dd IS NOT NULL),
          b AS (SELECT us AS bus, dd AS db FROM m WHERE user_id = 7),
          l AS (SELECT unnest(generate_series(-3, 3)) AS lag),
-         bl AS (SELECT CAST(l.lag AS BIGINT) AS lag_hours,
+         bl AS (SELECT CAST(l.lag AS BIGINT) AS lag_steps,
                   b.bus + l.lag * 3600000000 AS jus, b.db
                 FROM b CROSS JOIN l),
-         j AS (SELECT m.user_id, bl.lag_hours, m.dd AS da, bl.db
+         j AS (SELECT m.user_id, bl.lag_steps, m.dd AS da, bl.db
                FROM m JOIN bl ON m.us = bl.jus WHERE m.user_id <> 7),
-         g AS (SELECT user_id, lag_hours, count(*) AS n,
+         g AS (SELECT user_id, lag_steps, count(*) AS n,
                  CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
                  CAST(sum(da * db) AS BIGINT) AS sab,
                  CAST(sum(da * da) AS BIGINT) AS saa,
                  CAST(sum(db * db) AS BIGINT) AS sbb
                FROM j GROUP BY 1, 2)
-         SELECT user_id, lag_hours, n AS n_aligned,
+         SELECT user_id, lag_steps, n AS n_aligned,
                 CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
                   CAST(n * sab - sa * sb AS DOUBLE)
                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)

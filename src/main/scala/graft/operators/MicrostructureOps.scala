@@ -296,6 +296,12 @@ object MicrostructureOps {
     * prefix machinery is needed). First bars with no prior close have
     * no tick sign and are excluded from the clock, matching the
     * tick-rule convention everywhere else in this family.
+    *
+    * Quantization note: cents are derived through an exact
+    * DECIMAL(18,2) cast (scale-2 round-half-up, then an exact *100)
+    * rather than `round(double*100)` — DECIMAL cast semantics are
+    * stable across engines and versions, while `round(double)`
+    * half-way behavior has drifted between DuckDB releases.
     */
   def vpin(
       rollup: DataFrame,
@@ -305,8 +311,10 @@ object MicrostructureOps {
   ): DataFrame = {
     require(bucketVolumeCents > 0, s"bucketVolumeCents=$bucketVolumeCents must be positive")
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
-    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    val volC = round(col("volume") * 100).cast(LongType)
+    def decCts(c: String) =
+      (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val d = decCts("close") - lag(decCts("close"), 1).over(wOrd)
+    val volC = decCts("volume")
     val base = rollup.select(
       (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+ volC.as("__v")): _*)
       .filter(col("__d").isNotNull && col("__v") > 0)
@@ -337,6 +345,14 @@ object MicrostructureOps {
     * decimal(38,0), so the published ratio is ONE division of exact
     * operands. A flat 1-period series (zero variance) reports NULL.
     * Two lag windows on the same key exchange + one hash aggregate.
+    *
+    * Overflow discipline (the [[aroon]] / [[olsSeasonalTrend]]
+    * raise-don't-null contract): the final products are decimal(38,0)
+    * under non-ANSI arithmetic, where an overflow would silently NULL
+    * the published ratio. Guarded bounds make overflow impossible:
+    * per-key rows n ≤ 10⁵ and |n·Σd² − (Σd)²| ≤ 10²⁵ (both checked,
+    * raising with the offending magnitude) give |varNum·n²| ≤ 10³⁵
+    * and |varNum·n²·q| ≤ 2.4·10³⁷ < 10³⁸.
     */
   def varianceRatio(
       rollup: DataFrame,
@@ -357,16 +373,31 @@ object MicrostructureOps {
     val s11 = sum((col("__d1") * col("__d1")).cast(dec))
     val sq = sum(col("__dq").cast(dec))
     val sqq = sum((col("__dq") * col("__dq")).cast(dec))
-    val varNum1 = n1 * s11 - s1 * s1
-    val varNumQ = nq * sqq - sq * sq
-    base.groupBy(keys.map(col): _*)
+    val agged = base.groupBy(keys.map(col): _*)
       .agg(
-        n1.cast(LongType).as("n_1"),
-        nq.cast(LongType).as("n_q"),
-        when(nq > 0 && varNum1 > 0,
-          (varNumQ * n1 * n1).cast(DoubleType) /
-            (varNum1 * nq * nq * q).cast(DoubleType))
-          .as("variance_ratio"))
+        n1.as("__n1"), nq.as("__nq"),
+        (n1 * s11 - s1 * s1).as("__v1"),
+        (nq * sqq - sq * sq).as("__vq"))
+    val nBound = new java.math.BigDecimal(100000L)
+    val vBound = new java.math.BigDecimal("10000000000000000000000000") // 10^25
+    def guardN(nm: String) = when(col(nm) <= lit(nBound), col(nm))
+      .otherwise(raise_error(concat(
+        lit("varianceRatio: per-key rows "), col(nm).cast("string"),
+        lit(s" exceed the overflow-exact bound $nBound; pre-bucket coarser"))))
+    def guardV(nm: String) = when(abs(col(nm)) <= lit(vBound), col(nm))
+      .otherwise(raise_error(concat(
+        lit("varianceRatio: |variance numerator| "), col(nm).cast("string"),
+        lit(" exceeds the overflow-exact bound 1e25; rescale prices"))))
+    val (gn1, gnq) = (guardN("__n1"), guardN("__nq"))
+    val (gv1, gvq) = (guardV("__v1"), guardV("__vq"))
+    agged.select(
+      (keys.map(col) :+
+        col("__n1").cast(LongType).as("n_1") :+
+        col("__nq").cast(LongType).as("n_q") :+
+        when(col("__nq") > 0 && col("__v1") > 0,
+          (gvq * gn1 * gn1).cast(DoubleType) /
+            (gv1 * gnq * gnq * q).cast(DoubleType))
+          .as("variance_ratio")): _*)
   }
 
   /** Two-regressor OLS by exact normal equations, per key: close cents
@@ -442,24 +473,32 @@ object MicrostructureOps {
   }
 
   /** Lead-lag cross-correlation against one benchmark key: for each
-    * key and each lag L in [−maxLag, +maxLag] hours, the correlation of
-    * the key's cent move at t with the benchmark's move at t+L — a
-    * positive-lag peak means the benchmark LEADS the key by L hours —
-    * the key at t is moving with the benchmark's move from t−L (the
-    * classic price-discovery diagnostic). Same exact-co-moment contract as
-    * [[corrMatrix]]; the benchmark's move series is one key's buckets,
-    * so the (2·maxLag+1)-fold lag explode stays tiny and BROADCASTS
-    * into the epoch-equality join — the full rollup never reshuffles
-    * beyond its own key window.
+    * key and each lag L in [−maxLag, +maxLag] grain steps, the
+    * correlation of the key's cent move at t with the benchmark's move
+    * at t+L — a positive-lag peak means the benchmark LEADS the key by
+    * L steps — the key at t is moving with the benchmark's move from
+    * t−L (the classic price-discovery diagnostic). Same exact-co-moment
+    * contract as [[corrMatrix]]; the benchmark's move series is one
+    * key's buckets, so the (2·maxLag+1)-fold lag explode stays tiny
+    * and BROADCASTS into the epoch-equality join — the full rollup
+    * never reshuffles beyond its own key window.
+    *
+    * `grain` MUST be the rollup's own timeframe (e.g. "1h" for an
+    * hourly rollup): the lag shift is `L · grain` and the alignment is
+    * an epoch-equality join, so a mismatched step would silently align
+    * only at lag 0 — hence the explicit parameter instead of a
+    * hardcoded hour.
     */
   def leadLagCorr(
       rollup: DataFrame,
       keyCol: String,
       bucketCol: String,
       benchmark: Column,
-      maxLag: Int
+      maxLag: Int,
+      grain: String = "1h"
   ): DataFrame = {
     require(maxLag >= 1 && maxLag <= 48, s"maxLag=$maxLag outside [1, 48]")
+    val stepUs = graft.model.Timeframe.parse(grain).seconds * 1000000L
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
     val moves = rollup.select(
@@ -468,8 +507,8 @@ object MicrostructureOps {
     val bench = moves.filter(benchmark)
       .select(col("__us").as("__bus"), col("__d").as("__db"),
         explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
-      .select(col("lag").cast(LongType).as("lag_hours"),
-        (col("__bus") + col("lag").cast(LongType) * lit(3600000000L)).as("__jus"),
+      .select(col("lag").cast(LongType).as("lag_steps"),
+        (col("__bus") + col("lag").cast(LongType) * lit(stepUs)).as("__jus"),
         col("__db"))
     val joined = moves.filter(!benchmark)
       .join(broadcast(bench), col("__us") === col("__jus"))
@@ -479,7 +518,7 @@ object MicrostructureOps {
     val sab = sum((col("__d") * col("__db")).cast(dec)).cast(LongType)
     val saa = sum((col("__d") * col("__d")).cast(dec)).cast(LongType)
     val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
-    joined.groupBy(col(keyCol), col("lag_hours"))
+    joined.groupBy(col(keyCol), col("lag_steps"))
       .agg(
         n.as("n_aligned"),
         when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,

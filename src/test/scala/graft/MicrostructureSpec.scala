@@ -271,7 +271,7 @@ class MicrostructureSpec extends SparkSpec {
       .toDF("user_id", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
     val out = MicrostructureOps.leadLagCorr(
       df, "user_id", "bucket_ts", col("user_id") === 7, maxLag = 2)
-      .select("user_id", "lag_hours", "n_aligned", "xcorr")
+      .select("user_id", "lag_steps", "n_aligned", "xcorr")
       .as[(Long, Long, Long, Option[Double])].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     // the follower's move series IS the benchmark's shifted +1h: all 9
