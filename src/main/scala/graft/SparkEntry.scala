@@ -1962,12 +1962,21 @@ object SparkEntry {
       CandleOps.donchian(r1h, Seq("user_id"), "bucket_ts", nWindow = 20)
     }),
 
+    // ----- The shared co-purchase edge list itself: the stored-rollup
+    // derivation the seven graph queries read (Derived.itemEdges
+    // materializes it once per session). This entry runs the REBUILD
+    // path: it both pins the derivation's content against the oracle
+    // and carries the full build cost as its own bench line (a cache
+    // read here would hide the ingest-time cost entirely), instead of
+    // smearing that cost across every graph query. -------------------
+    "q_item_edges" -> ((s, dir) =>
+      graft.sources.Derived.itemEdgesRebuilt(s, dir)),
+
     // ----- Item-graph triangles: degree-ordered orientation bounds
     // the wedge join by the O(sqrt m) arboricity bound — per-node
     // triangle counts + local clustering, all exact ------------------
     "q_triangles" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.triangleStats(edges)
     }),
 
@@ -1975,8 +1984,7 @@ object SparkEntry {
     // integer-scaled ranks, floor divisions, 3 iterations — the CC
     // loop's join+aggregate shape, bit-identical on any engine -------
     "q_pagerank" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.pagerankPinned(edges, iterations = 3)
     }),
 
@@ -2917,40 +2925,35 @@ object SparkEntry {
     // ----- Edge-level neighborhood Jaccard (tie strength / bridge
     // detection): triangles exploded onto their 3 edges, one division -
     "q_edge_overlap" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.edgeOverlap(edges)
     }),
 
     // ----- k-core by 4 pinned peeling rounds: the tightly-knit
     // sub-catalog that survives repeated low-degree removal ---------------
     "q_kcore" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.kCorePinned(edges, k = 3, rounds = 4)
     }),
 
     // ----- Degree assortativity: do hub items co-sell with hubs?
     // One number, exact decimal co-moments over edges x degrees ----------
     "q_assortativity" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.assortativity(edges)
     }),
 
     // ----- Community detection: synchronous label propagation, 3
     // pinned rounds, ties to the smallest label via the integer pack ----
     "q_label_prop" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.labelPropagationPinned(edges, rounds = 3)
     }),
 
     // ----- Degree distribution of the co-purchase graph: the hub
     // health check before any pairwise op -------------------------------
     "q_degree_dist" -> ((s, dir) => {
-      val edges = graft.operators.GraphOps.itemEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      val edges = graft.sources.Derived.itemEdges(s, dir)
       graft.operators.GraphOps.degreeHistogram(edges)
     }),
 
@@ -5831,6 +5834,11 @@ object SparkEntry {
                                  / CAST((n_plus + n_minus) * (n_plus + n_minus) * (n_plus + n_minus - 1) AS DOUBLE))
                 END AS z
          FROM g WHERE n_plus + n_minus >= 2 AND n_plus > 0 AND n_minus > 0""",
+    "q_item_edges" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM e""",
     "q_triangles" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)

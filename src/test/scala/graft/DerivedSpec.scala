@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.GraphOps
+import graft.sources.{Derived, Tables}
+
+/** The session-scoped shared-derivation cache: one build per
+  * (session, dir), content identical to a direct derivation, and the
+  * rebuild path replaces the cached handle (the ingest-time refresh).
+  */
+class DerivedSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("itemEdges is derived once per (session, dir) and reused") {
+    Derived.clear()
+    val first = Derived.itemEdges(spark, sfDir)
+    val second = Derived.itemEdges(spark, sfDir)
+    assert(first eq second, "second call must return the cached handle")
+  }
+
+  test("cached edges equal a direct GraphOps.itemEdges derivation") {
+    val cached = Derived.itemEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = GraphOps.itemEdges(
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached == direct)
+    assert(cached.nonEmpty, "sf0.001 must produce a non-trivial edge list")
+    assert(cached.forall { case (x, y) => x < y }, "edges are canonical x < y")
+  }
+
+  test("itemEdgesRebuilt replaces the cached handle with a fresh build") {
+    val before = Derived.itemEdges(spark, sfDir)
+    val rebuilt = Derived.itemEdgesRebuilt(spark, sfDir)
+    assert(!(rebuilt eq before), "rebuild must not serve the old handle")
+    val after = Derived.itemEdges(spark, sfDir)
+    assert(after eq rebuilt, "subsequent reads must see the rebuilt table")
+  }
+
+  test("different dirs never alias in the cache") {
+    Derived.clear()
+    val a = Derived.itemEdges(spark, sfDir)
+    val b = Derived.itemEdges(spark, "/root/testdata/sf0.01")
+    assert(!(a eq b))
+  }
+}
