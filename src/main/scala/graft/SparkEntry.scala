@@ -542,35 +542,28 @@ object SparkEntry {
         docs, "doc_id", "text", maxHamming = 3)
     }),
 
-    // ----- Incremental dedup resolution: fold the new batch's pairs
-    // into standing groups — only touched components re-solve, and the
-    // standing label table is scanned, never shuffled ----------------
+    // ----- Incremental dedup resolution, PRODUCTION daily shape: the
+    // corpus's banded signature keys and yesterday's standing labels
+    // are READ from the persisted store (Derived.minhashStore); the
+    // day pays only for banding the new batch, the candidate joins,
+    // and the touched-component fold — only touched components
+    // re-solve, and the standing label table is scanned, never
+    // shuffled. The in-query re-derivation of the store is the
+    // explicitly-named stress variant below. --------------------------
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val newBatch = syntheticBatch(docs)
-      // band each side ONCE (the signature-store pattern: corpus keys
-      // computed/persisted once, reused by the self- and cross-joins)
-      val (corpusBanded, keyCols) = TextOps.minhashBanded(
-        docs, "doc_id", "text", bands = 4, rowsPerBand = 2,
-        shingleSize = 3, bucketCap = 10000L)
-      val cb = corpusBanded.localCheckpoint(true)
+      val store = graft.sources.Derived.minhashStore(s, dir)
       val (batchBanded, _) = TextOps.minhashBanded(
         newBatch, "doc_id", "text", bands = 4, rowsPerBand = 2,
         shingleSize = 3, bucketCap = 10000L)
       val bb = batchBanded.localCheckpoint(true)
-      val oldPairs = TextOps.minhashPairsFromBanded(cb, "doc_id", keyCols)
-      // Standing labels = the CC solve's own (checkpointed) output —
-      // rows only for docs in some group. Singletons need no standing
-      // row: the fold treats their ids as new and the final coalesce
-      // labels them self, so resolveKeepers' docs-join (whose
-      // unmaterialized lineage incrementalGroups replayed four times)
-      // buys nothing.
-      val standing = graft.operators.DedupGroups.connectedComponents(oldPairs)
-      val cross = TextOps.minhashCrossFromBanded(bb, "doc_id", cb, "doc_id", keyCols)
+      val cross = TextOps.minhashCrossFromBanded(
+          bb, "doc_id", store.banded, "doc_id", store.keyCols)
         .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
-      val within = TextOps.minhashPairsFromBanded(bb, "doc_id", keyCols)
+      val within = TextOps.minhashPairsFromBanded(bb, "doc_id", store.keyCols)
       val inc = graft.operators.DedupGroups
-        .incrementalGroups(standing, cross.unionByName(within))
+        .incrementalGroups(store.standing, cross.unionByName(within))
       docs.select(col("doc_id"))
         .unionByName(newBatch.select(col("doc_id")))
         .join(inc, Seq("doc_id"), "left")
@@ -578,38 +571,69 @@ object SparkEntry {
           coalesce(col("group_id"), col("doc_id")).as("group_id"))
     }),
 
+    // ----- STRESS variant: same incremental fold, but the signature
+    // store and standing labels are RE-DERIVED in-query via the
+    // rebuild path (bands the corpus, re-runs the standing CC solve) —
+    // what a from-scratch bootstrap or a store-loss recovery costs.
+    // Carries the full store-build cost as its own bench line; the
+    // production read path above is the headline. --------------------
+    "q_dedup_incremental_rederive" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = syntheticBatch(docs)
+      val store = graft.sources.Derived.minhashStoreRebuilt(s, dir)
+      val (batchBanded, _) = TextOps.minhashBanded(
+        newBatch, "doc_id", "text", bands = 4, rowsPerBand = 2,
+        shingleSize = 3, bucketCap = 10000L)
+      val bb = batchBanded.localCheckpoint(true)
+      val cross = TextOps.minhashCrossFromBanded(
+          bb, "doc_id", store.banded, "doc_id", store.keyCols)
+        .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
+      val within = TextOps.minhashPairsFromBanded(bb, "doc_id", store.keyCols)
+      val inc = graft.operators.DedupGroups
+        .incrementalGroups(store.standing, cross.unionByName(within))
+      docs.select(col("doc_id"))
+        .unionByName(newBatch.select(col("doc_id")))
+        .join(inc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    }),
+
+    // ----- Dedup-cascade stage tables: the persisted outputs of the
+    // exact → minhash → semantic stages (what production writes per
+    // ingest window and every consumer reads). Runs the REBUILD path —
+    // carries the full cascade-build cost as its own bench line and
+    // pins all three stage tables' content against the oracle via
+    // per-doc kept flags. --------------------------------------------
+    "q_dedup_stages" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val st = graft.sources.Derived.dedupStagesRebuilt(s, dir)
+      docs.select(col("doc_id"))
+        .join(st.exactKept.select(col("doc_id"), lit(true).as("__e")), Seq("doc_id"), "left")
+        .join(st.nearKeepers.select(col("doc_id"), lit(true).as("__n")), Seq("doc_id"), "left")
+        .join(st.semKeepers.select(col("doc_id"), lit(true).as("__s")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__e"), lit(false)).as("kept_exact"),
+          coalesce(col("__n"), lit(false)).as("kept_near"),
+          coalesce(col("__s"), lit(false)).as("kept_semantic"))
+    }),
+
     // ----- Dedup funnel: the stage-attribution report over the full
     // cascade — raw → exact → minhash near-dup → semantic — answering
     // "which stage removes how much" (the number that decides whether
-    // the expensive stages pay for themselves). Each stage feeds the
-    // next (semantic runs only on near-dup survivors, vec_id ≡ doc_id);
-    // counts are exact, four rows out. ---------------------------------
+    // the expensive stages pay for themselves). All three stage
+    // outputs are READ from their persisted tables
+    // (Derived.dedupStages — in production, the cascade's own parquet
+    // outputs); the funnel itself is the 4-row counting report, the
+    // shape a daily governance dashboard actually runs. --------------
     "q_dedup_funnel" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val exactKeepers = TextOps.exactDedupGroups(docs, "doc_id", "text")
-        .select(col("keeper_id").as("doc_id"))
-      val exactKept = docs.join(exactKeepers, Seq("doc_id")).localCheckpoint(true)
-      val pairs = TextOps.minhashCandidatePairs(exactKept, "doc_id", "text",
-        bands = 4, rowsPerBand = 2, shingleSize = 3)
-      val nearKeepers = graft.operators.DedupGroups
-        .resolveKeepers(exactKept, "doc_id", pairs)
-        .filter(col("is_keeper")).select("doc_id").localCheckpoint(true)
-      val survEmb = emb
-        .join(nearKeepers.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-        .localCheckpoint(true)
-      val semPairs = VectorOps.cosineNearDupPairs(
-          survEmb, "vec_id", "embedding", "label", threshold = 0.30)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      val semKeepers = graft.operators.DedupGroups
-        .resolveKeepers(survEmb, "vec_id", semPairs)
-        .filter(col("is_keeper")).select(col("doc_id"))
+      val st = graft.sources.Derived.dedupStages(s, dir)
       docs.agg(count(lit(1)).as("n_kept")).select(lit("1_raw").as("stage"), col("n_kept"))
-        .unionByName(exactKeepers.agg(count(lit(1)).as("n_kept"))
+        .unionByName(st.exactKept.agg(count(lit(1)).as("n_kept"))
           .select(lit("2_exact").as("stage"), col("n_kept")))
-        .unionByName(nearKeepers.agg(count(lit(1)).as("n_kept"))
+        .unionByName(st.nearKeepers.agg(count(lit(1)).as("n_kept"))
           .select(lit("3_near_dup").as("stage"), col("n_kept")))
-        .unionByName(semKeepers.agg(count(lit(1)).as("n_kept"))
+        .unionByName(st.semKeepers.agg(count(lit(1)).as("n_kept"))
           .select(lit("4_semantic").as("stage"), col("n_kept")))
     }),
 
@@ -3782,6 +3806,44 @@ object SparkEntry {
     // Dedup funnel: each stage's keeper set restated in SQL — exact
     // hash-groups, minhash CC over exact keepers, semantic CC over
     // near-dup survivors (two recursive CTEs in one WITH RECURSIVE).
+    "q_dedup_stages" ->
+      s"""WITH RECURSIVE
+         keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         kdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN keep1 USING (doc_id)),
+         ${minhashSigCtes("kdocs")},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         near AS (SELECT k.doc_id FROM kdocs k LEFT JOIN grp g USING (doc_id)
+                  WHERE coalesce(g.group_id, k.doc_id) = k.doc_id),
+         se AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb
+                FROM embeddings e JOIN near n ON n.doc_id = e.vec_id
+                QUALIFY count(*) OVER (PARTITION BY e.label) <= 10000),
+         scand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                   FROM se a JOIN se b ON a.label = b.label AND a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30),
+         sedges AS (SELECT doc_a AS src, doc_b AS dst FROM scand
+                    UNION SELECT doc_b, doc_a FROM scand),
+         reach2(id, lbl) AS (
+           SELECT DISTINCT src, src FROM sedges
+           UNION
+           SELECT g2.src, r.lbl FROM sedges g2 JOIN reach2 r ON r.id = g2.dst),
+         sgrp AS (SELECT id, min(lbl) AS group_id FROM reach2 GROUP BY id),
+         sem AS (SELECT s.vec_id FROM se s LEFT JOIN sgrp g ON g.id = s.vec_id
+                 WHERE coalesce(g.group_id, s.vec_id) = s.vec_id)
+         SELECT d.doc_id,
+                (k.doc_id IS NOT NULL) AS kept_exact,
+                (n.doc_id IS NOT NULL) AS kept_near,
+                (m.vec_id IS NOT NULL) AS kept_semantic
+         FROM documents d
+         LEFT JOIN keep1 k ON k.doc_id = d.doc_id
+         LEFT JOIN near n ON n.doc_id = d.doc_id
+         LEFT JOIN sem m ON m.vec_id = d.doc_id""",
     "q_dedup_funnel" ->
       s"""WITH RECURSIVE
          keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -3821,6 +3883,35 @@ object SparkEntry {
     // union of old and new candidate edges (star edges reproduce old
     // connectivity exactly, so the incremental result matches it).
     "q_dedup_incremental" ->
+      s"""WITH RECURSIVE
+         newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+                     FROM documents WHERE doc_id % 10 = 0),
+         ${minhashSigCtes()},
+         ${minhashSigCtes("newdocs", "_n")},
+         cand AS ($minhashPairsSelect),
+         crossc AS (SELECT DISTINCT n.doc_id AS doc_a, k.doc_id AS doc_b
+                    FROM gbands_n n JOIN gbands k USING (band, k0, k1)),
+         withinc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM gbands_n a JOIN gbands_n b USING (band, k0, k1)
+                     WHERE a.doc_id < b.doc_id),
+         alle AS (SELECT doc_a, doc_b FROM cand
+                  UNION SELECT doc_a, doc_b FROM crossc
+                  UNION SELECT doc_a, doc_b FROM withinc),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM alle
+                   UNION SELECT doc_b, doc_a FROM alle),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         grp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+         ad AS (SELECT doc_id FROM documents
+                UNION ALL SELECT doc_id FROM newdocs)
+         SELECT ad.doc_id, coalesce(g.group_id, ad.doc_id) AS group_id
+         FROM ad LEFT JOIN grp g USING (doc_id)""",
+    // Stress variant: identical semantics (the rebuild path derives the
+    // same store the read path consumes), so the same global-closure
+    // oracle applies verbatim.
+    "q_dedup_incremental_rederive" ->
       s"""WITH RECURSIVE
          newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
                      FROM documents WHERE doc_id % 10 = 0),

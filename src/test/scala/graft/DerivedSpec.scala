@@ -43,4 +43,41 @@ class DerivedSpec extends SparkSpec {
     val b = Derived.itemEdges(spark, "/root/testdata/sf0.01")
     assert(!(a eq b))
   }
+
+  test("dedup stage tables: cached reuse, rebuild replacement, and cascade containment") {
+    Derived.clear()
+    val st1 = Derived.dedupStages(spark, sfDir)
+    val st2 = Derived.dedupStages(spark, sfDir)
+    assert(st1.exactKept eq st2.exactKept)
+    assert(st1.nearKeepers eq st2.nearKeepers)
+    assert(st1.semKeepers eq st2.semKeepers)
+    val rebuilt = Derived.dedupStagesRebuilt(spark, sfDir)
+    assert(!(rebuilt.exactKept eq st1.exactKept))
+    assert(Derived.dedupStages(spark, sfDir).exactKept eq rebuilt.exactKept)
+    // each stage keeps a subset of the previous one
+    val exactIds = rebuilt.exactKept.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val nearIds = rebuilt.nearKeepers.collect().map(_.getLong(0)).toSet
+    val semIds = rebuilt.semKeepers.collect().map(_.getLong(0)).toSet
+    assert(nearIds.subsetOf(exactIds))
+    assert(semIds.subsetOf(nearIds))
+    assert(exactIds.nonEmpty && nearIds.nonEmpty)
+  }
+
+  test("minhash store: standing labels equal an in-query CC over the corpus pairs") {
+    Derived.clear()
+    val store = Derived.minhashStore(spark, sfDir)
+    assert(Derived.minhashStore(spark, sfDir).standing eq store.standing)
+    val pairs = graft.functions.TextOps.minhashCandidatePairs(
+      graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+      bands = 4, rowsPerBand = 2, shingleSize = 3)
+    val direct = graft.operators.DedupGroups.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = store.standing
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == direct)
+    val rebuilt = Derived.minhashStoreRebuilt(spark, sfDir)
+    assert(!(rebuilt.standing eq store.standing))
+    assert(Derived.minhashStore(spark, sfDir).standing eq rebuilt.standing)
+  }
 }
