@@ -1761,6 +1761,16 @@ object SparkEntry {
           Tables.events(s, dir), Seq("event_type"), "ts", "user_id"),
         Seq("event_type"))),
 
+    // ----- The exact twin of the sketch store (uniqExactState
+    // analog): daily parts carry the distinct values themselves, the
+    // read-side merge counts them — merge-of-daily-states ≡ one-shot
+    // aggregate over the union, hash-pinned against the oracle -------
+    "q_sketch_store_exact" -> ((s, dir) =>
+      SketchStore.mergedDistinctExact(
+        SketchStore.dailyExactParts(
+          Tables.events(s, dir), Seq("event_type"), "ts", "user_id"),
+        Seq("event_type"))),
+
     // ----- Ranking-function suite over one sorted window: every row
     // its own peer group (custkey tiebreak) so ranks are exact --------
     "q_window_rank" -> ((s, dir) => {
@@ -5537,6 +5547,17 @@ object SparkEntry {
          SELECT name_a, name_b,
                 CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          FROM c WHERE levenshtein(name_a, name_b) <= 2""",
+    // The store contract the approximate sketch path can't hash-pin:
+    // merge of exact daily parts == one-shot distinct over the union.
+    "q_sketch_store_exact" ->
+      """WITH parts AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+                CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3)
+         SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                CAST(count(DISTINCT day) AS BIGINT) AS n_parts,
+                CAST(sum(n) AS BIGINT) AS n_rows
+         FROM parts GROUP BY 1""",
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
                 CAST(row_number() OVER w AS BIGINT) AS rn,

@@ -84,4 +84,47 @@ object SketchStore {
           .as("approx_distinct"),
         count(lit(1)).as("n_parts"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** The EXACT companion of the sketch store — ClickHouse's
+    * uniqExactState analog: each daily part holds the day's distinct
+    * values themselves (one row per (keys, day, value), with the
+    * folded row count), and the read-side merge is a count of
+    * distinct values over the part rows. Same store layout, same
+    * merge-of-daily-states contract, no estimator — so the merged
+    * result hash-matches a one-shot GROUP BY over the union of the
+    * raw events, which is exactly the store-contract check the
+    * approximate path can't offer.
+    *
+    * Scale: the part table carries one row per distinct (key, day,
+    * value) — bounded by daily actives, not events; both levels are
+    * map-side-combinable hash aggregates. This is the exact/approx
+    * split of the reference's uniqExact vs uniq
+    * (app/data_quality_check.py:460): pay part-table size for
+    * exactness, or ~KB sketches for bounded error.
+    */
+  def dailyExactParts(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      distinctCol: String
+  ): DataFrame =
+    events
+      .groupBy(keys.map(col) :+ to_date(col(tsCol)).as("day") :+
+        col(distinctCol).as("value"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Merge exact daily parts back to one exact distinct per key group
+    * — any re-aggregation (drop the day, keep any key subset) without
+    * touching raw events, and without estimator error.
+    */
+  def mergedDistinctExact(
+      store: DataFrame,
+      groupKeys: Seq[String]
+  ): DataFrame =
+    store
+      .groupBy(groupKeys.map(col): _*)
+      .agg(
+        countDistinct(col("value")).as("n_distinct"),
+        countDistinct(col("day")).as("n_parts"),
+        sum(col("n_rows")).as("n_rows"))
 }

@@ -134,4 +134,35 @@ class SketchStoreSpec extends SparkSpec {
     val est = all.select("approx_distinct").as[Long].head()
     assert(math.abs(est - 700L).toDouble / 700.0 < 0.05)
   }
+
+  test("exact parts: merge of daily states EQUALS the one-shot distinct over the union") {
+    val merged = SketchStore.mergedDistinctExact(
+      SketchStore.dailyExactParts(events, Seq("event_type"), "ts", "user_id"),
+      Seq("event_type"))
+      .select("event_type", "n_distinct", "n_parts", "n_rows")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val direct = events.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("d"),
+        countDistinct(to_date(col("ts"))).as("p"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(merged == direct)
+  }
+
+  test("exact parts survive a parquet store round-trip and re-slice to any key subset") {
+    val dirPath = java.nio.file.Files
+      .createTempDirectory("graft-exact-store").toString
+    SketchStore.dailyExactParts(events, Seq("event_type"), "ts", "user_id")
+      .write.mode("overwrite").parquet(dirPath)
+    val store = spark.read.parquet(dirPath)
+    // re-slice: drop the key entirely — global exact distinct
+    val all = SketchStore.mergedDistinctExact(store, Seq())
+    assert(all.select("n_rows").as[Long].head() == 5000L)
+    val trueDistinct = events.select(countDistinct(col("user_id")))
+      .as[Long].head()
+    assert(all.select("n_distinct").as[Long].head() == trueDistinct)
+  }
 }
