@@ -921,9 +921,18 @@ object SparkEntry {
       // corpus's 31-token vocabulary makes every term a "stop word" —
       // any cap that fires prunes ALL candidates; the maxBucketDocs
       // skew guard is exercised by its own planted-hot-bucket spec.
+      //
+      // The query panel is a FIXED 100-doc set (doc_id < 1000, every
+      // 10th), not a corpus-proportional slice: brute-force exact
+      // search's production contract is "bounded query panel vs
+      // growing corpus" (O(panel x corpus)). The round-7 sf1
+      // checkpoint measured the previous %50 panel at 111x for 10x
+      // docs — panel x postings both grew 10x, which is the
+      // all-pairs dedup shape, served by the banded LSH families, not
+      // by exact search (PERF.md round-7).
       TextOps.sparseCosineTopK(
         TextOps.hashingTfSparseWithNorm(Tables.documents(s, dir), "doc_id", "text", dim = 4096),
-        col("doc_id") % 50 === 0, k = 5)),
+        col("doc_id") < 1000 && col("doc_id") % 10 === 0, k = 5)),
 
     // ----- Top-5 salient terms per doc, raw-idf TF-IDF ---------------
     "q_tfidf_topterms" -> ((s, dir) =>
@@ -4553,7 +4562,8 @@ object SparkEntry {
                  count(*) AS c
                FROM t WHERE tok <> '' GROUP BY 1, 2),
          n2 AS (SELECT doc_id, sum(c * c) AS n2 FROM b GROUP BY 1),
-         q AS (SELECT doc_id AS query_id, bucket, c AS qc FROM b WHERE doc_id % 50 = 0),
+         q AS (SELECT doc_id AS query_id, bucket, c AS qc FROM b
+               WHERE doc_id < 1000 AND doc_id % 10 = 0),
          d AS (SELECT q.query_id, b.doc_id, sum(b.c * q.qc) AS dot
                FROM b JOIN q USING (bucket)
                WHERE b.doc_id <> q.query_id

@@ -190,4 +190,23 @@ class ShuffleBudgetSpec extends SparkSpec {
     // magnitude fewer rows than the raw stream)
     assert(exchanges(plan) == 2, s"expected 2 exchanges:\n$plan")
   }
+
+  test("exact sketch store: build one exchange, merge one exchange (both map-side combinable)") {
+    val ev = (1 to 300).map { i =>
+      (if (i % 3 == 0) "click" else "view",
+        new Timestamp(ts("2024-03-01 00:00:00").getTime + i * 3600000L),
+        (i % 40).toLong)
+    }.toDF("event_type", "ts", "user_id")
+    val parts = operators.SketchStore.dailyExactParts(
+      ev, Seq("event_type"), "ts", "user_id")
+    val pPlan = parts.queryExecution.executedPlan.toString
+    assert(exchanges(pPlan) == 1, s"parts: expected 1 exchange:\n$pPlan")
+    // merge re-keys from (key, day, value) parts to (key): countDistinct
+    // expands to a two-level aggregate — at most 2 exchanges (distinct
+    // gather + final), never per-row traffic beyond the part table
+    val merged = operators.SketchStore.mergedDistinctExact(parts, Seq("event_type"))
+    val mPlan = merged.queryExecution.executedPlan.toString
+    val n = exchanges(mPlan)
+    assert(n >= 1 && n <= 3, s"merge: expected 1-3 exchanges, got $n:\n$mPlan")
+  }
 }
