@@ -2944,6 +2944,34 @@ object SparkEntry {
     "q_textrank" -> ((s, dir) =>
       TextOps.textrankKeywords(Tables.documents(s, dir), "doc_id", "text", topK = 25)),
 
+    // ----- Correlation SCREEN — the scale path the corrMatrix doc
+    // routes large universes to (sf1 measured the exact matrix at
+    // universe² = 164× for 10× keys): 64-bit sign-sketch per key,
+    // 8×8-bit banded candidate join, exact co-moment corr on the
+    // candidates only. corr values bit-match the full matrix's
+    // entries for the screened pairs. maxHamming 24 exercises the
+    // probabilistic-recall regime (guaranteed ≤ 7) because this
+    // fixture's keys are independent random walks — at ≤ 7 the
+    // correct answer is zero pairs, which would hash-check trivially.
+    "q_corr_screen" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.corrScreen(r1h, "user_id", "bucket_ts",
+        maxHamming = 24)
+    }),
+
+    // ----- The same screen at the 16-bit band width production runs
+    // past a few thousand keys (2^bandBits ≳ universe): near-linear at
+    // sf1 where 8-bit bands saturate. Planted-copycat recall is
+    // spec-pinned (MicrostructureSpec); on this independent-walk
+    // fixture the correct small-SF answer is few/no pairs. -----------
+    "q_corr_screen_wide" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.corrScreen(r1h, "user_id", "bucket_ts",
+        maxHamming = 24, bandBits = 16)
+    }),
+
     // ----- Lead-lag cross-correlation vs the benchmark key: who moves
     // first — co-moment longs per (key, lag), broadcast lag-exploded
     // benchmark, one division -------------------------------------------
@@ -7169,6 +7197,104 @@ object SparkEntry {
                   / CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
                 END AS illiq
          FROM d WHERE dd IS NOT NULL GROUP BY 1, 2""",
+    // Sign-sketch screen: md5-derived 64-axis majority-sign
+    // fingerprint, 8x8-bit banded candidates at hamming <= 7, exact
+    // co-moment corr on candidates only (same arithmetic as the full
+    // matrix, so screened corr values match its entries bitwise).
+    "q_corr_screen" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         m AS (SELECT user_id, epoch_us(bucket_ts) AS us, dd FROM (
+                 SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+               WHERE dd IS NOT NULL),
+         ax AS (SELECT user_id,
+                  CAST(('0x' || substr(md5(CAST(us AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
+                  CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+                FROM m WHERE dd <> 0),
+         votes AS (SELECT user_id, j, sum(s) AS vote FROM ax GROUP BY 1, 2),
+         fp AS (SELECT user_id,
+                  bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS sh
+                FROM votes GROUP BY 1),
+         banded AS (SELECT user_id, sh, bs.band,
+                      (sh >> (bs.band * 8)) & 255 AS h
+                    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bs(band)),
+         kept AS (SELECT band, h FROM banded GROUP BY band, h HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, h)),
+         pairs AS (SELECT DISTINCT a.user_id AS key_a, b.user_id AS key_b,
+                     CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                   FROM guarded a JOIN guarded b USING (band, h)
+                   WHERE a.user_id < b.user_id
+                     AND bit_count(xor(a.sh, b.sh)) <= 24),
+         al AS (SELECT p.key_a, p.key_b, p.hamming, a.dd AS da, b.dd AS db
+                FROM pairs p
+                JOIN m a ON a.user_id = p.key_a
+                JOIN m b ON b.user_id = p.key_b AND b.us = a.us),
+         g AS (SELECT key_a, key_b, max(hamming) AS hamming, count(*) AS n,
+                 CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+                 CAST(sum(da * db) AS BIGINT) AS sab,
+                 CAST(sum(da * da) AS BIGINT) AS saa,
+                 CAST(sum(db * db) AS BIGINT) AS sbb
+               FROM al GROUP BY 1, 2)
+         SELECT key_a, key_b, hamming, n AS n_aligned,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS corr
+         FROM g""",
+    // 16-bit-band twin: 4 bands, guaranteed recall to hamming 3,
+    // probabilistic beyond -- the production width past a few thousand keys.
+    "q_corr_screen_wide" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         m AS (SELECT user_id, epoch_us(bucket_ts) AS us, dd FROM (
+                 SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+               WHERE dd IS NOT NULL),
+         ax AS (SELECT user_id,
+                  CAST(('0x' || substr(md5(CAST(us AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
+                  CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+                FROM m WHERE dd <> 0),
+         votes AS (SELECT user_id, j, sum(s) AS vote FROM ax GROUP BY 1, 2),
+         fp AS (SELECT user_id,
+                  bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS sh
+                FROM votes GROUP BY 1),
+         banded AS (SELECT user_id, sh, bs.band,
+                      (sh >> (bs.band * 16)) & 65535 AS h
+                    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs(band)),
+         kept AS (SELECT band, h FROM banded GROUP BY band, h HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, h)),
+         pairs AS (SELECT DISTINCT a.user_id AS key_a, b.user_id AS key_b,
+                     CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                   FROM guarded a JOIN guarded b USING (band, h)
+                   WHERE a.user_id < b.user_id
+                     AND bit_count(xor(a.sh, b.sh)) <= 24),
+         al AS (SELECT p.key_a, p.key_b, p.hamming, a.dd AS da, b.dd AS db
+                FROM pairs p
+                JOIN m a ON a.user_id = p.key_a
+                JOIN m b ON b.user_id = p.key_b AND b.us = a.us),
+         g AS (SELECT key_a, key_b, max(hamming) AS hamming, count(*) AS n,
+                 CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+                 CAST(sum(da * db) AS BIGINT) AS sab,
+                 CAST(sum(da * da) AS BIGINT) AS saa,
+                 CAST(sum(db * db) AS BIGINT) AS sbb
+               FROM al GROUP BY 1, 2)
+         SELECT key_a, key_b, hamming, n AS n_aligned,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS corr
+         FROM g""",
     "q_corr_matrix" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close

@@ -574,4 +574,124 @@ object MicrostructureOps {
               (n * sbb - sb * sb).cast(DoubleType)))
           .as("corr"))
   }
+
+  /** Correlation SCREEN — the scale path [[corrMatrix]]'s doc routes
+    * large universes to, made concrete: instead of the exact
+    * universe² alignment join, each key's return series is sketched
+    * into a 64-bit sign fingerprint (bit j = majority sign of the
+    * key's cent moves whose bucket hashes to axis j — a one-bit
+    * random projection of the return series), candidate pairs come
+    * from an 8×8-bit banded self-join over the fingerprints (by
+    * pigeonhole, any pair within hamming `maxHamming` ≤ 7 shares at
+    * least one full 8-bit band), and the EXACT corrMatrix co-moment
+    * arithmetic runs only on the candidates.
+    *
+    * Semantics: a deterministic screen for strongly POSITIVELY
+    * co-moving pairs (near-equal sign patterns). Anti-correlated pairs
+    * have near-complement fingerprints and would be screened by the
+    * same join against `~fp` — deliberately out of scope here. The
+    * screen's exact-corr stage uses the same moves (all non-null cent
+    * moves) as corrMatrix, so a reported pair's `corr` is bit-identical
+    * to the full matrix's entry for that pair; `hamming` is reported as
+    * screen evidence. Zero moves carry no sign and vote on no axis.
+    *
+    * Recall contract: with `bandBits`-bit bands (64/bandBits of
+    * them), pigeonhole surfaces EVERY pair within hamming
+    * 64/bandBits − 1 (7 at 8-bit, 3 at 16-bit, 1 at 32-bit). A larger
+    * `maxHamming` is allowed with the standard LSH semantics —
+    * candidates still require one full band agreement, so recall
+    * beyond the radius is probabilistic (decaying with distance)
+    * while precision is restored by the exact-corr stage.
+    *
+    * Band-width tuning is the scale knob: candidate volume is
+    * Σ_bucket |bucket|² ≈ bands · universe² / 2^bandBits, so pick
+    * 2^bandBits ≳ universe (8-bit to a few thousand keys, 16-bit to
+    * ~10⁵, 32-bit beyond) — the sf1 checkpoint measured 8-bit bands
+    * saturating at a 15k universe (43× for 10× keys) while 16-bit
+    * bands hold near-linear (PERF.md round-7).
+    *
+    * Scale shape (sf1 measured the exact matrix at universe² = 164×
+    * for 10× keys): the sketch is two key-local hash aggregates; the
+    * banded join fans out per band bucket with
+    * [[graft.functions.TextOps.capBuckets]]'s hot-bucket guard; the
+    * exact stage is linear in candidates × series length. The 64-bit
+    * axis hash is md5-derived, so the DuckDB oracle reproduces every
+    * bit.
+    */
+  def corrScreen(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      maxHamming: Int = 7,
+      bucketCap: Long = 10000L,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming=$maxHamming outside [0, 64]")
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits=$bandBits must be 8, 16, or 32 (64-bit fingerprint)")
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val d = cts("close") - lag(cts("close"), 1).over(wOrd)
+    val moves = rollup.select(
+      col(keyCol), unix_micros(col(bucketCol)).as("__us"), d.as("__d"))
+      .filter(col("__d").isNotNull)
+    // axis = md5(epoch-micros string) mod 64: engine/oracle-identical
+    val axis = pmod(
+      conv(substring(md5(col("__us").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast(LongType), lit(64L))
+    val votes = moves.filter(col("__d") =!= 0)
+      .select(col(keyCol), axis.as("__j"), signum(col("__d")).cast(LongType).as("__s"))
+      .groupBy(col(keyCol), col("__j"))
+      .agg(sum(col("__s")).as("__vote"))
+    val fp = votes.groupBy(col(keyCol))
+      .agg(bit_or(
+        when(col("__vote") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(__j AS INT))"))
+          .otherwise(lit(0L))).as("__fp"))
+    val nBands = 64 / bandBits
+    val bandMask = (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(bandMask)).as("h"))
+    }
+    val banded = graft.functions.TextOps.capBuckets(
+      fp.select(col(keyCol), col("__fp"),
+          explode(array(bandStructs: _*)).as("__b"))
+        .select(col(keyCol), col("__fp"),
+          col("__b.band").as("band"), col("__b.h").as("h")),
+      Seq("band", "h"), bucketCap)
+    val a = banded.select(col(keyCol).as("key_a"), col("__fp").as("__fa"),
+      col("band"), col("h"))
+    val b = banded.select(col(keyCol).as("key_b"), col("__fp").as("__fb"),
+      col("band"), col("h"))
+    val pairs = a.join(b, Seq("band", "h"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("hamming",
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("key_a"), col("key_b"), col("hamming"))
+      .distinct()
+    val m1 = moves.select(col(keyCol).as("key_a"),
+      col("__us"), col("__d").as("__da"))
+    val m2 = moves.select(col(keyCol).as("__kb"),
+      col("__us").as("__us2"), col("__d").as("__db"))
+    val aligned = pairs
+      .join(m1, Seq("key_a"))
+      .join(m2, col("key_b") === col("__kb") && col("__us") === col("__us2"))
+    val n = count(lit(1))
+    val sa = sum(col("__da").cast(dec)).cast(LongType)
+    val sb = sum(col("__db").cast(dec)).cast(LongType)
+    val sab = sum((col("__da") * col("__db")).cast(dec)).cast(LongType)
+    val saa = sum((col("__da") * col("__da")).cast(dec)).cast(LongType)
+    val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
+    aligned.groupBy(col("key_a"), col("key_b"))
+      .agg(
+        max(col("hamming")).as("hamming"),
+        n.as("n_aligned"),
+        when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,
+          (n * sab - sa * sb).cast(DoubleType) /
+            sqrt((n * saa - sa * sa).cast(DoubleType) *
+              (n * sbb - sb * sb).cast(DoubleType)))
+          .as("corr"))
+  }
 }

@@ -301,4 +301,38 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(("a1", "b1")) == -1.0)
     assert(out(("a2", "b1")) == -1.0)
   }
+
+  test("corrScreen: planted copycats surface at hamming 0 with the matrix's exact corr; independents don't") {
+    // Two co-moving keys (identical sign pattern -> identical
+    // fingerprint -> hamming 0, guaranteed candidate at every band
+    // width) among noise keys with independent deterministic sign
+    // patterns. 40 buckets give the 64-axis sketch enough votes that
+    // distinct patterns land far apart in hamming.
+    def series(k: String, signAt: Int => Int) = (0 until 40).map { i =>
+      val px = 100.0 + 0.01 * (0 to i).map(signAt).sum
+      (k, Timestamp.valueOf(
+        f"2024-01-0${1 + i / 24}%d ${i % 24}%02d:00:00"), px, px, px, px, 1L, 1.0)
+    }
+    val rnd = (seed: Int) => (i: Int) =>
+      if (((i * 2654435761L + seed * 40503L) >>> 16 & 1L) == 1L) 1 else -1
+    val df = (series("cp1", rnd(7)) ++ series("cp2", rnd(7)) ++
+      series("n1", rnd(11)) ++ series("n2", rnd(23)) ++ series("n3", rnd(31)))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    for (bits <- Seq(8, 16, 32)) {
+      val out = MicrostructureOps.corrScreen(
+        df, "sym", "bucket_ts", maxHamming = 7, bandBits = bits)
+        .select("key_a", "key_b", "hamming", "corr")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(out.contains(("cp1", "cp2")), s"bandBits=$bits missed the copycats")
+      val (ham, corr) = out(("cp1", "cp2"))
+      assert(ham == 0L, s"bandBits=$bits: copycat hamming $ham")
+      assert(corr == 1.0, s"bandBits=$bits: copycat corr $corr")
+    }
+    // the screened pair's corr is bit-identical to the full matrix's entry
+    val full = MicrostructureOps.corrMatrix(df, "sym", "bucket_ts")
+      .filter(col("key_a") === "cp1" && col("key_b") === "cp2")
+      .select("corr").as[Double].head()
+    assert(full == 1.0)
+  }
 }
