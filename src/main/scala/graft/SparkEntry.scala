@@ -2944,6 +2944,37 @@ object SparkEntry {
     "q_textrank" -> ((s, dir) =>
       TextOps.textrankKeywords(Tables.documents(s, dir), "doc_id", "text", topK = 25)),
 
+    // ----- Per-column codecs (reference CODEC(DoubleDelta)/CODEC(
+    // Gorilla), clickhouse_schema.py:128-138) exercised end-to-end:
+    // each user's hourly series packs into one DoubleDelta binary
+    // (epoch grid) and one Gorilla binary (closes); the engine
+    // publishes the decode==original VERDICTS as columns, so the
+    // oracle row hash-checks the round-trip identity — a broken codec
+    // flips a boolean and goes red. Sizes/ratios are measured in
+    // CodecsSpec + PERF.md (not SQL-expressible). --------------------
+    "q_codec_roundtrip" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      import graft.functions.Codecs
+      val packed = r1h
+        .select(col("user_id"), unix_micros(col("bucket_ts")).as("__us"), col("close"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("__us"), col("close")))).as("__s"))
+        .select(col("user_id"),
+          expr("transform(__s, x -> x.__us)").as("__ts"),
+          expr("transform(__s, x -> x.close)").as("__px"))
+      packed.select(
+        col("user_id"),
+        size(col("__ts")).cast(LongType).as("n_buckets"),
+        (Codecs.dd_decode(Codecs.dd_encode(col("__ts"))) === col("__ts"))
+          .as("ts_roundtrip_ok"),
+        (Codecs.gorilla_decode(Codecs.gorilla_encode(col("__px"))) === col("__px"))
+          .as("px_roundtrip_ok"),
+        (size(col("__ts")) < 3 ||
+          length(Codecs.dd_encode(col("__ts"))) < size(col("__ts")) * 8)
+          .as("dd_compresses"))
+    }),
+
     // ----- Correlation SCREEN — the scale path the corrMatrix doc
     // routes large universes to (sf1 measured the exact matrix at
     // universe² = 164× for 10× keys): 64-bit sign-sketch per key,
@@ -7197,6 +7228,17 @@ object SparkEntry {
                   / CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
                 END AS illiq
          FROM d WHERE dd IS NOT NULL GROUP BY 1, 2""",
+    // Codec round-trip: the oracle asserts the VERDICT booleans the
+    // engine computes (decode==original, DoubleDelta under raw for
+    // real series) — the codec bytes themselves are engine-defined,
+    // the identity contract is what's checkable cross-engine.
+    "q_codec_roundtrip" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts
+            FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+                TRUE AS ts_roundtrip_ok, TRUE AS px_roundtrip_ok,
+                TRUE AS dd_compresses
+         FROM r1h GROUP BY 1""",
     // Sign-sketch screen: md5-derived 64-axis majority-sign
     // fingerprint, 8x8-bit banded candidates at hamming <= 7, exact
     // co-moment corr on candidates only (same arithmetic as the full
