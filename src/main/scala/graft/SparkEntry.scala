@@ -685,13 +685,20 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.CompressRatio.compress_ratio(col("text")).as("ratio"))),
 
-    // ----- Benchmark decontamination: every 50th doc plays the "eval
-    // set"; overlap = shared distinct 3-gram shingles ----------------
+    // ----- Benchmark decontamination: every 50th doc under id 5000
+    // plays the "eval set"; overlap = shared distinct 3-gram shingles.
+    // The eval set is a FIXED benchmark (bounded panel), not a
+    // corpus-proportional slice — the production contract is "fixed
+    // benchmark vs growing corpus", and the round-7 sf1 checkpoint
+    // measured the unbounded %50 panel at 15x for 10x docs (panel and
+    // corpus both grew). Identical result at sf0.01/sf0.1 where all
+    // doc ids are < 5000. --------------------------------------------
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.contaminationCheck(
         docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") < 5000 && col("doc_id") % 50 === 0),
+        "doc_id", "text",
         shingleSize = 3, minShared = 2)
     }),
 
@@ -1300,13 +1307,17 @@ object SparkEntry {
     // ----- 1-NN label purity: the embedding-quality readout behind
     // semantic dedup and clustering — per label, how often a probe's
     // nearest neighbor (self excluded, exact brute force) shares its
-    // label. Integer counts + ONE division; probes bounded by the
-    // predicate, candidates never shuffled (broadcast query side, the
-    // knnTopK shape) --------------------------------------------------
+    // label. Integer counts + ONE division; probes are a FIXED
+    // bounded panel (vec_id < 2000, every 10th — a purity readout is
+    // a sample statistic, it does not need a corpus-proportional
+    // panel; the unbounded %10 panel measured 88x for 10x vectors at
+    // sf1, the brute-force panel x corpus trap). Identical result at
+    // sf0.01/sf0.1 where all vec ids are < 2000. Candidates never
+    // shuffle (broadcast query side, the knnTopK shape). -------------
     "q_knn_label_purity" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val nn1 = VectorOps.knnTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 10 === 0, k = 1)
+        col("vec_id") < 2000 && col("vec_id") % 10 === 0, k = 1)
       val lbl = emb.select(col("vec_id"), col("label"))
       nn1
         .join(lbl.select(col("vec_id").as("query_id"), col("label").as("__ql")), "query_id")
@@ -4266,7 +4277,7 @@ object SparkEntry {
          sh AS (SELECT DISTINCT doc_id,
                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]) AS s
                 FROM toks WHERE len(t) >= 3),
-         p AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 50 = 0)
+         p AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id < 5000 AND doc_id % 50 = 0)
          SELECT c.doc_id, p.probe_id, count(*) AS n_shared
          FROM sh c JOIN p ON c.s = p.s
          WHERE c.doc_id <> p.probe_id
@@ -4875,7 +4886,7 @@ object SparkEntry {
          FROM y GROUP BY 1, 2""",
     "q_knn_label_purity" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         q AS (SELECT vec_id AS query_id, label AS ql, emb AS qemb FROM e WHERE vec_id % 10 = 0),
+         q AS (SELECT vec_id AS query_id, label AS ql, emb AS qemb FROM e WHERE vec_id < 2000 AND vec_id % 10 = 0),
          p AS (SELECT query_id, ql, e.vec_id AS neighbor_id, e.label AS nl,
                  list_cosine_similarity(qemb, e.emb) AS sim
                FROM q JOIN e ON e.vec_id <> query_id),

@@ -31,6 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * partial-aggregation-friendly, and the shuffle carries sketches,
   * not items).
   *
+  * The buffer pairs the item map with a (count, item)-ordered TreeSet
+  * so each eviction is O(log capacity). The original minBy formulation
+  * scanned all `capacity` entries per eviction — fine while distincts
+  * fit, but once the stream's distinct count exceeds capacity nearly
+  * every arrival evicts, and the round-7 sf1 checkpoint measured the
+  * resulting O(rows × capacity) at 30× the sf0.1 wall for 10× rows.
+  * The TreeSet evicts the same (min count, min item) entry, so the
+  * published sketch is bit-identical.
+  *
   * Output: `array<struct<item string, cnt long, err long>>`, top k by
   * (cnt desc, item asc) — a deterministic total order.
   */
@@ -40,7 +49,7 @@ case class TopKItems(
     capacity: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[mutable.HashMap[UTF8String, (Long, Long)]] {
+) extends TypedImperativeAggregate[TopKItems.Buffer] {
 
   require(k >= 1 && capacity >= k, s"need capacity >= k >= 1: k=$k capacity=$capacity")
 
@@ -51,40 +60,42 @@ case class TopKItems(
     StructField("cnt", LongType, nullable = false),
     StructField("err", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): mutable.HashMap[UTF8String, (Long, Long)] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): TopKItems.Buffer = new TopKItems.Buffer
 
-  private def offer(
-      buf: mutable.HashMap[UTF8String, (Long, Long)],
-      item: UTF8String, cnt: Long, err: Long): Unit =
-    buf.get(item) match {
-      case Some((c, e)) => buf.update(item, (c + cnt, e + err))
-      case None if buf.size < capacity => buf.update(item, (cnt, err))
+  private def offer(buf: TopKItems.Buffer, item: UTF8String, cnt: Long, err: Long): Unit =
+    buf.map.get(item) match {
+      case Some((c, e)) =>
+        buf.order.remove((c, item))
+        buf.map.update(item, (c + cnt, e + err))
+        buf.order.add((c + cnt, item))
+      case None if buf.map.size < capacity =>
+        buf.map.update(item, (cnt, err))
+        buf.order.add((cnt, item))
       case None =>
-        // evict the minimum-count item; the newcomer inherits its count
-        // as both baseline and error bound (classic space-saving step)
-        val (mItem, (mCnt, _)) = buf.minBy { case (i, (c, _)) => (c, i) }
-        buf.remove(mItem)
-        buf.update(item, (mCnt + cnt, mCnt + err))
+        // evict the minimum-(count, item) entry; the newcomer inherits
+        // its count as both baseline and error bound (classic
+        // space-saving step) — TreeSet head IS the old minBy choice
+        val min = buf.order.head
+        val (mCnt, mItem) = (min._1, min._2)
+        buf.order.remove(min)
+        buf.map.remove(mItem)
+        buf.map.update(item, (mCnt + cnt, mCnt + err))
+        buf.order.add((mCnt + cnt, item))
     }
 
-  override def update(
-      buf: mutable.HashMap[UTF8String, (Long, Long)],
-      input: InternalRow): mutable.HashMap[UTF8String, (Long, Long)] = {
+  override def update(buf: TopKItems.Buffer, input: InternalRow): TopKItems.Buffer = {
     val v = child.eval(input)
     if (v != null) offer(buf, v.asInstanceOf[UTF8String].clone(), 1L, 0L)
     buf
   }
 
-  override def merge(
-      buf: mutable.HashMap[UTF8String, (Long, Long)],
-      other: mutable.HashMap[UTF8String, (Long, Long)]): mutable.HashMap[UTF8String, (Long, Long)] = {
-    other.foreach { case (item, (c, e)) => offer(buf, item, c, e) }
+  override def merge(buf: TopKItems.Buffer, other: TopKItems.Buffer): TopKItems.Buffer = {
+    other.map.foreach { case (item, (c, e)) => offer(buf, item, c, e) }
     buf
   }
 
-  override def eval(buf: mutable.HashMap[UTF8String, (Long, Long)]): Any = {
-    val top = buf.toSeq
+  override def eval(buf: TopKItems.Buffer): Any = {
+    val top = buf.map.toSeq
       .sortBy { case (item, (c, _)) => (-c, item) }
       .take(k)
       .map { case (item, (c, e)) =>
@@ -93,11 +104,11 @@ case class TopKItems(
     new GenericArrayData(top.toArray[Any])
   }
 
-  override def serialize(buf: mutable.HashMap[UTF8String, (Long, Long)]): Array[Byte] = {
+  override def serialize(buf: TopKItems.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (item, (c, e)) =>
+    out.writeInt(buf.map.size)
+    buf.map.foreach { case (item, (c, e)) =>
       val b = item.getBytes
       out.writeInt(b.length)
       out.write(b)
@@ -108,16 +119,20 @@ case class TopKItems(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, (Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKItems.Buffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[UTF8String, (Long, Long)]
+    val buf = new TopKItems.Buffer
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.update(UTF8String.fromBytes(b), (in.readLong(), in.readLong()))
+      val item = UTF8String.fromBytes(b)
+      val c = in.readLong()
+      val e = in.readLong()
+      buf.map.update(item, (c, e))
+      buf.order.add((c, item))
       i += 1
     }
     buf
@@ -132,6 +147,24 @@ case class TopKItems(
 }
 
 object TopKItems {
+
+  private implicit val entryOrdering: Ordering[(Long, UTF8String)] =
+    new Ordering[(Long, UTF8String)] {
+      override def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
+  /** Space-saving state: item -> (count, err) plus the same entries
+    * ordered by (count, item) so the eviction victim is an O(log n)
+    * head lookup instead of a full scan.
+    */
+  final class Buffer {
+    val map: mutable.HashMap[UTF8String, (Long, Long)] = mutable.HashMap.empty
+    val order: mutable.TreeSet[(Long, UTF8String)] = mutable.TreeSet.empty
+  }
+
   /** `topk_items(col, k, capacity)` as a Column aggregate. */
   def topk_items(col: Column, k: Int, capacity: Int): Column =
     GraftBridge.column(
