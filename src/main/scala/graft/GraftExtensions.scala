@@ -90,6 +90,18 @@ object GraftExtensions {
     "compress_ratio" -> ((
       new ExpressionInfo(classOf[graft.functions.CompressRatio].getName, "compress_ratio"),
       (args: Seq[Expression]) => graft.functions.CompressRatio(args.head))),
+    "dd_encode" -> ((
+      new ExpressionInfo(classOf[graft.functions.DdEncode].getName, "dd_encode"),
+      (args: Seq[Expression]) => graft.functions.DdEncode(args.head))),
+    "dd_decode" -> ((
+      new ExpressionInfo(classOf[graft.functions.DdDecode].getName, "dd_decode"),
+      (args: Seq[Expression]) => graft.functions.DdDecode(args.head))),
+    "gorilla_encode" -> ((
+      new ExpressionInfo(classOf[graft.functions.GorillaEncode].getName, "gorilla_encode"),
+      (args: Seq[Expression]) => graft.functions.GorillaEncode(args.head))),
+    "gorilla_decode" -> ((
+      new ExpressionInfo(classOf[graft.functions.GorillaDecode].getName, "gorilla_decode"),
+      (args: Seq[Expression]) => graft.functions.GorillaDecode(args.head))),
     "hyperplane_bucket" -> ((
       new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "hyperplane_bucket"),
       (args: Seq[Expression]) => {

@@ -53,6 +53,17 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT compress_ratio(repeat('spam ham ', 200)) AS rep,
                 compress_ratio('') AS empty""").as[(Double, Double)].head()
     assert(cr._1 < 0.1 && cr._2 == 1.0)
+
+    // round-7 codecs: round-trip identity and grid compression from SQL
+    val codec = spark.sql(
+      """SELECT dd_decode(dd_encode(g)) = g AS ddok,
+                gorilla_decode(gorilla_encode(p)) = p AS gok,
+                length(dd_encode(g)) < 8 * size(g) AS packs
+         FROM (SELECT transform(sequence(0, 23),
+                        i -> 1700000000000000L + i * 3600000000L) AS g,
+                      transform(sequence(0, 23), i -> 100.0D + i % 4) AS p)""")
+      .as[(Boolean, Boolean, Boolean)].head()
+    assert(codec == ((true, true, true)))
   }
 
   test("session built with extensions class resolves the functions") {
