@@ -2026,6 +2026,28 @@ object SparkEntry {
     "q_item_edges" -> ((s, dir) =>
       graft.sources.Derived.itemEdgesRebuilt(s, dir)),
 
+    // ----- Incremental edge-store maintenance, the daily production
+    // shape that replaces the whole-corpus rebuild above (35.9 s at
+    // sf1): a synthetic new-order batch (every 10th order under fresh
+    // ids) folds into the STANDING support table — pair supports are
+    // additive over baskets, so the fold is delta-aggregate +
+    // full-outer sum, work scaling with the batch. Keeping
+    // sub-threshold supports in the store is what lets the fold
+    // promote pairs across the >= 2 threshold (asserted non-trivial
+    // in DerivedSpec). Oracle = full recompute over the union. ------
+    "q_item_edges_incremental" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val offset = li.agg((max(col("l_orderkey")) + 1).as("__o"))
+      val newBatch = li.crossJoin(broadcast(offset))
+        .filter(col("l_orderkey") % 10 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + col("__o"))
+        .drop("__o")
+      graft.operators.GraphOps.foldItemEdgeSupports(
+          graft.sources.Derived.itemEdgeSupports(s, dir),
+          newBatch, "l_orderkey", "l_partkey")
+        .filter(col("support") >= 2)
+    }),
+
     // ----- Item-graph triangles: degree-ordered orientation bounds
     // the wedge join by the O(sqrt m) arboricity bound — per-node
     // triangle counts + local clustering, all exact ------------------
@@ -6031,6 +6053,18 @@ object SparkEntry {
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)
                WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2)
          SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM e""",
+    // Fold == full recompute over the union (new basket ids disjoint)
+    "q_item_edges_incremental" ->
+      """WITH mx AS (SELECT max(l_orderkey) + 1 AS o FROM lineitem),
+         nb AS (SELECT l_orderkey + (SELECT o FROM mx) AS bk, l_partkey AS it
+                FROM lineitem WHERE l_orderkey % 10 = 0),
+         u AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem
+               UNION ALL SELECT bk, it FROM nb),
+         b AS (SELECT bk, it FROM u GROUP BY 1, 2),
+         e AS (SELECT a.it AS x, c.it AS y, CAST(count(*) AS BIGINT) AS support
+               FROM b a JOIN b c USING (bk)
+               WHERE a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, support FROM e""",
     "q_triangles" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem GROUP BY 1, 2),
          e AS (SELECT a.it AS x, c.it AS y FROM b a JOIN b c USING (bk)

@@ -13,16 +13,17 @@ import org.apache.spark.sql.types.LongType
   */
 object GraphOps {
 
-  /** Canonical co-occurrence edges (x < y) with support ≥ `minSupport`
-    * baskets. Two shuffles: basket gather + pair count — the
-    * [[BasketOps.coOccurrence]] shape with a support threshold instead
-    * of a top-N.
+  /** Canonical co-occurrence pair SUPPORTS (x < y, support = number of
+    * baskets containing both) — the UNFILTERED carrier table a stored
+    * edge rollup persists: keeping sub-threshold supports is what lets
+    * a later incremental fold promote a pair across the threshold
+    * (the same carrier-column principle as the rollup cascade's A6/A7
+    * state columns). Two shuffles: basket gather + pair count.
     */
-  def itemEdges(
+  def itemEdgeSupports(
       facts: DataFrame,
       basketCol: String,
-      itemCol: String,
-      minSupport: Long
+      itemCol: String
   ): DataFrame = {
     val baskets = facts
       .groupBy(col(basketCol).as("__b"))
@@ -33,8 +34,48 @@ object GraphOps {
         explode(slice(col("__items"), col("__i") + lit(2), size(col("__items")))).as("y"))
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  /** Canonical co-occurrence edges (x < y) with support ≥ `minSupport`
+    * baskets — the read view over [[itemEdgeSupports]], the
+    * [[BasketOps.coOccurrence]] shape with a support threshold instead
+    * of a top-N.
+    */
+  def itemEdges(
+      facts: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long
+  ): DataFrame =
+    itemEdgeSupports(facts, basketCol, itemCol)
       .filter(col("support") >= minSupport)
       .select(col("x"), col("y"))
+
+  /** Incremental edge-store maintenance: fold a NEW batch of baskets
+    * into the standing support table. Pair supports are additive over
+    * baskets (each basket contributes its own pairs exactly once and
+    * batch basket ids are disjoint from standing ones), so the fold is
+    * delta-aggregate + full-outer sum — work scales with the DELTA's
+    * pair volume; the standing side is read, never re-derived. Under
+    * a (x, y)-bucketed store ([[graft.sources.BucketedStore]]) the
+    * join is co-located and only the delta shuffles — the daily
+    * production shape that replaces the whole-corpus rebuild
+    * (measured 35.9 s at sf1, PERF.md round-7) with a batch-sized
+    * fold.
+    */
+  def foldItemEdgeSupports(
+      standing: DataFrame,
+      newFacts: DataFrame,
+      basketCol: String,
+      itemCol: String
+  ): DataFrame = {
+    val delta = itemEdgeSupports(newFacts, basketCol, itemCol)
+      .withColumnRenamed("support", "__ds")
+    standing.withColumnRenamed("support", "__ss")
+      .join(delta, Seq("x", "y"), "full_outer")
+      .select(col("x"), col("y"),
+        (coalesce(col("__ss"), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+          .as("support"))
   }
 
   /** Shared triangle enumeration: canonical edges, degrees, and the

@@ -11,10 +11,10 @@ class DerivedSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("itemEdges is derived once per (session, dir) and reused") {
+  test("itemEdgeSupports is derived once per (session, dir) and reused") {
     Derived.clear()
-    val first = Derived.itemEdges(spark, sfDir)
-    val second = Derived.itemEdges(spark, sfDir)
+    val first = Derived.itemEdgeSupports(spark, sfDir)
+    val second = Derived.itemEdgeSupports(spark, sfDir)
     assert(first eq second, "second call must return the cached handle")
   }
 
@@ -29,19 +29,38 @@ class DerivedSpec extends SparkSpec {
     assert(cached.forall { case (x, y) => x < y }, "edges are canonical x < y")
   }
 
-  test("itemEdgesRebuilt replaces the cached handle with a fresh build") {
-    val before = Derived.itemEdges(spark, sfDir)
-    val rebuilt = Derived.itemEdgesRebuilt(spark, sfDir)
-    assert(!(rebuilt eq before), "rebuild must not serve the old handle")
-    val after = Derived.itemEdges(spark, sfDir)
-    assert(after eq rebuilt, "subsequent reads must see the rebuilt table")
+  test("itemEdgesRebuilt replaces the cached support table with a fresh build") {
+    val before = Derived.itemEdgeSupports(spark, sfDir)
+    Derived.itemEdgesRebuilt(spark, sfDir)
+    val after = Derived.itemEdgeSupports(spark, sfDir)
+    assert(!(after eq before), "rebuild must replace the cached table")
   }
 
   test("different dirs never alias in the cache") {
     Derived.clear()
-    val a = Derived.itemEdges(spark, sfDir)
-    val b = Derived.itemEdges(spark, "/root/testdata/sf0.01")
+    val a = Derived.itemEdgeSupports(spark, sfDir)
+    val b = Derived.itemEdgeSupports(spark, "/root/testdata/sf0.01")
     assert(!(a eq b))
+  }
+
+  test("foldItemEdgeSupports over a new batch equals a full recompute over the union") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val offset = li.agg(max(col("l_orderkey")) + 1).head().getLong(0)
+    val newBatch = li.filter(col("l_orderkey") % 10 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(offset))
+    val folded = graft.operators.GraphOps.foldItemEdgeSupports(
+        Derived.itemEdgeSupports(spark, sfDir), newBatch, "l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = graft.operators.GraphOps.itemEdgeSupports(
+        li.unionByName(newBatch), "l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded == full)
+    // the batch genuinely promotes pairs across the >= 2 threshold
+    val promoted = full.count { case (k, v) => v >= 2 } -
+      Derived.itemEdgeSupports(spark, sfDir)
+        .filter(col("support") >= 2).count().toInt
+    assert(promoted > 0, "fixture must exercise threshold promotion")
   }
 
   test("dedup stage tables: cached reuse, rebuild replacement, and cascade containment") {

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   // O(data):
   private val boundedBnlj: Map[String, String] = Map(
     "q_dedup_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
+    "q_item_edges_incremental" -> "1-row max(l_orderkey) offset for the new-order batch",
     "q_dedup_incremental_rederive" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_minhash_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_simhash_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
