@@ -188,6 +188,42 @@ final class CandleTable private (
   def vpin(timeframe: String, bucketVolumeCents: Long): DataFrame =
     MicrostructureOps.vpin(rollup(timeframe), rkeys, "bucket_ts", bucketVolumeCents)
 
+  /** Screened pairwise correlation — the scale path past a few
+    * thousand keys (sign-sketch LSH candidates, exact corr on the
+    * candidates; see [[MicrostructureOps.corrScreen]]). The screen
+    * pairs KEYS: multi-column keys (exchange, symbol) are packed into
+    * one '|'-joined composite, reported as key_a/key_b.
+    */
+  def corrScreen(
+      timeframe: String,
+      maxHamming: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    val r = rollup(timeframe)
+      .withColumn("__key", concat_ws("|", rkeys.map(col): _*))
+    MicrostructureOps.corrScreen(r, "__key", "bucket_ts",
+      maxHamming = maxHamming, bandBits = bandBits)
+  }
+
+  /** Pack each key's series into per-column codec cells (DoubleDelta
+    * epoch grid + Gorilla closes + DoubleDelta cent closes) — the
+    * serialized-state storage row ([[graft.functions.Codecs]]).
+    */
+  def packedSeries(timeframe: String): DataFrame = {
+    import graft.functions.Codecs
+    val r = rollup(timeframe)
+      .select((rkeys.map(col) :+
+        unix_micros(col("bucket_ts")).as("__us") :+ col("close")): _*)
+      .groupBy(rkeys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__us"), col("close")))).as("__s"))
+    r.select((rkeys.map(col) :+
+      size(col("__s")).as("n_buckets") :+
+      Codecs.dd_encode(expr("transform(__s, x -> x.__us)")).as("ts_cell") :+
+      Codecs.gorilla_encode(expr("transform(__s, x -> x.close)")).as("px_cell") :+
+      Codecs.dd_encode(
+        expr("transform(__s, x -> CAST(round(x.close * 100) AS BIGINT))"))
+        .as("px_cents_cell")): _*)
+  }
+
   /** Typed view for case-class-level logic. */
   def typed(implicit spark: SparkSession): Dataset[Candle] = {
     import spark.implicits._

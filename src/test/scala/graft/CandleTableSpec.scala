@@ -118,4 +118,27 @@ class CandleTableSpec extends SparkSpec {
     assert(t.williamsR("15m").count() > 0 && t.aroon("15m").count() > 0)
     assert(t.cci("15m").count() > 0 && t.mfi("15m").count() > 0)
   }
+
+  test("corrScreen facade pairs the symbol key; packedSeries round-trips its codec cells") {
+    val two = raw ++ raw.map(c => c.copy(symbol = "ETH"))
+    val t = CandleTable(spark.createDataFrame(two)).validated.deduped
+    // identical series -> identical sign fingerprints -> hamming 0;
+    // this fixture's closes rise by a CONSTANT step, so the move
+    // variance is zero and corr is correctly NULL (the degenerate-
+    // series convention every indicator in the family follows)
+    val screen = t.corrScreen("15m").collect()
+    assert(screen.length == 1)
+    assert(screen.head.getAs[Long]("hamming") == 0L)
+    assert(screen.head.isNullAt(screen.head.fieldIndex("corr")))
+    val packed = t.packedSeries("15m")
+    assert(packed.columns.toSet ==
+      Set("exchange", "symbol", "n_buckets", "ts_cell", "px_cell", "px_cents_cell"))
+    // cells decode back to the rollup's own series
+    import graft.functions.Codecs
+    val check = packed.select(
+      (size(Codecs.dd_decode(col("ts_cell"))) === col("n_buckets")).as("tn"),
+      (size(Codecs.gorilla_decode(col("px_cell"))) === col("n_buckets")).as("pn"))
+      .as[(Boolean, Boolean)].collect()
+    assert(check.nonEmpty && check.forall(r => r._1 && r._2))
+  }
 }
