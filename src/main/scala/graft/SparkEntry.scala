@@ -3024,6 +3024,16 @@ object SparkEntry {
         maxHamming = 24)
     }),
 
+    // ----- BOTH sides of the screen: co-moving AND anti-moving pairs
+    // (complement-band candidates — the pairs-trading/hedge screen);
+    // an anti pair's corr is the full matrix's negative entry bitwise.
+    "q_corr_screen_signed" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.corrScreenSigned(r1h, "user_id", "bucket_ts",
+        maxHamming = 24)
+    }),
+
     // ----- The same screen at the 16-bit band width production runs
     // past a few thousand keys (2^bandBits ≳ universe): near-linear at
     // sf1 where 8-bit bands saturate. Planted-copycat recall is
@@ -7300,7 +7310,7 @@ object SparkEntry {
                WHERE dd IS NOT NULL),
          ax AS (SELECT user_id,
                   CAST(('0x' || substr(md5(CAST(us AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
-                  CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+                  dd AS s
                 FROM m WHERE dd <> 0),
          votes AS (SELECT user_id, j, sum(s) AS vote FROM ax GROUP BY 1, 2),
          fp AS (SELECT user_id,
@@ -7334,6 +7344,68 @@ object SparkEntry {
                          * CAST(n * sbb - sb * sb AS DOUBLE))
                 END AS corr
          FROM g""",
+    // Signed screen: co-moving candidates from direct bands, anti-moving
+    // from complement bands; hamming on the anti side is the distance to
+    // the complement.
+    "q_corr_screen_signed" ->
+      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         m AS (SELECT user_id, epoch_us(bucket_ts) AS us, dd FROM (
+                 SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+               WHERE dd IS NOT NULL),
+         ax AS (SELECT user_id,
+                  CAST(('0x' || substr(md5(CAST(us AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
+                  dd AS s
+                FROM m WHERE dd <> 0),
+         votes AS (SELECT user_id, j, sum(s) AS vote FROM ax GROUP BY 1, 2),
+         fp AS (SELECT user_id,
+                  bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS sh
+                FROM votes GROUP BY 1),
+         banded AS (SELECT user_id, sh, bs.band,
+                      (sh >> (bs.band * 8)) & 255 AS h
+                    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bs(band)),
+         kept AS (SELECT band, h FROM banded GROUP BY band, h HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, h)),
+         bandedc AS (SELECT user_id, sh, bs.band,
+                      (xor(sh, CAST(18446744073709551615 AS UBIGINT)) >> (bs.band * 8)) & 255 AS h
+                    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bs(band)),
+         keptc AS (SELECT band, h FROM bandedc GROUP BY band, h HAVING count(*) <= 10000),
+         guardedc AS (SELECT bandedc.* FROM bandedc JOIN keptc USING (band, h)),
+         cop AS (SELECT DISTINCT a.user_id AS key_a, b.user_id AS key_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming,
+                   'co_moving' AS side
+                 FROM guarded a JOIN guarded b USING (band, h)
+                 WHERE a.user_id < b.user_id
+                   AND bit_count(xor(a.sh, b.sh)) <= 24),
+         ap AS (SELECT DISTINCT a.user_id AS key_a, b.user_id AS key_b,
+                  CAST(64 - bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming,
+                  'anti_moving' AS side
+                FROM guarded a JOIN guardedc b USING (band, h)
+                WHERE a.user_id < b.user_id
+                  AND 64 - bit_count(xor(a.sh, b.sh)) <= 24),
+         pairs AS (SELECT * FROM cop UNION SELECT * FROM ap),
+         al AS (SELECT p.key_a, p.key_b, p.side, p.hamming, a.dd AS da, b.dd AS db
+                FROM pairs p
+                JOIN m a ON a.user_id = p.key_a
+                JOIN m b ON b.user_id = p.key_b AND b.us = a.us),
+         g AS (SELECT key_a, key_b, side, max(hamming) AS hamming, count(*) AS n,
+                 CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+                 CAST(sum(da * db) AS BIGINT) AS sab,
+                 CAST(sum(da * da) AS BIGINT) AS saa,
+                 CAST(sum(db * db) AS BIGINT) AS sbb
+               FROM al GROUP BY 1, 2, 3)
+         SELECT key_a, key_b, side, hamming, n AS n_aligned,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS corr
+         FROM g""",
     // 16-bit-band twin: 4 bands, guaranteed recall to hamming 3,
     // probabilistic beyond -- the production width past a few thousand keys.
     "q_corr_screen_wide" ->
@@ -7348,7 +7420,7 @@ object SparkEntry {
                WHERE dd IS NOT NULL),
          ax AS (SELECT user_id,
                   CAST(('0x' || substr(md5(CAST(us AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
-                  CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+                  dd AS s
                 FROM m WHERE dd <> 0),
          votes AS (SELECT user_id, j, sum(s) AS vote FROM ax GROUP BY 1, 2),
          fp AS (SELECT user_id,

@@ -618,59 +618,69 @@ object MicrostructureOps {
     * axis hash is md5-derived, so the DuckDB oracle reproduces every
     * bit.
     */
-  def corrScreen(
-      rollup: DataFrame,
-      keyCol: String,
-      bucketCol: String,
-      maxHamming: Int = 7,
-      bucketCap: Long = 10000L,
-      bandBits: Int = 8
-  ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64,
-      s"maxHamming=$maxHamming outside [0, 64]")
-    require(Seq(8, 16, 32).contains(bandBits),
-      s"bandBits=$bandBits must be 8, 16, or 32 (64-bit fingerprint)")
+  /** key, __us (epoch micros), __d (cent move) — the screen's shared
+    * move series.
+    */
+  private def screenMoves(
+      rollup: DataFrame, keyCol: String, bucketCol: String): DataFrame = {
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    val moves = rollup.select(
+    rollup.select(
       col(keyCol), unix_micros(col(bucketCol)).as("__us"), d.as("__d"))
       .filter(col("__d").isNotNull)
-    // axis = md5(epoch-micros string) mod 64: engine/oracle-identical
+  }
+
+  /** key, __fp — the 64-bit sign sketch over md5-derived axes: bit j =
+    * (net CENT MOVE over the buckets hashing to axis j) > 0 — a
+    * one-bit random projection of the return series using magnitudes,
+    * not a majority of per-bucket signs. The magnitude form is what
+    * makes the ANTI side work: a mirrored series negates every axis
+    * sum, so its fingerprint is the complement on every axis with a
+    * nonzero sum (a majority-of-signs vote would leave tied axes
+    * agreeing with the original instead). Engine/oracle-identical.
+    */
+  private def signFingerprints(moves: DataFrame, keyCol: String): DataFrame = {
     val axis = pmod(
       conv(substring(md5(col("__us").cast("string").cast("binary")), 1, 8), 16, 10)
         .cast(LongType), lit(64L))
-    val votes = moves.filter(col("__d") =!= 0)
-      .select(col(keyCol), axis.as("__j"), signum(col("__d")).cast(LongType).as("__s"))
+    moves.filter(col("__d") =!= 0)
+      .select(col(keyCol), axis.as("__j"), col("__d").as("__s"))
       .groupBy(col(keyCol), col("__j"))
       .agg(sum(col("__s")).as("__vote"))
-    val fp = votes.groupBy(col(keyCol))
+      .groupBy(col(keyCol))
       .agg(bit_or(
         when(col("__vote") > 0,
           expr("shiftleft(CAST(1 AS BIGINT), CAST(__j AS INT))"))
           .otherwise(lit(0L))).as("__fp"))
+  }
+
+  /** key, __fp (original), band, h — `bandOf` banded keys with the
+    * hot-bucket cap applied; `bandOf` defaults to the fingerprint
+    * itself, the signed screen passes its complement.
+    */
+  private def bandFingerprints(
+      fp: DataFrame, keyCol: String, bandBits: Int, bucketCap: Long,
+      bandOf: Column): DataFrame = {
     val nBands = 64 / bandBits
     val bandMask = (1L << bandBits) - 1
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(bandMask)).as("h"))
+        shiftrightunsigned(bandOf, b * bandBits).bitwiseAND(lit(bandMask)).as("h"))
     }
-    val banded = graft.functions.TextOps.capBuckets(
+    graft.functions.TextOps.capBuckets(
       fp.select(col(keyCol), col("__fp"),
           explode(array(bandStructs: _*)).as("__b"))
         .select(col(keyCol), col("__fp"),
           col("__b.band").as("band"), col("__b.h").as("h")),
       Seq("band", "h"), bucketCap)
-    val a = banded.select(col(keyCol).as("key_a"), col("__fp").as("__fa"),
-      col("band"), col("h"))
-    val b = banded.select(col(keyCol).as("key_b"), col("__fp").as("__fb"),
-      col("band"), col("h"))
-    val pairs = a.join(b, Seq("band", "h"))
-      .filter(col("key_a") < col("key_b"))
-      .withColumn("hamming",
-        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast(LongType))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("key_a"), col("key_b"), col("hamming"))
-      .distinct()
+  }
+
+  /** Exact corrMatrix co-moment arithmetic over candidate pairs only;
+    * `extraCols` (e.g. side) ride through the group-by.
+    */
+  private def exactCorrOnPairs(
+      pairs: DataFrame, moves: DataFrame, keyCol: String,
+      extraCols: Seq[String]): DataFrame = {
     val m1 = moves.select(col(keyCol).as("key_a"),
       col("__us"), col("__d").as("__da"))
     val m2 = moves.select(col(keyCol).as("__kb"),
@@ -684,7 +694,7 @@ object MicrostructureOps {
     val sab = sum((col("__da") * col("__db")).cast(dec)).cast(LongType)
     val saa = sum((col("__da") * col("__da")).cast(dec)).cast(LongType)
     val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
-    aligned.groupBy(col("key_a"), col("key_b"))
+    aligned.groupBy((Seq("key_a", "key_b") ++ extraCols).map(col): _*)
       .agg(
         max(col("hamming")).as("hamming"),
         n.as("n_aligned"),
@@ -693,5 +703,86 @@ object MicrostructureOps {
             sqrt((n * saa - sa * sa).cast(DoubleType) *
               (n * sbb - sb * sb).cast(DoubleType)))
           .as("corr"))
+  }
+
+  def corrScreen(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      maxHamming: Int = 7,
+      bucketCap: Long = 10000L,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming=$maxHamming outside [0, 64]")
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits=$bandBits must be 8, 16, or 32 (64-bit fingerprint)")
+    val moves = screenMoves(rollup, keyCol, bucketCol)
+    val fp = signFingerprints(moves, keyCol)
+    val banded = bandFingerprints(fp, keyCol, bandBits, bucketCap, col("__fp"))
+    val a = banded.select(col(keyCol).as("key_a"), col("__fp").as("__fa"),
+      col("band"), col("h"))
+    val b = banded.select(col(keyCol).as("key_b"), col("__fp").as("__fb"),
+      col("band"), col("h"))
+    val pairs = a.join(b, Seq("band", "h"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("hamming",
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("key_a"), col("key_b"), col("hamming"))
+      .distinct()
+    exactCorrOnPairs(pairs, moves, keyCol, Seq.empty)
+  }
+
+  /** BOTH sides of the screen: co-moving pairs (near-equal sign
+    * patterns, as [[corrScreen]]) AND anti-moving pairs (near-
+    * complement patterns — the pairs-trading / hedge screen). Anti
+    * candidates come from joining each key's direct band keys against
+    * the others' COMPLEMENT band keys (per band, `h == ~h'` is
+    * symmetric, so one join direction plus the canonical key order
+    * finds each pair once); their reported `hamming` is the distance
+    * TO THE COMPLEMENT (64 − xor popcount), so ≤ maxHamming means
+    * "sign patterns disagree on ≥ 64−maxHamming axes". `side` is
+    * 'co_moving' or 'anti_moving'; maxHamming < 32 keeps the two
+    * candidate sets disjoint. Same pigeonhole recall radius per side,
+    * same exact-corr stage — an anti pair's corr is the full matrix's
+    * (negative) entry, bit for bit.
+    */
+  def corrScreenSigned(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      maxHamming: Int = 7,
+      bucketCap: Long = 10000L,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming outside [0, 31] (>= 32 would overlap the sides)")
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits=$bandBits must be 8, 16, or 32 (64-bit fingerprint)")
+    val moves = screenMoves(rollup, keyCol, bucketCol)
+    val fp = signFingerprints(moves, keyCol)
+    val direct = bandFingerprints(fp, keyCol, bandBits, bucketCap, col("__fp"))
+    val compl = bandFingerprints(fp, keyCol, bandBits, bucketCap,
+      bitwise_not(col("__fp")))
+    val a = direct.select(col(keyCol).as("key_a"), col("__fp").as("__fa"),
+      col("band"), col("h"))
+    def bSide(banded: DataFrame) = banded.select(
+      col(keyCol).as("key_b"), col("__fp").as("__fb"), col("band"), col("h"))
+    val xorPop = bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast(LongType)
+    val co = a.join(bSide(direct), Seq("band", "h"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("hamming", xorPop)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("key_a"), col("key_b"), col("hamming"),
+        lit("co_moving").as("side"))
+    val anti = a.join(bSide(compl), Seq("band", "h"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("hamming", lit(64L) - xorPop)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("key_a"), col("key_b"), col("hamming"),
+        lit("anti_moving").as("side"))
+    val pairs = co.unionByName(anti).distinct()
+    exactCorrOnPairs(pairs, moves, keyCol, Seq("side"))
   }
 }

@@ -335,4 +335,38 @@ class MicrostructureSpec extends SparkSpec {
       .select("corr").as[Double].head()
     assert(full == 1.0)
   }
+
+  test("corrScreenSigned: a planted mirror key surfaces anti_moving with corr -1") {
+    // 320 hourly buckets: every axis of the 64-axis sketch is hit whp,
+    // and varied move magnitudes (1 + i%5 cents) make zero-sum axes
+    // rare — the two residual ways an axis can fail to complement.
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(k: String, moveAt: Int => Int) = (0 until 320).map { i =>
+      val px = 200.0 + 0.01 * (0 to i).map(moveAt).sum
+      (k, new Timestamp(t0 + i * 3600000L), px, px, px, px, 1L, 1.0)
+    }
+    val rnd = (seed: Int) => (i: Int) => {
+      val mag = 1 + i % 5
+      if (((i * 2654435761L + seed * 40503L) >>> 16 & 1L) == 1L) mag else -mag
+    }
+    val base = rnd(5)
+    val mirror = (i: Int) => -base(i)
+    val df = (series("up", base) ++ series("dn", mirror) ++
+      series("n1", rnd(13)) ++ series("n2", rnd(29)))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+    val out = MicrostructureOps.corrScreenSigned(
+      df, "sym", "bucket_ts", maxHamming = 7)
+      .select("key_a", "key_b", "side", "hamming", "corr")
+      .as[(String, String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    // the mirrored pair: complement fingerprints -> anti side, distance
+    // to complement 0, exact corr the full matrix's -1
+    val (ham, corr) = out(("dn", "up", "anti_moving"))
+    // ham counts the axes that failed to complement (empty or
+    // zero-sum): 0 when every axis voted, tiny otherwise
+    assert(ham <= 3L, s"anti hamming $ham")
+    assert(corr.contains(-1.0))
+    // mirror pairs never leak onto the co side at a tight radius
+    assert(!out.contains(("dn", "up", "co_moving")))
+  }
 }
