@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+import graft.streaming.EdgeStream
+
+case class BasketFact(order_id: Long, part_id: Long)
+
+/** Streaming edge-store maintenance: folding micro-batches of basket
+  * facts converges to the batch support derivation over everything
+  * ingested, regardless of how the baskets are sliced into batches,
+  * and the two-generation store survives an interleaved re-fold.
+  */
+class EdgeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def facts(seed: Int, baskets: Int): Seq[BasketFact] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until baskets).flatMap { b =>
+      val n = 2 + rnd.nextInt(4)
+      (0 until n).map(_ => BasketFact(b.toLong, rnd.nextInt(30).toLong))
+    }
+  }
+
+  test("stream fold == batch supports over the union, across micro-batch slicings") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = facts(17, 40)
+    val store = java.nio.file.Files.createTempDirectory("edge-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("edge-ckpt").toString
+    val source = MemoryStream[BasketFact]
+    val writer = EdgeStream.toSupportStore(
+      source.toDF(), "order_id", "part_id", store, ckpt)
+    // slice the baskets into 3 uneven micro-batches on basket
+    // boundaries (the ordering contract: a basket arrives whole)
+    val slices = Seq(
+      all.filter(_.order_id < 7),
+      all.filter(f => f.order_id >= 7 && f.order_id < 25),
+      all.filter(_.order_id >= 25))
+    slices.foreach { s =>
+      source.addData(s: _*)
+      EdgeStream.runAvailableNow(writer)
+    }
+    val streamed = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = GraphOps.itemEdgeSupports(all.toDF(), "order_id", "part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_ >= 2))
+  }
+
+  test("generation flip: each fold leaves the previous store generation intact until commit") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store2").toString
+    val b1 = Seq(BasketFact(1, 10), BasketFact(1, 11)).toDF()
+    val b2 = Seq(BasketFact(2, 10), BasketFact(2, 11)).toDF()
+    EdgeStream.foldBatch(b1, "order_id", "part_id", store)
+    val after1 = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after1 == Map((10L, 11L) -> 1L))
+    EdgeStream.foldBatch(b2, "order_id", "part_id", store)
+    val after2 = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after2 == Map((10L, 11L) -> 2L))
+    // both generation dirs exist; the manifest decides which is live
+    assert(new java.io.File(s"$store/gen=0").exists())
+    assert(new java.io.File(s"$store/gen=1").exists())
+  }
+}
