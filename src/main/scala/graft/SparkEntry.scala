@@ -2143,6 +2143,16 @@ object SparkEntry {
         fast = 6, slow = 13, signalN = 5)
     }),
 
+    // ----- Brown's double exponential smoothing: level/trend/one-step
+    // forecast, each ONE division of exact decimals over the
+    // twice-applied truncated EWMA (the macd quantize discipline) ----
+    "q_holt_brown" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.holtBrown(r1h, Seq("user_id"), "bucket_ts", "close",
+        nWindow = 6)
+    }),
+
     // ----- RFM segmentation: quintile scores over total orders so the
     // ntile edges are engine-deterministic ---------------------------
     "q_rfm" -> ((s, dir) =>
@@ -6218,6 +6228,7 @@ object SparkEntry {
                   AS obv_cents
          FROM d""",
     "q_macd" -> macdOracleSql(fast = 6, slow = 13, signalN = 5),
+    "q_holt_brown" -> holtOracleSql(n = 6),
     "q_rfm" ->
       """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
                 count(*) AS frequency,
@@ -8018,6 +8029,50 @@ object SparkEntry {
                 macd_micro, sig_v AS signal_micro,
                 CAST(macd_micro AS DOUBLE) - sig_v AS hist_micro
          FROM sig"""
+  }
+
+  /** Oracle for q_holt_brown: the engine's twice-applied truncated
+    * EWMA with Brown's rational identities expanded over HUGEINTs —
+    * level/trend/forecast each one IEEE division, matching the
+    * decimal(38,0) arithmetic bit for bit.
+    */
+  private def holtOracleSql(n: Int): String = {
+    def weights = (0 until n).map { j =>
+      BigInt(n - 1).pow(j) * BigInt(n + 1).pow(n - 1 - j)
+    }
+    def lagExpr(x: String, j: Int) = if (j == 0) x else s"lag($x, $j) OVER w"
+    def numSql(x: String) = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) * ${lagExpr(x, j)} ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    def denSql(x: String) = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    s"""WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         m1 AS (SELECT user_id, bucket_ts, cents,
+                 ${numSql("cents")} AS n1,
+                 ${denSql("cents")} AS d1
+                FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         m2 AS (SELECT user_id, bucket_ts, cents,
+                 CAST(floor((CAST(n1 AS DOUBLE) / CAST(d1 AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS s1_micro
+                FROM m1),
+         m3 AS (SELECT user_id, bucket_ts, cents, s1_micro,
+                 ${numSql("s1_micro")} AS n2,
+                 ${denSql("s1_micro")} AS d2
+                FROM m2 WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, cents AS close_cents, s1_micro,
+                CAST(2 * s1_micro * d2 - n2 AS DOUBLE) / CAST(d2 AS DOUBLE)
+                  AS level_micro,
+                CAST(2 * (s1_micro * d2 - n2) AS DOUBLE)
+                  / CAST(${n - 1} * d2 AS DOUBLE) AS trend_micro,
+                CAST((2 * s1_micro * d2 - n2) * ${n - 1}
+                     + 2 * (s1_micro * d2 - n2) AS DOUBLE)
+                  / CAST(${n - 1} * d2 AS DOUBLE) AS forecast_micro
+         FROM m3"""
   }
 
   /** Oracle for q_heikin_ashi: hc4 = cents OHLC sum (= 4·ha_close

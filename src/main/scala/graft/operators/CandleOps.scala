@@ -660,6 +660,53 @@ object CandleOps {
         (col("macd_micro").cast(DoubleType) - signal).as("hist_micro")): _*)
   }
 
+  /** Brown's double exponential smoothing (one smoothing constant
+    * applied twice): S1 = truncated rational EWMA of close cents
+    * ([[ema]]'s exact num/den), quantized to micro-cents by the
+    * [[macd]] signal-line discipline (`floor(S1·1e6)` — deterministic
+    * from the identical double); S2 = the same truncated EWMA over
+    * those longs. With the window form's effective α = 2/(n+1),
+    * Brown's identities become exact rationals over (s1µ, numS2,
+    * denS2):
+    *   level    = (2·s1µ·denS2 − numS2) / denS2
+    *   trend    = 2·(s1µ·denS2 − numS2) / ((n−1)·denS2)
+    *   forecast = level + trend, combined over the common denominator
+    * — each published double is ONE IEEE division of exact
+    * decimal(38,0) operands. n ≤ 8 keeps every cross-product far
+    * inside 38 digits at $10M closes (denS2 ≤ n·(n+1)^(n−1) ≈ 3.8e7,
+    * s1µ ≤ 1e15). One per-key sort exchange for both passes.
+    */
+  def holtBrown(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      nWindow: Int = 6
+  ): DataFrame = {
+    require(nWindow > 1 && nWindow <= 8,
+      s"nWindow=$nWindow outside (1, 8]: the decimal(38,0) cross-multiply budget")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val (num1, den1) = emaNumDen(cents, wOrd, nWindow)
+    val s1 = num1.cast(DoubleType) / den1.cast(DoubleType)
+    val stage1 = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
+        floor(s1 * lit(1000000.0)).cast(LongType).as("s1_micro")): _*)
+    val dec38 = DecimalType(38, 0)
+    val (num2, den2) = emaNumDen(col("s1_micro"), wOrd, nWindow)
+    val s1d = col("s1_micro").cast(dec38)
+    val lvlNum = s1d * lit(2).cast(dec38) * den2 - num2
+    val trdNum = (s1d * den2 - num2) * lit(2).cast(dec38)
+    val nm1 = lit(nWindow - 1).cast(dec38)
+    stage1.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+        col("s1_micro") :+
+        (lvlNum.cast(DoubleType) / den2.cast(DoubleType)).as("level_micro") :+
+        (trdNum.cast(DoubleType) / (nm1 * den2).cast(DoubleType)).as("trend_micro") :+
+        ((lvlNum * nm1 + trdNum).cast(DoubleType) /
+          (nm1 * den2).cast(DoubleType)).as("forecast_micro")): _*)
+  }
+
   /** Per-key maximum drawdown: the largest peak-to-trough drop of the
     * close series, in exact cents. The running peak is a window max in
     * cents; per-row drawdown = peak − close is an exact long; the

@@ -364,4 +364,37 @@ class CandleOpsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == Map("A" -> "abbcdd"), got.toString)
   }
+
+  test("holtBrown: a constant series has level == close, trend 0, forecast == level") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val flat = (0 until 12).map(h =>
+      ("S", new java.sql.Timestamp(ts0 + h * 3600000L), 42.50))
+      .toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.holtBrown(flat, Seq("sym"), "bucket_ts", "close", nWindow = 4)
+      .orderBy("bucket_ts")
+      .select("s1_micro", "level_micro", "trend_micro", "forecast_micro")
+      .as[(Long, Double, Double, Double)].collect()
+    // EWMA of a constant is the constant: s1 = 4250 cents = 4.25e9 micro
+    got.foreach { case (s1, lvl, trd, fc) =>
+      assert(s1 == 4250000000L)
+      assert(lvl == 4.25e9 && trd == 0.0 && fc == 4.25e9)
+    }
+  }
+
+  test("holtBrown: a rising ramp reports positive trend and a forecast above level") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val ramp = (0 until 16).map(h =>
+      ("S", new java.sql.Timestamp(ts0 + h * 3600000L), 100.0 + h))
+      .toDF("sym", "bucket_ts", "close")
+    val last = CandleOps.holtBrown(ramp, Seq("sym"), "bucket_ts", "close", nWindow = 4)
+      .orderBy(col("bucket_ts").desc)
+      .select("close_cents", "level_micro", "trend_micro", "forecast_micro")
+      .as[(Long, Double, Double, Double)].head()
+    val (closeC, lvl, trd, fc) = last
+    assert(trd > 0.0, s"trend $trd")
+    assert(fc == lvl + trd)
+    // Brown's lag correction: level sits above the lagging single EMA,
+    // near the actual close (within ~2 cents of drift on this ramp)
+    assert(math.abs(lvl / 1e6 - closeC.toDouble) < 200.0)
+  }
 }
