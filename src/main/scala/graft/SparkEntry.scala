@@ -2153,6 +2153,15 @@ object SparkEntry {
         nWindow = 6)
     }),
 
+    // ----- EWMA volatility (RiskMetrics): truncated rational EWMA of
+    // squared cent moves, vol = one division then one sqrt ------------
+    "q_ewma_vol" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.ewmaVolatility(r1h, Seq("user_id"), "bucket_ts", "close",
+        nWindow = 6)
+    }),
+
     // ----- RFM segmentation: quintile scores over total orders so the
     // ntile edges are engine-deterministic ---------------------------
     "q_rfm" -> ((s, dir) =>
@@ -6229,6 +6238,7 @@ object SparkEntry {
          FROM d""",
     "q_macd" -> macdOracleSql(fast = 6, slow = 13, signalN = 5),
     "q_holt_brown" -> holtOracleSql(n = 6),
+    "q_ewma_vol" -> ewmaVolOracleSql(n = 6),
     "q_rfm" ->
       """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
                 count(*) AS frequency,
@@ -8073,6 +8083,43 @@ object SparkEntry {
                      + 2 * (s1_micro * d2 - n2) AS DOUBLE)
                   / CAST(${n - 1} * d2 AS DOUBLE) AS forecast_micro
          FROM m3"""
+  }
+
+  /** Oracle for q_ewma_vol: the truncated EWMA weights over squared
+    * cent moves in HUGEINTs; variance = one division, vol = its sqrt.
+    */
+  private def ewmaVolOracleSql(n: Int): String = {
+    def weights = (0 until n).map { j =>
+      BigInt(n - 1).pow(j) * BigInt(n + 1).pow(n - 1 - j)
+    }
+    def lagExpr(x: String, j: Int) = if (j == 0) x else s"lag($x, $j) OVER w"
+    def numSql(x: String) = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) * ${lagExpr(x, j)} ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    def denSql(x: String) = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    s"""WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cents FROM r1h),
+         d AS (SELECT user_id, bucket_ts,
+                 cents - lag(cents) OVER w AS dd,
+                 (cents - lag(cents) OVER w) * (cents - lag(cents) OVER w) AS d2
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         v AS (SELECT user_id, bucket_ts, dd,
+                 ${numSql("d2")} AS nv,
+                 ${denSql("d2")} AS dv
+               FROM d WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts))
+         SELECT user_id, bucket_ts, dd AS move_cents,
+                CASE WHEN dd IS NOT NULL
+                     THEN CAST(nv AS DOUBLE) / CAST(dv AS DOUBLE) END
+                  AS ewma_var_cents2,
+                CASE WHEN dd IS NOT NULL
+                     THEN sqrt(CAST(nv AS DOUBLE) / CAST(dv AS DOUBLE)) END
+                  AS ewma_vol_cents
+         FROM v"""
   }
 
   /** Oracle for q_heikin_ashi: hc4 = cents OHLC sum (= 4·ha_close

@@ -188,6 +188,16 @@ final class CandleTable private (
   def vpin(timeframe: String, bucketVolumeCents: Long): DataFrame =
     MicrostructureOps.vpin(rollup(timeframe), rkeys, "bucket_ts", bucketVolumeCents)
 
+  /** Brown's double exponential smoothing: level/trend/one-step
+    * forecast in micro-cents.
+    */
+  def holtBrown(timeframe: String, nWindow: Int = 6): DataFrame =
+    CandleOps.holtBrown(rollup(timeframe), rkeys, "bucket_ts", "close", nWindow)
+
+  /** EWMA volatility (RiskMetrics) of close-to-close cent moves. */
+  def ewmaVolatility(timeframe: String, nWindow: Int = 6): DataFrame =
+    CandleOps.ewmaVolatility(rollup(timeframe), rkeys, "bucket_ts", "close", nWindow)
+
   /** Screened pairwise correlation — the scale path past a few
     * thousand keys (sign-sketch LSH candidates, exact corr on the
     * candidates; see [[MicrostructureOps.corrScreen]]). The screen

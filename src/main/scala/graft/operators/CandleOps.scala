@@ -707,6 +707,38 @@ object CandleOps {
           (nm1 * den2).cast(DoubleType)).as("forecast_micro")): _*)
   }
 
+  /** EWMA volatility (the RiskMetrics estimator): the truncated
+    * rational EWMA applied to SQUARED cent moves — variance_t =
+    * Σwⱼ·d²ₜ₋ⱼ / Σwⱼ is one IEEE division of exact decimals, and the
+    * published vol is the correctly-rounded √ of that one quotient
+    * (division-then-sqrt, the [[MicrostructureOps]] determinism
+    * contract). First bar of a key has no move and reports NULL.
+    * d² ≤ (2³⁰)² = 2⁶⁰ cents² keeps the weighted sums inside the
+    * decimal(38,0) budget for n ≤ 8. One per-key sort exchange.
+    */
+  def ewmaVolatility(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCol: String,
+      nWindow: Int = 6
+  ): DataFrame = {
+    require(nWindow > 1 && nWindow <= 8,
+      s"nWindow=$nWindow outside (1, 8]: the decimal(38,0) budget at squared cents")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val cents = round(col(closeCol) * 100).cast(LongType)
+    val d = cents - lag(cents, 1).over(wOrd)
+    val staged = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+
+        (d * d).as("__d2")): _*)
+    val (num, den) = emaNumDen(col("__d2"), wOrd, nWindow)
+    val varC = num.cast(DoubleType) / den.cast(DoubleType)
+    staged.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("__d").as("move_cents") :+
+        when(col("__d").isNotNull, varC).as("ewma_var_cents2") :+
+        when(col("__d").isNotNull, sqrt(varC)).as("ewma_vol_cents")): _*)
+  }
+
   /** Per-key maximum drawdown: the largest peak-to-trough drop of the
     * close series, in exact cents. The running peak is a window max in
     * cents; per-row drawdown = peak − close is an exact long; the

@@ -117,6 +117,9 @@ class CandleTableSpec extends SparkSpec {
     assert(t.vpin("15m", 1000L).columns.contains("toxicity_bps"))
     assert(t.williamsR("15m").count() > 0 && t.aroon("15m").count() > 0)
     assert(t.cci("15m").count() > 0 && t.mfi("15m").count() > 0)
+    assert(t.holtBrown("15m").columns.contains("forecast_micro"))
+    assert(t.ewmaVolatility("15m").columns.contains("ewma_vol_cents"))
+    assert(t.holtBrown("15m").count() > 0 && t.ewmaVolatility("15m").count() > 0)
   }
 
   test("corrScreen facade pairs the symbol key; packedSeries round-trips its codec cells") {
