@@ -1706,6 +1706,15 @@ object SparkEntry {
           sum(v * v).cast(DoubleType).as("total_value_sq"))
     }),
 
+    // ----- CUPED variance-reduced A/B readout: per-user view-count
+    // covariate adjusts the purchase-value metric by the pooled
+    // θ = cov/var — exact co-moments, fixed composition order --------
+    "q_cuped" -> ((s, dir) =>
+      EventOps.cupedReadout(
+        Tables.events(s, dir), "user_id", "event_type", "value",
+        covariateType = "view", metricType = "purchase",
+        splits = Seq("a" -> 0.5, "b" -> 0.5))),
+
     // ----- Markov journey model: adjacent-transition counts and
     // exact-ratio probabilities per from-type ------------------------
     "q_markov_transitions" -> ((s, dir) =>
@@ -5525,6 +5534,42 @@ object SparkEntry {
          SELECT r.cohort_date, r.day_offset, r.n_users, z.cohort_size,
                 CAST(r.n_users AS DOUBLE) / CAST(z.cohort_size AS DOUBLE) AS rate
          FROM r JOIN z ON r.cohort_date = z.cohort_date""",
+    // CUPED: theta and every mean are one division of exact integer
+    // moments; the adjustment composes them in the SAME fixed order as
+    // the engine expression, so the doubles match bitwise.
+    "q_cuped" ->
+      """WITH u AS (SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+         v AS (SELECT user_id, x, y,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+                      < 32768 THEN 'a' ELSE 'b' END AS variant
+               FROM u),
+         g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+               FROM v),
+         a AS (SELECT variant, CAST(count(*) AS HUGEINT) AS na,
+                 CAST(sum(x) AS HUGEINT) AS sxa, CAST(sum(y) AS HUGEINT) AS sya
+               FROM v GROUP BY 1),
+         j AS (SELECT a.*, g.n, g.sx, g.sy, g.sxx, g.sxy,
+                 CASE WHEN g.n * g.sxx - g.sx * g.sx > 0 THEN
+                   CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                   / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) END AS theta,
+                 CAST(a.sya AS DOUBLE) / CAST(a.na AS DOUBLE) AS mean_y,
+                 CAST(a.sxa AS DOUBLE) / CAST(a.na AS DOUBLE) AS mean_x_arm,
+                 CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean_x_all
+               FROM a CROSS JOIN g)
+         SELECT variant, CAST(na AS BIGINT) AS n_users,
+                CAST(sya AS BIGINT) AS sum_y_cents,
+                CAST(sxa AS BIGINT) AS sum_x,
+                theta,
+                mean_y AS mean_y_cents,
+                mean_y - theta * (mean_x_arm - mean_x_all) AS mean_y_adj_cents
+         FROM j""",
     "q_ab_metrics" ->
       """SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
                        < 32768 THEN 'a' ELSE 'b' END AS variant,

@@ -1515,4 +1515,65 @@ object EventOps {
             coalesce(col("n_common"), lit(0L))).cast(DoubleType))
           .as("overlap_pct"))
   }
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
+    * experiment metric y (per-user metric-event cent value) is
+    * adjusted by a covariate x (per-user covariate-event count) with
+    * the pooled regression coefficient θ = cov(x,y)/var(x) —
+    * ȳ_adj(arm) = ȳ_arm − θ·(x̄_arm − x̄). All moments are exact
+    * integer sums in decimal(38,0); θ and each mean are ONE IEEE
+    * division, and the adjustment composes those deterministic doubles
+    * in a fixed expression order (the macd-histogram precedent), so
+    * the readout hash-matches across engines. Zero covariate variance
+    * reports NULL θ and a NULL adjustment, never a fake zero.
+    *
+    * Scale shape: one per-user aggregate (map-side combinable), one
+    * per-arm aggregate over user rows, one 1-row global-moment frame
+    * broadcast into the arm rows — the grand-totals BNLJ pattern.
+    */
+  def cupedReadout(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      valueCol: String,
+      covariateType: String,
+      metricType: String,
+      splits: Seq[(String, Double)]
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = round(col(valueCol) * 100).cast(LongType)
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(col(typeCol) === covariateType, 1L).otherwise(0L)).as("__x"),
+        sum(when(col(typeCol) === metricType, cents).otherwise(0L)).as("__y"))
+      .withColumn("variant",
+        graft.functions.TextOps.splitAssign(col(userCol), splits))
+    val global = perUser.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(dec)).as("__sxy"))
+    val arms = perUser.groupBy(col("variant")).agg(
+      count(lit(1)).cast(dec).as("__na"),
+      sum(col("__x").cast(dec)).as("__sxa"),
+      sum(col("__y").cast(dec)).as("__sya"))
+    val varX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val theta = when(varX > 0,
+      (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast(DoubleType) /
+        varX.cast(DoubleType))
+    val meanY = col("__sya").cast(DoubleType) / col("__na").cast(DoubleType)
+    val meanXArm = col("__sxa").cast(DoubleType) / col("__na").cast(DoubleType)
+    val meanXAll = col("__sx").cast(DoubleType) / col("__n").cast(DoubleType)
+    arms.crossJoin(broadcast(global))
+      .select(
+        col("variant"),
+        col("__na").cast(LongType).as("n_users"),
+        col("__sya").cast(LongType).as("sum_y_cents"),
+        col("__sxa").cast(LongType).as("sum_x"),
+        theta.as("theta"),
+        meanY.as("mean_y_cents"),
+        (meanY - theta * (meanXArm - meanXAll)).as("mean_y_adj_cents"))
+  }
 }

@@ -765,4 +765,33 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_common") == 2L && r.getAs[Long]("n_new") == 0L)
     assert(r.getAs[Double]("overlap_pct") == 100.0)
   }
+
+  test("cupedReadout: a pure covariate effect is fully adjusted away") {
+    // y = 10 dollars per view exactly, arms deliberately imbalanced in
+    // views: theta = 1000 cents/view exactly, and both adjusted means
+    // collapse to 1000 * global mean views — the covariate-driven
+    // difference vanishes while the raw means differ.
+    val rows = (1 to 40).flatMap { u =>
+      val views = if (u % 2 == 0) 2 else 6 // imbalance follows parity, not the arm hash
+      Seq.fill(views)((u.toLong, "view", 0.0)) :+
+        ((u.toLong, "purchase", views * 10.0))
+    }
+    val events = rows.toDF("user_id", "event_type", "value")
+    val out = EventOps.cupedReadout(events, "user_id", "event_type", "value",
+      covariateType = "view", metricType = "purchase",
+      splits = Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    assert(out.size == 2)
+    val globalMeanViews = 40.0 * 4 / 40 // 4 views per user on average
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("theta") == 1000.0)
+      assert(math.abs(
+        r.getAs[Double]("mean_y_adj_cents") - 1000.0 * globalMeanViews) < 1e-6,
+        r.toString)
+    }
+    // raw means differ across arms unless the hash split exactly
+    // balances parity (it doesn't for 1..40: asserted by construction)
+    val raw = out.values.map(_.getAs[Double]("mean_y_cents")).toSeq
+    assert(raw.distinct.size == 2)
+  }
 }

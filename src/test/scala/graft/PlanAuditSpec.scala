@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_minhash_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_simhash_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_drift_chi2" -> "1-row per-period totals for the chi-square",
+    "q_cuped" -> "1-row global co-moment frame (theta) into the arm rows",
     "q_dq_report" -> "1-row grand totals (QualityReport)",
     "q_knn_ivf_probe" -> "k trained centroids (model-sized)",
     "q_funnel_steps" -> "funnel step dimension (#steps rows, >= join)",
