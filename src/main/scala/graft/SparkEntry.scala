@@ -2162,6 +2162,15 @@ object SparkEntry {
         nWindow = 6)
     }),
 
+    // ----- Keltner channels: rational EWMA middle ± k×windowed-ATR,
+    // each band one division over the common denominator --------------
+    "q_keltner" -> ((s, dir) => {
+      val r1h = CandleOps.ohlcvRollup(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
+      CandleOps.keltner(r1h, Seq("user_id"), "bucket_ts",
+        emaN = 13, atrN = 10, k = 2)
+    }),
+
     // ----- EWMA volatility (RiskMetrics): truncated rational EWMA of
     // squared cent moves, vol = one division then one sqrt ------------
     "q_ewma_vol" -> ((s, dir) => {
@@ -6284,6 +6293,7 @@ object SparkEntry {
     "q_macd" -> macdOracleSql(fast = 6, slow = 13, signalN = 5),
     "q_holt_brown" -> holtOracleSql(n = 6),
     "q_ewma_vol" -> ewmaVolOracleSql(n = 6),
+    "q_keltner" -> keltnerOracleSql(emaN = 13, atrN = 10, k = 2),
     "q_rfm" ->
       """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
                 count(*) AS frequency,
@@ -8128,6 +8138,51 @@ object SparkEntry {
                      + 2 * (s1_micro * d2 - n2) AS DOUBLE)
                   / CAST(${n - 1} * d2 AS DOUBLE) AS forecast_micro
          FROM m3"""
+  }
+
+  /** Oracle for q_keltner: EMA num/den weights and the windowed TR
+    * sum/count combined over the common denominator in HUGEINTs —
+    * mid/upper/lower each one IEEE division.
+    */
+  private def keltnerOracleSql(emaN: Int, atrN: Int, k: Int): String = {
+    def weights = (0 until emaN).map { j =>
+      BigInt(emaN - 1).pow(j) * BigInt(emaN + 1).pow(emaN - 1 - j)
+    }
+    def lagExpr(x: String, j: Int) = if (j == 0) x else s"lag($x, $j) OVER w"
+    def numSql(x: String) = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) * ${lagExpr(x, j)} ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    def denSql(x: String) = weights.zipWithIndex.map { case (wj, j) =>
+      s"CASE WHEN ${lagExpr(x, j)} IS NOT NULL THEN CAST($wj AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n                + ")
+    s"""WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(high * 100) AS BIGINT) AS h,
+                 CAST(round(low * 100) AS BIGINT) AS l,
+                 CAST(round(close * 100) AS BIGINT) AS cl
+               FROM r1h),
+         t AS (SELECT user_id, bucket_ts, cl,
+                 CASE WHEN lag(cl) OVER w IS NULL THEN h - l
+                      ELSE greatest(h - l, abs(h - lag(cl) OVER w),
+                                    abs(l - lag(cl) OVER w)) END AS tr,
+                 ${numSql("cl")} AS ne,
+                 ${denSql("cl")} AS de
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)),
+         s AS (SELECT user_id, bucket_ts, cl, tr, ne, de,
+                 CAST(sum(tr) OVER wa AS HUGEINT) AS ts,
+                 CAST(count(*) OVER wa AS HUGEINT) AS tc
+               FROM t
+               WINDOW wa AS (PARTITION BY user_id ORDER BY bucket_ts
+                             ROWS BETWEEN ${atrN - 1} PRECEDING AND CURRENT ROW))
+         SELECT user_id, bucket_ts, cl AS close_cents, tr AS tr_cents,
+                CAST(ne AS DOUBLE) / CAST(de AS DOUBLE) AS mid_cents,
+                CAST(ne * tc + $k * ts * de AS DOUBLE)
+                  / CAST(de * tc AS DOUBLE) AS upper_cents,
+                CAST(ne * tc - $k * ts * de AS DOUBLE)
+                  / CAST(de * tc AS DOUBLE) AS lower_cents
+         FROM s"""
   }
 
   /** Oracle for q_ewma_vol: the truncated EWMA weights over squared

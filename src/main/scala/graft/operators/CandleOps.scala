@@ -502,6 +502,57 @@ object CandleOps {
           count(lit(1)).over(w).cast(DoubleType)).as("atr_cents")): _*)
   }
 
+  /** Keltner channels kept exact end-to-end: middle = the truncated
+    * rational EWMA of close cents (numE/denE), band width = k × the
+    * windowed-mean ATR (trSum/trCnt over the trailing `atrN` true
+    * ranges — the [[atr]] core), and each band combines the two
+    * rationals over the common denominator:
+    *   upper = (numE·trCnt + k·trSum·denE) / (denE·trCnt)
+    *   lower = (numE·trCnt − k·trSum·denE) / (denE·trCnt)
+    * — every published double is ONE IEEE division of exact
+    * decimal(38,0) operands. emaN ≤ 13 (the [[macd]] slow cap) keeps
+    * the cross-products far inside 38 digits at $10M closes. Both
+    * window families ride the one per-key sort exchange.
+    */
+  def keltner(
+      rollup: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      emaN: Int = 13,
+      atrN: Int = 10,
+      k: Int = 2
+  ): DataFrame = {
+    require(emaN > 1 && emaN <= 13,
+      s"emaN=$emaN outside (1, 13]: the decimal(38,0) cross-multiply budget")
+    require(atrN > 1 && k >= 1, s"need atrN=$atrN > 1 and k=$k >= 1")
+    val dec38 = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val w = wOrd.rowsBetween(-(atrN - 1), Window.currentRow)
+    def cts(c: String) = round(col(c) * 100).cast(LongType)
+    val pc = lag(cts("close"), 1).over(wOrd)
+    val hl = cts("high") - cts("low")
+    val tr = when(pc.isNull, hl).otherwise(
+      greatest(hl, abs(cts("high") - pc), abs(cts("low") - pc)))
+    val (numE, denE) = emaNumDen(cts("close"), wOrd, emaN)
+    val staged = rollup.select(
+      (keys.map(col) :+ col(bucketCol) :+ cts("close").as("close_cents") :+
+        tr.as("__tr") :+ numE.as("__ne") :+ denE.as("__de")): _*)
+    staged
+      .withColumn("__ts", sum(col("__tr")).over(w).cast(dec38))
+      .withColumn("__tc", count(lit(1)).over(w).cast(dec38))
+      .select(
+        (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+          col("__tr").as("tr_cents") :+
+          (col("__ne").cast(DoubleType) / col("__de").cast(DoubleType))
+            .as("mid_cents") :+
+          ((col("__ne") * col("__tc") + lit(k).cast(dec38) * col("__ts") * col("__de"))
+            .cast(DoubleType) / (col("__de") * col("__tc")).cast(DoubleType))
+            .as("upper_cents") :+
+          ((col("__ne") * col("__tc") - lit(k).cast(dec38) * col("__ts") * col("__de"))
+            .cast(DoubleType) / (col("__de") * col("__tc")).cast(DoubleType))
+            .as("lower_cents")): _*)
+  }
+
   /** Donchian channel: trailing `nWindow` extreme band plus where the
     * close sits inside it. Upper/lower are exact cent longs; `mid` is
     * one division by 2 (exact in IEEE); `position` is one division of

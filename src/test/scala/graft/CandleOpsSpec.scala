@@ -365,6 +365,26 @@ class CandleOpsSpec extends SparkSpec {
     assert(got == Map("A" -> "abbcdd"), got.toString)
   }
 
+  test("keltner: flat candles collapse all three lines onto the close; bands bracket the mid") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val flat = (0 until 8).map(h =>
+      ("S", new java.sql.Timestamp(ts0 + h * 3600000L), 7.00, 7.00, 7.00, 7.00))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close")
+    val f = CandleOps.keltner(flat, Seq("sym"), "bucket_ts", emaN = 4, atrN = 3, k = 2)
+      .select("mid_cents", "upper_cents", "lower_cents")
+      .as[(Double, Double, Double)].collect()
+    f.foreach { case (m, u, l) => assert(m == 700.0 && u == 700.0 && l == 700.0) }
+    // varied candles: upper > mid > lower once any true range exists
+    val varied = (0 until 8).map { h =>
+      val px = 10.0 + h % 3
+      ("S", new java.sql.Timestamp(ts0 + h * 3600000L), px, px + 0.5, px - 0.5, px)
+    }.toDF("sym", "bucket_ts", "open", "high", "low", "close")
+    val v = CandleOps.keltner(varied, Seq("sym"), "bucket_ts", emaN = 4, atrN = 3, k = 2)
+      .select("mid_cents", "upper_cents", "lower_cents")
+      .as[(Double, Double, Double)].collect()
+    v.foreach { case (m, u, l) => assert(u > m && m > l, s"($l, $m, $u)") }
+  }
+
   test("holtBrown: a constant series has level == close, trend 0, forecast == level") {
     val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
     val flat = (0 until 12).map(h =>
