@@ -191,6 +191,40 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(exchanges(plan) == 2, s"expected 2 exchanges:\n$plan")
   }
 
+  test("round-7 smoothers ride ONE per-key exchange; cuped stays at its three aggregates") {
+    val plans = Seq(
+      "holtBrown" -> CandleOps.holtBrown(candles, Seq("sym"), "bucket_ts", "close", 4),
+      "ewmaVolatility" -> CandleOps.ewmaVolatility(candles, Seq("sym"), "bucket_ts", "close", 4),
+      "keltner" -> CandleOps.keltner(candles, Seq("sym"), "bucket_ts", emaN = 4, atrN = 3))
+    plans.foreach { case (name, df) =>
+      val n = exchanges(df.queryExecution.executedPlan.toString)
+      assert(n == 1, s"$name: expected 1 exchange, got $n")
+    }
+    val ev = (1 to 60).map { i =>
+      (i.toLong % 9, if (i % 3 == 0) "purchase" else "view", i * 1.0)
+    }.toDF("user_id", "event_type", "value")
+    val cuped = EventOps.cupedReadout(ev, "user_id", "event_type", "value",
+      "view", "purchase", Seq("a" -> 0.5, "b" -> 0.5))
+    val n = exchanges(cuped.queryExecution.executedPlan.toString)
+    // per-user aggregate, per-arm aggregate, global-moment aggregate —
+    // the 1-row global side broadcasts, never re-exchanges the users
+    assert(n <= 4, s"cuped: expected <=4 exchanges, got $n")
+  }
+
+  test("incremental edge fold: delta aggregates, standing joins without re-deriving") {
+    val standing = Seq((1L, 2L, 3L), (2L, 5L, 1L)).toDF("x", "y", "support")
+    val facts = (1 to 30).map(i => ((i % 6).toLong, (i % 7).toLong))
+      .toDF("order_id", "part_id")
+    val plan = operators.GraphOps
+      .foldItemEdgeSupports(standing, facts, "order_id", "part_id")
+      .queryExecution.executedPlan.toString
+    // basket gather + pair count on the delta, then the full-outer
+    // merge — bounded; a regression that re-derives the standing side
+    // would add its own gather/count pair
+    assert(exchanges(plan) <= 4, s"fold: expected <=4 exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("exact sketch store: build one exchange, merge one exchange (both map-side combinable)") {
     val ev = (1 to 300).map { i =>
       (if (i % 3 == 0) "click" else "view",
