@@ -126,6 +126,17 @@ final case class EventTable(
   def dailyUserSketches(lgK: Int = 12): DataFrame =
     SketchStore.dailySketches(df, Seq(typeCol), tsCol, userCol, lgK)
 
+  /** CUPED variance-reduced A/B readout: `covariateType` event counts
+    * adjust the `metricType` cent-value metric per arm.
+    */
+  def cuped(
+      valueCol: String,
+      covariateType: String,
+      metricType: String,
+      splits: Seq[(String, Double)] = Seq("a" -> 0.5, "b" -> 0.5)): DataFrame =
+    EventOps.cupedReadout(df, userCol, typeCol, valueCol,
+      covariateType, metricType, splits)
+
   /** One-pass declarative quality report over the stream's rows. */
   def quality(rules: Seq[QualityReport.RowRule]): DataFrame =
     QualityReport.rowReport(df, rules)

@@ -99,4 +99,11 @@ class EventTableSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(row == Seq((0L, 2L, 1L, 0.5)))
   }
+
+  test("cuped facade delegates with the readout column contract") {
+    val out = ev.cuped("value", covariateType = "view", metricType = "purchase")
+    assert(out.columns.toSet == Set("variant", "n_users", "sum_y_cents",
+      "sum_x", "theta", "mean_y_cents", "mean_y_adj_cents"))
+    assert(out.count() >= 1)
+  }
 }
