@@ -2976,12 +2976,24 @@ object SparkEntry {
 
     // ----- VPIN-style flow toxicity on the volume clock: equal-volume
     // buckets via a per-key prefix sum, tick-rule signed flow, one
-    // division per bucket -----------------------------------------------
+    // division per bucket. Cents are derived PER ROW before the rollup
+    // aggregation (value → DECIMAL(18,2) → ×100 → long) and summed as
+    // longs, so no rehydrated double is ever re-cast to decimal — the
+    // engine-dependent half-cent rounding that made the hash drift
+    // between Spark and DuckDB versions cannot occur ---------------------
     "q_vpin" -> ((s, dir) => {
-      val r1h = CandleOps.ohlcvRollup(
-        Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
-      MicrostructureOps.vpin(r1h, Seq("user_id"), "bucket_ts",
-        bucketVolumeCents = 50000L)
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val cents =
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+      val pre = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          graft.functions.TimeBucket.time_bucket(col("ts"), "1 hour")
+            .as("bucket_ts"))
+        .agg(
+          max_by(cents, col("ts")).as("close_cents"),
+          sum(cents).as("vol_cents"))
+      MicrostructureOps.vpinFromCents(pre, Seq("user_id"), "bucket_ts",
+        "close_cents", "vol_cents", bucketVolumeCents = 50000L)
     }),
 
     // ----- Lo-MacKinlay variance ratio (q=4): random-walk diagnostic,
@@ -7715,13 +7727,13 @@ object SparkEntry {
                  JOIN sz s2 ON s2.day = dp.prev_day
                  LEFT JOIN cm ON cm.day = dp.day AND cm.prev_day = dp.prev_day""",
     "q_vpin" ->
-      """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-                arg_max(value, ts) AS close,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
-            FROM events GROUP BY 1, 2),
-         c AS (SELECT user_id, bucket_ts,
-                 CAST(CAST(close AS DECIMAL(18,2)) * 100 AS BIGINT) AS cl,
-                 CAST(CAST(volume AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM r1h),
+      """WITH e AS (SELECT user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+         c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                 arg_max(cents, ts) AS cl,
+                 CAST(sum(cents) AS BIGINT) AS v
+            FROM e GROUP BY 1, 2),
          d AS (SELECT user_id, bucket_ts, cl - lag(cl) OVER o AS dd, v
                FROM c WINDOW o AS (PARTITION BY user_id ORDER BY bucket_ts)),
          f AS (SELECT user_id, bucket_ts,

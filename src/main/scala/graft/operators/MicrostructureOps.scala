@@ -301,7 +301,13 @@ object MicrostructureOps {
     * DECIMAL(18,2) cast (scale-2 round-half-up, then an exact *100)
     * rather than `round(double*100)` — DECIMAL cast semantics are
     * stable across engines and versions, while `round(double)`
-    * half-way behavior has drifted between DuckDB releases.
+    * half-way behavior has drifted between DuckDB releases. This
+    * double-input form is the convenience wrapper; when the caller
+    * holds exact integer cents already (e.g. from a carrier-bearing
+    * rollup), use [[vpinFromCents]] directly — a double→decimal cast
+    * of a REHYDRATED value (a decimal sum finished to double, cast
+    * back) is engine-dependent near half-cent boundaries and must
+    * never appear in a hash-compared path.
     */
   def vpin(
       rollup: DataFrame,
@@ -309,14 +315,35 @@ object MicrostructureOps {
       bucketCol: String,
       bucketVolumeCents: Long
   ): DataFrame = {
-    require(bucketVolumeCents > 0, s"bucketVolumeCents=$bucketVolumeCents must be positive")
-    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     def decCts(c: String) =
       (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
-    val d = decCts("close") - lag(decCts("close"), 1).over(wOrd)
-    val volC = decCts("volume")
-    val base = rollup.select(
-      (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+ volC.as("__v")): _*)
+    vpinFromCents(
+      rollup.select(
+        (keys.map(col) :+ col(bucketCol) :+
+          decCts("close").as("close_cents") :+
+          decCts("volume").as("vol_cents")): _*),
+      keys, bucketCol, "close_cents", "vol_cents", bucketVolumeCents)
+  }
+
+  /** [[vpin]] core on exact integer cents: every quantity is a long
+    * end-to-end, so no floating-point rounding decision exists for
+    * engines to disagree on. The only double in the output is the
+    * final published ratio, ONE division of two exact longs.
+    */
+  def vpinFromCents(
+      pre: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      closeCentsCol: String,
+      volCentsCol: String,
+      bucketVolumeCents: Long
+  ): DataFrame = {
+    require(bucketVolumeCents > 0, s"bucketVolumeCents=$bucketVolumeCents must be positive")
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val d = col(closeCentsCol) - lag(col(closeCentsCol), 1).over(wOrd)
+    val base = pre.select(
+      (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+
+        col(volCentsCol).cast(LongType).as("__v")): _*)
       .filter(col("__d").isNotNull && col("__v") > 0)
     val signedV = signum(col("__d")).cast(LongType) * col("__v")
     val cum = sum(col("__v")).over(

@@ -196,6 +196,16 @@ class MicrostructureSpec extends SparkSpec {
     assert(out == Seq(
       (0L, 2L, 100L, 300L, 100.0 * 10000 / 300),
       (1L, 1L, 300L, 300L, 10000.0)))
+    // the exact-cents core on pre-quantized longs is bit-identical to
+    // the double wrapper on the same bars
+    val pre = rows.map { case (t, px, vol) =>
+      ("A", Timestamp.valueOf(t), (px * 100).toLong, (vol * 100).toLong) }
+      .toDF("sym", "bucket_ts", "close_cents", "vol_cents")
+    val outCents = MicrostructureOps.vpinFromCents(
+      pre, Seq("sym"), "bucket_ts", "close_cents", "vol_cents", 300L)
+      .select("vol_bucket", "n_bars", "imbalance_cents", "total_cents", "toxicity_bps")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(outCents == out)
   }
 
   test("varianceRatio: perfect mean reversion scores 0, a flat base NULLs, a known series matches hand co-moments") {
