@@ -566,14 +566,30 @@ object MicrostructureOps {
     * SYMBOL UNIVERSE squared — thousands, not the row count — and the
     * pair aggregate combines map-side, so the shuffle carries one row
     * per (pair, partition), never per bucket. This is the standard
-    * all-pairs layout; for a capped variant route through
-    * `VectorOps.cosineNearDupPairs`-style bucketing instead.
+    * all-pairs layout, and it is GATED: `maxUniverse` (default 10k) is
+    * checked eagerly at call time, raising with a pointer to
+    * [[corrScreen]] so the quadratic default cannot be launched
+    * unbounded at cluster scale (sf1 measured 164× wall for 10× keys).
     */
   def corrMatrix(
       rollup: DataFrame,
       keyCol: String,
-      bucketCol: String
+      bucketCol: String,
+      maxUniverse: Int = 10000
   ): DataFrame = {
+    require(maxUniverse > 0, s"maxUniverse=$maxUniverse must be positive")
+    // Eager guard (one key-only distinct count, trivially cheap next to
+    // the universe-squared join it gates): the exact matrix is the one
+    // deliberately quadratic shape in the engine, and an unbounded call
+    // at a 100k+ symbol universe would be a cluster-scale incident, not
+    // a slow query. Large universes belong on [[corrScreen]].
+    val universe = rollup.select(col(keyCol)).distinct().count()
+    require(universe <= maxUniverse,
+      s"corrMatrix: $universe distinct '$keyCol' keys exceed maxUniverse=$maxUniverse; " +
+        "the exact all-pairs matrix is quadratic in the universe. Route large " +
+        "universes through corrScreen/corrScreenSigned (banded sign-fingerprint " +
+        "LSH + exact corr on candidates, bit-identical per reported pair), or " +
+        "raise maxUniverse explicitly for a bounded universe you intend to pay for.")
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
     val moves = rollup.select(

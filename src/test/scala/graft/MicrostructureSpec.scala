@@ -310,6 +310,12 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(("a1", "a2")) == 1.0)
     assert(out(("a1", "b1")) == -1.0)
     assert(out(("a2", "b1")) == -1.0)
+    // the quadratic shape is gated: a universe past maxUniverse raises
+    // at call time with a pointer to the scale path, never launches
+    val guard = intercept[IllegalArgumentException] {
+      MicrostructureOps.corrMatrix(df, "sym", "bucket_ts", maxUniverse = 2)
+    }
+    assert(guard.getMessage.contains("corrScreen"))
   }
 
   test("corrScreen: planted copycats surface at hamming 0 with the matrix's exact corr; independents don't") {
