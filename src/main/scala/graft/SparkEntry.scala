@@ -382,6 +382,25 @@ object SparkEntry {
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
 
+    // ----- HLL error-bound audit — the hash-checkable twin of
+    // q_approx_distinct (the q_bpe_pinned pattern): the sketch VALUE is
+    // engine-defined, but "the sketch landed within its advertised
+    // error" is a deterministic boolean the oracle can assert as a
+    // literal. Bound = 3× the default rsd (0.05), the standard ±3σ
+    // envelope for HLL++'s estimator. --------------------------------
+    "q_approx_distinct_audit" -> ((s, dir) => {
+      val rel = abs(col("approx_users").cast(DoubleType) -
+        col("exact_users").cast(DoubleType)) /
+        col("exact_users").cast(DoubleType)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (rel <= 0.15).as("within_3rsd"), lit(0.15).as("bound"))
+    }),
+
     // ----- As-of join (trade -> prevailing quote; Spark has no builtin)
     "q_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -1232,6 +1251,39 @@ object SparkEntry {
           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
           expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"),
           count(lit(1)).as("n"))),
+
+    // ----- GK error-bound audit — the hash-checkable twin of
+    // q_approx_percentiles: the sketch returns a real data element
+    // whose RANK is within ±1/accuracy of the target, so "the approx
+    // value lies between the exact quantiles at rank p∓0.002" (20× the
+    // sketch's ε, absorbing interpolation off-by-ones) is deterministic
+    // and the oracle asserts it as a literal; the exact window edges
+    // ride the already-proven percentile ≡ quantile_cont equality. ----
+    "q_approx_percentiles_audit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__a90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("__a99"),
+          expr("percentile(l_quantity, 0.498)").as("p50_lo"),
+          expr("percentile(l_quantity, 0.502)").as("p50_hi"),
+          expr("percentile(l_extendedprice, 0.898)").as("p90_lo"),
+          expr("percentile(l_extendedprice, 0.902)").as("p90_hi"),
+          expr("percentile(l_extendedprice, 0.988)").as("p99_lo"),
+          expr("percentile(l_extendedprice, 0.992)").as("p99_hi"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("p50_lo"), col("p50_hi"),
+          (col("__a50") >= col("p50_lo") && col("__a50") <= col("p50_hi"))
+            .as("p50_in_bounds"),
+          col("p90_lo"), col("p90_hi"),
+          (col("__a90") >= col("p90_lo") && col("__a90") <= col("p90_hi"))
+            .as("p90_in_bounds"),
+          col("p99_lo"), col("p99_hi"),
+          (col("__a99") >= col("p99_lo") && col("__a99") <= col("p99_hi"))
+            .as("p99_in_bounds"),
+          col("n"))),
 
     // ----- Moment statistics via exact decimal sums -------------------
     // stddev/avg computed from order-independent decimal accumulations
@@ -2982,7 +3034,6 @@ object SparkEntry {
     // engine-dependent half-cent rounding that made the hash drift
     // between Spark and DuckDB versions cannot occur ---------------------
     "q_vpin" -> ((s, dir) => {
-      import org.apache.spark.sql.types.{DecimalType, LongType}
       val cents =
         (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
       val pre = Tables.events(s, dir)
@@ -4917,6 +4968,28 @@ object SparkEntry {
          quantile_cont(l_extendedprice, 0.99) AS p99_price,
          count(*) AS n
          FROM lineitem GROUP BY 1""",
+    // The sketch audit: window edges are exact cross-engine; the
+    // in-bounds booleans are the sketch's advertised contract, asserted
+    // as literals (a Spark-side sketch regression turns the row red)
+    "q_approx_percentiles_audit" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.498) AS p50_lo,
+         quantile_cont(l_quantity, 0.502) AS p50_hi,
+         TRUE AS p50_in_bounds,
+         quantile_cont(l_extendedprice, 0.898) AS p90_lo,
+         quantile_cont(l_extendedprice, 0.902) AS p90_hi,
+         TRUE AS p90_in_bounds,
+         quantile_cont(l_extendedprice, 0.988) AS p99_lo,
+         quantile_cont(l_extendedprice, 0.992) AS p99_hi,
+         TRUE AS p99_in_bounds,
+         count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q_approx_distinct_audit" ->
+      """SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         TRUE AS within_3rsd,
+         CAST(0.15 AS DOUBLE) AS bound
+         FROM events GROUP BY 1""",
     "q_price_stats" ->
       """SELECT l_returnflag, count(*) AS n,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
