@@ -118,6 +118,13 @@ object Codecs {
   def ddDecode(bytes: Array[Byte]): GenericArrayData = {
     val r = new ByteReader(bytes)
     val n = r.readVarLong().toInt
+    // Corruption guard: each element costs >= 1 payload byte (varint),
+    // so a count past bytes.length can only come from a corrupt or
+    // truncated cell — fail descriptively instead of attempting a
+    // multi-GB allocation or walking off the buffer.
+    require(n >= 0 && n <= bytes.length,
+      s"dd_decode: corrupt payload — element count $n exceeds the " +
+        s"${bytes.length}-byte cell's capacity")
     val out = new Array[Long](n)
     if (n > 0) {
       out(0) = unzigzag(r.readVarLong())
@@ -218,6 +225,12 @@ object Codecs {
   def gorillaDecode(bytes: Array[Byte]): GenericArrayData = {
     val r = new ByteReader(bytes)
     val n = r.readVarLong().toInt
+    // Corruption guard: each element costs >= 1 bit after the 64-bit
+    // header, so n can never exceed 8*bytes — a larger count means a
+    // corrupt or truncated cell.
+    require(n >= 0 && n <= 8L * bytes.length,
+      s"gorilla_decode: corrupt payload — element count $n exceeds the " +
+        s"${bytes.length}-byte cell's capacity")
     val out = new Array[Double](n)
     if (n > 0) {
       val bits = new BitReader(bytes, r.pos)

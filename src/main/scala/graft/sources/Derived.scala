@@ -18,19 +18,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (session, source dir): the first consumer pays the derivation, the
   * other six read the materialized blocks.
   *
-  * The cache key includes the session identity so a restarted session
-  * (whose checkpointed blocks died with its executors) re-derives
-  * instead of holding a dangling reference, and the source dir so
-  * different scale factors never alias. Entries are per-JVM and tiny
-  * (one DataFrame handle each); `clear()` exists for tests that
-  * deliberately churn sessions.
+  * The cache key includes the session's stable unique id (see
+  * [[sessionId]] — NOT an identity hash, which two live sessions can
+  * share and a GC'd one can surrender to a new session, either way
+  * serving a dangling localCheckpoint reference) plus the source dir
+  * so different scale factors never alias. Each access first purges entries whose
+  * session's SparkContext has stopped, so a long-lived driver that
+  * churns sessions doesn't accumulate dead handles. Entries are
+  * per-JVM and tiny (one DataFrame handle each); `clear()` exists for
+  * tests that deliberately churn sessions.
   */
 object Derived {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  /** Cache entry pinning the owning session, so stopped-session
+    * entries are identifiable and evictable.
+    */
+  private final case class Entry[A](session: SparkSession, value: A)
+
+  /** Stable unique session id for cache keys: the classic session's
+    * own `sessionUUID` (random per instance, never reused — unlike an
+    * identity hash, which two live objects can share and a GC'd one
+    * can surrender). The non-classic fallback combines applicationId
+    * with identity hash; entries also pin their session (Entry) and
+    * are purged once its context stops, so even the fallback cannot
+    * serve a dangling checkpoint across a session swap.
+    */
+  private def sessionId(s: SparkSession): String =
+    org.apache.spark.sql.GraftBridge.sessionUUID(s).getOrElse(
+      s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}")
+
+  private def purge[A](m: ConcurrentHashMap[String, Entry[A]]): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
+  }
+
+  private def cached[A](
+      m: ConcurrentHashMap[String, Entry[A]],
+      s: SparkSession,
+      key: String
+  )(derive: => A): A = {
+    purge(m)
+    m.computeIfAbsent(key, _ => Entry(s, derive)).value
+  }
+
+  private val cache = new ConcurrentHashMap[String, Entry[DataFrame]]()
 
   private def edgeKey(s: SparkSession, dir: String) =
-    s"${System.identityHashCode(s)}|$dir|itemEdgeSupports"
+    s"${sessionId(s)}|$dir|itemEdgeSupports"
 
   private def deriveSupports(s: SparkSession, dir: String): DataFrame =
     graft.operators.GraphOps.itemEdgeSupports(
@@ -44,7 +79,7 @@ object Derived {
     * localCheckpoint thereafter.
     */
   def itemEdgeSupports(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(edgeKey(s, dir), _ => deriveSupports(s, dir))
+    cached(cache, s, edgeKey(s, dir))(deriveSupports(s, dir))
 
   /** The co-purchase edge list (support ≥ 2) — the read view over
     * [[itemEdgeSupports]]. Columns: x, y (long, x < y) — exactly
@@ -64,7 +99,7 @@ object Derived {
   def itemEdgesRebuilt(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val df = deriveSupports(s, dir)
-    cache.put(edgeKey(s, dir), df)
+    cache.put(edgeKey(s, dir), Entry(s, df))
     df.filter(col("support") >= 2L).select(col("x"), col("y"))
   }
 
@@ -119,23 +154,22 @@ object Derived {
   /** The cascade's persisted stage tables, derived once per
     * (session, dir) and served from eager localCheckpoints thereafter.
     */
-  def dedupStages(s: SparkSession, dir: String): DedupStages = {
-    val key = s"${System.identityHashCode(s)}|$dir|dedupStages"
-    stageCache.computeIfAbsent(key, _ => deriveDedupStages(s, dir))
-  }
+  def dedupStages(s: SparkSession, dir: String): DedupStages =
+    cached(stageCache, s, s"${sessionId(s)}|$dir|dedupStages")(
+      deriveDedupStages(s, dir))
 
   /** Rebuild all three stage tables unconditionally and replace the
     * cached materializations — the ingest-time refresh / honest-bench
     * path.
     */
   def dedupStagesRebuilt(s: SparkSession, dir: String): DedupStages = {
-    val key = s"${System.identityHashCode(s)}|$dir|dedupStages"
+    val key = s"${sessionId(s)}|$dir|dedupStages"
     val st = deriveDedupStages(s, dir)
-    stageCache.put(key, st)
+    stageCache.put(key, Entry(s, st))
     st
   }
 
-  private val stageCache = new ConcurrentHashMap[String, DedupStages]()
+  private val stageCache = new ConcurrentHashMap[String, Entry[DedupStages]]()
 
   // --- MinHash signature store + standing labels ---------------------
   //
@@ -170,23 +204,22 @@ object Derived {
   /** The corpus signature store + standing labels, derived once per
     * (session, dir) and read thereafter.
     */
-  def minhashStore(s: SparkSession, dir: String): MinhashStore = {
-    val key = s"${System.identityHashCode(s)}|$dir|minhashStore"
-    minhashCache.computeIfAbsent(key, _ => deriveMinhashStore(s, dir))
-  }
+  def minhashStore(s: SparkSession, dir: String): MinhashStore =
+    cached(minhashCache, s, s"${sessionId(s)}|$dir|minhashStore")(
+      deriveMinhashStore(s, dir))
 
   /** Rebuild the signature store + standing labels unconditionally and
     * replace the cached materializations — the ingest-time refresh /
     * honest-bench path.
     */
   def minhashStoreRebuilt(s: SparkSession, dir: String): MinhashStore = {
-    val key = s"${System.identityHashCode(s)}|$dir|minhashStore"
+    val key = s"${sessionId(s)}|$dir|minhashStore"
     val st = deriveMinhashStore(s, dir)
-    minhashCache.put(key, st)
+    minhashCache.put(key, Entry(s, st))
     st
   }
 
-  private val minhashCache = new ConcurrentHashMap[String, MinhashStore]()
+  private val minhashCache = new ConcurrentHashMap[String, Entry[MinhashStore]]()
 
   def clear(): Unit = { cache.clear(); stageCache.clear(); minhashCache.clear() }
 }

@@ -25,11 +25,16 @@ import graft.operators.GraphOps
   * the parquet rendering of a MERGE upsert. At warehouse scale the
   * standing side is a bucketed table ((x, y) buckets), the join is
   * co-located, and only the delta shuffles; the overwrite becomes a
-  * partition-scoped MERGE. Exactly-once rides on the streaming
-  * checkpoint: a replayed batch re-folds into the PRE-batch store
-  * state only when the sink write itself failed mid-batch — the
-  * two-generation layout below keeps the read and write generations
-  * separate so a mid-write crash never corrupts the standing table.
+  * partition-scoped MERGE.
+  *
+  * Exactly-once: the manifest records (generation, last-applied
+  * batchId) and is flipped by an ATOMIC_MOVE, and [[foldBatch]] is a
+  * no-op when the incoming batchId was already applied. The two crash
+  * windows are therefore both safe: a crash BEFORE the manifest flip
+  * leaves the previous generation current and the replayed batch
+  * re-folds from the pre-batch state; a crash AFTER the flip but
+  * before the streaming checkpoint commits makes the replay hit the
+  * already-applied batchId and skip — no double-count in either order.
   */
 object EdgeStream {
 
@@ -51,25 +56,51 @@ object EdgeStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldBatch(batch, basketCol, itemCol, storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, basketCol, itemCol, storePath, batchId)
       }
 
   private def manifest(storePath: String) =
     java.nio.file.Paths.get(storePath, "CURRENT")
 
-  private def currentGen(storePath: String): Int = {
+  /** Manifest = "(gen, lastAppliedBatchId)"; (-1, -1) before the first
+    * fold. Tolerates the legacy single-field form (gen only).
+    */
+  private def readManifest(storePath: String): (Int, Long) = {
     val m = manifest(storePath)
-    if (java.nio.file.Files.exists(m))
-      java.nio.file.Files.readString(m).trim.toInt
-    else -1
+    if (!java.nio.file.Files.exists(m)) (-1, -1L)
+    else java.nio.file.Files.readString(m).trim.split("\\s+") match {
+      case Array(g)    => (g.toInt, -1L)
+      case Array(g, b) => (g.toInt, b.toLong)
+      case other => throw new IllegalStateException(
+        s"corrupt edge-store manifest at $m: '${other.mkString(" ")}'")
+    }
+  }
+
+  /** Flip the manifest via temp-file + ATOMIC_MOVE: readers see either
+    * the old committed (gen, batchId) or the new one, never a torn
+    * write (a truncated CURRENT would otherwise poison every later
+    * read of the store).
+    */
+  private def writeManifest(storePath: String, gen: Int, batchId: Long): Unit = {
+    val m = manifest(storePath)
+    java.nio.file.Files.createDirectories(m.getParent)
+    val tmp = m.resolveSibling(s"CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp, s"$gen $batchId")
+    java.nio.file.Files.move(tmp, m,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The standing support table as currently committed (empty frame
-    * with the right schema before the first fold).
+    * with the store's schema before the first fold). Store schema is
+    * fixed at (x long, y long, support long): [[GraphOps
+    * .itemEdgeSupports]] canonicalizes every item id to long, so the
+    * long-id contract is the whole edge chain's, enforced at
+    * [[foldBatch]].
     */
   def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
-    val gen = currentGen(storePath)
+    val (gen, _) = readManifest(storePath)
     if (gen < 0)
       spark.range(0).select(
         col("id").as("x"), col("id").as("y"), col("id").as("support"))
@@ -80,15 +111,26 @@ object EdgeStream {
       batch: DataFrame,
       basketCol: String,
       itemCol: String,
-      storePath: String
+      storePath: String,
+      batchId: Long
   ): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val itemType = batch.schema(itemCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(itemType),
+      s"EdgeStream: item column '$itemCol' is $itemType; the edge store " +
+        "requires integral (long-castable) item ids — GraphOps." +
+        "itemEdgeSupports canonicalizes endpoints to long, and a non-" +
+        "integral id would fail the fold's join mid-stream. Map string " +
+        "ids through a dictionary (e.g. hash or a dimension join) first.")
     val spark = batch.sparkSession
+    val (gen, lastApplied) = readManifest(storePath)
+    if (batchId >= 0 && batchId == lastApplied) return // replayed batch: already folded
     val standing = readStore(spark, storePath)
     val folded = GraphOps.foldItemEdgeSupports(standing, batch, basketCol, itemCol)
-    val next = (currentGen(storePath) + 1) % 2
+    val next = (gen + 1 + 2) % 2
     folded.write.mode("overwrite").parquet(s"$storePath/gen=$next")
-    java.nio.file.Files.createDirectories(manifest(storePath).getParent)
-    java.nio.file.Files.writeString(manifest(storePath), next.toString)
+    writeManifest(storePath, next, batchId)
   }
 
   /** Convenience: run the sink to completion over currently-available

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The classic session's `private[sql]` sessionUUID — a stable unique
+    * per-instance id (used for derived-table cache keys); None for a
+    * non-classic session.
+    */
+  def sessionUUID(s: SparkSession): Option[String] = s match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _                       => None
+  }
 }

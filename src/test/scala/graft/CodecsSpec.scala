@@ -70,6 +70,19 @@ class CodecsSpec extends SparkSpec {
     }
   }
 
+  test("corrupt cells fail descriptively, not with a multi-GB allocation") {
+    // a varint count far past the payload's capacity (what a truncated
+    // or bit-flipped cell produces) must raise, not allocate
+    val good = Codecs.ddEncode(new GenericArrayData(Array(1L, 2L, 3L)))
+    good(0) = 0xFF.toByte // count varint's low byte now has a continuation bit
+    val e1 = intercept[IllegalArgumentException](Codecs.ddDecode(good))
+    assert(e1.getMessage.contains("corrupt"))
+    val g = Codecs.gorillaEncode(new GenericArrayData(Array(1.0, 2.0)))
+    g(0) = 0xFF.toByte
+    val e2 = intercept[IllegalArgumentException](Codecs.gorillaDecode(g))
+    assert(e2.getMessage.contains("corrupt"))
+  }
+
   test("golden bytes: the serialized formats are pinned (md5)") {
     // A format change silently corrupts every persisted cell — pin the
     // exact bytes of two representative series.

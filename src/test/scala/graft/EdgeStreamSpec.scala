@@ -54,16 +54,33 @@ class EdgeStreamSpec extends SparkSpec {
     val store = java.nio.file.Files.createTempDirectory("edge-store2").toString
     val b1 = Seq(BasketFact(1, 10), BasketFact(1, 11)).toDF()
     val b2 = Seq(BasketFact(2, 10), BasketFact(2, 11)).toDF()
-    EdgeStream.foldBatch(b1, "order_id", "part_id", store)
+    EdgeStream.foldBatch(b1, "order_id", "part_id", store, batchId = 0L)
     val after1 = EdgeStream.readStore(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(after1 == Map((10L, 11L) -> 1L))
-    EdgeStream.foldBatch(b2, "order_id", "part_id", store)
+    EdgeStream.foldBatch(b2, "order_id", "part_id", store, batchId = 1L)
     val after2 = EdgeStream.readStore(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(after2 == Map((10L, 11L) -> 2L))
     // both generation dirs exist; the manifest decides which is live
     assert(new java.io.File(s"$store/gen=0").exists())
     assert(new java.io.File(s"$store/gen=1").exists())
+    // a replayed batchId (crash after manifest flip, before the
+    // checkpoint commit) is a no-op — no double-count
+    EdgeStream.foldBatch(b2, "order_id", "part_id", store, batchId = 1L)
+    val after2b = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after2b == after2)
+  }
+
+  test("non-integral item ids are rejected at the fold boundary, not mid-stream") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store3").toString
+    val b = Seq(("o1", "skuA"), ("o1", "skuB")).toDF("order_id", "part_id")
+    // string ids would hit the long canonicalization as an executor-side
+    // cast failure several stages in; the contract raises up front
+    val e = intercept[IllegalArgumentException] {
+      EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }
