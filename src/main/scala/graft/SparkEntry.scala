@@ -2189,9 +2189,9 @@ object SparkEntry {
     // ----- On-balance volume: signed cumulative volume in exact
     // decimal, published as BIGINT cents -----------------------------
     "q_obv" -> ((s, dir) => {
-      val r1h = CandleOps.ohlcvRollup(
+      val r1h = CandleOps.ohlcvRollupCents(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
-      CandleOps.obv(r1h, Seq("user_id"), "bucket_ts", "close", "volume")
+      CandleOps.obv(r1h, Seq("user_id"), "bucket_ts", "close", "vol_cents")
     }),
 
     // ----- MACD as exact rationals: fast/slow truncated EMAs cross-
@@ -2270,9 +2270,9 @@ object SparkEntry {
 
     // ----- Volume-at-price profile: $1 price buckets per key ---------
     "q_volume_profile" -> ((s, dir) => {
-      val r1h = CandleOps.ohlcvRollup(
+      val r1h = CandleOps.ohlcvRollupCents(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
-      CandleOps.volumeProfile(r1h, Seq("user_id"), "close", "volume",
+      CandleOps.volumeProfile(r1h, Seq("user_id"), "close", "vol_cents",
         bucketCents = 100L)
     }),
 
@@ -2868,7 +2868,7 @@ object SparkEntry {
     // ----- Money flow index: volume-weighted RSI on 3x typical price
     // (exact longs), one division ----------------------------------------
     "q_mfi" -> ((s, dir) => {
-      val r1h = CandleOps.ohlcvRollup(
+      val r1h = CandleOps.ohlcvRollupCents(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
       MicrostructureOps.mfi(r1h, Seq("user_id"), "bucket_ts", nWindow = 14)
     }),
@@ -2892,7 +2892,7 @@ object SparkEntry {
     // ----- Kyle's lambda: OLS of cent move on tick-rule signed cent
     // volume — price impact per key, decimal co-moments -----------------
     "q_kyle_lambda" -> ((s, dir) => {
-      val r1h = CandleOps.ohlcvRollup(
+      val r1h = CandleOps.ohlcvRollupCents(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
       MicrostructureOps.kyleLambda(r1h, Seq("user_id"), "bucket_ts")
     }),
@@ -2900,7 +2900,7 @@ object SparkEntry {
     // ----- Amihud-style illiquidity, ratio-of-sums per (key, day):
     // cents moved per cent of volume, one division -----------------------
     "q_amihud" -> ((s, dir) => {
-      val r1h = CandleOps.ohlcvRollup(
+      val r1h = CandleOps.ohlcvRollupCents(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
       MicrostructureOps.amihud(r1h, Seq("user_id"), "bucket_ts")
     }),
@@ -6359,11 +6359,11 @@ object SparkEntry {
     "q_obv" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl,
-                 CAST(round(volume * 100) AS BIGINT) AS v
+                 vol_cents AS v
                FROM r1h),
          d AS (SELECT user_id, bucket_ts, cl,
                  CASE WHEN cl - lag(cl) OVER w > 0 THEN v
@@ -6473,12 +6473,12 @@ object SparkEntry {
     "q_volume_profile" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id,
                  CAST(floor(CAST(round(close * 100) AS BIGINT) / 100.0) AS BIGINT)
                    AS price_bucket,
-                 CAST(round(volume * 100) AS BIGINT) AS v
+                 vol_cents AS v
                FROM r1h),
          g AS (SELECT user_id, price_bucket, count(*) AS n_buckets,
                  CAST(sum(v) AS BIGINT) AS volume_cents
@@ -7330,12 +7330,12 @@ object SparkEntry {
     "q_mfi" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 max(value) AS high, min(value) AS low, arg_max(value, ts) AS close,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(high * 100) AS BIGINT) + CAST(round(low * 100) AS BIGINT)
                    + CAST(round(close * 100) AS BIGINT) AS tp3,
-                 CAST(round(volume * 100) AS BIGINT) AS v
+                 vol_cents AS v
                FROM r1h),
          d AS (SELECT user_id, bucket_ts,
                  CASE WHEN tp3 - lag(tp3) OVER o > 0 THEN tp3 * v ELSE 0 END AS pos,
@@ -7402,11 +7402,11 @@ object SparkEntry {
     "q_kyle_lambda" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl,
-                 CAST(round(volume * 100) AS BIGINT) AS v
+                 vol_cents AS v
                FROM r1h),
          d AS (SELECT user_id,
                  cl - lag(cl) OVER o AS y,
@@ -7427,11 +7427,11 @@ object SparkEntry {
     "q_amihud" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl,
-                 CAST(round(volume * 100) AS BIGINT) AS v
+                 vol_cents AS v
                FROM r1h),
          d AS (SELECT user_id, CAST(bucket_ts AS DATE) AS day,
                  cl - lag(cl) OVER o AS dd, v

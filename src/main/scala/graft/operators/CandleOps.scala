@@ -105,6 +105,53 @@ object CandleOps {
     grouped.agg((base ++ extra).head, (base ++ extra).tail: _*)
   }
 
+  /** [[ohlcvRollup]] with the volume published as EXACT long cents
+    * (per-row `value → DECIMAL(18,2) → ×100 → long`, summed as longs)
+    * instead of a rehydrated double — the input shape for cent-exact
+    * volume consumers (OBV, MFI, Kyle λ, Amihud, VPIN, volume
+    * profile). Quantizing a REHYDRATED double back to cents is both
+    * engine-dependent at half-cent boundaries (the q_vpin lesson) and
+    * genuinely lossy once the sum passes ~1e13 dollars (double ulp ×
+    * 100 > 0.5 cent) — per-row quantization before aggregation has
+    * neither failure mode at any scale.
+    */
+  def ohlcvRollupCents(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      grain: String
+  ): DataFrame = {
+    val ts = col(tsCol)
+    val v = col(valueCol)
+    val cents = (v.cast(DecimalType(18, 2)) * 100).cast(LongType)
+    df.groupBy(
+      keys.map(col) :+ graft.functions.TimeBucket.time_bucket(ts, grain).as("bucket_ts"): _*
+    ).agg(
+      min_by(v, ts).as("open"),
+      max(v).as("high"),
+      min(v).as("low"),
+      max_by(v, ts).as("close"),
+      count(lit(1)).as("trades"),
+      sum(cents).as("vol_cents"))
+  }
+
+  /** Exact long cent volume off a rollup column: a LongType column is
+    * consumed as already-exact cents (the [[ohlcvRollupCents]] shape);
+    * a double column is quantized via `round(×100)` (legacy — see the
+    * [[ohlcvRollupCents]] caveats on rehydrated doubles).
+    */
+  private[operators] def volCentsCol(rollup: DataFrame, volumeCol: String): Column = {
+    val c =
+      if (rollup.columns.contains(volumeCol)) volumeCol
+      else if (rollup.columns.contains("vol_cents")) "vol_cents"
+      else volumeCol // let schema() raise the standard missing-field error
+    rollup.schema(c).dataType match {
+      case LongType => col(c)
+      case _        => round(col(c) * 100).cast(LongType)
+    }
+  }
+
   /** A6 — cascade re-aggregation: coarser rollup from a finer rollup's
     * carrier columns (reference: app/clickhouse_schema.py:169-177
     * `-MergeState` cascade 1m→5m→…→1d). Associative merge: the result
@@ -596,7 +643,7 @@ object CandleOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cents = round(col(closeCol) * 100).cast(LongType)
-    val volCents = round(col(volumeCol) * 100).cast(LongType)
+    val volCents = volCentsCol(rollup, volumeCol)
     val d = cents - lag(cents, 1).over(wOrd)
     val signed = when(d > 0, volCents).when(d < 0, -volCents).otherwise(lit(0L))
     val withSigned = rollup.select(
@@ -654,7 +701,7 @@ object CandleOps {
     require(bucketCents > 0, s"bucketCents=$bucketCents must be positive")
     val dec = DecimalType(38, 0)
     val cents = round(col(closeCol) * 100).cast(LongType)
-    val volCents = round(col(volumeCol) * 100).cast(LongType)
+    val volCents = volCentsCol(rollup, volumeCol)
     val bucket = floor(cents.cast(DoubleType) / lit(bucketCents.toDouble)).cast(LongType)
     val profile = rollup
       .select((keys.map(col) :+ bucket.as("price_bucket") :+

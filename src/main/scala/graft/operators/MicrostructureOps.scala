@@ -120,7 +120,7 @@ object MicrostructureOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
     val tp3 = cts("high") + cts("low") + cts("close")
-    val volC = round(col("volume") * 100).cast(LongType)
+    val volC = CandleOps.volCentsCol(rollup, "volume")
     val dir = tp3 - lag(tp3, 1).over(wOrd)
     val mf = tp3 * volC
     val base = rollup.select(
@@ -232,7 +232,7 @@ object MicrostructureOps {
   ): DataFrame = {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    val volC = round(col("volume") * 100).cast(LongType)
+    val volC = CandleOps.volCentsCol(rollup, "volume")
     val sv = signum(d).cast(LongType) * volC
     val base = rollup.select(
       (keys.map(col) :+ d.as("__y") :+ sv.as("__x")): _*)
@@ -270,7 +270,7 @@ object MicrostructureOps {
   ): DataFrame = {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    val volC = round(col("volume") * 100).cast(LongType)
+    val volC = CandleOps.volCentsCol(rollup, "volume")
     val base = rollup.select(
       (keys.map(col) :+ to_date(col(bucketCol)).as("day") :+
         d.as("__d") :+ volC.as("__v")): _*)
