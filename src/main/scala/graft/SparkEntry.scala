@@ -2103,8 +2103,11 @@ object SparkEntry {
         .filter(col("l_orderkey") % 10 === 0)
         .withColumn("l_orderkey", col("l_orderkey") + col("__o"))
         .drop("__o")
+      // the standing side reads the BUCKETED store in place — zero
+      // exchange/sort on the (arbitrarily large) standing table, only
+      // the delta shuffles (FoldPlanSpec pins the plan)
       graft.operators.GraphOps.foldItemEdgeSupports(
-          graft.sources.Derived.itemEdgeSupports(s, dir),
+          graft.sources.Derived.itemEdgeSupportsStored(s, dir),
           newBatch, "l_orderkey", "l_partkey")
         .filter(col("support") >= 2)
     }),

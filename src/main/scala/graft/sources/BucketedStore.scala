@@ -30,6 +30,34 @@ object BucketedStore {
     ws.saveAsTable(table)
   }
 
+  /** [[writeBucketed]] with an explicit external location, so the
+    * bucketed files land under a caller-owned path instead of the
+    * session warehouse dir (which defaults to the process cwd —
+    * derived stores must never write into the repo checkout).
+    */
+  def writeBucketedAt(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Seq.empty
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    // One file per bucket: Spark's read path only trusts the sortBy
+    // metadata (and so elides the merge-join Sort) when each bucket is
+    // a single file — repartitioning on the bucket keys makes every
+    // writer task own exactly one bucket.
+    val one = df.repartition(numBuckets, bucketCols.map(col): _*)
+    val w = one.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   /** Join two same-bucketed tables on their bucket key. With matching
     * bucket counts Catalyst plans a SortMergeJoin with ZERO shuffle
     * exchanges (asserted in BucketedStoreSpec).

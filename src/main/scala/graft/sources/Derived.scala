@@ -90,6 +90,37 @@ object Derived {
     itemEdgeSupports(s, dir).filter(col("support") >= 2L).select(col("x"), col("y"))
   }
 
+  /** The standing support table as a PERSISTED bucketed store — the
+    * production layout for incremental folds. The localCheckpoint that
+    * serves same-session consumers loses its partitioning at the
+    * Catalyst level, so a fold's full-outer join against it reshuffles
+    * the ENTIRE standing side every batch — fold cost becomes
+    * standing-bound at warehouse scale, the opposite of the
+    * "work scales with the delta" contract. Stored bucketed+sorted on
+    * (x, y), the standing side is read in place (zero exchange, zero
+    * sort — FoldPlanSpec pins it) and only the delta shuffles to the
+    * bucket layout. Write cost is one parquet encode over the
+    * checkpoint (sf1 measured ~5 s vs ~3 s, tools/EdgeLab); it buys
+    * delta-scaling folds at any standing size plus cross-session reuse
+    * that checkpoint blocks cannot offer. Memoized per (session, dir);
+    * the derivation reuses [[itemEdgeSupports]]'s checkpoint when that
+    * is already warm (same session economics as the read path).
+    */
+  def itemEdgeSupportsStored(s: SparkSession, dir: String): DataFrame = {
+    val table = storedCache.computeIfAbsent(
+      s"${sessionId(s)}|$dir|edgeSupportsStored", { _ =>
+        val name = s"graft_edge_supports_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+        val path = java.nio.file.Files.createTempDirectory("graft-edge-store")
+        BucketedStore.writeBucketedAt(
+          itemEdgeSupports(s, dir), name, path.toString,
+          bucketCols = Seq("x", "y"), numBuckets = 32, sortCols = Seq("x", "y"))
+        Entry(s, name)
+      }).value
+    s.table(table)
+  }
+
+  private val storedCache = new ConcurrentHashMap[String, Entry[String]]()
+
   /** Rebuild the support table unconditionally and replace the cached
     * materialization — the ingest-time path (and the honest bench
     * line: `q_item_edges` routes here so its measured wall is always

@@ -34,7 +34,13 @@ object Tables {
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     // `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
     // reader otherwise rejects; read it as epoch-nanos long.
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Bucketed scans report their sortBy ordering (off by default
+    // since 3.1) so a merge join over a bucketed+sorted store elides
+    // BOTH the exchange and the sort on the store side. Sound here
+    // because BucketedStore.writeBucketedAt guarantees one file per
+    // bucket (the only layout whose ordering Spark will then trust).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
 
   private def ensure(spark: SparkSession): Unit =
     ReaderConfs.foreach { case (k, v) =>
