@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.CandleOps
-import graft.streaming.StreamingRollup
+import graft.streaming.{StreamJoin, StreamingRollup}
 
 /** Streaming-cascade benchmark: run the full 8-grain streaming fan-out
   * (StreamingRollup.streamAllGrains) over the sf events as a file
@@ -102,7 +102,74 @@ object StreamBench {
       streamedM.get(k).map(_._1) != batchM.get(k).map(_._1)
     }
     println(s"""SKETCH_BENCH {"wall_sec":$sketchWall,"keys":${streamedM.size},"n_rows_mismatches":$rowsDiff,"estimate_mismatches":$estDiff,"sf":"$sfDir"}""")
+
+    // ---- streaming session windows ≡ batch sessionization ----------
+    // Append-mode session_window state at SF scale: one open session
+    // per key merged incrementally. Run twice from the same checkpoint
+    // (the AvailableNow flush gotcha above); sessions still open at the
+    // final watermark legitimately never emit and are excluded.
+    import graft.operators.SessionOps
+    val t2 = System.nanoTime()
+    val sessOut = s"$work/sessions"
+    (1 to 2).foreach { _ =>
+      val st = spark.readStream.schema(schema).parquet(s"$work/input")
+      val q = SessionOps.streamingSessionSummaries(
+          st, Seq("user_id"), "ts", "value", "30 minutes", "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/sess_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", sessOut).start()
+      q.awaitTermination()
+    }
+    val sessWall = (System.nanoTime() - t2) / 1e9
+    val sessGot = spark.read.parquet(sessOut)
+    val sessWant = SessionOps.sessionSummaries(
+      events, Seq("user_id"), "ts", "value", "30 minutes")
+    // closed = session end + gap behind (final watermark - slack)
+    val sessCutoffMs = maxTs - (3600L + 1800L + 120L) * 1000L
+    val sessWantClosed = sessWant.filter(
+      unix_timestamp(col("session_end")) * 1000L < sessCutoffMs)
+    val sessWrong = sessGot.exceptAll(sessWant).count()
+    val sessMissing = sessWantClosed.exceptAll(sessGot).count()
+    println(s"""SESSION_BENCH {"wall_sec":$sessWall,"sessions":${sessGot.count()},"wrong_rows":$sessWrong,"missing_closed_rows":$sessMissing,"sf":"$sfDir"}""")
+
+    // ---- stream-stream interval join ≡ batch range join ------------
+    // Both sides watermarked, time-bounded state. Inner-join matches
+    // emit as both sides arrive; one AvailableNow pass sees all input,
+    // so the streamed pair set must equal the batch predicate exactly.
+    val t3 = System.nanoTime()
+    val joinOut = s"$work/ivjoin"
+    val lStream = spark.readStream.schema(schema).parquet(s"$work/input")
+      .filter(col("event_type") === "purchase")
+    val rStream = spark.readStream.schema(schema).parquet(s"$work/input")
+      .filter(col("event_type") === "click")
+    val jq = StreamJoin.intervalJoin(
+        lStream, rStream, Seq("user_id"), "ts",
+        toleranceSeconds = 300L, watermark = "1 hour",
+        leftPayload = Seq("value"), rightPayload = Seq("value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ivjoin_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", joinOut).start()
+    jq.awaitTermination()
+    val joinWall = (System.nanoTime() - t3) / 1e9
+    val jGot = spark.read.parquet(joinOut)
+    val lb = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("ts_l"), col("value").as("l_value"))
+    val rb = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_u"), col("ts").as("ts_r"), col("value").as("r_value"))
+    val jWant = lb.join(rb,
+        col("user_id") === col("r_u") &&
+          col("ts_r") >= col("ts_l") - expr("INTERVAL 300 SECONDS") &&
+          col("ts_r") <= col("ts_l") + expr("INTERVAL 300 SECONDS"))
+      .drop("r_u")
+    val jCols = jGot.columns.sorted.map(col).toSeq
+    val jWrong = jGot.select(jCols: _*).exceptAll(jWant.select(jCols: _*)).count()
+    val jMissing = jWant.select(jCols: _*).exceptAll(jGot.select(jCols: _*)).count()
+    println(s"""IVJOIN_BENCH {"wall_sec":$joinWall,"pairs":${jGot.count()},"wrong_rows":$jWrong,"missing_rows":$jMissing,"sf":"$sfDir"}""")
+
     spark.stop()
-    if (wrong != 0 || missing != 0 || rowsDiff != 0 || estDiff != 0) sys.exit(1)
+    if (wrong != 0 || missing != 0 || rowsDiff != 0 || estDiff != 0 ||
+      sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0) sys.exit(1)
   }
 }
