@@ -704,6 +704,28 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.CompressRatio.compress_ratio(col("text")).as("ratio"))),
 
+    // ----- Deflate audit — the hash-checkable twin of
+    // q_compress_ratio (the q_bpe_pinned pattern): the compressed BYTES
+    // are engine-defined, but the measurement's CONTRACTS are
+    // deterministic booleans the oracle asserts as literals —
+    // losslessness (inflate∘deflate = id, proven per row by the
+    // codegen roundtrip expression) and the RFC-1951 worst-case
+    // expansion envelope (≤ 5 bytes per 16383-byte stored block + slack
+    // for a non-conforming blowup to hide in). n_bytes is exact UTF-8
+    // length, checkable cross-engine. ---------------------------------
+    "q_compress_audit" -> ((s, dir) => {
+      val n = octet_length(col("text")).cast(LongType)
+      val ratio = graft.functions.CompressRatio.compress_ratio(col("text"))
+      val worst = (n.cast(DoubleType) + lit(5.0) * ceil(n.cast(DoubleType) / 16383.0) +
+        lit(16.0)) / n.cast(DoubleType)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        n.as("n_bytes"),
+        (n === 0 || (ratio > 0.0 && ratio <= worst)).as("ratio_in_envelope"),
+        graft.functions.CompressRatio.compress_roundtrip_ok(col("text"))
+          .as("roundtrip_ok"))
+    }),
+
     // ----- Benchmark decontamination: every 50th doc under id 5000
     // plays the "eval set"; overlap = shared distinct 3-gram shingles.
     // The eval set is a FIXED benchmark (bounded panel), not a
@@ -4875,6 +4897,14 @@ object SparkEntry {
     // tokens = non-ws chars − occ(th) − occ(the) − occ(in) − occ(ou)
     // − occ(as), occurrences counted on the lowered full text (patterns
     // contain no whitespace, so per-word and whole-text counts agree)
+    // Deflate contract audit: n_bytes exact; the envelope/roundtrip
+    // booleans are the codec's guarantees, asserted as literals
+    "q_compress_audit" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         TRUE AS ratio_in_envelope,
+         TRUE AS roundtrip_ok
+         FROM documents""",
     "q_bpe_pinned" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents)
          SELECT doc_id,

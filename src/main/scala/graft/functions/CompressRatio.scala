@@ -70,9 +70,71 @@ object CompressRatio {
     out.toDouble / bytes.length
   }
 
+  /** Row-local roundtrip proof: deflate then inflate and compare —
+    * the losslessness contract behind every ratio this family
+    * publishes. Costs ~2× the ratio kernel; audit-path only.
+    */
+  def roundtripKernel(bytes: Array[Byte]): Boolean = {
+    if (bytes.length == 0) return true
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val b = buf.get()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length / 2))
+    while (!d.finished()) {
+      val n = d.deflate(b)
+      out.write(b, 0, n)
+    }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(out.toByteArray)
+      val back = new Array[Byte](bytes.length + 1)
+      var got = 0
+      while (!inf.finished() && got <= bytes.length)
+        got += inf.inflate(back, got, back.length - got)
+      got == bytes.length &&
+        java.util.Arrays.equals(back, 0, got, bytes, 0, bytes.length)
+    } finally inf.end()
+  }
+
   /** Column helper. */
   def compress_ratio(text: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(CompressRatio(GraftBridge.expression(text)))
   }
+
+  /** Column helper for the roundtrip audit. */
+  def compress_roundtrip_ok(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CompressRoundtrip(GraftBridge.expression(text)))
+  }
+}
+
+/** `compress_roundtrip_ok(text) -> boolean`: inflate(deflate(text)) ==
+  * text, the losslessness proof for [[CompressRatio]]'s measurement.
+  * Row-local, codegen'd; see [[CompressRatio.roundtripKernel]].
+  */
+case class CompressRoundtrip(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      CompressRatio.roundtripKernel(input.asInstanceOf[UTF8String].getBytes))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CompressRatio$$.MODULE$$.roundtripKernel($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressRoundtrip =
+    copy(child = newChild)
 }

@@ -611,6 +611,18 @@ class TextVectorSpec extends SparkSpec {
     val interp = graft.functions.CompressRatio
       .ratioKernel(("spam ham " * 300).getBytes("UTF-8"))
     assert(interp == got(1L))
+    // roundtrip proof holds on adversarial shapes: empty, unicode,
+    // incompressible noise, multi-block (> 16383-byte) input
+    import graft.functions.CompressRatio.compress_roundtrip_ok
+    val rnd = new scala.util.Random(7)
+    val adversarial = Seq(
+      (1L, ""), (2L, "héllo wörld é中文 😀"),
+      (3L, Array.fill(5000)(rnd.nextPrintableChar()).mkString),
+      (4L, "block " * 10000)
+    ).toDF("doc_id", "text")
+    val rt = adversarial.select(compress_roundtrip_ok($"text").as("ok"))
+      .as[Boolean].collect()
+    assert(rt.forall(identity), "deflate roundtrip must be lossless on all shapes")
   }
 
   test("textStats and langId compute sane features") {
