@@ -22,10 +22,16 @@ import graft.operators.GraphOps
   * if the upstream emits item-at-a-time.
   *
   * Store shape: read-standing + full-outer + overwrite per batch —
-  * the parquet rendering of a MERGE upsert. At warehouse scale the
-  * standing side is a bucketed table ((x, y) buckets), the join is
-  * co-located, and only the delta shuffles; the overwrite becomes a
-  * partition-scoped MERGE.
+  * the parquet rendering of a MERGE upsert. Each generation is a
+  * BUCKETED table on (x, y) (one file per bucket, sorted), so the
+  * fold's full-outer join reads the standing side in place — zero
+  * exchange and zero sort on the (arbitrarily large) standing table,
+  * only the micro-batch's delta shuffles. This is what keeps per-batch
+  * fold cost bounded by the DELTA at warehouse scale; at a plain
+  * parquet layout the entire standing table would reshuffle every
+  * micro-batch. Generations are registered as external catalog tables
+  * by deterministic name, re-created on demand so a FRESH session
+  * recovering from the manifest regains the bucket metadata.
   *
   * Exactly-once: the manifest records (generation, last-applied
   * batchId) and is flipped by an ATOMIC_MOVE, and [[foldBatch]] is a
@@ -92,6 +98,31 @@ object EdgeStream {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private val NumBuckets = 32
+
+  /** Deterministic per-(store, generation) catalog table name. */
+  private def genTable(storePath: String, gen: Int): String =
+    s"graft_edge_stream_${Integer.toHexString(storePath.hashCode).replace('-', 'n')}_g$gen"
+
+  /** Ensure the generation's bucketed catalog entry exists (a fresh
+    * session recovering from the manifest has the files but not the
+    * catalog row; re-creating the EXTERNAL table restores the bucket
+    * metadata without touching the files).
+    */
+  private def ensureRegistered(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      gen: Int
+  ): String = {
+    val t = genTable(storePath, gen)
+    if (!spark.catalog.tableExists(t))
+      spark.sql(
+        s"""CREATE TABLE $t (x BIGINT, y BIGINT, support BIGINT)
+           |USING parquet OPTIONS (path '$storePath/gen=$gen')
+           |CLUSTERED BY (x, y) SORTED BY (x, y) INTO $NumBuckets BUCKETS""".stripMargin)
+    t
+  }
+
   /** The standing support table as currently committed (empty frame
     * with the store's schema before the first fold). Store schema is
     * fixed at (x long, y long, support long): [[GraphOps
@@ -104,7 +135,7 @@ object EdgeStream {
     if (gen < 0)
       spark.range(0).select(
         col("id").as("x"), col("id").as("y"), col("id").as("support"))
-    else spark.read.parquet(s"$storePath/gen=$gen")
+    else spark.table(ensureRegistered(spark, storePath, gen))
   }
 
   private[graft] def foldBatch(
@@ -128,8 +159,17 @@ object EdgeStream {
     if (batchId >= 0 && batchId == lastApplied) return // replayed batch: already folded
     val standing = readStore(spark, storePath)
     val folded = GraphOps.foldItemEdgeSupports(standing, batch, basketCol, itemCol)
+      .select(col("x").cast(LongType), col("y").cast(LongType),
+        col("support").cast(LongType))
     val next = (gen + 1 + 2) % 2
-    folded.write.mode("overwrite").parquet(s"$storePath/gen=$next")
+    // overwrite the WRITE generation's bucketed table (saveAsTable
+    // drops + re-creates the external entry at the same path); the
+    // committed generation's files are never touched, so a crash
+    // mid-write still leaves the previous generation intact
+    graft.sources.BucketedStore.writeBucketedAt(
+      folded, genTable(storePath, next), s"$storePath/gen=$next",
+      bucketCols = Seq("x", "y"), numBuckets = NumBuckets,
+      sortCols = Seq("x", "y"))
     writeManifest(storePath, next, batchId)
   }
 

@@ -71,6 +71,17 @@ class EdgeStreamSpec extends SparkSpec {
     val after2b = EdgeStream.readStore(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(after2b == after2)
+    // the standing side of the next fold's join reads the bucketed
+    // generation in place: one exchange total (the delta side), and
+    // the scan carries bucket metadata — the delta-bound contract
+    val delta = Seq((3L, 10L, 1L)).toDF("x", "y", "__ds")
+    val plan = EdgeStream.readStore(spark, store)
+      .withColumnRenamed("support", "__ss")
+      .join(delta, Seq("x", "y"), "full_outer")
+      .queryExecution.executedPlan.toString
+    assert(graft.tools.ExchangeAudit.shuffleExchanges(plan) == 1,
+      s"standing side must not reshuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"standing scan not bucketed:\n$plan")
   }
 
   test("non-integral item ids are rejected at the fold boundary, not mid-stream") {
