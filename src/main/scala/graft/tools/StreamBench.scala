@@ -168,8 +168,58 @@ object StreamBench {
     val jMissing = jWant.select(jCols: _*).exceptAll(jGot.select(jCols: _*)).count()
     println(s"""IVJOIN_BENCH {"wall_sec":$joinWall,"pairs":${jGot.count()},"wrong_rows":$jWrong,"missing_rows":$jMissing,"sf":"$sfDir"}""")
 
+    // ---- streaming backward as-of ≡ batch AsOfJoin ------------------
+    // Every purchase (left) sealed behind the final watermark must
+    // carry exactly the batch join's prevailing click; one AvailableNow
+    // pass + a second for the event-time-timeout flush.
+    import org.apache.spark.sql.{Dataset, Encoders}
+    import graft.streaming.AsOfStream
+    implicit val tickEnc = Encoders.product[AsOfStream.Tick]
+    implicit val pairEnc = Encoders.product[AsOfStream.AsOfPair]
+    def ticks(df: org.apache.spark.sql.DataFrame): Dataset[AsOfStream.Tick] =
+      df.select(col("user_id").cast("string").as("key"), col("ts"),
+        col("value")).as[AsOfStream.Tick]
+    val t4 = System.nanoTime()
+    val asofOut = s"$work/asof"
+    (1 to 2).foreach { _ =>
+      val base = spark.readStream.schema(schema).parquet(s"$work/input")
+      val aq = AsOfStream.asofBackward(
+          ticks(base.filter(col("event_type") === "purchase")),
+          ticks(base.filter(col("event_type") === "click")),
+          watermark = "1 hour", toleranceMs = Some(3600000L))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/asof_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", asofOut).start()
+      aq.awaitTermination()
+    }
+    val asofWall = (System.nanoTime() - t4) / 1e9
+    val aGot = spark.read.parquet(asofOut)
+      .select(col("key"), col("ts_l"), col("l_value"), col("asof_value"))
+    val aWant = graft.operators.AsOfJoin.asof(
+        ticks(events.filter(col("event_type") === "purchase")).toDF(),
+        ticks(events.filter(col("event_type") === "click")).toDF(),
+        Seq("key"), "ts", Seq("value"), Seq("value"),
+        toleranceUs = Some(3600000000L))
+      .select(col("key"), col("ts").as("ts_l"), col("value").as("l_value"),
+        col("asof_value"))
+    // sealed = lefts behind (final watermark - slack); later lefts
+    // legitimately never emit under AvailableNow. The watermark is
+    // computed over the FILTERED (purchase|click) stream, so the
+    // cutoff must use that stream's max event time, not all-events
+    val aMaxTs = events.filter(col("event_type").isin("purchase", "click"))
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val aCutoffMs = aMaxTs - (3600L + 120L) * 1000L
+    val aWantSealed = aWant.filter(unix_timestamp(col("ts_l")) * 1000L < aCutoffMs)
+    val aWrong = aGot.exceptAll(aWant).count()
+    val aMissing = aWantSealed.exceptAll(aGot).count()
+    if (aWrong > 0) aGot.exceptAll(aWant).show(5, false)
+    if (aMissing > 0) aWantSealed.exceptAll(aGot).show(5, false)
+    println(s"""ASOF_BENCH {"wall_sec":$asofWall,"pairs":${aGot.count()},"wrong_rows":$aWrong,"missing_sealed_rows":$aMissing,"sf":"$sfDir"}""")
+
     spark.stop()
     if (wrong != 0 || missing != 0 || rowsDiff != 0 || estDiff != 0 ||
-      sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0) sys.exit(1)
+      sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0 ||
+      aWrong != 0 || aMissing != 0) sys.exit(1)
   }
 }

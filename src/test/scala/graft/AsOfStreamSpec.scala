@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.streaming.AsOfStream
+import graft.streaming.AsOfStream.{AsOfPair, Tick}
+
+/** Streaming backward as-of: every sealed left emits exactly once with
+  * the prevailing right (or null), equal to the batch AsOfJoin over
+  * the same events regardless of micro-batch slicing, out-of-order
+  * arrival inside the watermark, and tolerance settings.
+  */
+class AsOfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // trades (lefts) and quotes (rights) over two keys; includes a trade
+  // BEFORE any quote (null match) and long gaps (staleness cases)
+  private val quotes = Seq(
+    Tick("A", ts("2024-03-01 08:00:05"), 10.0),
+    Tick("A", ts("2024-03-01 08:00:20"), 11.0),
+    Tick("A", ts("2024-03-01 08:03:00"), 12.0),
+    Tick("B", ts("2024-03-01 08:00:30"), 50.0))
+  private val trades = Seq(
+    Tick("A", ts("2024-03-01 08:00:02"), 1.0), // before any quote -> null
+    Tick("A", ts("2024-03-01 08:00:20"), 2.0), // equal ts -> inclusive match 11.0
+    Tick("A", ts("2024-03-01 08:02:00"), 3.0), // prevails 11.0 (stale 100s)
+    Tick("A", ts("2024-03-01 08:03:30"), 4.0), // prevails 12.0
+    Tick("B", ts("2024-03-01 08:05:00"), 5.0)) // prevails 50.0 (stale 270s)
+
+  private def runStream(
+      slices: Seq[(Seq[Tick], Seq[Tick])],
+      tolMs: Option[Long],
+      name: String
+  ): Map[(String, Timestamp), AsOfPair] = {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[Tick]
+    val rs = MemoryStream[Tick]
+    val joined = AsOfStream.asofBackward(ls.toDS(), rs.toDS(), "30 seconds", tolMs)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      slices.foreach { case (l, r) =>
+        if (l.nonEmpty) ls.addData(l)
+        if (r.nonEmpty) rs.addData(r)
+        q.processAllAvailable()
+      }
+      // flush: advance the watermark far past everything, then one more
+      // empty trigger so event-time timeouts fire
+      rs.addData(Tick("flush", ts("2024-03-01 10:00:00"), 0.0))
+      q.processAllAvailable()
+      rs.addData(Tick("flush", ts("2024-03-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[AsOfPair].collect()
+      .filter(_.key != "flush")
+      .map(p => (p.key, p.ts_l) -> p).toMap
+  }
+
+  private def batchExpected(tolMs: Option[Long]): Map[(String, Timestamp), (Option[Timestamp], Option[Double])] =
+    AsOfJoin.asof(
+        trades.toDF("key", "ts", "value"),
+        quotes.toDF("key", "ts", "value"),
+        Seq("key"), "ts", Seq("value"), Seq("value"),
+        toleranceUs = tolMs.map(_ * 1000))
+      .select(col("key"), col("ts"), col("asof_value"))
+      .collect()
+      .map { r =>
+        val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+        (r.getString(0), r.getTimestamp(1)) -> (None: Option[Timestamp], v)
+      }.toMap
+
+  test("stream == batch: no tolerance, across uneven micro-batch slicings with out-of-order rows") {
+    val slices = Seq(
+      // quotes arrive after some trades inside the same watermark
+      (trades.take(2), Seq(quotes(1))),
+      (Seq(trades(2)), Seq(quotes(0), quotes(3))), // 08:00:05 quote arrives late
+      (trades.drop(3), quotes.drop(2).take(1)))
+    val got = runStream(slices, None, "asof_stream_plain")
+    val want = batchExpected(None)
+    assert(got.size == trades.size, s"every trade emits exactly once: $got")
+    want.foreach { case (k, (_, wv)) =>
+      assert(got(k).asof_value == wv, s"$k: got ${got(k).asof_value}, want $wv")
+    }
+    // the null-match and equal-ts-inclusive cases specifically
+    assert(got(("A", ts("2024-03-01 08:00:02"))).asof_value.isEmpty)
+    assert(got(("A", ts("2024-03-01 08:00:20"))).asof_value.contains(11.0))
+  }
+
+  test("stream == batch: 60s tolerance nulls stale matches") {
+    val slices = Seq((trades, quotes))
+    val got = runStream(slices, Some(60000L), "asof_stream_tol")
+    val want = batchExpected(Some(60000L))
+    assert(got.size == trades.size)
+    want.foreach { case (k, (_, wv)) =>
+      assert(got(k).asof_value == wv, s"$k: got ${got(k).asof_value}, want $wv")
+    }
+    // staleness: the 08:02:00 trade's only candidate is 100s old -> null
+    assert(got(("A", ts("2024-03-01 08:02:00"))).asof_value.isEmpty)
+    // B's 270s-old quote likewise
+    assert(got(("B", ts("2024-03-01 08:05:00"))).asof_value.isEmpty)
+  }
+}
