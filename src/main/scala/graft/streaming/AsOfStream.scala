@@ -5,41 +5,47 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming backward as-of join — the realtime form of
-  * [[graft.operators.AsOfJoin.asof]]: for each left event (trade), the
-  * latest right event (quote) with `ts_r <= ts_l` on the same key,
-  * optionally within a staleness tolerance; every left event is
-  * emitted exactly once, with a null match when nothing prevails.
+/** Streaming as-of joins — the realtime forms of
+  * [[graft.operators.AsOfJoin]]: for each left event (trade), the
+  * prevailing right event (quote) — backward: latest `ts_r <= ts_l`;
+  * forward: earliest `ts_r >= ts_l` — on the same key, optionally
+  * (backward) or necessarily (forward) within a tolerance; every left
+  * is emitted exactly once, with a null match when nothing qualifies.
   *
   * Neither a windowed aggregate nor a stream-stream equi/interval join
-  * can express "latest at-or-before, else null": the interval join
-  * ([[StreamJoin]]) emits EVERY right row in the band and drops
+  * can express "closest qualifying right, else null": the interval
+  * join ([[StreamJoin]]) emits EVERY right row in the band and drops
   * matchless lefts. So this is `flatMapGroupsWithState` (the
   * [[CandleAssembler]] pattern): per-key buffers of pending lefts and
   * candidate rights, with event-time-timeout sealing.
   *
-  * Correctness contract (stream ≡ batch, spec-asserted): a left at
-  * `t` is sealed only once the watermark passes `t` — at that point no
-  * right with `ts_r <= t` can still arrive (watermark guarantee), so
-  * the match equals the batch join's. Equal timestamps match
-  * (inclusive, like the batch union-merge tag ordering); ties between
-  * multiple rights at the SAME ts resolve to the largest payload —
-  * deterministic where the batch window form is partition-order-
-  * dependent (keep right timestamps unique per key if you need the
-  * two forms bit-identical under ties).
+  * Correctness contract (stream ≡ batch, spec-asserted): a left seals
+  * only once the watermark guarantees its match set is complete —
+  * backward, when the watermark passes `ts_l` (no `ts_r <= ts_l` can
+  * still arrive); forward, when it passes `ts_l + tolerance` (every
+  * candidate `ts_r <= ts_l + tol` has arrived — which is why forward
+  * REQUIRES a tolerance: an unbounded forward left could wait forever
+  * and its state never seal). Equal timestamps match (inclusive, like
+  * the batch union-merge tag ordering); ties between multiple rights
+  * at the SAME ts resolve deterministically (largest payload backward,
+  * smallest forward) where the batch window form is partition-order-
+  * dependent — keep right timestamps unique per key if you need the
+  * two forms bit-identical under ties.
   *
-  * State size: pending lefts are bounded by the watermark horizon ×
-  * per-key event rate; rights are pruned to `ts_r >= watermark −
-  * tolerance` plus the single newest at-or-before that line (the only
-  * one a future left can still match when no tolerance is set) —
-  * bounded, independent of stream length.
+  * State size: pending lefts are bounded by the (watermark + tolerance)
+  * horizon × per-key event rate; rights are pruned to the tolerance
+  * window behind the watermark — or, backward with unbounded lookback,
+  * the single newest at-or-before row (the only one a future left can
+  * still match), O(1) per key. Bounded, independent of stream length.
+  *
+  * Buffers carry exact epoch-MICROS: `Timestamp.getTime` alone
+  * truncates to milliseconds and would drift every microsecond event
+  * time; the watermark API is millis, so sealing compares strictly
+  * below the watermark millisecond.
   */
 object AsOfStream {
 
-  /** Timestamp <-> epoch-micros without precision loss: `getTime` alone
-    * truncates to milliseconds, which would corrupt microsecond event
-    * times (every emitted ts would drift from its input).
-    */
+  /** Timestamp <-> epoch-micros without precision loss. */
   private def toUs(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   private def fromUs(us: Long): Timestamp = {
@@ -63,7 +69,8 @@ object AsOfStream {
       lefts: List[(Long, Double)],
       rights: List[(Long, Double)])
 
-  /** @param toleranceMs max staleness of the prevailing right row;
+  /** Backward: latest right at-or-before each left.
+    * @param toleranceMs max staleness of the prevailing right row;
     *                    None = unbounded lookback (the newest
     *                    at-or-before right is retained in state
     *                    indefinitely, still O(1) per key)
@@ -73,6 +80,31 @@ object AsOfStream {
       right: Dataset[Tick],
       watermark: String,
       toleranceMs: Option[Long] = None
+  ): Dataset[AsOfPair] =
+    build(left, right, watermark, toleranceMs.map(_ * 1000L), forward = false)
+
+  /** Forward: earliest right at-or-after each left, within
+    * `toleranceMs` (REQUIRED — see the class doc: an unbounded forward
+    * wait can never seal).
+    */
+  def asofForward(
+      left: Dataset[Tick],
+      right: Dataset[Tick],
+      watermark: String,
+      toleranceMs: Long
+  ): Dataset[AsOfPair] = {
+    require(toleranceMs > 0, s"toleranceMs=$toleranceMs must be positive: " +
+      "a forward as-of without a horizon could wait forever for its match " +
+      "and its state would never seal")
+    build(left, right, watermark, Some(toleranceMs * 1000L), forward = true)
+  }
+
+  private def build(
+      left: Dataset[Tick],
+      right: Dataset[Tick],
+      watermark: String,
+      tolUs: Option[Long],
+      forward: Boolean
   ): Dataset[AsOfPair] = {
     implicit val tagEnc = Encoders.product[Tagged]
     implicit val keyEnc = Encoders.STRING
@@ -83,14 +115,20 @@ object AsOfStream {
       .unionByName(right.map(t => Tagged(t.key, t.ts, t.value, left = false)))
       .withWatermark("ts", watermark)
 
-    def matchFor(tsL: Long, rights: List[(Long, Double)]): Option[(Long, Double)] = {
-      val eligible = rights.filter { case (tsR, _) =>
-        tsR <= tsL && toleranceMs.forall(tol => tsR >= tsL - tol * 1000L)
+    def matchFor(tsL: Long, rights: List[(Long, Double)]): Option[(Long, Double)] =
+      if (forward) {
+        val tol = tolUs.get
+        val eligible = rights.filter { case (tsR, _) => tsR >= tsL && tsR <= tsL + tol }
+        if (eligible.isEmpty) None else Some(eligible.min) // earliest; equal-ts ties small
+      } else {
+        val eligible = rights.filter { case (tsR, _) =>
+          tsR <= tsL && tolUs.forall(tol => tsR >= tsL - tol)
+        }
+        if (eligible.isEmpty) None else Some(eligible.max) // latest; equal-ts ties large
       }
-      // latest ts wins; equal-ts ties to the largest payload (total
-      // order -> deterministic under any buffer order)
-      if (eligible.isEmpty) None else Some(eligible.max)
-    }
+
+    // a left's match set is complete once the watermark passes this
+    def sealPointUs(tsL: Long): Long = if (forward) tsL + tolUs.get else tsL
 
     def update(
         key: String,
@@ -104,22 +142,19 @@ object AsOfStream {
           else s = s.copy(rights = (toUs(r.ts), r.value) :: s.rights)
         }
       }
-      // buffers hold MICROS; the watermark API reports MILLIS. Seal
-      // strictly below the watermark millisecond: a right inside the
-      // same millisecond as the watermark is not yet guaranteed late.
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val (ready, pending) = s.lefts.partition(_._1 < wmUs)
+      val (ready, pending) = s.lefts.partition(l => sealPointUs(l._1) < wmUs)
       val out = ready.sorted.map { case (tsL, v) =>
         val m = matchFor(tsL, s.rights)
         AsOfPair(key, fromUs(tsL), v,
           m.map(x => fromUs(x._1)), m.map(_._2))
       }
-      // prune rights a future left (ts > wm) could never match: with a
-      // tolerance, anything older than wm - tol; without one, keep the
-      // single newest at-or-before wm plus everything after it
-      val keptRights = toleranceMs match {
-        case Some(tol) => s.rights.filter(_._1 >= wmUs - tol * 1000L)
-        case None =>
+      // prune rights no pending or future left can match: pending and
+      // future lefts have sealPoint >= wm, i.e. ts_l >= wm - tol (fwd)
+      // or ts_l >= wm (back); matchable rights sit within tol of those
+      val keptRights = tolUs match {
+        case Some(tol) => s.rights.filter(_._1 >= wmUs - tol)
+        case None => // backward, unbounded lookback
           val (before, after) = s.rights.partition(_._1 < wmUs)
           if (before.isEmpty) after else before.max :: after
       }
@@ -132,9 +167,9 @@ object AsOfStream {
         // dead key's state is reclaimed (unbounded-lookback rights are
         // deliberately retained: they ARE the prevailing quote)
         val wakeUs: Option[Long] =
-          if (pending.nonEmpty) Some(pending.map(_._1).min)
-          else toleranceMs.flatMap(tol =>
-            if (keptRights.isEmpty) None else Some(keptRights.map(_._1).max + tol * 1000L))
+          if (pending.nonEmpty) Some(pending.map(l => sealPointUs(l._1)).min)
+          else tolUs.flatMap(tol =>
+            if (keptRights.isEmpty) None else Some(keptRights.map(_._1).max + tol))
         wakeUs.foreach { w =>
           // timeout API is millis; round UP so the fire time is not
           // before the sealing micro-instant, and stay past the wm

@@ -92,6 +92,44 @@ class AsOfStreamSpec extends SparkSpec {
     assert(got(("A", ts("2024-03-01 08:00:20"))).asof_value.contains(11.0))
   }
 
+  test("forward stream == batch: earliest following quote within tolerance, null past horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[Tick]
+    val rs = MemoryStream[Tick]
+    val joined = AsOfStream.asofForward(ls.toDS(), rs.toDS(), "30 seconds",
+      toleranceMs = 60000L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream_fwd").start()
+    try {
+      ls.addData(trades)
+      rs.addData(quotes)
+      q.processAllAvailable()
+      rs.addData(Tick("flush", ts("2024-03-01 10:00:00"), 0.0))
+      q.processAllAvailable()
+      rs.addData(Tick("flush", ts("2024-03-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_stream_fwd").as[AsOfPair].collect()
+      .filter(_.key != "flush").map(p => (p.key, p.ts_l) -> p.asof_value).toMap
+    val want = AsOfJoin.asofForward(
+        trades.toDF("key", "ts", "value"), quotes.toDF("key", "ts", "value"),
+        Seq("key"), "ts", Seq("value"), Seq("value"),
+        toleranceUs = Some(60000000L))
+      .select(col("key"), col("ts"), col("asof_value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == trades.size)
+    want.foreach { case (k, wv) => assert(got(k) == wv, s"$k: got ${got(k)}, want $wv") }
+    // the 08:00:02 trade's NEXT quote (08:00:05) is 3s ahead -> 10.0
+    assert(got(("A", ts("2024-03-01 08:00:02"))).contains(10.0))
+    // equal ts matches forward too
+    assert(got(("A", ts("2024-03-01 08:00:20"))).contains(11.0))
+    // 08:02:00 trade: next quote 08:03:00 is 60s ahead == tolerance -> match
+    assert(got(("A", ts("2024-03-01 08:02:00"))).contains(12.0))
+    // B's 08:05:00 trade has no following quote -> null
+    assert(got(("B", ts("2024-03-01 08:05:00"))).isEmpty)
+  }
+
   test("stream == batch: 60s tolerance nulls stale matches") {
     val slices = Seq((trades, quotes))
     val got = runStream(slices, Some(60000L), "asof_stream_tol")
