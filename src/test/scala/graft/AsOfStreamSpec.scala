@@ -130,6 +130,86 @@ class AsOfStreamSpec extends SparkSpec {
     assert(got(("B", ts("2024-03-01 08:05:00"))).isEmpty)
   }
 
+  test("randomized: stream == batch for both directions across random slicings") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("K1", "K2", "K3")
+    val base = ts("2024-03-01 08:00:00").getTime
+    def randTicks(n: Int, seed: Int): Seq[Tick] = {
+      val r = new scala.util.Random(seed)
+      // distinct per-key second offsets -> unique (key, ts): tie-break
+      // determinism between the window and state forms is not under test
+      keys.flatMap { k =>
+        r.shuffle((0 until 600).toList).take(n).map { s =>
+          Tick(k, new Timestamp(base + s * 1000L), r.nextInt(1000) / 10.0)
+        }
+      }
+    }
+    val lts = randTicks(25, 1)
+    val rts = randTicks(40, 2)
+    // slices must respect watermark progression (later batches cannot
+    // carry rows older than watermark or they are LEGITIMATELY dropped
+    // late): cut the GLOBAL timeline into 4 contiguous ranges, shuffle
+    // order only within each slice — out-of-order inside the watermark
+    // delay, which is exactly the operator's contract
+    def slices(xs: Seq[Tick], seed: Int): Seq[Seq[Tick]] = {
+      val r = new scala.util.Random(seed)
+      (0 until 4).map { i =>
+        val (lo, hi) = (base + i * 150000L, base + (i + 1) * 150000L)
+        r.shuffle(xs.filter(t => t.ts.getTime >= lo && t.ts.getTime < hi))
+      }
+    }
+    val sliceSeq = slices(lts, 3).zip(slices(rts, 4))
+
+    def batchWant(fwd: Boolean, tolMs: Option[Long]) = {
+      val df =
+        if (fwd) AsOfJoin.asofForward(lts.toDF("key", "ts", "value"),
+          rts.toDF("key", "ts", "value"), Seq("key"), "ts", Seq("value"),
+          Seq("value"), toleranceUs = tolMs.map(_ * 1000))
+        else AsOfJoin.asof(lts.toDF("key", "ts", "value"),
+          rts.toDF("key", "ts", "value"), Seq("key"), "ts", Seq("value"),
+          Seq("value"), toleranceUs = tolMs.map(_ * 1000))
+      df.select(col("key"), col("ts"), col("asof_value")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    }
+
+    def streamGot(fwd: Boolean, tolMs: Option[Long], name: String) = {
+      implicit val sqlCtx = spark.sqlContext
+      val ls = MemoryStream[Tick]
+      val rs = MemoryStream[Tick]
+      val joined =
+        if (fwd) AsOfStream.asofForward(ls.toDS(), rs.toDS(), "45 seconds", tolMs.get)
+        else AsOfStream.asofBackward(ls.toDS(), rs.toDS(), "45 seconds", tolMs)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        sliceSeq.foreach { case (l, r) =>
+          if (l.nonEmpty) ls.addData(l)
+          if (r.nonEmpty) rs.addData(r)
+          q.processAllAvailable()
+        }
+        rs.addData(Tick("flush", ts("2024-03-01 12:00:00"), 0.0))
+        q.processAllAvailable()
+        rs.addData(Tick("flush", ts("2024-03-01 13:00:00"), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[AsOfPair].collect().filter(_.key != "flush")
+        .map(p => (p.key, p.ts_l) -> p.asof_value).toMap
+    }
+
+    for ((fwd, tol, name) <- Seq(
+        (false, None, "asof_rand_b"),
+        (false, Some(90000L), "asof_rand_bt"),
+        (true, Some(90000L), "asof_rand_f"))) {
+      val got = streamGot(fwd, tol, name)
+      val want = batchWant(fwd, tol)
+      assert(got.size == lts.size, s"$name: ${got.size} emitted of ${lts.size}")
+      want.foreach { case (k, wv) =>
+        assert(got(k) == wv, s"$name $k: got ${got(k)}, want $wv")
+      }
+    }
+  }
+
   test("stream == batch: 60s tolerance nulls stale matches") {
     val slices = Seq((trades, quotes))
     val got = runStream(slices, Some(60000L), "asof_stream_tol")
