@@ -225,9 +225,23 @@ object Derived {
     val (banded, keyCols) = graft.functions.TextOps.minhashBanded(
       docs, "doc_id", "text", bands = 4, rowsPerBand = 2,
       shingleSize = 3, bucketCap = 10000L)
-    val cb = banded.localCheckpoint(eager = true)
+    // The signature store persists BUCKETED on the band key — the
+    // exact key every candidate join uses (cross new×known and the
+    // within self-join), so the corpus side is read in place: zero
+    // exchange/sort on the (arbitrarily large) standing signatures,
+    // only the new batch's bands shuffle. A localCheckpoint here would
+    // hide the partitioning from Catalyst and reshuffle the whole
+    // store per incremental query (the edge-fold lesson).
+    val table = s"graft_minhash_sig_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+    val path = java.nio.file.Files.createTempDirectory("graft-minhash-sig")
+    BucketedStore.writeBucketedAt(
+      banded, table, path.toString,
+      bucketCols = "band" +: keyCols, numBuckets = 32,
+      sortCols = "band" +: keyCols)
+    val cb = s.table(table)
     val oldPairs = graft.functions.TextOps
       .minhashPairsFromBanded(cb, "doc_id", keyCols)
+    // CC's result is already round-checkpointed internally
     val standing = graft.operators.DedupGroups.connectedComponents(oldPairs)
     MinhashStore(cb, keyCols, standing)
   }

@@ -36,6 +36,24 @@ class FoldPlanSpec extends SparkSpec {
       s"unexpected sort above the standing-side bucketed scan:\n$plan")
   }
 
+  test("minhash cross-candidate join reads the bucketed signature store in place") {
+    val store = Derived.minhashStore(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (bb, _) = graft.functions.TextOps.minhashBanded(
+      docs.limit(20), "doc_id", "text", bands = 4, rowsPerBand = 2,
+      shingleSize = 3, bucketCap = 10000L)
+    val plan = graft.functions.TextOps.minhashCrossFromBanded(
+        bb, "doc_id", store.banded, "doc_id", store.keyCols)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"signature store scan not bucketed:\n$plan")
+    // exchange budget: the new batch's shuffle to the bucket layout +
+    // the output distinct — the corpus-signature side must contribute
+    // ZERO (a third exchange means the store reshuffled)
+    val n = graft.tools.ExchangeAudit.shuffleExchanges(plan)
+    assert(n <= 2, s"expected <=2 exchanges (new side + distinct), got $n:\n$plan")
+  }
+
   test("fold over the stored table == fold over the checkpoint (values unchanged)") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val batch = li.filter(col("l_orderkey") % 100 === 0)
