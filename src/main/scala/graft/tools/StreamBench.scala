@@ -217,9 +217,35 @@ object StreamBench {
     if (aMissing > 0) aWantSealed.exceptAll(aGot).show(5, false)
     println(s"""ASOF_BENCH {"wall_sec":$asofWall,"pairs":${aGot.count()},"wrong_rows":$aWrong,"missing_sealed_rows":$aMissing,"sf":"$sfDir"}""")
 
+    // ---- streaming edge-store fold ≡ batch supports -----------------
+    // The bucketed two-generation store fed by the order-completion
+    // stream: fold the lineitem basket facts micro-batch-wise and
+    // compare the committed store against the one-shot batch
+    // derivation (supports are additive, so any slicing converges).
+    import graft.streaming.EdgeStream
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    // ordering contract: a basket's facts arrive within ONE micro-batch
+    // — hash-partition by order so no order straddles a file boundary
+    li.repartition(8, col("l_orderkey")).write.parquet(s"$work/facts")
+    val factsSchema = spark.read.parquet(s"$work/facts").schema
+    val t5 = System.nanoTime()
+    val edgeStore = s"$work/edge_store"
+    val eq = EdgeStream.toSupportStore(
+      spark.readStream.schema(factsSchema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$work/facts"),
+      "l_orderkey", "l_partkey", edgeStore, s"$work/edge_ckpt")
+    EdgeStream.runAvailableNow(eq)
+    val edgeWall = (System.nanoTime() - t5) / 1e9
+    val eGot = EdgeStream.readStore(spark, edgeStore)
+    val eWant = graft.operators.GraphOps.itemEdgeSupports(li, "l_orderkey", "l_partkey")
+    val eWrong = eGot.exceptAll(eWant).count()
+    val eMissing = eWant.exceptAll(eGot).count()
+    println(s"""EDGE_BENCH {"wall_sec":$edgeWall,"supports":${eGot.count()},"wrong_rows":$eWrong,"missing_rows":$eMissing,"sf":"$sfDir"}""")
+
     spark.stop()
     if (wrong != 0 || missing != 0 || rowsDiff != 0 || estDiff != 0 ||
       sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0 ||
-      aWrong != 0 || aMissing != 0) sys.exit(1)
+      aWrong != 0 || aMissing != 0 || eWrong != 0 || eMissing != 0) sys.exit(1)
   }
 }
