@@ -84,6 +84,30 @@ class EdgeStreamSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), s"standing scan not bucketed:\n$plan")
   }
 
+  test("fresh-session recovery: a dropped catalog entry re-registers with bucket metadata intact") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store4").toString
+    val b = Seq(BasketFact(1, 10), BasketFact(1, 11), BasketFact(2, 10), BasketFact(2, 11)).toDF()
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L)
+    val before = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // simulate a fresh session: the files + manifest survive, the
+    // session-scoped catalog entry does not
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_edge_stream_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val after = EdgeStream.readStore(spark, store)
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == before)
+    // and the recovered table still carries the bucket spec: a join on
+    // (x, y) reads the store without an exchange
+    val delta = Seq((10L, 11L, 1L)).toDF("x", "y", "__ds")
+    val plan = after.withColumnRenamed("support", "__ss")
+      .join(delta, Seq("x", "y"), "full_outer")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount") &&
+      graft.tools.ExchangeAudit.shuffleExchanges(plan) == 1,
+      s"recovered store lost its bucket metadata:\n$plan")
+  }
+
   test("non-integral item ids are rejected at the fold boundary, not mid-stream") {
     val store = java.nio.file.Files.createTempDirectory("edge-store3").toString
     val b = Seq(("o1", "skuA"), ("o1", "skuB")).toDF("order_id", "part_id")
