@@ -6,11 +6,12 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming as-of joins — the realtime forms of
-  * [[graft.operators.AsOfJoin]]: for each left event (trade), the
-  * prevailing right event (quote) — backward: latest `ts_r <= ts_l`;
-  * forward: earliest `ts_r >= ts_l` — on the same key, optionally
-  * (backward) or necessarily (forward) within a tolerance; every left
-  * is emitted exactly once, with a null match when nothing qualifies.
+  * [[graft.operators.AsOfJoin]], all three directions: backward
+  * (latest `ts_r <= ts_l`), forward (earliest `ts_r >= ts_l`), and
+  * nearest (the closer of the two, ties backward) — on the same key,
+  * optionally (backward) or necessarily (forward/nearest) within a
+  * tolerance; every left is emitted exactly once, with a null match
+  * when nothing qualifies.
   *
   * Neither a windowed aggregate nor a stream-stream equi/interval join
   * can express "closest qualifying right, else null": the interval
@@ -81,7 +82,7 @@ object AsOfStream {
       watermark: String,
       toleranceMs: Option[Long] = None
   ): Dataset[AsOfPair] =
-    build(left, right, watermark, toleranceMs.map(_ * 1000L), forward = false)
+    build(left, right, watermark, toleranceMs.map(_ * 1000L), Backward)
 
   /** Forward: earliest right at-or-after each left, within
     * `toleranceMs` (REQUIRED — see the class doc: an unbounded forward
@@ -93,18 +94,41 @@ object AsOfStream {
       watermark: String,
       toleranceMs: Long
   ): Dataset[AsOfPair] = {
-    require(toleranceMs > 0, s"toleranceMs=$toleranceMs must be positive: " +
-      "a forward as-of without a horizon could wait forever for its match " +
-      "and its state would never seal")
-    build(left, right, watermark, Some(toleranceMs * 1000L), forward = true)
+    requireHorizon(toleranceMs, "forward")
+    build(left, right, watermark, Some(toleranceMs * 1000L), Forward)
   }
+
+  /** Nearest: whichever of the backward/forward matches is closer in
+    * event time, ties to the BACKWARD match — the streaming form of
+    * [[graft.operators.AsOfJoin.asofNearest]]. Tolerance REQUIRED
+    * (the forward component needs a horizon to seal).
+    */
+  def asofNearest(
+      left: Dataset[Tick],
+      right: Dataset[Tick],
+      watermark: String,
+      toleranceMs: Long
+  ): Dataset[AsOfPair] = {
+    requireHorizon(toleranceMs, "nearest")
+    build(left, right, watermark, Some(toleranceMs * 1000L), Nearest)
+  }
+
+  private def requireHorizon(toleranceMs: Long, dir: String): Unit =
+    require(toleranceMs > 0, s"toleranceMs=$toleranceMs must be positive: " +
+      s"a $dir as-of without a horizon could wait forever for its match " +
+      "and its state would never seal")
+
+  private sealed trait Direction
+  private case object Backward extends Direction
+  private case object Forward extends Direction
+  private case object Nearest extends Direction
 
   private def build(
       left: Dataset[Tick],
       right: Dataset[Tick],
       watermark: String,
       tolUs: Option[Long],
-      forward: Boolean
+      direction: Direction
   ): Dataset[AsOfPair] = {
     implicit val tagEnc = Encoders.product[Tagged]
     implicit val keyEnc = Encoders.STRING
@@ -115,20 +139,33 @@ object AsOfStream {
       .unionByName(right.map(t => Tagged(t.key, t.ts, t.value, left = false)))
       .withWatermark("ts", watermark)
 
+    def backMatch(tsL: Long, rights: List[(Long, Double)]): Option[(Long, Double)] = {
+      val eligible = rights.filter { case (tsR, _) =>
+        tsR <= tsL && tolUs.forall(tol => tsR >= tsL - tol)
+      }
+      if (eligible.isEmpty) None else Some(eligible.max) // latest; equal-ts ties large
+    }
+    def fwdMatch(tsL: Long, rights: List[(Long, Double)]): Option[(Long, Double)] = {
+      val tol = tolUs.get
+      val eligible = rights.filter { case (tsR, _) => tsR >= tsL && tsR <= tsL + tol }
+      if (eligible.isEmpty) None else Some(eligible.min) // earliest; equal-ts ties small
+    }
     def matchFor(tsL: Long, rights: List[(Long, Double)]): Option[(Long, Double)] =
-      if (forward) {
-        val tol = tolUs.get
-        val eligible = rights.filter { case (tsR, _) => tsR >= tsL && tsR <= tsL + tol }
-        if (eligible.isEmpty) None else Some(eligible.min) // earliest; equal-ts ties small
-      } else {
-        val eligible = rights.filter { case (tsR, _) =>
-          tsR <= tsL && tolUs.forall(tol => tsR >= tsL - tol)
-        }
-        if (eligible.isEmpty) None else Some(eligible.max) // latest; equal-ts ties large
+      direction match {
+        case Backward => backMatch(tsL, rights)
+        case Forward  => fwdMatch(tsL, rights)
+        case Nearest  =>
+          // closer of the two; ties to BACKWARD (the batch contract)
+          (backMatch(tsL, rights), fwdMatch(tsL, rights)) match {
+            case (Some(b), Some(f)) =>
+              Some(if (tsL - b._1 <= f._1 - tsL) b else f)
+            case (b, f) => b.orElse(f)
+          }
       }
 
     // a left's match set is complete once the watermark passes this
-    def sealPointUs(tsL: Long): Long = if (forward) tsL + tolUs.get else tsL
+    def sealPointUs(tsL: Long): Long =
+      if (direction == Backward) tsL else tsL + tolUs.get
 
     def update(
         key: String,
@@ -149,11 +186,18 @@ object AsOfStream {
         AsOfPair(key, fromUs(tsL), v,
           m.map(x => fromUs(x._1)), m.map(_._2))
       }
-      // prune rights no pending or future left can match: pending and
-      // future lefts have sealPoint >= wm, i.e. ts_l >= wm - tol (fwd)
-      // or ts_l >= wm (back); matchable rights sit within tol of those
+      // prune rights no pending or future left can match. Unsealed
+      // lefts have sealPoint >= wm, i.e. ts_l >= wm (backward) or
+      // ts_l >= wm - tol (forward/nearest); the oldest right such a
+      // left can reach is ts_l - tol backward-looking — so the prune
+      // horizon is wm - tol for backward and forward (forward never
+      // looks back at all, but the shared bound is safe), and
+      // wm - 2*tol for nearest, whose pending lefts look a further
+      // tol behind their own timestamp
       val keptRights = tolUs match {
-        case Some(tol) => s.rights.filter(_._1 >= wmUs - tol)
+        case Some(tol) =>
+          val horizon = if (direction == Nearest) wmUs - 2 * tol else wmUs - tol
+          s.rights.filter(_._1 >= horizon)
         case None => // backward, unbounded lookback
           val (before, after) = s.rights.partition(_._1 < wmUs)
           if (before.isEmpty) after else before.max :: after

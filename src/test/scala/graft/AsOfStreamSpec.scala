@@ -160,26 +160,31 @@ class AsOfStreamSpec extends SparkSpec {
     }
     val sliceSeq = slices(lts, 3).zip(slices(rts, 4))
 
-    def batchWant(fwd: Boolean, tolMs: Option[Long]) = {
-      val df =
-        if (fwd) AsOfJoin.asofForward(lts.toDF("key", "ts", "value"),
-          rts.toDF("key", "ts", "value"), Seq("key"), "ts", Seq("value"),
-          Seq("value"), toleranceUs = tolMs.map(_ * 1000))
-        else AsOfJoin.asof(lts.toDF("key", "ts", "value"),
-          rts.toDF("key", "ts", "value"), Seq("key"), "ts", Seq("value"),
-          Seq("value"), toleranceUs = tolMs.map(_ * 1000))
+    def batchWant(dir: String, tolMs: Option[Long]) = {
+      val (l, r) = (lts.toDF("key", "ts", "value"), rts.toDF("key", "ts", "value"))
+      val tol = tolMs.map(_ * 1000)
+      val df = dir match {
+        case "fwd" => AsOfJoin.asofForward(l, r, Seq("key"), "ts",
+          Seq("value"), Seq("value"), toleranceUs = tol)
+        case "near" => AsOfJoin.asofNearest(l, r, Seq("key"), "ts",
+          Seq("value"), Seq("value"), toleranceUs = tol)
+        case _ => AsOfJoin.asof(l, r, Seq("key"), "ts",
+          Seq("value"), Seq("value"), toleranceUs = tol)
+      }
       df.select(col("key"), col("ts"), col("asof_value")).collect()
         .map(r => (r.getString(0), r.getTimestamp(1)) ->
           (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     }
 
-    def streamGot(fwd: Boolean, tolMs: Option[Long], name: String) = {
+    def streamGot(dir: String, tolMs: Option[Long], name: String) = {
       implicit val sqlCtx = spark.sqlContext
       val ls = MemoryStream[Tick]
       val rs = MemoryStream[Tick]
-      val joined =
-        if (fwd) AsOfStream.asofForward(ls.toDS(), rs.toDS(), "45 seconds", tolMs.get)
-        else AsOfStream.asofBackward(ls.toDS(), rs.toDS(), "45 seconds", tolMs)
+      val joined = dir match {
+        case "fwd" => AsOfStream.asofForward(ls.toDS(), rs.toDS(), "45 seconds", tolMs.get)
+        case "near" => AsOfStream.asofNearest(ls.toDS(), rs.toDS(), "45 seconds", tolMs.get)
+        case _ => AsOfStream.asofBackward(ls.toDS(), rs.toDS(), "45 seconds", tolMs)
+      }
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try {
@@ -197,12 +202,13 @@ class AsOfStreamSpec extends SparkSpec {
         .map(p => (p.key, p.ts_l) -> p.asof_value).toMap
     }
 
-    for ((fwd, tol, name) <- Seq(
-        (false, None, "asof_rand_b"),
-        (false, Some(90000L), "asof_rand_bt"),
-        (true, Some(90000L), "asof_rand_f"))) {
-      val got = streamGot(fwd, tol, name)
-      val want = batchWant(fwd, tol)
+    for ((dir, tol, name) <- Seq(
+        ("back", None, "asof_rand_b"),
+        ("back", Some(90000L), "asof_rand_bt"),
+        ("fwd", Some(90000L), "asof_rand_f"),
+        ("near", Some(90000L), "asof_rand_n"))) {
+      val got = streamGot(dir, tol, name)
+      val want = batchWant(dir, tol)
       assert(got.size == lts.size, s"$name: ${got.size} emitted of ${lts.size}")
       want.foreach { case (k, wv) =>
         assert(got(k) == wv, s"$name $k: got ${got(k)}, want $wv")
