@@ -61,6 +61,29 @@ final class CandleTable private (
         sum(col("trades").cast("long")).as("trades"))
   }
 
+  /** [[rollup]] with the volume as EXACT long cents (each candle's
+    * volume quantized through DECIMAL(18,2) before summation — the
+    * [[CandleOps.ohlcvRollupCents]] discipline: no rehydrated double
+    * is ever re-quantized, lossless at any scale). The cent-exact
+    * volume consumers (OBV, MFI, Kyle λ, Amihud, VPIN, volume
+    * profile) dispatch on the `vol_cents` column automatically.
+    */
+  def rollupCents(timeframe: String): DataFrame = {
+    val tf = Timeframe.parse(timeframe)
+    val cents = (col("volume").cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    val groupKeys = keys.filterNot(_ == "interval").map(col) :+
+      graft.functions.TimeBucket.time_bucket(col(tsCol), tf.sparkInterval).as("bucket_ts")
+    df.groupBy(groupKeys: _*)
+      .agg(
+        min_by(col("open"), col(tsCol)).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col(tsCol)).as("close"),
+        sum(cents).as("vol_cents"),
+        sum(col("trades").cast("long")).as("trades"))
+  }
+
   /** G2 — grid buckets with no candle, per key. */
   def missingBuckets(timeframe: String): DataFrame =
     GapOps.missingBuckets(df, keys.filterNot(_ == "interval"), tsCol,
@@ -120,9 +143,9 @@ final class CandleTable private (
   def donchian(timeframe: String, nWindow: Int = 20): DataFrame =
     CandleOps.donchian(rollup(timeframe), rkeys, "bucket_ts", nWindow)
 
-  /** On-balance volume over a rollup. */
+  /** On-balance volume over a cent-exact rollup. */
   def obv(timeframe: String): DataFrame =
-    CandleOps.obv(rollup(timeframe), rkeys, "bucket_ts", "close", "volume")
+    CandleOps.obv(rollupCents(timeframe), rkeys, "bucket_ts", "close", "vol_cents")
 
   /** Exact-rational MACD (+ quantized signal line) over a rollup. */
   def macd(timeframe: String, fast: Int = 6, slow: Int = 13, signalN: Int = 5): DataFrame =
@@ -144,9 +167,9 @@ final class CandleTable private (
   def heikinAshi(timeframe: String, nWindow: Int = 12): DataFrame =
     CandleOps.heikinAshi(rollup(timeframe), rkeys, "bucket_ts", nWindow)
 
-  /** Volume-at-price profile over a rollup. */
+  /** Volume-at-price profile over a cent-exact rollup. */
   def volumeProfile(timeframe: String, bucketCents: Long = 100L): DataFrame =
-    CandleOps.volumeProfile(rollup(timeframe), rkeys, "close", "volume", bucketCents)
+    CandleOps.volumeProfile(rollupCents(timeframe), rkeys, "close", "vol_cents", bucketCents)
 
   /** Per-key max drawdown of a rollup's closes. */
   def drawdown(timeframe: String): DataFrame =
@@ -160,9 +183,9 @@ final class CandleTable private (
   def aroon(timeframe: String, nWindow: Int = 14): DataFrame =
     MicrostructureOps.aroon(rollup(timeframe), rkeys, "bucket_ts", nWindow)
 
-  /** Money flow index over a rollup. */
+  /** Money flow index over a cent-exact rollup. */
   def mfi(timeframe: String, nWindow: Int = 14): DataFrame =
-    MicrostructureOps.mfi(rollup(timeframe), rkeys, "bucket_ts", nWindow)
+    MicrostructureOps.mfi(rollupCents(timeframe), rkeys, "bucket_ts", nWindow)
 
   /** Commodity channel index (exact own-window mean deviation). */
   def cci(timeframe: String, nWindow: Int = 20): DataFrame =
@@ -174,11 +197,11 @@ final class CandleTable private (
 
   /** Kyle's lambda: price impact per signed cent of volume. */
   def kyleLambda(timeframe: String): DataFrame =
-    MicrostructureOps.kyleLambda(rollup(timeframe), rkeys, "bucket_ts")
+    MicrostructureOps.kyleLambda(rollupCents(timeframe), rkeys, "bucket_ts")
 
   /** Amihud-style illiquidity per (key, day). */
   def amihud(timeframe: String): DataFrame =
-    MicrostructureOps.amihud(rollup(timeframe), rkeys, "bucket_ts")
+    MicrostructureOps.amihud(rollupCents(timeframe), rkeys, "bucket_ts")
 
   /** Lo-MacKinlay variance ratio (random-walk diagnostic). */
   def varianceRatio(timeframe: String, q: Int = 4): DataFrame =
@@ -186,7 +209,7 @@ final class CandleTable private (
 
   /** VPIN-style flow toxicity on the volume clock. */
   def vpin(timeframe: String, bucketVolumeCents: Long): DataFrame =
-    MicrostructureOps.vpin(rollup(timeframe), rkeys, "bucket_ts", bucketVolumeCents)
+    MicrostructureOps.vpin(rollupCents(timeframe), rkeys, "bucket_ts", bucketVolumeCents)
 
   /** Brown's double exponential smoothing: level/trend/one-step
     * forecast in micro-cents.

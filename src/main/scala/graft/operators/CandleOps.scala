@@ -138,8 +138,9 @@ object CandleOps {
 
   /** Exact long cent volume off a rollup column: a LongType column is
     * consumed as already-exact cents (the [[ohlcvRollupCents]] shape);
-    * a double column is quantized via `round(×100)` (legacy — see the
-    * [[ohlcvRollupCents]] caveats on rehydrated doubles).
+    * a double column is quantized via the DECIMAL(18,2) cast (stable
+    * per-row semantics, matching the oracles' per-row quantization —
+    * see the [[ohlcvRollupCents]] caveats on rehydrated doubles).
     */
   private[operators] def volCentsCol(rollup: DataFrame, volumeCol: String): Column = {
     val c =
@@ -148,7 +149,7 @@ object CandleOps {
       else volumeCol // let schema() raise the standard missing-field error
     rollup.schema(c).dataType match {
       case LongType => col(c)
-      case _        => round(col(c) * 100).cast(LongType)
+      case _        => (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
     }
   }
 

@@ -321,7 +321,7 @@ object MicrostructureOps {
       rollup.select(
         (keys.map(col) :+ col(bucketCol) :+
           decCts("close").as("close_cents") :+
-          decCts("volume").as("vol_cents")): _*),
+          CandleOps.volCentsCol(rollup, "volume").as("vol_cents")): _*),
       keys, bucketCol, "close_cents", "vol_cents", bucketVolumeCents)
   }
 
