@@ -13,9 +13,18 @@ import graft.sources.Tables
   * Every entry pairs a Spark-first implementation (built on the graft
   * operator library) with an ANSI-SQL oracle executed by DuckDB over the
   * same parquet. Determinism conventions (FIXTURES.md §C): no now()/rand;
-  * double sums go through exact DECIMAL(18,2) accumulation and a single
-  * final cast to double, so aggregation order can never perturb values;
-  * ordered outputs carry total-order tiebreaks.
+  * money/2-dp sums go through pure-IEEE per-row cent quantization
+  * ([[graft.functions.Cents]]: floor(v*100+0.5), exact long/HUGEINT
+  * accumulation, one division at the end) so neither aggregation order
+  * nor an engine-owned double→DECIMAL rounding policy can perturb
+  * values across Spark and any DuckDB release; every oracle output
+  * column carries an explicit portable CAST (BIGINT/DOUBLE — an uncast
+  * HUGEINT converts version-dependently in DuckDB's pandas/arrow
+  * layer); ordered outputs carry total-order tiebreaks. Products of
+  * 2-dp doubles cast to DECIMAL(25,8) are tie-immune by construction:
+  * the exact product has ≤6 decimal places and the double error
+  * (≲1e-10 at 1e5 magnitudes) is far below the 5e-9 rounding boundary,
+  * so every engine recovers the same exact rational.
   */
 object SparkEntry {
 
@@ -192,23 +201,25 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax"))
+      val cts = graft.functions.Cents.cents _
+      val toM = graft.functions.Cents.centsToMoney _
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__sp"),
+          sum(cts(col("l_quantity"))).as("__sq"),
+          sum(cts(col("l_extendedprice"))).as("__sp"),
           sum(moneyExpr(discPrice)).as("__sdp"),
           sum(moneyExpr(charge)).as("__sc"),
-          sum(col("l_discount").cast(DecimalType(18, 2))).as("__sd"),
+          sum(cts(col("l_discount"))).as("__sd"),
           count(lit(1)).as("count_order"))
         .select(
           col("l_returnflag"), col("l_linestatus"),
-          col("__sq").cast(DoubleType).as("sum_qty"),
-          col("__sp").cast(DoubleType).as("sum_base_price"),
+          toM(col("__sq")).as("sum_qty"),
+          toM(col("__sp")).as("sum_base_price"),
           col("__sdp").cast(DoubleType).as("sum_disc_price"),
           col("__sc").cast(DoubleType).as("sum_charge"),
-          (col("__sq").cast(DoubleType) / col("count_order")).as("avg_qty"),
-          (col("__sp").cast(DoubleType) / col("count_order")).as("avg_price"),
-          (col("__sd").cast(DoubleType) / col("count_order")).as("avg_disc"),
+          (toM(col("__sq")) / col("count_order")).as("avg_qty"),
+          (toM(col("__sp")) / col("count_order")).as("avg_price"),
+          (toM(col("__sd")) / col("count_order")).as("avg_disc"),
           col("count_order"))
     }),
 
@@ -281,7 +292,7 @@ object SparkEntry {
       r1h.select(
         col("user_id"), col("bucket_ts"),
         col("close").as("close"),
-        (sum(col("volume_dec")).over(w).cast(DoubleType) /
+        (graft.functions.Cents.centsToMoney(sum(col("vol_cents")).over(w)) /
           count(lit(1)).over(w)).as("vol_sma7"),
         count(lit(1)).over(w).cast(LongType).as("n_in_frame"))
     }),
@@ -302,18 +313,18 @@ object SparkEntry {
     }),
 
     // ----- Volume-weighted average price per part over lineitem:
-    // exact decimal sums, single final division -----------------------
+    // exact cent sums, single final division --------------------------
     "q_vwap" -> ((s, dir) => {
-      val dec = DecimalType(18, 2)
+      val C = graft.functions.Cents
       Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(
-          sum(col("l_extendedprice").cast(dec)).as("__sp"),
-          sum(col("l_quantity").cast(dec)).as("__sq"))
+          sum(C.cents(col("l_extendedprice"))).as("__sp"),
+          sum(C.cents(col("l_quantity"))).as("__sq"))
         .select(col("l_partkey"),
-          col("__sp").cast(DoubleType).as("total_price"),
-          col("__sq").cast(DoubleType).as("total_qty"),
-          (col("__sp").cast(DoubleType) / col("__sq").cast(DoubleType))
+          C.centsToMoney(col("__sp")).as("total_price"),
+          C.centsToMoney(col("__sq")).as("total_qty"),
+          (C.centsToMoney(col("__sp")) / C.centsToMoney(col("__sq")))
             .as("vwap"))
     }),
 
@@ -350,10 +361,10 @@ object SparkEntry {
         withCarriers = true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket_ts"))
-        .orderBy(col("volume_dec").desc, col("user_id"))
+        .orderBy(col("vol_cents").desc, col("user_id"))
       daily.select(
         col("bucket_ts"), col("user_id"),
-        col("volume_dec").cast(DoubleType).as("volume"),
+        graft.functions.Cents.centsToMoney(col("vol_cents")).as("volume"),
         row_number().over(w).as("vol_rank"))
         .filter(col("vol_rank") <= 10)
     }),
@@ -1307,25 +1318,28 @@ object SparkEntry {
             .as("p99_in_bounds"),
           col("n"))),
 
-    // ----- Moment statistics via exact decimal sums -------------------
-    // stddev/avg computed from order-independent decimal accumulations
-    // (Welford order-sensitivity would break oracle hashing)
+    // ----- Moment statistics via exact cent sums ----------------------
+    // stddev/avg computed from order-independent integer accumulations
+    // (Welford order-sensitivity would break oracle hashing); the
+    // squared-cents sum accumulates in DECIMAL(38,0) (HUGEINT on the
+    // oracle side) — exact integers both sides, one double finish
     "q_price_stats" -> ((s, dir) => {
+      val C = graft.functions.Cents
       val li = Tables.lineitem(s, dir)
-      val x = col("l_extendedprice")
+      val c = C.cents(col("l_extendedprice"))
       li.groupBy(col("l_returnflag"))
         .agg(
-          sum(x.cast(DecimalType(18, 2))).as("__s"),
-          sum((x.cast(DecimalType(18, 2)) * x.cast(DecimalType(18, 2)))).as("__s2"),
+          sum(c).as("__s"),
+          sum((c * c).cast(DecimalType(38, 0))).as("__s2"),
           count(lit(1)).as("n"))
         .select(
           col("l_returnflag"), col("n"),
-          (col("__s").cast(DoubleType) / col("n")).as("avg_price"),
-          // floored micro-units: a last-ulp difference in the decimal->
-          // double cast of the squared sum must not flip the hash
+          (C.centsToMoney(col("__s")) / col("n")).as("avg_price"),
+          // floored micro-units: a last-ulp difference in the exact-
+          // integer-to-double finish must not flip the hash
           floor(sqrt(
-            (col("__s2").cast(DoubleType) -
-              col("__s").cast(DoubleType) * col("__s").cast(DoubleType) / col("n")) /
+            (col("__s2").cast(DoubleType) / 10000.0 -
+              C.centsToMoney(col("__s")) * C.centsToMoney(col("__s")) / col("n")) /
               (col("n") - 1)) * 1000000.0).cast(LongType).as("stddev_price_micros"))
     }),
 
@@ -1765,9 +1779,10 @@ object SparkEntry {
     }),
 
     // ----- A/B readout: deterministic 50/50 id-hash split, exact
-    // decimal metric sums per arm over purchase events ----------------
+    // cent metric sums per arm over purchase events -------------------
     "q_ab_metrics" -> ((s, dir) => {
-      val v = col("value").cast(DecimalType(18, 2))
+      val C = graft.functions.Cents
+      val c = C.cents(col("value"))
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .withColumn("variant",
@@ -1776,8 +1791,9 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(v).cast(DoubleType).as("total_value"),
-          sum(v * v).cast(DoubleType).as("total_value_sq"))
+          C.centsToMoney(sum(c)).as("total_value"),
+          (sum((c * c).cast(DecimalType(38, 0))).cast(DoubleType) / 10000.0)
+            .as("total_value_sq"))
     }),
 
     // ----- CUPED variance-reduced A/B readout: per-user view-count
@@ -1958,10 +1974,10 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"))
-        .filter(col("__sq") > 250)
+        .agg(sum(graft.functions.Cents.cents(col("l_quantity"))).as("__sq"))
+        .filter(col("__sq") > 25000)
         .select(col("l_orderkey").as("bq_orderkey"),
-          col("__sq").cast(DoubleType).as("total_qty"))
+          graft.functions.Cents.centsToMoney(col("__sq")).as("total_qty"))
       Tables.orders(s, dir)
         .join(big, col("o_orderkey") === col("bq_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -2014,8 +2030,7 @@ object SparkEntry {
       Tables.orders(s, dir)
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DoubleType).as("total_price"),
+          CandleOps.moneySum(col("o_totalprice")).as("total_price"),
           grouping_id().cast(LongType).as("gid"))),
 
     // ----- PIVOT: per-user event-type counts as fixed columns (the
@@ -3054,13 +3069,13 @@ object SparkEntry {
     // ----- VPIN-style flow toxicity on the volume clock: equal-volume
     // buckets via a per-key prefix sum, tick-rule signed flow, one
     // division per bucket. Cents are derived PER ROW before the rollup
-    // aggregation (value → DECIMAL(18,2) → ×100 → long) and summed as
-    // longs, so no rehydrated double is ever re-cast to decimal — the
-    // engine-dependent half-cent rounding that made the hash drift
-    // between Spark and DuckDB versions cannot occur ---------------------
+    // aggregation via the pure-IEEE floor(v*100+0.5) (Cents.scala) and
+    // summed as longs — no engine-owned rounding policy anywhere in the
+    // hash-compared path, and every oracle column carries an explicit
+    // portable CAST (the r6-r8 red was the uncast HUGEINT vol_bucket,
+    // whose pandas/arrow conversion differs across DuckDB releases) ----
     "q_vpin" -> ((s, dir) => {
-      val cents =
-        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+      val cents = graft.functions.Cents.cents(col("value"))
       val pre = Tables.events(s, dir)
         .groupBy(col("user_id"),
           graft.functions.TimeBucket.time_bucket(col("ts"), "1 hour")
@@ -3705,14 +3720,14 @@ object SparkEntry {
       """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
          arg_max(value, ts) AS close,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+         (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS volume,
          count(*) AS trades
          FROM events GROUP BY 1, 2""",
     "q_ohlcv_rollup_1h" ->
       """SELECT event_type, user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
          arg_max(value, ts) AS close,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+         (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS volume,
          count(*) AS trades
          FROM events GROUP BY 1, 2, 3""",
     "q_rollup_cascade_15m_to_1h" ->
@@ -3721,12 +3736,12 @@ object SparkEntry {
                   arg_min(value, ts) AS open, min(ts) AS open_ts,
                   max(value) AS high, min(value) AS low,
                   arg_max(value, ts) AS close, max(ts) AS close_ts,
-                  sum(CAST(value AS DECIMAL(18,2))) AS volume_dec, count(*) AS trades
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vol_cents, count(*) AS trades
            FROM events GROUP BY 1, 2)
          SELECT user_id, time_bucket(INTERVAL '1 hour', b) AS bucket_ts,
                 arg_min(open, open_ts) AS open, max(high) AS high, min(low) AS low,
                 arg_max(close, close_ts) AS close,
-                CAST(sum(volume_dec) AS DOUBLE) AS volume,
+                CAST(sum(vol_cents) AS DOUBLE) / 100 AS volume,
                 CAST(sum(trades) AS BIGINT) AS trades
          FROM r15 GROUP BY 1, 2""",
     "q_dedup_latest" ->
@@ -3818,20 +3833,20 @@ object SparkEntry {
          SELECT user_id, 'removed' AS status FROM kn ANTI JOIN cur USING (user_id)""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS sum_qty,
+         (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS sum_base_price,
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
          CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+         (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / count(*) AS avg_qty,
+         (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / count(*) AS avg_price,
+         (CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / count(*) AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
          GROUP BY 1, 2""",
     "q_join_orders_customer" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         (CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS total_revenue,
          count(DISTINCT o_custkey) AS n_customers
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
@@ -3872,10 +3887,10 @@ object SparkEntry {
       """WITH r1h AS (
            SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                   arg_max(value, ts) AS close,
-                  sum(CAST(value AS DECIMAL(18,2))) AS volume_dec
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vol_cents
            FROM events GROUP BY 1, 2)
          SELECT user_id, bucket_ts, close,
-                CAST(sum(volume_dec) OVER w AS DOUBLE) / count(*) OVER w AS vol_sma7,
+                CAST(sum(vol_cents) OVER w AS DOUBLE) / 100 / count(*) OVER w AS vol_sma7,
                 CAST(count(*) OVER w AS BIGINT) AS n_in_frame
          FROM r1h
          WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
@@ -3930,12 +3945,12 @@ object SparkEntry {
          FROM g""",
     "q_vwap" ->
       """SELECT l_partkey,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
                   AS total_price,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
                   AS total_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                  / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
+                  / (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
                   AS vwap
          FROM lineitem GROUP BY 1""",
     // Observation-holds-until-next weighting; decimal-exact weighted
@@ -3957,17 +3972,17 @@ object SparkEntry {
     "q_rank_by_volume" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
-                  sum(CAST(value AS DECIMAL(18,2))) AS volume_dec
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vol_cents
            FROM events GROUP BY 1, 2)
-         SELECT bucket_ts, user_id, CAST(volume_dec AS DOUBLE) AS volume, vol_rank FROM (
-           SELECT bucket_ts, user_id, volume_dec,
+         SELECT bucket_ts, user_id, CAST(vol_cents AS DOUBLE) / 100 AS volume, vol_rank FROM (
+           SELECT bucket_ts, user_id, vol_cents,
                   CAST(row_number() OVER (PARTITION BY bucket_ts
-                       ORDER BY volume_dec DESC, user_id) AS INT) AS vol_rank
+                       ORDER BY vol_cents DESC, user_id) AS INT) AS vol_rank
            FROM daily)
          WHERE vol_rank <= 10""",
     "q_grouping_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q_dedup_window" ->
       """SELECT event_id, ts, user_id, event_type, value, props, minute_ts FROM (
@@ -4467,7 +4482,7 @@ object SparkEntry {
             FROM e)
          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+                (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS total_value
          FROM s GROUP BY user_id, sn""",
     "q_session_assign" ->
       """WITH e AS (SELECT event_id, user_id, ts,
@@ -4930,7 +4945,7 @@ object SparkEntry {
          ORDER BY n_events DESC, user_id LIMIT 10""",
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+         (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS bucket_sum
          FROM events GROUP BY 1""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -4952,7 +4967,7 @@ object SparkEntry {
            SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                   arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
                   arg_max(value, ts) AS close,
-                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+                  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS volume,
                   count(*) AS trades
            FROM events GROUP BY 1, 2)
          SELECT user_id, bucket_ts, open, high, low, close, volume, trades,
@@ -5025,10 +5040,10 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "q_price_stats" ->
       """SELECT l_returnflag, count(*) AS n,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-         CAST(floor(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+         (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / count(*) AS avg_price,
+         CAST(floor(sqrt((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+               - (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
+                 * (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / count(*))
               / (count(*) - 1)) * 1000000.0) AS BIGINT) AS stddev_price_micros
          FROM lineitem GROUP BY 1""",
     "q_quality_score" ->
@@ -5069,7 +5084,7 @@ object SparkEntry {
            FROM x)
          SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+                (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS session_value
          FROM y GROUP BY 1, 2""",
     "q_knn_label_purity" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -5702,8 +5717,8 @@ object SparkEntry {
                        < 32768 THEN 'a' ELSE 'b' END AS variant,
                 count(*) AS n_events,
                 count(DISTINCT user_id) AS n_users,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-                CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS total_value,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
                   AS total_value_sq
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1""",
@@ -5918,9 +5933,9 @@ object SparkEntry {
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS total_qty
             FROM lineitem GROUP BY 1
-            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+            HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 25000)
          SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
          FROM orders
          JOIN big ON o_orderkey = big.l_orderkey
@@ -5967,7 +5982,7 @@ object SparkEntry {
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
                 count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                (CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS total_price,
                 CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
          FROM orders
          GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
@@ -6392,7 +6407,7 @@ object SparkEntry {
     "q_obv" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl,
@@ -6506,7 +6521,7 @@ object SparkEntry {
     "q_volume_profile" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id,
                  CAST(floor(CAST(round(close * 100) AS BIGINT) / 100.0) AS BIGINT)
@@ -7363,7 +7378,7 @@ object SparkEntry {
     "q_mfi" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 max(value) AS high, min(value) AS low, arg_max(value, ts) AS close,
-                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(high * 100) AS BIGINT) + CAST(round(low * 100) AS BIGINT)
@@ -7435,7 +7450,7 @@ object SparkEntry {
     "q_kyle_lambda" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl,
@@ -7460,7 +7475,7 @@ object SparkEntry {
     "q_amihud" ->
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close,
-                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vol_cents
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vol_cents
             FROM events GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl,
@@ -7834,7 +7849,7 @@ object SparkEntry {
                  LEFT JOIN cm ON cm.day = dp.day AND cm.prev_day = dp.prev_day""",
     "q_vpin" ->
       """WITH e AS (SELECT user_id, ts,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
             FROM events),
          c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                  arg_max(cents, ts) AS cl,
@@ -7849,7 +7864,7 @@ object SparkEntry {
                  sum(v) OVER (PARTITION BY user_id ORDER BY bucket_ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS cum
                FROM f),
-         b AS (SELECT user_id, cum // 50000 AS vol_bucket, sv, v FROM s)
+         b AS (SELECT user_id, CAST(cum // 50000 AS BIGINT) AS vol_bucket, sv, v FROM s)
          SELECT user_id, vol_bucket, CAST(count(*) AS BIGINT) AS n_bars,
                 CAST(abs(sum(sv)) AS BIGINT) AS imbalance_cents,
                 CAST(sum(v) AS BIGINT) AS total_cents,

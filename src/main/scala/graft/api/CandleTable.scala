@@ -62,16 +62,15 @@ final class CandleTable private (
   }
 
   /** [[rollup]] with the volume as EXACT long cents (each candle's
-    * volume quantized through DECIMAL(18,2) before summation — the
-    * [[CandleOps.ohlcvRollupCents]] discipline: no rehydrated double
-    * is ever re-quantized, lossless at any scale). The cent-exact
-    * volume consumers (OBV, MFI, Kyle λ, Amihud, VPIN, volume
-    * profile) dispatch on the `vol_cents` column automatically.
+    * volume quantized per row via [[graft.functions.Cents]] before
+    * summation — the [[CandleOps.ohlcvRollupCents]] discipline: no
+    * rehydrated double is ever re-quantized, lossless at any scale).
+    * The cent-exact volume consumers (OBV, MFI, Kyle λ, Amihud, VPIN,
+    * volume profile) dispatch on the `vol_cents` column automatically.
     */
   def rollupCents(timeframe: String): DataFrame = {
     val tf = Timeframe.parse(timeframe)
-    val cents = (col("volume").cast(
-      org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long")
+    val cents = graft.functions.Cents.cents(col("volume"))
     val groupKeys = keys.filterNot(_ == "interval").map(col) :+
       graft.functions.TimeBucket.time_bucket(col(tsCol), tf.sparkInterval).as("bucket_ts")
     df.groupBy(groupKeys: _*)

@@ -14,14 +14,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object CandleOps {
 
-  /** Exact, order-independent sum of a 2-decimal double column: cast to
-    * decimal so partial/final aggregation order cannot perturb the
-    * result, finish back to double. This is what makes double sums
-    * hash-identical between Spark and the DuckDB oracle regardless of
-    * partitioning — the engine-side analog of summing cents.
+  /** Exact, order-independent sum of a 2-decimal double column:
+    * per-row pure-IEEE cent quantization ([[graft.functions.Cents]]),
+    * exact long accumulation, one division back to double. Aggregation
+    * order cannot perturb the result, and — unlike the former
+    * DECIMAL(18,2)-cast form — no engine-owned rounding policy is
+    * invoked, so the sum is hash-identical between Spark and every
+    * DuckDB release.
     */
-  def moneySum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  def moneySum(c: Column): Column = graft.functions.Cents.moneySum(c)
 
   // ---------------------------------------------------------------------
   // B2 — last-writer-wins dedup ("FINAL" over ReplacingMergeTree,
@@ -71,8 +72,8 @@ object CandleOps {
     *
     * With `withCarriers=true` the output keeps `open_ts`/`close_ts`, the
     * argmin/argmax carriers that make coarser re-aggregation associative
-    * (the ClickHouse `-State` trick, SURVEY.md §1.3), plus an exact
-    * decimal `volume_dec` for further summation.
+    * (the ClickHouse `-State` trick, SURVEY.md §1.3), plus exact long
+    * `vol_cents` for further summation.
     */
   def ohlcvRollup(
       df: DataFrame,
@@ -99,21 +100,20 @@ object CandleOps {
         Seq(
           min(ts).as("open_ts"),
           max(ts).as("close_ts"),
-          sum(v.cast(DecimalType(18, 2))).as("volume_dec")
+          sum(graft.functions.Cents.cents(v)).as("vol_cents")
         )
       else Seq(moneySum(v).as("volume"))
     grouped.agg((base ++ extra).head, (base ++ extra).tail: _*)
   }
 
   /** [[ohlcvRollup]] with the volume published as EXACT long cents
-    * (per-row `value → DECIMAL(18,2) → ×100 → long`, summed as longs)
+    * (per-row pure-IEEE `floor(value*100+0.5)`, summed as longs)
     * instead of a rehydrated double — the input shape for cent-exact
     * volume consumers (OBV, MFI, Kyle λ, Amihud, VPIN, volume
-    * profile). Quantizing a REHYDRATED double back to cents is both
-    * engine-dependent at half-cent boundaries (the q_vpin lesson) and
+    * profile). Quantizing a REHYDRATED double back to cents is
     * genuinely lossy once the sum passes ~1e13 dollars (double ulp ×
-    * 100 > 0.5 cent) — per-row quantization before aggregation has
-    * neither failure mode at any scale.
+    * 100 > 0.5 cent) — per-row quantization before aggregation has no
+    * such failure mode at any scale (see [[graft.functions.Cents]]).
     */
   def ohlcvRollupCents(
       df: DataFrame,
@@ -124,7 +124,7 @@ object CandleOps {
   ): DataFrame = {
     val ts = col(tsCol)
     val v = col(valueCol)
-    val cents = (v.cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val cents = graft.functions.Cents.cents(v)
     df.groupBy(
       keys.map(col) :+ graft.functions.TimeBucket.time_bucket(ts, grain).as("bucket_ts"): _*
     ).agg(
@@ -136,21 +136,23 @@ object CandleOps {
       sum(cents).as("vol_cents"))
   }
 
-  /** Exact long cent volume off a rollup column: a LongType column is
-    * consumed as already-exact cents (the [[ohlcvRollupCents]] shape);
-    * a double column is quantized via the DECIMAL(18,2) cast (stable
-    * per-row semantics, matching the oracles' per-row quantization —
-    * see the [[ohlcvRollupCents]] caveats on rehydrated doubles).
+  /** Exact long cent volume off a rollup column. A column NAMED
+    * `vol_cents` (the [[ohlcvRollupCents]] contract — either requested
+    * directly or present alongside a missing `volumeCol`) is consumed
+    * as already-exact cents; anything else is quantized per row via
+    * [[graft.functions.Cents]]. Dispatch is on the contract NAME, not
+    * on LongType: an integral volume column with any other name (e.g.
+    * share/contract counts stored as long) is a count of units, not
+    * cents, and silently consuming it as cents would skew every
+    * cent-exact consumer 100×.
     */
   private[operators] def volCentsCol(rollup: DataFrame, volumeCol: String): Column = {
     val c =
       if (rollup.columns.contains(volumeCol)) volumeCol
       else if (rollup.columns.contains("vol_cents")) "vol_cents"
       else volumeCol // let schema() raise the standard missing-field error
-    rollup.schema(c).dataType match {
-      case LongType => col(c)
-      case _        => (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
-    }
+    if (c == "vol_cents") col(c)
+    else graft.functions.Cents.cents(col(c))
   }
 
   /** A6 — cascade re-aggregation: coarser rollup from a finer rollup's
@@ -178,12 +180,12 @@ object CandleOps {
         sum(col("trades")).as("trades"),
         min(col("open_ts")).as("open_ts"),
         max(col("close_ts")).as("close_ts"),
-        sum(col("volume_dec")).as("volume_dec")
+        sum(col("vol_cents")).as("vol_cents")
       )
   }
 
   /** Finish a carrier rollup to its user-facing shape (drop carriers,
-    * decimal volume → double) — the analog of ClickHouse `-Merge`
+    * exact cents → double) — the analog of ClickHouse `-Merge`
     * read-side finishing (notebooks/ohlcv_views.ipynb cell 2).
     */
   def finishRollup(df: DataFrame, keys: Seq[String]): DataFrame = {
@@ -193,7 +195,7 @@ object CandleOps {
       col("high"),
       col("low"),
       col("close"),
-      col("volume_dec").cast(DoubleType).as("volume"),
+      graft.functions.Cents.centsToMoney(col("vol_cents")).as("volume"),
       col("trades").cast(LongType).as("trades")
     )
     df.select(cols: _*)

@@ -297,17 +297,17 @@ object MicrostructureOps {
     * no tick sign and are excluded from the clock, matching the
     * tick-rule convention everywhere else in this family.
     *
-    * Quantization note: cents are derived through an exact
-    * DECIMAL(18,2) cast (scale-2 round-half-up, then an exact *100)
-    * rather than `round(double*100)` — DECIMAL cast semantics are
-    * stable across engines and versions, while `round(double)`
-    * half-way behavior has drifted between DuckDB releases. This
-    * double-input form is the convenience wrapper; when the caller
-    * holds exact integer cents already (e.g. from a carrier-bearing
-    * rollup), use [[vpinFromCents]] directly — a double→decimal cast
-    * of a REHYDRATED value (a decimal sum finished to double, cast
-    * back) is engine-dependent near half-cent boundaries and must
-    * never appear in a hash-compared path.
+    * Quantization note: cents are derived through the pure-IEEE
+    * `floor(v*100+0.5)` ([[graft.functions.Cents]]) — multiply, add,
+    * floor are exactly specified by IEEE 754, so no engine-owned
+    * rounding policy (double→DECIMAL cast or `round(double)` half-way
+    * behavior, both of which have drifted between engines/releases) is
+    * invoked. This double-input form is the convenience wrapper; when
+    * the caller holds exact integer cents already (e.g. from a
+    * carrier-bearing rollup), use [[vpinFromCents]] directly —
+    * re-quantizing a REHYDRATED value (a cents sum finished to double,
+    * cast back) is lossy past ~1e13 dollars and must never appear in a
+    * hash-compared path.
     */
   def vpin(
       rollup: DataFrame,
@@ -315,8 +315,7 @@ object MicrostructureOps {
       bucketCol: String,
       bucketVolumeCents: Long
   ): DataFrame = {
-    def decCts(c: String) =
-      (col(c).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    def decCts(c: String) = graft.functions.Cents.cents(col(c))
     vpinFromCents(
       rollup.select(
         (keys.map(col) :+ col(bucketCol) :+

@@ -33,9 +33,9 @@ import graft.functions.TimeBucket
   *
   * Rewrites: min_by(v,ts)→min_by(open,open_ts), max_by(v,ts)→
   * max_by(close,close_ts), min(v)→min(low), max(v)→max(high),
-  * sum(cast(v as decimal))→sum(volume_dec) (re-cast to the original
-  * result type), count(1)→sum(trades) (KnownNotNull keeps the output
-  * schema's nullability). Output aliases keep their exprIds, so
+  * sum(floor(v*100+0.5)) (the [[graft.functions.Cents]] cent sum)→
+  * sum(vol_cents), count(1)→sum(trades) (KnownNotNull keeps the
+  * output schema's nullability). Output aliases keep their exprIds, so
   * downstream operators are untouched.
   */
 object RollupRouter {
@@ -251,6 +251,36 @@ object RollupRouter {
     }
   }
 
+  /** The [[graft.functions.Cents]] per-row cent quantization of the
+    * value attribute — `floor(v * 100 + 0.5)` (long), possibly wrapped
+    * in a redundant long cast and with the literals either folded
+    * (100.0 / 0.5) or still cast-wrapped, depending on where in the
+    * optimizer the rule runs. A sum of this expression over the base
+    * table is exactly the stored `vol_cents` carrier.
+    */
+  private def isCentsOf(e: Expression, vId: ExprId): Boolean = {
+    def isLit(x: Expression, want: Double): Boolean = x match {
+      case Cast(inner, _, _, _) => isLit(inner, want)
+      case Literal(v, _) if v != null =>
+        v match {
+          case d: Double => d == want
+          case f: Float => f.toDouble == want
+          case i: Int => i.toDouble == want
+          case l: Long => l.toDouble == want
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble == want
+          case _ => false
+        }
+      case _ => false
+    }
+    e match {
+      case Cast(inner, org.apache.spark.sql.types.LongType, _, _) =>
+        isCentsOf(inner, vId)
+      case Floor(Add(Multiply(a: AttributeReference, l, _), h, _))
+          if a.exprId == vId && isLit(l, 100d) && isLit(h, 0.5) => true
+      case _ => false
+    }
+  }
+
   final class RouteRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -374,7 +404,7 @@ object RollupRouter {
       val rollupPlan = spark.read.parquet(rollupPath).queryExecution.analyzed
       val rOut = rollupPlan.output.map(a => a.name -> a).toMap
       val needed = Seq("bucket_ts", "open", "open_ts", "high", "low", "close",
-        "close_ts", "volume_dec", "trades") ++ route.keyCols
+        "close_ts", "vol_cents", "trades") ++ route.keyCols
       if (!needed.forall(rOut.contains)) return None
 
       val keyMap: Map[ExprId, Attribute] =
@@ -403,9 +433,8 @@ object RollupRouter {
                 Some(Min(rOut("low")))
               case Max(a: AttributeReference) if a.exprId == v.exprId =>
                 Some(Max(rOut("high")))
-              case Sum(Cast(a: AttributeReference, _: DecimalType, _, _), _)
-                  if a.exprId == v.exprId =>
-                Some(Sum(rOut("volume_dec")))
+              case Sum(centsExpr, _) if isCentsOf(centsExpr, v.exprId) =>
+                Some(Sum(rOut("vol_cents")))
               case Count(Seq(Literal(_, _))) =>
                 Some(Sum(rOut("trades")))
               case _ => None
