@@ -569,6 +569,19 @@ object MicrostructureOps {
     * checked eagerly at call time, raising with a pointer to
     * [[corrScreen]] so the quadratic default cannot be launched
     * unbounded at cluster scale (sf1 measured 164× wall for 10× keys).
+    *
+    * CONTRACT EXCEPTION — this builder is deliberately NOT lazy: the
+    * gate runs one key-only distinct-count Spark job at CONSTRUCTION
+    * time (the only builder in the engine that executes during
+    * planning). Rationale: an unbounded all-pairs launch at a 100k+
+    * universe is a cluster incident, and a plan-embedded assert would
+    * only fire after the quadratic join had already been scheduled.
+    * The guard job is key-column-only (pruned scan + partial distinct)
+    * and its cost is re-paid on the real run — callers composing plans
+    * they never execute (plan audits, explain tooling) should expect
+    * this one query to run a job, and callers on a hot path should
+    * pass the rollup PRE-AGGREGATED, not the raw tick table, so the
+    * guard scans bucket rows, not ticks.
     */
   def corrMatrix(
       rollup: DataFrame,

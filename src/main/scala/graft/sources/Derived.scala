@@ -107,15 +107,14 @@ object Derived {
     * is already warm (same session economics as the read path).
     */
   def itemEdgeSupportsStored(s: SparkSession, dir: String): DataFrame = {
-    val table = storedCache.computeIfAbsent(
-      s"${sessionId(s)}|$dir|edgeSupportsStored", { _ =>
-        val name = s"graft_edge_supports_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
-        val path = java.nio.file.Files.createTempDirectory("graft-edge-store")
-        BucketedStore.writeBucketedAt(
-          itemEdgeSupports(s, dir), name, path.toString,
-          bucketCols = Seq("x", "y"), numBuckets = 32, sortCols = Seq("x", "y"))
-        Entry(s, name)
-      }).value
+    val table = cached(storedCache, s, s"${sessionId(s)}|$dir|edgeSupportsStored") {
+      val name = s"graft_edge_supports_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+      val path = java.nio.file.Files.createTempDirectory("graft-edge-store")
+      BucketedStore.writeBucketedAt(
+        itemEdgeSupports(s, dir), name, path.toString,
+        bucketCols = Seq("x", "y"), numBuckets = 32, sortCols = Seq("x", "y"))
+      name
+    }
     s.table(table)
   }
 
@@ -266,5 +265,7 @@ object Derived {
 
   private val minhashCache = new ConcurrentHashMap[String, Entry[MinhashStore]]()
 
-  def clear(): Unit = { cache.clear(); stageCache.clear(); minhashCache.clear() }
+  def clear(): Unit = {
+    cache.clear(); stageCache.clear(); minhashCache.clear(); storedCache.clear()
+  }
 }

@@ -34,13 +34,26 @@ import graft.operators.GraphOps
   * recovering from the manifest regains the bucket metadata.
   *
   * Exactly-once: the manifest records (generation, last-applied
-  * batchId) and is flipped by an ATOMIC_MOVE, and [[foldBatch]] is a
-  * no-op when the incoming batchId was already applied. The two crash
-  * windows are therefore both safe: a crash BEFORE the manifest flip
-  * leaves the previous generation current and the replayed batch
-  * re-folds from the pre-batch state; a crash AFTER the flip but
-  * before the streaming checkpoint commits makes the replay hit the
-  * already-applied batchId and skip — no double-count in either order.
+  * batchId, stream key) and is flipped by an ATOMIC_MOVE; [[foldBatch]]
+  * is a no-op when the incoming (streamKey, batchId) was already
+  * applied. The two crash windows are therefore both safe: a crash
+  * BEFORE the manifest flip leaves the previous generation current and
+  * the replayed batch re-folds from the pre-batch state; a crash AFTER
+  * the flip but before the streaming checkpoint commits makes the
+  * replay hit the already-applied (streamKey, batchId) and skip — no
+  * double-count in either order.
+  *
+  * The stream key (a digest of the checkpoint path) scopes the batchId
+  * comparison to ONE batch sequence: batchIds restart at 0 whenever a
+  * checkpoint is replaced, so a bare `batchId == lastApplied` guard
+  * would silently DROP a fresh query's batch 0 against a store whose
+  * manifest happens to record 0 (and conversely could double-fold a
+  * replay it failed to recognize). With the key: same key + same id →
+  * replay, skip; same key + higher id → progress, fold; different key
+  * + id 0 → a deliberately new sequence over an existing store, fold
+  * and adopt; anything else (same key + LOWER id, or an unknown
+  * sequence arriving mid-stream) is a store/checkpoint pairing error
+  * and fails fast rather than guessing.
   */
 object EdgeStream {
 
@@ -57,42 +70,64 @@ object EdgeStream {
       itemCol: String,
       storePath: String,
       checkpoint: String
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    val key = streamKey(checkpoint)
     facts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, basketCol, itemCol, storePath, batchId)
+        foldBatch(batch, basketCol, itemCol, storePath, batchId, key)
       }
+  }
+
+  /** Batch-sequence identity: a digest of the checkpoint path. The
+    * checkpoint IS the sequence — batchIds are only comparable within
+    * one checkpoint's lifetime, and a restart of the same query reuses
+    * the same checkpoint (so replay detection survives restarts), while
+    * a replaced checkpoint yields a new key (so its restarted batch 0
+    * is recognized as new work, not a replay).
+    */
+  private[graft] def streamKey(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
 
   private def manifest(storePath: String) =
     java.nio.file.Paths.get(storePath, "CURRENT")
 
-  /** Manifest = "(gen, lastAppliedBatchId)"; (-1, -1) before the first
-    * fold. Tolerates the legacy single-field form (gen only).
+  /** Manifest = "(gen, lastAppliedBatchId, streamKey)"; (-1, -1, null)
+    * before the first fold. Tolerates the legacy one- and two-field
+    * forms (gen only / no stream key): a legacy manifest keeps the
+    * legacy skip semantics until the next fold upgrades it.
     */
-  private def readManifest(storePath: String): (Int, Long) = {
+  private def readManifest(storePath: String): (Int, Long, String) = {
     val m = manifest(storePath)
-    if (!java.nio.file.Files.exists(m)) (-1, -1L)
+    if (!java.nio.file.Files.exists(m)) (-1, -1L, null)
     else java.nio.file.Files.readString(m).trim.split("\\s+") match {
-      case Array(g)    => (g.toInt, -1L)
-      case Array(g, b) => (g.toInt, b.toLong)
+      case Array(g)       => (g.toInt, -1L, null)
+      case Array(g, b)    => (g.toInt, b.toLong, null)
+      case Array(g, b, k) => (g.toInt, b.toLong, if (k == "-") null else k)
       case other => throw new IllegalStateException(
         s"corrupt edge-store manifest at $m: '${other.mkString(" ")}'")
     }
   }
 
-  /** Flip the manifest via temp-file + ATOMIC_MOVE: readers see either
-    * the old committed (gen, batchId) or the new one, never a torn
-    * write (a truncated CURRENT would otherwise poison every later
-    * read of the store).
+  /** Flip the manifest via unique temp-file + ATOMIC_MOVE: readers see
+    * either the old committed (gen, batchId, key) or the new one, never
+    * a torn write (a truncated CURRENT would otherwise poison every
+    * later read of the store). The temp name is unique per writer
+    * (createTempFile), so even two misconfigured concurrent folds
+    * against one storePath cannot interleave on a shared temp file —
+    * last flip wins whole, never torn.
     */
-  private def writeManifest(storePath: String, gen: Int, batchId: Long): Unit = {
+  private def writeManifest(
+      storePath: String, gen: Int, batchId: Long, key: String): Unit = {
     val m = manifest(storePath)
     java.nio.file.Files.createDirectories(m.getParent)
-    val tmp = m.resolveSibling(s"CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp, s"$gen $batchId")
+    val tmp = java.nio.file.Files.createTempFile(m.getParent, "CURRENT", ".tmp")
+    java.nio.file.Files.writeString(tmp, s"$gen $batchId $key")
     java.nio.file.Files.move(tmp, m,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -131,7 +166,7 @@ object EdgeStream {
     * [[foldBatch]].
     */
   def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
-    val (gen, _) = readManifest(storePath)
+    val (gen, _, _) = readManifest(storePath)
     if (gen < 0)
       spark.range(0).select(
         col("id").as("x"), col("id").as("y"), col("id").as("support"))
@@ -143,7 +178,8 @@ object EdgeStream {
       basketCol: String,
       itemCol: String,
       storePath: String,
-      batchId: Long
+      batchId: Long,
+      streamKey: String = null
   ): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val itemType = batch.schema(itemCol).dataType
@@ -155,8 +191,30 @@ object EdgeStream {
         "integral id would fail the fold's join mid-stream. Map string " +
         "ids through a dictionary (e.g. hash or a dimension join) first.")
     val spark = batch.sparkSession
-    val (gen, lastApplied) = readManifest(storePath)
-    if (batchId >= 0 && batchId == lastApplied) return // replayed batch: already folded
+    val (gen, lastApplied, recordedKey) = readManifest(storePath)
+    val sameSeq = recordedKey == null || streamKey == null ||
+      recordedKey == streamKey
+    if (sameSeq) {
+      // replayed batch of the recorded sequence: already folded
+      if (batchId >= 0 && batchId == lastApplied) return
+      // Spark only ever replays the LAST uncommitted batch; a LOWER id
+      // from the same sequence means the checkpoint and store were
+      // paired with different histories — refuse rather than guess
+      if (batchId >= 0 && lastApplied >= 0 && batchId < lastApplied)
+        throw new IllegalStateException(
+          s"EdgeStream: batch $batchId arrived for store $storePath whose " +
+            s"manifest already records batch $lastApplied of the same " +
+            s"stream — the checkpoint does not match this store's history")
+    } else if (batchId > 0) {
+      // an unknown batch sequence arriving MID-stream: its earlier
+      // batches were never folded here — fail fast (a fresh sequence
+      // legitimately adopting an existing store starts at batch 0)
+      throw new IllegalStateException(
+        s"EdgeStream: batch $batchId of unrecognized stream $streamKey " +
+          s"arrived for store $storePath (manifest records stream " +
+          s"$recordedKey at batch $lastApplied) — replace the store or " +
+          s"start the new query from batch 0 (fresh checkpoint)")
+    }
     val standing = readStore(spark, storePath)
     val folded = GraphOps.foldItemEdgeSupports(standing, batch, basketCol, itemCol)
       .select(col("x").cast(LongType), col("y").cast(LongType),
@@ -170,7 +228,8 @@ object EdgeStream {
       folded, genTable(storePath, next), s"$storePath/gen=$next",
       bucketCols = Seq("x", "y"), numBuckets = NumBuckets,
       sortCols = Seq("x", "y"))
-    writeManifest(storePath, next, batchId)
+    writeManifest(storePath, next, batchId,
+      if (streamKey == null) "-" else streamKey)
   }
 
   /** Convenience: run the sink to completion over currently-available

@@ -59,25 +59,64 @@ object StreamingRollup {
       .drop("__w")
   }
 
-  /** Append-mode sink into a parquet rollup directory, partitioned by
+  /** Exactly-once sink into a parquet rollup directory, partitioned by
     * month of bucket (the reference's `PARTITION BY toYYYYMM`,
-    * app/clickhouse_schema.py:162). foreachBatch → idempotent-by-dedup
-    * appends; exactly-once bookkeeping rides on the checkpoint.
+    * app/clickhouse_schema.py:162) and by batch sequence number.
+    *
+    * Exactly-once without a manifest: each micro-batch lands in its own
+    * `batch_seq=<streamKey>-<batchId>` partition via DYNAMIC partition
+    * overwrite — a replayed batch (crash before the streaming
+    * checkpoint committed, whether before, during, or after the data
+    * write) re-OVERWRITES exactly its own partitions and touches no
+    * other batch's files, so re-delivery cannot double-append (the
+    * [[EdgeStream]] manifest contract, expressed in the layout itself).
+    * The stream key is a digest of the checkpoint path: batchIds are
+    * only comparable within one checkpoint's lifetime, so a REPLACED
+    * checkpoint (fresh query, ids restarting at 0) gets fresh
+    * partitions instead of clobbering the old sequence's batch 0.
+    *
+    * `bucket_month` stays the outer partition, so month-range pruning
+    * is unaffected; readers see a `batch_seq` bookkeeping column they
+    * can ignore, and [[graft.operators.RollupStore.compactPartitions]]
+    * folds the per-batch dirs away on the maintenance cadence (the
+    * same OPTIMIZE FINAL analog the store already runs).
     */
   def toParquetSink(
       rollup: DataFrame,
       path: String,
       checkpoint: String
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    val key = graft.streaming.EdgeStream.streamKey(checkpoint)
     rollup
       .withColumn("bucket_month", date_format(col("bucket_ts"), "yyyyMM"))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("bucket_month").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, path, key, batchId)
       }
+  }
+
+  /** One micro-batch's landing ([[toParquetSink]]'s foreachBatch body,
+    * separated so the crash-window replay semantics are directly
+    * spec-testable): dynamic partition overwrite into this batch's own
+    * `(bucket_month, batch_seq)` partitions — idempotent under replay,
+    * invisible to every other batch's partitions.
+    */
+  private[graft] def writeBatch(
+      batch: DataFrame,
+      path: String,
+      key: String,
+      batchId: Long
+  ): Unit =
+    batch
+      .withColumn("batch_seq", lit(f"$key%s-$batchId%09d"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket_month", "batch_seq")
+      .parquet(path)
 
   /** Convenience: run the sink to completion over currently-available
     * input (test/backfill harness path).

@@ -433,6 +433,15 @@ object RollupRouter {
                 Some(Min(rOut("low")))
               case Max(a: AttributeReference) if a.exprId == v.exprId =>
                 Some(Max(rOut("high")))
+              // carrier timestamps: min(ts) over a bucket IS the open
+              // carrier (min of per-bucket mins) and max(ts) the close
+              // carrier, so the CARRIER-producing rollup shape
+              // (ohlcvRollup withCarriers — what cascade/sma/rank
+              // consume) routes too, not just the finished form
+              case Min(a: AttributeReference) if a.exprId == ts.exprId =>
+                Some(Min(rOut("open_ts")))
+              case Max(a: AttributeReference) if a.exprId == ts.exprId =>
+                Some(Max(rOut("close_ts")))
               case Sum(centsExpr, _) if isCentsOf(centsExpr, v.exprId) =>
                 Some(Sum(rOut("vol_cents")))
               case Count(Seq(Literal(_, _))) =>

@@ -108,6 +108,41 @@ class EdgeStreamSpec extends SparkSpec {
       s"recovered store lost its bucket metadata:\n$plan")
   }
 
+  test("batch-sequence guard: replay skips, fresh sequence at 0 folds, anomalies fail fast") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store5").toString
+    val b = Seq(BasketFact(1, 10), BasketFact(1, 11)).toDF()
+    def supports = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k1 = EdgeStream.streamKey("/ckpt/one")
+    val k2 = EdgeStream.streamKey("/ckpt/two")
+    assert(k1 != k2)
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L, streamKey = k1)
+    assert(supports == Map((10L, 11L) -> 1L))
+    // same sequence, same id: the crash-after-flip replay — skipped
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L, streamKey = k1)
+    assert(supports == Map((10L, 11L) -> 1L))
+    // a FRESH sequence (replaced checkpoint, ids restarting at 0) must
+    // NOT be mistaken for that replay: its batch 0 folds — the silent
+    // data-loss case a bare batchId==lastApplied guard had
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L, streamKey = k2)
+    assert(supports == Map((10L, 11L) -> 2L))
+    // same sequence arriving with a LOWER id than already applied:
+    // checkpoint/store histories disagree — refuse, don't guess
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 1L, streamKey = k2)
+    val e1 = intercept[IllegalStateException] {
+      EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L, streamKey = k2)
+    }
+    assert(e1.getMessage.contains("does not match this store's history"))
+    // an unknown sequence arriving MID-stream (its batches 0..n-1 were
+    // never folded here): refuse
+    val e2 = intercept[IllegalStateException] {
+      EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 5L, streamKey = k1)
+    }
+    assert(e2.getMessage.contains("unrecognized stream"))
+    // and none of the refusals touched the store
+    assert(supports == Map((10L, 11L) -> 3L))
+  }
+
   test("non-integral item ids are rejected at the fold boundary, not mid-stream") {
     val store = java.nio.file.Files.createTempDirectory("edge-store3").toString
     val b = Seq(("o1", "skuA"), ("o1", "skuB")).toDF("order_id", "part_id")

@@ -238,6 +238,46 @@ class StreamingSpec extends SparkSpec {
     assert(stored.columns.contains("bucket_month"))
   }
 
+  test("rollup sink exactly-once: replayed micro-batches cannot double-append (both crash windows)") {
+    // the EdgeStream manifest contract expressed in the layout: each
+    // batch owns its (bucket_month, batch_seq) partitions via dynamic
+    // overwrite, so a replay re-lands exactly its own files
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val path = s"$dir/rollup"
+    val key = graft.streaming.EdgeStream.streamKey(s"$dir/ckpt")
+    def month(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bucket_month", date_format($"bucket_ts", "yyyyMM"))
+    val b0 = month(Seq(
+      ("BTC", ts("2024-03-01 08:00:00"), 1.0, 2.0, 0.5, 1.5, 10.0, 3L),
+      ("ETH", ts("2024-03-01 08:00:00"), 1.0, 2.0, 0.5, 1.5, 20.0, 2L))
+      .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades"))
+
+    // crash window A: batch 0 dies MID-write (partial files on disk),
+    // the checkpoint never committed, the whole batch replays
+    graft.streaming.StreamingRollup.writeBatch(b0.limit(1), path, key, 0L)
+    graft.streaming.StreamingRollup.writeBatch(b0, path, key, 0L)
+    assert(spark.read.parquet(path).count() == 2) // partial write fully superseded
+
+    // crash window B: batch 0 wrote COMPLETELY, crash before the
+    // checkpoint commit, identical replay — no double rows
+    graft.streaming.StreamingRollup.writeBatch(b0, path, key, 0L)
+    assert(spark.read.parquet(path).count() == 2)
+
+    // progress: batch 1 appends without touching batch 0's partitions
+    val b1 = month(Seq(
+      ("BTC", ts("2024-03-01 09:00:00"), 1.0, 2.0, 0.5, 1.5, 30.0, 1L))
+      .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades"))
+    graft.streaming.StreamingRollup.writeBatch(b1, path, key, 1L)
+    assert(spark.read.parquet(path).count() == 3)
+
+    // a REPLACED checkpoint restarts batchIds at 0: its batch 0 lands
+    // in fresh partitions instead of clobbering the old sequence's
+    val key2 = graft.streaming.EdgeStream.streamKey(s"$dir/ckpt_new")
+    graft.streaming.StreamingRollup.writeBatch(b1, path, key2, 0L)
+    assert(spark.read.parquet(path).count() == 4)
+    assert(spark.read.parquet(path).select("batch_seq").distinct().count() == 3)
+  }
+
   test("streaming heavy-hitters sketch equals the batch sketch (and exact counts)") {
     // the space-saving aggregate is a TypedImperativeAggregate, so the
     // same sketch runs unchanged as a streaming complete-mode
