@@ -730,34 +730,122 @@ object MicrostructureOps {
       Seq("band", "h"), bucketCap)
   }
 
-  /** Exact corrMatrix co-moment arithmetic over candidate pairs only;
-    * `extraCols` (e.g. side) ride through the group-by.
+  /** One week of epoch-µs: the time-chunk grain the non-broadcast
+    * [[exactCorrOnPairs]] path packs move series at. Bounds every
+    * packed array at one week of buckets (168 hourly / 10 080 minute)
+    * regardless of how long the full series grows, so the pair×chunk
+    * rows stay size-bounded at any corpus size.
+    */
+  private val ChunkMicros = 7L * 24 * 3600 * 1000000L
+
+  /** The corr projection shared by both exact-stage paths: the same
+    * integer-long Pearson arithmetic as [[corrMatrix]], computed from
+    * a co-moment struct column.
+    */
+  private def corrFrom(c: Column): Column = {
+    val n = c.getField("n")
+    val sa = c.getField("sa"); val sb = c.getField("sb")
+    val sab = c.getField("sab")
+    val saa = c.getField("saa"); val sbb = c.getField("sbb")
+    when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,
+      (n * sab - sa * sb).cast(DoubleType) /
+        sqrt((n * saa - sa * sa).cast(DoubleType) *
+          (n * sbb - sb * sb).cast(DoubleType)))
+  }
+
+  /** Exact corrMatrix co-moment arithmetic over candidate pairs only.
+    *
+    * Scale shape (reworked round 9, measured in tools/CorrLab): the
+    * first form joined every candidate pair to both full row-level
+    * move series — at sf1's 5.36M surviving pairs × 63-bucket series
+    * that is ~3.4e8 rows through two shuffles and a 3.4e8-row hash
+    * aggregate, 32-34 s of the 58-69 s query walls. The compute
+    * itself (3.4e8 long multiply-adds) is sub-second; everything else
+    * was join/shuffle machinery. So: pack each key's series ONCE into
+    * a us-sorted array (one hash aggregate of the moves, reusing the
+    * rollup's own key partitioning), BROADCAST the packed table
+    * (universe × series cells; 15k keys × 63 buckets ≈ 15 MB at sf1),
+    * and stream the pairs through two broadcast-hash joins into the
+    * codegen'd [[graft.functions.AlignedCoMoments]] two-pointer merge
+    * — the whole exact stage is one shuffle-free WholeStageCodegen
+    * pass over the pairs, no re-aggregation (each pair's co-moments
+    * complete in-row). Long arithmetic in a different association
+    * order — bit-identical corr to the row-level form and the full
+    * matrix entry.
+    *
+    * `broadcastSeries = false` is the guard for universes whose packed
+    * series exceed broadcast comfort (≳5e7 cells ≈ 1 GB): the series
+    * are packed per (key, week-chunk) instead, the pair×chunk rows
+    * flow through SHUFFLE_HASH joins (sorting pair×series-array rows
+    * is exactly the SMJ pathology the broadcast path avoids — measured
+    * 2× worse than even the row-level join), the same codegen merge
+    * runs per chunk, and per-pair sums re-aggregate the chunk
+    * co-moments (additive, so still bit-identical).
+    *
+    * `extraCols` (e.g. side) ride through both paths.
     */
   private def exactCorrOnPairs(
       pairs: DataFrame, moves: DataFrame, keyCol: String,
-      extraCols: Seq[String]): DataFrame = {
-    val m1 = moves.select(col(keyCol).as("key_a"),
-      col("__us"), col("__d").as("__da"))
-    val m2 = moves.select(col(keyCol).as("__kb"),
-      col("__us").as("__us2"), col("__d").as("__db"))
-    val aligned = pairs
-      .join(m1, Seq("key_a"))
-      .join(m2, col("key_b") === col("__kb") && col("__us") === col("__us2"))
-    val n = count(lit(1))
-    val sa = sum(col("__da").cast(dec)).cast(LongType)
-    val sb = sum(col("__db").cast(dec)).cast(LongType)
-    val sab = sum((col("__da") * col("__db")).cast(dec)).cast(LongType)
-    val saa = sum((col("__da") * col("__da")).cast(dec)).cast(LongType)
-    val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
-    aligned.groupBy((Seq("key_a", "key_b") ++ extraCols).map(col): _*)
-      .agg(
-        max(col("hamming")).as("hamming"),
-        n.as("n_aligned"),
-        when(n * saa - sa * sa > 0 && n * sbb - sb * sb > 0,
-          (n * sab - sa * sb).cast(DoubleType) /
-            sqrt((n * saa - sa * sa).cast(DoubleType) *
-              (n * sbb - sb * sb).cast(DoubleType)))
-          .as("corr"))
+      extraCols: Seq[String], broadcastSeries: Boolean): DataFrame = {
+    val outCols = (Seq("key_a", "key_b") ++ extraCols).map(col) ++ Seq(
+      col("hamming"), col("n_aligned"), col("corr"))
+    if (broadcastSeries) {
+      val packed = moves
+        .groupBy(col(keyCol).as("__k"))
+        .agg(array_sort(collect_list(struct(col("__us"), col("__d"))))
+          .as("__s"))
+      // Both joins broadcast the SAME canonical packed plan (aliases
+      // only at the join, not inside the exchange) so ReuseExchange
+      // builds the series table once and the whole moves→pack subtree
+      // executes once, not per side.
+      val pa = broadcast(packed).as("__pa_t")
+      val pb = broadcast(packed).as("__pb_t")
+      pairs
+        .join(pa, col("key_a") === col("__pa_t.__k"))
+        .join(pb, col("key_b") === col("__pb_t.__k"))
+        // A pair sharing no aligned bucket produced no group at all
+        // under the old row-level inner join: drop it here too — via
+        // the O(1)-early-exit predicate, NOT `merge(..).n > 0`, which
+        // predicate-pushdown would inline into the join condition and
+        // evaluate the full merge twice per row.
+        .filter(graft.functions.AlignedCoMoments
+          .alignedAny(col("__pa_t.__s"), col("__pb_t.__s")))
+        .withColumn("__c", graft.functions.AlignedCoMoments
+          .alignedCoMoments(col("__pa_t.__s"), col("__pb_t.__s")))
+        .withColumn("n_aligned", col("__c.n"))
+        .withColumn("corr", corrFrom(col("__c")))
+        .select(outCols: _*)
+    } else {
+      val packed = moves
+        .groupBy(col(keyCol).as("__k"),
+          floor(col("__us") / lit(ChunkMicros.toDouble)).cast(LongType)
+            .as("__ck"))
+        .agg(array_sort(collect_list(struct(col("__us"), col("__d"))))
+          .as("__s"))
+        .hint("SHUFFLE_HASH")
+      val pa = packed.select(col("__k").as("key_a"), col("__ck"),
+        col("__s").as("__pa"))
+      val pb = packed.select(col("__k").as("key_b"), col("__ck"),
+        col("__s").as("__pb"))
+      val perChunk = pairs
+        .join(pa, Seq("key_a"))
+        .join(pb, Seq("key_b", "__ck"))
+        .select((Seq("key_a", "key_b", "hamming") ++ extraCols).map(col) :+
+          graft.functions.AlignedCoMoments
+            .alignedCoMoments(col("__pa"), col("__pb")).as("__c"): _*)
+      perChunk.groupBy((Seq("key_a", "key_b") ++ extraCols).map(col): _*)
+        .agg(max(col("hamming")).as("hamming"),
+          sum(col("__c.n")).as("n"),
+          sum(col("__c.sa")).as("sa"), sum(col("__c.sb")).as("sb"),
+          sum(col("__c.sab")).as("sab"),
+          sum(col("__c.saa")).as("saa"), sum(col("__c.sbb")).as("sbb"))
+        .filter(col("n") > 0)
+        .withColumn("n_aligned", col("n"))
+        .withColumn("corr", corrFrom(struct(
+          col("n"), col("sa"), col("sb"),
+          col("sab"), col("saa"), col("sbb"))))
+        .select(outCols: _*)
+    }
   }
 
   def corrScreen(
@@ -766,7 +854,8 @@ object MicrostructureOps {
       bucketCol: String,
       maxHamming: Int = 7,
       bucketCap: Long = 10000L,
-      bandBits: Int = 8
+      bandBits: Int = 8,
+      broadcastSeries: Boolean = true
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming=$maxHamming outside [0, 64]")
@@ -786,7 +875,7 @@ object MicrostructureOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("key_a"), col("key_b"), col("hamming"))
       .distinct()
-    exactCorrOnPairs(pairs, moves, keyCol, Seq.empty)
+    exactCorrOnPairs(pairs, moves, keyCol, Seq.empty, broadcastSeries)
   }
 
   /** BOTH sides of the screen: co-moving pairs (near-equal sign
@@ -809,7 +898,8 @@ object MicrostructureOps {
       bucketCol: String,
       maxHamming: Int = 7,
       bucketCap: Long = 10000L,
-      bandBits: Int = 8
+      bandBits: Int = 8,
+      broadcastSeries: Boolean = true
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming=$maxHamming outside [0, 31] (>= 32 would overlap the sides)")
@@ -838,6 +928,6 @@ object MicrostructureOps {
       .select(col("key_a"), col("key_b"), col("hamming"),
         lit("anti_moving").as("side"))
     val pairs = co.unionByName(anti).distinct()
-    exactCorrOnPairs(pairs, moves, keyCol, Seq("side"))
+    exactCorrOnPairs(pairs, moves, keyCol, Seq("side"), broadcastSeries)
   }
 }
