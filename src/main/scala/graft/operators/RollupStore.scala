@@ -196,6 +196,19 @@ object RollupStore {
     * micro-batch per partition; periodically rewrite each month
     * partition into ~`targetRowsPerFile`-row files. Idempotent and
     * partition-scoped (dynamic overwrite leaves other months alone).
+    *
+    * LAYOUT-AWARE: a store written by the exactly-once streaming sink
+    * ([[graft.streaming.StreamingRollup.toParquetSink]]) is partitioned
+    * two levels deep — `bucket_month=M/batch_seq=<key>-<id>` — and a
+    * month-level rewrite of only SOME months would leave leaf files at
+    * two different partition depths under one root, making every
+    * subsequent `spark.read.parquet(path)` fail with
+    * conflicting-partition-column errors. When `batch_seq` dirs are
+    * detected, each requested month is instead folded into a single
+    * synthetic `batch_seq=compacted-<n>` partition, preserving the
+    * two-level layout (and the sink's replay contract: a live stream's
+    * next micro-batch lands in its own fresh `batch_seq` partition,
+    * disjoint from the compacted one).
     */
   def compactPartitions(
       spark: SparkSession,
@@ -203,6 +216,14 @@ object RollupStore {
       months: Seq[String],
       targetRowsPerFile: Long = 1000000L
   ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val twoLevel = months.exists { m =>
+      val md = new org.apache.hadoop.fs.Path(root, s"$PartitionCol=$m")
+      fs.exists(md) && fs.listStatus(md).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_seq="))
+    }
+    if (twoLevel) { compactBatchSeqMonths(spark, fs, root, months, targetRowsPerFile); return }
     val df = spark.read.parquet(path)
       .filter(col(PartitionCol).isin(months: _*))
     // partition values may read back type-inferred (int), not string
@@ -218,6 +239,102 @@ object RollupStore {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Streaming-sink layout compaction: fold each month's
+    * `batch_seq=*` partitions into one `batch_seq=compacted-<n>`.
+    *
+    * Crash-safe via a write-ahead intent marker per month:
+    *   1. list this month's current `batch_seq` dirs (the victims);
+    *   2. write the folded rows to a hidden `.compact_tmp_<n>` dir
+    *     (dot-prefixed — Spark's file listing never reads it as data);
+    *   3. persist the victim list to a hidden `._compact_pending_<n>`
+    *     marker;
+    *   4. rename tmp → `batch_seq=compacted-<n>` — the COMMIT point;
+    *   5. delete the victims, then the marker.
+    * Recovery (run at the top of every compaction): a leftover marker
+    * whose destination exists (crash in 4-5) finishes the deletes; one
+    * whose destination is missing (crash in 2-4) discards tmp + marker
+    * — the original partitions were never touched. Either way the next
+    * call observes exactly-once rows. A micro-batch landing CONCURRENTLY
+    * with compaction is never a victim (only dirs listed in step 1 are
+    * deleted) and survives in its own partition.
+    */
+  private def compactBatchSeqMonths(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      months: Seq[String],
+      targetRowsPerFile: Long
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    months.foreach { m =>
+      val monthDir = new Path(root, s"$PartitionCol=$m")
+      if (fs.exists(monthDir)) {
+        recoverPendingCompaction(fs, monthDir)
+        val victims = fs.listStatus(monthDir).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_seq=")).map(_.getPath)
+        val alreadyFolded = victims.length == 1 &&
+          victims.head.getName.startsWith("batch_seq=compacted-")
+        if (victims.nonEmpty && !alreadyFolded) {
+          val gen = victims.flatMap { p =>
+            val nm = p.getName.stripPrefix("batch_seq=")
+            if (nm.startsWith("compacted-"))
+              scala.util.Try(nm.stripPrefix("compacted-").toLong).toOption
+            else None
+          }.foldLeft(0L)(math.max) + 1
+          // read via the root so both partition columns resolve; drop
+          // them — the destination path re-encodes both
+          val rows = spark.read.parquet(root.toString)
+            .filter(col(PartitionCol).cast("string") === m)
+            .drop(PartitionCol, "batch_seq")
+          val n = rows.count()
+          val nFiles = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+          val tmp = new Path(monthDir, s".compact_tmp_$gen")
+          rows.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+          val marker = new Path(monthDir, s"._compact_pending_$gen")
+          val out = fs.create(marker, true)
+          try out.write(victims.map(_.getName).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          val dest = new Path(monthDir, s"batch_seq=compacted-$gen")
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(s"compaction commit rename failed: $tmp -> $dest")
+          victims.foreach(p => fs.delete(p, true))
+          fs.delete(marker, false)
+        }
+      }
+    }
+  }
+
+  /** Finish or roll back a compaction that crashed mid-swap (see
+    * [[compactBatchSeqMonths]] step list). Idempotent.
+    */
+  private def recoverPendingCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      monthDir: org.apache.hadoop.fs.Path
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(monthDir)
+      .filter(_.getPath.getName.startsWith("._compact_pending_"))
+      .foreach { st =>
+        val gen = st.getPath.getName.stripPrefix("._compact_pending_")
+        val dest = new Path(monthDir, s"batch_seq=compacted-$gen")
+        if (fs.exists(dest)) {
+          // committed: finish deleting the victims it replaced
+          val in = fs.open(st.getPath)
+          val victims =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          victims.filter(_.nonEmpty).foreach { name =>
+            val p = new Path(monthDir, name)
+            if (p.getName != dest.getName) fs.delete(p, true)
+          }
+        } else {
+          // never committed: originals intact, discard the staging dir
+          fs.delete(new Path(monthDir, s".compact_tmp_$gen"), true)
+        }
+        fs.delete(st.getPath, false)
+      }
   }
 
   /** R3 — verification: per key, distinct buckets observed in the

@@ -34,6 +34,14 @@ object StreamingRollup {
     * Identical aggregate expressions to the batch path (CandleOps
     * .ohlcvRollup) — the equivalence the tests assert. State size is
     * bounded by (#keys × windows inside watermark), not by history.
+    *
+    * With `withCarriers=true` the stream emits the SAME re-aggregable
+    * carrier shape as `CandleOps.ohlcvRollup(withCarriers = true)`
+    * (`open_ts`/`close_ts` argmin/argmax carriers + exact long
+    * `vol_cents` instead of a double `volume`) — so a store landed by
+    * [[toParquetSink]] can, after [[graft.operators.RollupStore
+    * .compactPartitions]], be registered with the RollupRouter and
+    * serve routed aggregates exactly like a batch-built carrier store.
     */
   def streamingOhlcv(
       stream: DataFrame,
@@ -41,20 +49,29 @@ object StreamingRollup {
       tsCol: String,
       valueCol: String,
       grain: String,
-      watermark: String
+      watermark: String,
+      withCarriers: Boolean = false
   ): DataFrame = {
     val ts = col(tsCol)
     val v = col(valueCol)
+    val base = Seq(
+      min_by(v, ts).as("open"),
+      max(v).as("high"),
+      min(v).as("low"),
+      max_by(v, ts).as("close"),
+      count(lit(1)).as("trades"))
+    val extra =
+      if (withCarriers)
+        Seq(
+          min(ts).as("open_ts"),
+          max(ts).as("close_ts"),
+          sum(graft.functions.Cents.cents(v)).as("vol_cents"))
+      else Seq(CandleOps.moneySum(v).as("volume"))
+    val aggs = base ++ extra
     stream
       .withWatermark(tsCol, watermark)
       .groupBy(keys.map(col) :+ window(ts, grain).as("__w"): _*)
-      .agg(
-        min_by(v, ts).as("open"),
-        max(v).as("high"),
-        min(v).as("low"),
-        max_by(v, ts).as("close"),
-        CandleOps.moneySum(v).as("volume"),
-        count(lit(1)).as("trades"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_ts", col("__w.start"))
       .drop("__w")
   }
