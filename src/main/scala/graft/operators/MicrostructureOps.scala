@@ -566,22 +566,21 @@ object MicrostructureOps {
     * pair aggregate combines map-side, so the shuffle carries one row
     * per (pair, partition), never per bucket. This is the standard
     * all-pairs layout, and it is GATED: `maxUniverse` (default 10k) is
-    * checked eagerly at call time, raising with a pointer to
+    * enforced by a LAZY plan-embedded guard, raising with a pointer to
     * [[corrScreen]] so the quadratic default cannot be launched
     * unbounded at cluster scale (sf1 measured 164× wall for 10× keys).
     *
-    * CONTRACT EXCEPTION — this builder is deliberately NOT lazy: the
-    * gate runs one key-only distinct-count Spark job at CONSTRUCTION
-    * time (the only builder in the engine that executes during
-    * planning). Rationale: an unbounded all-pairs launch at a 100k+
-    * universe is a cluster incident, and a plan-embedded assert would
-    * only fire after the quadratic join had already been scheduled.
-    * The guard job is key-column-only (pruned scan + partial distinct)
-    * and its cost is re-paid on the real run — callers composing plans
-    * they never execute (plan audits, explain tooling) should expect
-    * this one query to run a job, and callers on a hot path should
-    * pass the rollup PRE-AGGREGATED, not the raw tick table, so the
-    * guard scans bucket rows, not ticks.
+    * Guard mechanics (made lazy in round 10 — the builder no longer
+    * runs a Spark job, so bulk plan-composers like the plan audits and
+    * explain tooling pay nothing): a ONE-ROW key-distinct-count frame
+    * is broadcast-joined into the move series ahead of the self-join,
+    * with `assert_true(universe <= maxUniverse)` evaluated while the
+    * broadcast materializes. Execution order makes this safe: the
+    * pair-producing join's task stages depend on that broadcast, so an
+    * over-budget universe kills the query during the O(1)-row guard
+    * broadcast — before the quadratic join processes a single row.
+    * (At most the linear key-window shuffle of the moves runs
+    * concurrently; the universe-squared stage cannot start.)
     */
   def corrMatrix(
       rollup: DataFrame,
@@ -590,25 +589,31 @@ object MicrostructureOps {
       maxUniverse: Int = 10000
   ): DataFrame = {
     require(maxUniverse > 0, s"maxUniverse=$maxUniverse must be positive")
-    // Eager guard (one key-only distinct count, trivially cheap next to
-    // the universe-squared join it gates): the exact matrix is the one
-    // deliberately quadratic shape in the engine, and an unbounded call
-    // at a 100k+ symbol universe would be a cluster-scale incident, not
-    // a slow query. Large universes belong on [[corrScreen]].
-    val universe = rollup.select(col(keyCol)).distinct().count()
-    require(universe <= maxUniverse,
-      s"corrMatrix: $universe distinct '$keyCol' keys exceed maxUniverse=$maxUniverse; " +
-        "the exact all-pairs matrix is quadratic in the universe. Route large " +
-        "universes through corrScreen/corrScreenSigned (banded sign-fingerprint " +
-        "LSH + exact corr on candidates, bit-identical per reported pair), or " +
-        "raise maxUniverse explicitly for a bounded universe you intend to pay for.")
+    val guard = rollup
+      .agg(count_distinct(col(keyCol)).as("__universe"))
+      .select(assert_true(col("__universe") <= maxUniverse, concat(
+        lit("corrMatrix: "), col("__universe").cast("string"),
+        lit(s" distinct '$keyCol' keys exceed maxUniverse=$maxUniverse; " +
+          "the exact all-pairs matrix is quadratic in the universe. Route large " +
+          "universes through corrScreen/corrScreenSigned (banded sign-fingerprint " +
+          "LSH + exact corr on candidates, bit-identical per reported pair), or " +
+          "raise maxUniverse explicitly for a bounded universe you intend to pay for.")))
+        .as("__guard"))
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
     val moves = rollup.select(
       col(keyCol), col(bucketCol).as("__b"), d.as("__d"))
       .filter(col("__d").isNotNull)
-    val left = moves.select(
-      col(keyCol).as("key_a"), col("__b"), col("__d").as("__da"))
+    // guard join on the STREAMED side only: one broadcast row, and the
+    // pair-producing join stage transitively depends on it under every
+    // join strategy (BHJ streams the left; SMJ's merge stage needs the
+    // left shuffle) — so an over-budget universe dies in the O(1)-row
+    // guard broadcast before a single pair materializes. The filter
+    // references __guard so column pruning cannot drop the subtree.
+    val left = moves
+      .join(broadcast(guard))
+      .filter(col("__guard").isNull)
+      .select(col(keyCol).as("key_a"), col("__b"), col("__d").as("__da"))
     val right = moves.select(
       col(keyCol).as("key_b"), col("__b").as("__b2"), col("__d").as("__db"))
     val joined = left.join(right,
@@ -737,6 +742,40 @@ object MicrostructureOps {
     * rows stay size-bounded at any corpus size.
     */
   private val ChunkMicros = 7L * 24 * 3600 * 1000000L
+
+  /** Conf key capping the exact stage's packed-series BROADCAST:
+    * when the screen's move subtree exceeds this many bytes by plan
+    * statistics, `broadcastSeries = true` is demoted to the chunked
+    * shuffle path automatically. Bytes of the PRE-packed moves; the
+    * packed table is smaller (16 B/cell + key overhead), so the
+    * default 2 GiB estimate bounds the broadcast comfortably under
+    * a 1 GiB build while never demoting a 15k×63-cell sf1 universe
+    * (~15 MB packed).
+    */
+  val MaxBroadcastSeriesBytesConf = "spark.graft.corr.maxBroadcastSeriesBytes"
+  private val DefaultMaxBroadcastSeriesBytes = 2L * 1024 * 1024 * 1024
+
+  /** Packed-series broadcast gate, decided from PLAN STATISTICS
+    * (file-scan bytes after pruning/pushdown — the same no-job
+    * estimate Spark's own broadcast planning reads), never an eager
+    * count job: corrScreen stays a pure plan builder (as does
+    * [[corrMatrix]] since its guard went lazy). Estimates err toward
+    * demotion — the chunked path is always correct (bit-identical,
+    * spec-pinned), only slower at small scale.
+    */
+  private def seriesBroadcastable(moves: DataFrame): Boolean = {
+    val cap = moves.sparkSession.conf
+      .getOption(MaxBroadcastSeriesBytesConf).map(_.toLong)
+      .getOrElse(DefaultMaxBroadcastSeriesBytes)
+    val est = moves.queryExecution.optimizedPlan.stats.sizeInBytes
+    val ok = est <= cap
+    if (!ok) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"corrScreen: packed-series broadcast demoted to the chunked shuffle path " +
+        s"(moves plan estimate $est B > $MaxBroadcastSeriesBytesConf=$cap B); " +
+        "pass broadcastSeries=false explicitly to silence, or raise the conf " +
+        "if the driver can hold the packed universe")
+    ok
+  }
 
   /** The corr projection shared by both exact-stage paths: the same
     * integer-long Pearson arithmetic as [[corrMatrix]], computed from
@@ -875,7 +914,8 @@ object MicrostructureOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("key_a"), col("key_b"), col("hamming"))
       .distinct()
-    exactCorrOnPairs(pairs, moves, keyCol, Seq.empty, broadcastSeries)
+    exactCorrOnPairs(pairs, moves, keyCol, Seq.empty,
+      broadcastSeries && seriesBroadcastable(moves))
   }
 
   /** BOTH sides of the screen: co-moving pairs (near-equal sign
@@ -928,6 +968,7 @@ object MicrostructureOps {
       .select(col("key_a"), col("key_b"), col("hamming"),
         lit("anti_moving").as("side"))
     val pairs = co.unionByName(anti).distinct()
-    exactCorrOnPairs(pairs, moves, keyCol, Seq("side"), broadcastSeries)
+    exactCorrOnPairs(pairs, moves, keyCol, Seq("side"),
+      broadcastSeries && seriesBroadcastable(moves))
   }
 }

@@ -141,12 +141,41 @@ object CorrLab {
     time("exact-NEW-bcast-codegen")(println("  rows=" + newExact().count()))
     time("exact-NEW-again")(newExact().count())
 
+    // stage 4c: chunked fallback — the broadcastSeries=false 100 TB
+    // guard: per-(key, week-chunk) packed series through SHUFFLE_HASH
+    // joins, chunk co-moments re-aggregated per pair
+    def chunkedExact(): DataFrame = {
+      val chunkMicros = 7L * 24 * 3600 * 1000000L
+      val packed = moves
+        .groupBy(col(keyCol).as("__k"),
+          floor(col("__us") / lit(chunkMicros.toDouble)).cast(LongType).as("__ck"))
+        .agg(array_sort(collect_list(struct(col("__us"), col("__d")))).as("__s"))
+        .hint("SHUFFLE_HASH")
+      val pa = packed.select(col("__k").as("key_a"), col("__ck"), col("__s").as("__pa"))
+      val pb = packed.select(col("__k").as("key_b"), col("__ck"), col("__s").as("__pb"))
+      pairs
+        .join(pa, Seq("key_a"))
+        .join(pb, Seq("key_b", "__ck"))
+        .select(col("key_a"), col("key_b"), col("hamming"),
+          graft.functions.AlignedCoMoments
+            .alignedCoMoments(col("__pa"), col("__pb")).as("__c"))
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(max(col("hamming")).as("hamming"), sum(col("__c.n")).as("n"))
+        .filter(col("n") > 0)
+    }
+    time("exact-CHUNKED-shufflehash")(println("  rows=" + chunkedExact().count()))
+    time("exact-CHUNKED-again")(chunkedExact().count())
+
     // end-to-end: the real operator, uncheckpointed DAG
     val e2e = graft.operators.MicrostructureOps.corrScreen(
       r1h, keyCol, bucketCol, maxHamming = 24)
     time("corrScreen-e2e")(
       println("  rows=" + e2e.queryExecution.executedPlan.execute().count()))
     time("corrScreen-e2e-again")(e2e.count())
+    val e2eChunked = graft.operators.MicrostructureOps.corrScreen(
+      r1h, keyCol, bucketCol, maxHamming = 24, broadcastSeries = false)
+    time("corrScreen-e2e-chunked")(println("  rows=" + e2eChunked.count()))
+    time("corrScreen-e2e-chunked-again")(e2eChunked.count())
     val plan = e2e.queryExecution.executedPlan.toString
     println("  broadcastExchanges=" +
       "BroadcastExchange".r.findAllIn(plan).length +

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MicrostructureOps
+
+/** The corrScreen exact stage's `broadcastSeries = false` week-chunk
+  * fallback — the 100 TB guard for universes whose packed series
+  * exceed broadcast comfort. Pins (1) bit-identical equivalence to the
+  * broadcast path on a planted-copycat fixture spanning multiple week
+  * chunks, (2) the plan shape the doc claims (per-(key, chunk)
+  * SHUFFLE_HASH joins + per-pair co-moment re-aggregation, no
+  * sort-merge over pair×series rows), and (3) the plan-statistics
+  * auto-demotion gate.
+  */
+class CorrScreenFallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** ~2.4 weeks of hourly buckets -> 3 week-chunks, so the chunked
+    * path genuinely re-aggregates per-chunk co-moments. Copycats cp1 ≡
+    * cp2 plus a mirror key and deterministic-independent noise.
+    */
+  private lazy val fixture = {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def series(k: String, moveAt: Int => Int) = (0 until 400).map { i =>
+      val px = 200.0 + 0.01 * (0 to i).map(moveAt).sum
+      (k, new Timestamp(t0 + i * 3600000L), px, px, px, px, 1L, 1.0)
+    }
+    val rnd = (seed: Int) => (i: Int) => {
+      val mag = 1 + i % 5
+      if (((i * 2654435761L + seed * 40503L) >>> 16 & 1L) == 1L) mag else -mag
+    }
+    val base = rnd(5)
+    (series("cp1", base) ++ series("cp2", base) ++
+      series("mir", (i: Int) => -base(i)) ++
+      series("n1", rnd(13)) ++ series("n2", rnd(29)) ++ series("n3", rnd(41)))
+      .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .orderBy("key_a", "key_b").collect()
+
+  test("broadcastSeries=false is bit-identical to the broadcast path (corrScreen + signed)") {
+    val wide = MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24)
+    val chunked = MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24, broadcastSeries = false)
+    val w = rows(wide); val c = rows(chunked)
+    assert(w.nonEmpty, "fixture must surface candidate pairs")
+    assert(c.sameElements(w), "chunked exact stage diverged from broadcast")
+
+    val signedB = MicrostructureOps.corrScreenSigned(
+      fixture, "sym", "bucket_ts", maxHamming = 7)
+    val signedC = MicrostructureOps.corrScreenSigned(
+      fixture, "sym", "bucket_ts", maxHamming = 7, broadcastSeries = false)
+    val sb = signedB.orderBy("key_a", "key_b", "side").collect()
+    val sc = signedC.orderBy("key_a", "key_b", "side").collect()
+    assert(sb.exists(_.getAs[String]("side") == "anti_moving"),
+      "fixture must surface the planted mirror")
+    assert(sc.sameElements(sb), "chunked signed stage diverged from broadcast")
+
+    // the planted copycats specifically: same hamming, same exact corr
+    val pair = rows(wide.filter(col("key_a") === "cp1" && col("key_b") === "cp2"))
+    assert(pair.length == 1 && pair.head.getAs[Double]("corr") == 1.0)
+  }
+
+  test("the chunked plan joins on (key, week-chunk) and re-aggregates co-moments; no SMJ over series rows") {
+    val chunked = MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24, broadcastSeries = false)
+    val plan = chunked.queryExecution.executedPlan.toString()
+    assert(plan.contains("__ck"), s"expected week-chunk join key in plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected SHUFFLE_HASH pair-chunk joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair-by-series rows must never sort (the SMJ pathology the flag avoids):\n$plan")
+    // per-pair re-aggregation of the additive chunk co-moments
+    assert(plan.contains("sum(__c.n") || plan.contains("sum(_extract_n") ||
+      ("""sum\(.{0,40}\.n""".r.findFirstIn(plan)).isDefined,
+      s"expected co-moment re-aggregation in plan:\n$plan")
+
+    val broadcastPlan = MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24)
+      .queryExecution.executedPlan.toString()
+    assert(!broadcastPlan.contains("__ck"),
+      "broadcast path must not pay the chunk-join machinery")
+  }
+
+  test("plan-statistics gate demotes an over-budget broadcast to the chunked path, same results") {
+    val want = rows(MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24))
+    spark.conf.set(MicrostructureOps.MaxBroadcastSeriesBytesConf, "1")
+    try {
+      val demoted = MicrostructureOps.corrScreen(
+        fixture, "sym", "bucket_ts", maxHamming = 24) // broadcastSeries left at default
+      val plan = demoted.queryExecution.executedPlan.toString()
+      assert(plan.contains("__ck"), "gate must demote to the chunked path")
+      assert(rows(demoted).sameElements(want), "demotion must not change results")
+    } finally spark.conf.unset(MicrostructureOps.MaxBroadcastSeriesBytesConf)
+  }
+}

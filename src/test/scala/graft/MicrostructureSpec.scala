@@ -311,11 +311,20 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(("a1", "b1")) == -1.0)
     assert(out(("a2", "b1")) == -1.0)
     // the quadratic shape is gated: a universe past maxUniverse raises
-    // at call time with a pointer to the scale path, never launches
-    val guard = intercept[IllegalArgumentException] {
-      MicrostructureOps.corrMatrix(df, "sym", "bucket_ts", maxUniverse = 2)
-    }
-    assert(guard.getMessage.contains("corrScreen"))
+    // with a pointer to the scale path before the pair join processes a
+    // row. The guard is LAZY (round 10): building the plan runs no
+    // Spark job — proven by building over a poisoned frame whose every
+    // executed row raises — and the raise happens at execution
+    val poisoned = df.withColumn("sym",
+      when(col("trades") < Long.MinValue, col("sym"))
+        .otherwise(raise_error(lit("corrMatrix builder must not run a job"))))
+    MicrostructureOps.corrMatrix(poisoned, "sym", "bucket_ts") // builds clean
+    val gated = MicrostructureOps.corrMatrix(df, "sym", "bucket_ts", maxUniverse = 2)
+    val guard = intercept[Exception] { gated.collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(guard).exists(m => m != null && m.contains("corrScreen")),
+      s"guard message missing scale-path pointer: ${chain(guard)}")
   }
 
   test("corrScreen: planted copycats surface at hamming 0 with the matrix's exact corr; independents don't") {

@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_recall" -> "broadcast query set (brute-force exact side of the recall audit)",
     "q_bm25" -> "query-term doc-frequencies + 1-row corpus stats",
     "q_rfm" -> "1-row dataset-max timestamp (recency as-of)",
+    "q_corr_matrix" -> "1-row lazy maxUniverse guard (assert_true over a distinct count)",
     "q22_wealthy_inactive" -> "1-row positive-balance (count, sum) totals",
     "q_five_number" -> "1-row grand count for the exact rank cuts",
     "q11_important_stock" -> "1-row grand value total for the share threshold",
