@@ -192,11 +192,38 @@ object EdgeStream {
         "ids through a dictionary (e.g. hash or a dimension join) first.")
     val spark = batch.sparkSession
     val (gen, lastApplied, recordedKey) = readManifest(storePath)
+    // degraded-detection warning: without a stream key, "same sequence"
+    // is assumed and replay detection is the bare batchId comparison —
+    // exactly the silent-drop class the keyed manifest exists to kill
+    if (streamKey == null && lastApplied >= 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"EdgeStream: fold against $storePath without a streamKey — replay " +
+          "detection degrades to the bare batchId comparison (a fresh " +
+          "sequence's batch whose id equals the recorded one is silently " +
+          "skipped). Pass EdgeStream.streamKey(checkpoint) to make skips " +
+          "sequence-scoped.")
     val sameSeq = recordedKey == null || streamKey == null ||
       recordedKey == streamKey
     if (sameSeq) {
       // replayed batch of the recorded sequence: already folded
-      if (batchId >= 0 && batchId == lastApplied) return
+      if (batchId >= 0 && batchId == lastApplied) {
+        // first KEYED fold against a keyless (legacy) manifest landing
+        // on the skip path: adopt-and-rewrite the manifest with the key
+        // so this store leaves the degraded bare-batchId semantics NOW
+        // — a later batch of a different sequence must fail fast, not
+        // silently fold. (Whether THIS skip was right is legacy-
+        // ambiguous; recording the key is what stops the next one.)
+        if (recordedKey == null && streamKey != null && gen >= 0) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"EdgeStream: adopting legacy keyless manifest at $storePath " +
+              s"for stream $streamKey on the skip path (batch $batchId == " +
+              "recorded); if this batch belonged to a NEW sequence, the " +
+              "legacy semantics dropped it — verify the store against the " +
+              "source if the checkpoint was replaced")
+          writeManifest(storePath, gen, lastApplied, streamKey)
+        }
+        return
+      }
       // Spark only ever replays the LAST uncommitted batch; a LOWER id
       // from the same sequence means the checkpoint and store were
       // paired with different histories — refuse rather than guess

@@ -143,6 +143,37 @@ class EdgeStreamSpec extends SparkSpec {
     assert(supports == Map((10L, 11L) -> 3L))
   }
 
+  test("legacy keyless manifest: the first keyed fold adopts the key, even on the skip path") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store6").toString
+    val b = Seq(BasketFact(1, 10), BasketFact(1, 11)).toDF()
+    def supports = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k1 = EdgeStream.streamKey("/ckpt/legacy-upgrade")
+    val k2 = EdgeStream.streamKey("/ckpt/intruder")
+    // a legacy store: folds recorded WITHOUT a stream key
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L)
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 1L)
+    assert(supports == Map((10L, 11L) -> 2L))
+    // first keyed fold lands on the SKIP path (batchId == recorded):
+    // legacy skip semantics apply once, but the manifest must leave the
+    // keyless form NOW — not only on the next folding write
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 1L, streamKey = k1)
+    assert(supports == Map((10L, 11L) -> 2L))
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(store, "CURRENT")).trim
+    assert(manifest.endsWith(s" $k1"), s"manifest not adopted: '$manifest'")
+    // proof the adoption has teeth: a DIFFERENT sequence arriving
+    // mid-stream now fails fast — under the keyless manifest it would
+    // have silently folded (sameSeq defaulted true)
+    val e = intercept[IllegalStateException] {
+      EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 7L, streamKey = k2)
+    }
+    assert(e.getMessage.contains("unrecognized stream"))
+    // ... and a replay of the adopted sequence still skips
+    EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 1L, streamKey = k1)
+    assert(supports == Map((10L, 11L) -> 2L))
+  }
+
   test("non-integral item ids are rejected at the fold boundary, not mid-stream") {
     val store = java.nio.file.Files.createTempDirectory("edge-store3").toString
     val b = Seq(("o1", "skuA"), ("o1", "skuB")).toDF("order_id", "part_id")
