@@ -1330,7 +1330,11 @@ object SparkEntry {
       li.groupBy(col("l_returnflag"))
         .agg(
           sum(c).as("__s"),
-          sum((c * c).cast(DecimalType(38, 0))).as("__s2"),
+          // one operand pre-cast to decimal: a Long*Long square wraps
+          // silently under non-ANSI Spark past ~2^31.5 cents (~$30M)
+          // while the oracle's BIGINT*BIGINT raises — the decimal
+          // multiply is exact on both engines at any magnitude
+          sum(c.cast(DecimalType(38, 0)) * c).as("__s2"),
           count(lit(1)).as("n"))
         .select(
           col("l_returnflag"), col("n"),
@@ -1792,7 +1796,8 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           C.centsToMoney(sum(c)).as("total_value"),
-          (sum((c * c).cast(DecimalType(38, 0))).cast(DoubleType) / 10000.0)
+          // decimal pre-cast: see q_price_stats — Long*Long would wrap
+          (sum(c.cast(DecimalType(38, 0)) * c).cast(DoubleType) / 10000.0)
             .as("total_value_sq"))
     }),
 

@@ -27,6 +27,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * and re-quantized) past ~1e13 dollars — so quantize per row before
   * aggregation, never after (see
   * [[graft.operators.CandleOps.ohlcvRollupCents]]).
+  *
+  * MIGRATION NOTE (round 9 format break): this quantization REPLACED
+  * the earlier `CAST(double AS DECIMAL(18,2))` in every cent path, and
+  * the two differ at exactly two boundary classes — negatives round
+  * half toward +infinity here (−1.005 → −100 cents; the decimal cast
+  * gave −101) and >2-dp doubles whose binary value sits just below the
+  * decimal half round down (0.285 → 28; the decimal cast's
+  * shortest-representation rounding gave 29). Both engine and oracle
+  * changed together, so hash parity holds — but carrier rollup stores
+  * PERSISTED by pre-round-9 builds carry a `volume_dec` decimal column
+  * where current stores carry long `vol_cents`, and their boundary
+  * rows may differ by one cent from a rebuild. Such stores (a) stop
+  * routing — [[org.apache.spark.sql.graft.RollupRouter]] requires
+  * `vol_cents` and logs a migration warning when it sees a
+  * `volume_dec`-only store — and (b) should be REBUILT from the base
+  * table (`RollupStore.buildWithCarriers`, or `repairRange` over the
+  * full span), not column-renamed: a rename would freeze the old
+  * rounding at the boundaries forever.
   */
 object Cents {
 

@@ -52,6 +52,7 @@ object RollupRouter {
       grains: Map[Long, String])
 
   private val routes = TrieMap.empty[String, Route]
+  private val warnedLegacyVolume = TrieMap.empty[String, Unit]
 
   def register(route: Route): Unit = routes.put(route.basePath, route)
   def clear(): Unit = routes.clear()
@@ -405,7 +406,20 @@ object RollupRouter {
       val rOut = rollupPlan.output.map(a => a.name -> a).toMap
       val needed = Seq("bucket_ts", "open", "open_ts", "high", "low", "close",
         "close_ts", "vol_cents", "trades") ++ route.keyCols
-      if (!needed.forall(rOut.contains)) return None
+      if (!needed.forall(rOut.contains)) {
+        // pre-round-9 store: decimal volume_dec instead of long
+        // vol_cents — silently unroutable without this breadcrumb
+        // (once per path; see graft.functions.Cents migration note)
+        if (!rOut.contains("vol_cents") && rOut.contains("volume_dec") &&
+            warnedLegacyVolume.putIfAbsent(rollupPath, ()).isEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"RollupRouter: registered rollup at $rollupPath carries the " +
+              "pre-cents 'volume_dec' column and no 'vol_cents' — it will " +
+              "never route. Rebuild it from the base table " +
+              "(RollupStore.buildWithCarriers); renaming the column would " +
+              "freeze the old DECIMAL(18,2) rounding at half-cent boundaries.")
+        return None
+      }
 
       val keyMap: Map[ExprId, Attribute] =
         route.keyCols.map(k => attrByName(k).exprId -> rOut(k)).toMap
