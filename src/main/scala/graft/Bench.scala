@@ -71,14 +71,21 @@ object Bench {
     // little to re-measure. Per-query max/min spreads are published as
     // a variance note so a noisy environment is visible in the
     // artifact instead of needing a multi-run forensic.
-    val benchK = sys.env.get("SPARK_GRAFT_BENCH_K").map(_.toInt).getOrElse(3)
+    // malformed env ("3 ", "three") must not kill the run — fall back
+    // to 3; floor at 1 so the first pass always counts
+    val benchK = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_K")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(3))
     val retimeFloor = 0.3
     val errored = errors.map(_._1).toSet
-    var spreads = List.empty[Double]
+    var spreads = List.empty[(String, Double)]
     val results = selected.zip(firstPass).map { case ((name, fn), (_, t1)) =>
       if (t1 >= retimeFloor && !errored(name)) {
         val ts = t1 +: (2 to benchK).map(_ => timeOne(name, fn))
-        spreads ::= ts.max / ts.min
+        // the published spread is over the WARM passes only (the first
+        // pass doubles as warm-up: codegen/JIT/page-cache cold starts
+        // inflated r10's anonymous 71x max) — t1 still feeds the min
+        val warm = if (ts.length >= 3) ts.tail else ts
+        spreads ::= name -> (warm.max / warm.min)
         name -> ts.min
       } else name -> t1
     }
@@ -103,13 +110,18 @@ object Bench {
     val sfLabel = new java.io.File(sfDir).getName
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
-    // variance note: per-retimed-query max/min spread across the k
-    // passes — median ~1.0 means a quiet box; a fat max pinpoints noise
+    // variance note: per-retimed-query max/min spread across the WARM
+    // passes — median ~1.0 means a quiet box; the worst offender is
+    // NAMED so a fat max is attributable, not a mystery number
     val varJson = {
-      val s = spreads.sorted
-      val med = if (s.isEmpty) 1.0 else s(s.length / 2)
-      val mx = if (s.isEmpty) 1.0 else s.last
-      s"""{"passes":$benchK,"retimed":${s.length},"med_spread":${sec(med)},"max_spread":${sec(mx)}}"""
+      val s = spreads.map(_._2).sorted
+      val med =
+        if (s.isEmpty) 1.0
+        else if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      val (wq, wv) =
+        if (spreads.isEmpty) ("", 1.0) else spreads.maxBy(_._2)
+      s"""{"passes":$benchK,"retimed":${s.length},"med_spread":${sec(med)},"max_spread":${sec(wv)},"worst":{"query":"$wq","spread":${sec(wv)}}}"""
     }
     println(s"""{"queries_full":$fullMap,"n":${results.length},"variance":$varJson}""")
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)

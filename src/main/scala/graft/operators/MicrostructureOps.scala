@@ -768,7 +768,18 @@ object MicrostructureOps {
       .getOption(MaxBroadcastSeriesBytesConf).map(_.toLong)
       .getOrElse(DefaultMaxBroadcastSeriesBytes)
     val est = moves.queryExecution.optimizedPlan.stats.sizeInBytes
-    val ok = est <= cap
+    // non-file-backed inputs (in-memory relations, post-shuffle or
+    // cached frames) have NO real estimate — Spark substitutes
+    // spark.sql.defaultSizeInBytes (Long.MaxValue by default), which
+    // would silently demote an explicitly requested broadcast on a
+    // meaningless number. Unknown size → honor the caller's choice.
+    val unknown =
+      est == BigInt(moves.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val ok = unknown || est <= cap
+    if (unknown) org.slf4j.LoggerFactory.getLogger(getClass).info(
+      "corrScreen: moves plan has no size estimate (defaultSizeInBytes) — " +
+        "keeping the requested broadcast path; pass broadcastSeries=false " +
+        "to force the chunked path for an unsized input")
     if (!ok) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"corrScreen: packed-series broadcast demoted to the chunked shuffle path " +
         s"(moves plan estimate $est B > $MaxBroadcastSeriesBytesConf=$cap B); " +

@@ -257,9 +257,19 @@ object RollupStore {
     * whose destination is missing (crash in 2-4) discards tmp + marker
     * — the original partitions were never touched. Either way the next
     * call observes exactly-once rows. A micro-batch landing CONCURRENTLY
-    * with compaction is never a victim (only dirs listed in step 1 are
-    * deleted) and survives in its own partition.
+    * with compaction is never a victim (step 2 reads exactly the dirs
+    * listed in step 1 — not a fresh root listing — so a later commit is
+    * neither folded nor deleted) and survives in its own partition.
+    * Recovery also reclaims orphan `.compact_tmp_*` dirs left by a
+    * crash between steps 2 and 3 (no marker → disk would leak).
     */
+  /** Test seam: invoked once per month between the victim listing
+    * (step 1) and the fold read (step 2) — the window in which a
+    * concurrent micro-batch can commit. Specs use it to prove such a
+    * batch is neither folded nor deleted; production leaves it a no-op.
+    */
+  private[graft] var onAfterVictimList: String => Unit = _ => ()
+
   private def compactBatchSeqMonths(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -277,16 +287,23 @@ object RollupStore {
         val alreadyFolded = victims.length == 1 &&
           victims.head.getName.startsWith("batch_seq=compacted-")
         if (victims.nonEmpty && !alreadyFolded) {
+          onAfterVictimList(m)
           val gen = victims.flatMap { p =>
             val nm = p.getName.stripPrefix("batch_seq=")
             if (nm.startsWith("compacted-"))
               scala.util.Try(nm.stripPrefix("compacted-").toLong).toOption
             else None
           }.foldLeft(0L)(math.max) + 1
-          // read via the root so both partition columns resolve; drop
-          // them — the destination path re-encodes both
-          val rows = spark.read.parquet(root.toString)
-            .filter(col(PartitionCol).cast("string") === m)
+          // read EXACTLY the victim dirs (basePath keeps both partition
+          // columns resolvable) — re-reading the root here would race a
+          // concurrent micro-batch: one committed between the victim
+          // listing above and the read's file-index snapshot would be
+          // folded into `compacted-<gen>` yet survive as its own
+          // partition (duplicate rows). Pinning the paths makes the
+          // folded output contain the victims' rows and nothing else.
+          val rows = spark.read
+            .option("basePath", root.toString)
+            .parquet(victims.map(_.toString): _*)
             .drop(PartitionCol, "batch_seq")
           val n = rows.count()
           val nFiles = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
@@ -335,6 +352,15 @@ object RollupStore {
         }
         fs.delete(st.getPath, false)
       }
+    // a crash between the tmp write (step 2) and the marker write
+    // (step 3) leaves a `.compact_tmp_<gen>` with NO marker — hidden
+    // from reads but leaking disk forever. Markers were all consumed
+    // above, so any surviving tmp dir is such an orphan: reclaim it.
+    fs.listStatus(monthDir)
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_")
+      }
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** R3 — verification: per key, distinct buckets observed in the

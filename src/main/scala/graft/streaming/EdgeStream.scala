@@ -56,6 +56,12 @@ import graft.operators.GraphOps
   * and fails fast rather than guessing.
   */
 object EdgeStream {
+  /** Once-per-store dedup for the keyless-fold degradation warning —
+    * a long-running legacy stream hits the condition on EVERY
+    * micro-batch and would otherwise flood the logs.
+    */
+  private val warnedKeyless =
+    new scala.collection.concurrent.TrieMap[String, Unit]()
 
   /** Fold the stream of (basket, item) facts into the support store at
     * `storePath`. The store alternates between two generation
@@ -195,7 +201,8 @@ object EdgeStream {
     // degraded-detection warning: without a stream key, "same sequence"
     // is assumed and replay detection is the bare batchId comparison —
     // exactly the silent-drop class the keyed manifest exists to kill
-    if (streamKey == null && lastApplied >= 0)
+    if (streamKey == null && lastApplied >= 0 &&
+        warnedKeyless.putIfAbsent(storePath, ()).isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"EdgeStream: fold against $storePath without a streamKey — replay " +
           "detection degrades to the bare batchId comparison (a fresh " +

@@ -119,6 +119,74 @@ class StreamCompactRouteSpec extends SparkSpec {
     assert(seqDirs(spark, path, "202403") == Seq("batch_seq=compacted-2"))
   }
 
+  test("a micro-batch committed DURING compaction is neither folded nor deleted (no duplicates)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srace").toString
+    val path = landStream(dir, withCarriers = false)
+    val before = spark.read.parquet(path).count()
+    val marchBefore = spark.read.parquet(path)
+      .filter(col("bucket_month").cast("string") === "202403")
+      .select("symbol", "bucket_ts", "volume", "trades")
+      .orderBy("symbol", "bucket_ts").collect()
+    val key = graft.streaming.EdgeStream.streamKey(s"$dir/ckpt")
+
+    // commit a fresh micro-batch into March in the exact window between
+    // the compactor's victim listing and its fold read — the race the
+    // victim-pinned read exists to close (a root re-list here would
+    // fold these rows into compacted-<n> AND leave their partition
+    // alive: duplicates)
+    RollupStore.onAfterVictimList = { m =>
+      if (m == "202403") {
+        val late = Seq(("BTC", ts("2024-03-31 20:00:00"), 9.0, 9.0, 9.0, 9.0, 42.0, 7L))
+          .toDF("symbol", "bucket_ts", "open", "high", "low", "close", "volume", "trades")
+          .withColumn("bucket_month", date_format($"bucket_ts", "yyyyMM"))
+        StreamingRollup.writeBatch(late, path, key, 77L)
+      }
+    }
+    try RollupStore.compactPartitions(spark, path, Seq("202403"))
+    finally RollupStore.onAfterVictimList = _ => ()
+
+    // the late batch survives in its own partition, exactly once
+    val dirs = seqDirs(spark, path, "202403")
+    assert(dirs.contains("batch_seq=compacted-1"), dirs.toString)
+    assert(dirs.size == 2, s"late batch must survive beside the fold: $dirs")
+    assert(spark.read.parquet(path).count() == before + 1,
+      "concurrent commit must appear exactly once after compaction")
+    // and the folded partition holds exactly the pre-race March rows
+    val folded = spark.read
+      .option("basePath", path)
+      .parquet(s"$path/bucket_month=202403/batch_seq=compacted-1")
+      .select("symbol", "bucket_ts", "volume", "trades")
+      .orderBy("symbol", "bucket_ts").collect()
+    assert(folded.sameElements(marchBefore),
+      "folded output must contain the victims' rows and nothing else")
+  }
+
+  test("an orphan .compact_tmp_ dir (crash before the intent marker) is reclaimed by recovery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorphan").toString
+    val path = landStream(dir, withCarriers = false)
+    val truth = spark.read.parquet(path)
+      .select("symbol", "bucket_ts", "volume", "trades")
+      .orderBy("symbol", "bucket_ts").collect()
+
+    // crash window between the tmp write (step 2) and the marker write
+    // (step 3): a staged fold exists, no marker points at it
+    val monthDir = new org.apache.hadoop.fs.Path(path, "bucket_month=202403")
+    val fs = monthDir.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(path)
+      .filter(col("bucket_month").cast("string") === "202403")
+      .drop("bucket_month", "batch_seq")
+      .coalesce(1).write.parquet(s"$path/bucket_month=202403/.compact_tmp_99")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(monthDir, ".compact_tmp_99")))
+
+    RollupStore.compactPartitions(spark, path, Seq("202403"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(monthDir, ".compact_tmp_99")),
+      "recovery must reclaim marker-less staging dirs")
+    val healed = spark.read.parquet(path)
+      .select("symbol", "bucket_ts", "volume", "trades")
+      .orderBy("symbol", "bucket_ts").collect()
+    assert(healed.sameElements(truth), "orphan reclamation must not change rows")
+  }
+
   test("a crashed compaction (committed swap, victims not yet deleted) is healed on the next call") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scrash").toString
     val path = landStream(dir, withCarriers = false)
