@@ -889,6 +889,13 @@ object SparkEntry {
       TextOps.spanDedup(Tables.documents(s, dir), "doc_id", "text",
         blockTokens = 6, minDocs = 2)),
 
+    // ----- Exact-substring dedup (Lee et al.): maximal spans whose
+    // 6-token windows recur in >= 2 docs, at ARBITRARY offsets — the
+    // boundary-straddling shares span_dedup's block grid misses ------
+    "q_substring_dedup" -> ((s, dir) =>
+      TextOps.substringDedup(Tables.documents(s, dir), "doc_id", "text",
+        k = 6, minDocs = 2)),
+
     // ----- Similarity-threshold tuning: decile histogram of exact
     // Jaccard over the adjacent-id pair sample ------------------------
     "q_jaccard_histogram" -> ((s, dir) => {
@@ -4625,6 +4632,28 @@ object SparkEntry {
                 count(*) AS n_blocks_kept
          FROM b WHERE h NOT IN (SELECT h FROM dup)
          GROUP BY doc_id""",
+    "q_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest([{'pos': i - 1, 'g': array_to_string(t[i : i + 5], ' ')}
+                          for i in generate_series(1, len(t) - 5)]) AS u
+                FROM toks WHERE len(t) >= 6),
+         s AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM sh),
+         dup AS (SELECT g FROM s GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         d AS (SELECT doc_id, pos FROM s WHERE g IN (SELECT g FROM dup)),
+         m AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+                      THEN 0 ELSE 1 END AS brk
+               FROM d),
+         r AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m)
+         SELECT doc_id,
+                CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 6 AS BIGINT) AS span_end,
+                CAST(max(pos) + 6 - min(pos) AS BIGINT) AS n_tokens
+         FROM r GROUP BY doc_id, grp""",
     "q_jaccard_histogram" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          sets AS (SELECT doc_id,

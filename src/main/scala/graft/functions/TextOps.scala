@@ -558,6 +558,77 @@ object TextOps {
         count(lit(1)).as("n_blocks_kept"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): per document, every MAXIMAL
+    * token span covered by k-token windows that also occur in at least
+    * `minDocs` distinct documents corpus-wide. [[spanDedup]]'s fixed
+    * block grid misses a shared substring that straddles a block
+    * boundary or sits at an arbitrary offset; here a shingle is
+    * emitted at EVERY position, so any shared run of >= k tokens is
+    * caught wherever it starts.
+    *
+    * Shape for scale: the corpus-wide shared test rides the shingle
+    * shuffle itself — for the standard `minDocs = 2`, "appears in >= 2
+    * distinct docs" is exactly `min(doc_id) != max(doc_id)` over the
+    * hash partition, two O(1)-state streaming window aggregates (a
+    * `collect_set` would hold every doc id of a boilerplate shingle;
+    * a groupBy+semi-join would shuffle the shingles twice). The
+    * shuffle rows are (hash, doc, pos) — ~24 bytes, never text.
+    * Duplicated positions (a tiny subset) then run-merge per document:
+    * starts whose k-token coverage overlaps or touches (gap <= k)
+    * collapse into one span, so output spans are maximal and
+    * non-overlapping. General `minDocs > 2` falls back to the
+    * agg+semi-join form.
+    *
+    * Returns (doc_id, span_start, span_end, n_tokens) with 0-based
+    * token indices, end exclusive.
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    require(k >= 2, s"shingle width must be >= 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = transform(
+      sequence(lit(0), size(col("__t")) - k),
+      i => xxhash64(array_join(slice(col("__t"), i + 1, lit(k)), " ")))
+    val shingles = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "__h")))
+    val dupPos =
+      if (minDocs == 2L) {
+        val byHash = Window.partitionBy(col("__h"))
+        shingles
+          .withColumn("__mn", min(col("doc_id")).over(byHash))
+          .withColumn("__mx", max(col("doc_id")).over(byHash))
+          .where(col("__mn") =!= col("__mx"))
+          .select(col("doc_id"), col("pos"))
+      } else {
+        val dup = shingles.groupBy(col("__h"))
+          .agg(countDistinct(col("doc_id")).as("__d"))
+          .where(col("__d") >= minDocs)
+          .select("__h")
+        shingles.join(dup, Seq("__h")).select(col("doc_id"), col("pos"))
+      }
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__grp", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
   /** Boilerplate mining — the analysis complement of [[spanDedup]]:
     * the k most widely-duplicated token blocks, ranked by distinct
     * documents touched then total occurrences. What a pipeline owner

@@ -84,6 +84,55 @@ object RollupStore {
       base.sparkSession, basePath, keys, tsCol, valueCol, grainSec, path)
   }
 
+  /** One-shot migration for a pre-cents rollup store — the actionable
+    * remedy the RollupRouter's `volume_dec` warning points at: a
+    * legacy store carries DECIMAL `volume_dec` instead of the exact
+    * long `vol_cents` carrier and silently never routes. This rebuilds
+    * the store FROM ITS BASE TABLE (named in the store's own route
+    * manifest) via [[buildWithCarriers]] and re-registers the route,
+    * so the warned store routes again with exact cents.
+    *
+    * `vol_cents` is deliberately NOT derived from `volume_dec`
+    * (`volume_dec * 100`): that would freeze the legacy DECIMAL(18,2)
+    * rounding policy at half-cent boundaries into the new carrier
+    * (see [[graft.functions.Cents]]); the base re-aggregation is
+    * exact at any magnitude. Cost is one rollup rebuild — the same
+    * work the store's original build did.
+    *
+    * Returns true when rebuilt + re-registered; false when the store
+    * already carries `vol_cents` (nothing to do) or has no manifest
+    * to name its base (nothing safe to rebuild from — logged).
+    */
+  def rebuildCarriers(spark: SparkSession, storePath: String): Boolean = {
+    import org.apache.spark.sql.graft.RollupRouter
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (spark.read.parquet(storePath).columns.contains("vol_cents"))
+      return false
+    val mp = new org.apache.hadoop.fs.Path(root, RollupRouter.ManifestFile)
+    if (!fs.exists(mp)) {
+      log.warn(s"rebuildCarriers: no route manifest at $storePath — cannot " +
+        "name the base table to rebuild from; run buildWithCarriers " +
+        "against the base explicitly")
+      return false
+    }
+    val props = new java.util.Properties()
+    val in = fs.open(mp)
+    try props.load(in) finally in.close()
+    val basePath = props.getProperty("base_path")
+    val keys = props.getProperty("key_cols").split(",").toSeq
+    val tsCol = props.getProperty("ts_col")
+    val valueCol = props.getProperty("value_col")
+    val grain = s"${props.getProperty("grain_seconds").toLong} seconds"
+    buildWithCarriers(
+      spark.read.parquet(basePath), keys, tsCol, valueCol, grain, storePath)
+    val n = RollupRouter.registerFromStore(spark, storePath)
+    log.info(s"rebuildCarriers: rebuilt $storePath from $basePath with " +
+      s"exact vol_cents carriers; $n route(s) re-registered")
+    true
+  }
+
   /** Seconds of a `window()`-style fixed-width duration string
     * ("15 minutes", "1 hour"); None for anything month-like or
     * unparsable — fail-safe: no manifest rather than a wrong route.

@@ -67,6 +67,55 @@ object StreamBench {
     val rows = got.count()
     println(s"""STREAM_BENCH {"wall_sec":$wallSec,"grains":8,"rollup_1h_rows":$rows,"wrong_rows":$wrong,"missing_closed_rows":$missing,"sf":"$sfDir"}""")
 
+    // ---- compaction lifecycle on the exactly-once store -------------
+    // The streamed 1m store (finest grain: most micro-batch partitions)
+    // holds one batch_seq dir per micro-batch per month. Fold every
+    // month and quantify the read-side win: data-file count and a full
+    // identity-scan wall before vs after, with a bit-identity check
+    // (count + order-independent row checksum) proving compaction is a
+    // pure layout change.
+    val cStore = s"$work/out/rollup_1m"
+    def storeFiles(): Int = {
+      val root = new org.apache.hadoop.fs.Path(cStore)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      var n = 0
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val nm = it.next().getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+      }
+      n
+    }
+    // min of 2 passes: the first read pays one-off file-index caches —
+    // same discipline as Bench's min-of-k
+    def scanWall(): (Long, Long, Double) = {
+      def once(): (Long, Long, Double) = {
+        val t = System.nanoTime()
+        val df = spark.read.parquet(cStore)
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(df.columns.sorted.map(c => col(c).cast("string")): _*))).head()
+        (r.getLong(0), r.getLong(1), (System.nanoTime() - t) / 1e9)
+      }
+      val a = once(); val b = once()
+      (b._1, b._2, math.min(a._3, b._3))
+    }
+    val filesBefore = storeFiles()
+    val (nBefore, hBefore, wallBefore) = scanWall()
+    val months = {
+      val root = new org.apache.hadoop.fs.Path(cStore)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("bucket_month="))
+        .map(_.stripPrefix("bucket_month=")).toSeq.sorted
+    }
+    val tc = System.nanoTime()
+    graft.operators.RollupStore.compactPartitions(spark, cStore, months)
+    val compactWall = (System.nanoTime() - tc) / 1e9
+    val filesAfter = storeFiles()
+    val (nAfter, hAfter, wallAfter) = scanWall()
+    val cMismatch = if (nBefore == nAfter && hBefore == hAfter) 0L else 1L
+    println(s"""COMPACT_BENCH {"files_before":$filesBefore,"files_after":$filesAfter,"read_wall_before":$wallBefore,"read_wall_after":$wallAfter,"compact_wall":$compactWall,"rows":$nBefore,"months":${months.size},"mismatch":$cMismatch,"sf":"$sfDir"}""")
+
     // ---- sketch store: streamed daily HLL parts ≡ batch build ------
     // The ingest path of the AggregatingMergeTree analog: the same
     // file stream builds (event_type, day) sketch parts; merged-at-
@@ -244,7 +293,7 @@ object StreamBench {
     println(s"""EDGE_BENCH {"wall_sec":$edgeWall,"supports":${eGot.count()},"wrong_rows":$eWrong,"missing_rows":$eMissing,"sf":"$sfDir"}""")
 
     spark.stop()
-    if (wrong != 0 || missing != 0 || rowsDiff != 0 || estDiff != 0 ||
+    if (wrong != 0 || missing != 0 || cMismatch != 0 || rowsDiff != 0 || estDiff != 0 ||
       sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0 ||
       aWrong != 0 || aMissing != 0 || eWrong != 0 || eMissing != 0) sys.exit(1)
   }

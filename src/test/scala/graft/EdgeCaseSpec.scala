@@ -464,4 +464,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextOps.rakeKeywords(allStop, "doc_id", "text", 5).count() == 0)
     assert(TextOps.textrankKeywords(allStop, "doc_id", "text", 5).count() == 0)
   }
+
+  test("moment stats survive >$30M values (squared-cents DECIMAL(38,0) pre-cast pin)") {
+    // cents(5e7 dollars) = 5e9; squared = 2.5e19 > Long.MaxValue
+    // (9.22e18). Without the DecimalType(38,0) pre-cast on one operand
+    // (8f807fc), non-ANSI Spark wraps the Long product SILENTLY and
+    // these drift off by orders of magnitude — this test goes red if
+    // that cast is ever reverted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_overflow").toString
+    Seq(("A", 50000000.00), ("A", 50000002.00))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val ps = SparkEntry.queries("q_price_stats")(spark, dir).head()
+    assert(ps.getAs[Double]("avg_price") == 50000001.0)
+    // true stddev of {50e6, 50e6+2} is sqrt(2) dollars; wrapped Long
+    // math lands at NaN/garbage, never in this +-2-micro band
+    val micros = ps.getAs[Long]("stddev_price_micros")
+    assert(micros >= 1414212L && micros <= 1414215L,
+      s"stddev_price_micros=$micros, expected ~sqrt(2)*1e6")
+
+    Seq((1L, ts("2024-01-01 00:00:00"), 1L, "purchase", 40000000.00),
+        (2L, ts("2024-01-01 00:01:00"), 2L, "purchase", 50000000.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    // variant assignment is hash-determined; the overflow check is on
+    // the corpus total: (4e9^2 + 5e9^2) / 1e4 = 4.1e15 dollars^2
+    val sq = SparkEntry.queries("q_ab_metrics")(spark, dir)
+      .agg(sum($"total_value_sq")).head().getDouble(0)
+    assert(math.abs(sq - 4.1e15) < 1.0,
+      s"total_value_sq sum=$sq, expected 4.1e15 — Long square wrapped?")
+  }
 }

@@ -398,6 +398,43 @@ class TextVectorSpec extends SparkSpec {
     assert(gone.count() == 0)
   }
 
+  test("substringDedup finds maximal shared spans at arbitrary offsets") {
+    // k=3 shingles. Planted shares:
+    //  - "a b c d e" in docs 1 (pos 0), 2 (pos 2 — offset!), 10 (pos 0)
+    //  - "p q r" in docs 1 (pos 8) and 3 (pos 0)
+    //  - doc 6 shares "g h i" (pos 0) and "i j k" (pos 2) with doc 7,
+    //    whose middle window "h i j" is NOT shared: coverage overlaps
+    //    (gap 2 <= k) so doc 6 must merge them into ONE span [0,5)
+    //  - doc 7 holds the same two shingles at pos 0 and 4 (gap 4 > k):
+    //    coverage does not touch -> TWO spans
+    val d = Seq(
+      (1L, "a b c d e x1 y1 z1 p q r"),
+      (2L, "w1 w2 a b c d e w3"),
+      (3L, "p q r s1 s2 s3 s4 s5"),
+      (6L, "g h i j k l"),
+      (7L, "g h i zz i j k"),
+      (8L, "q8a q8b q8c q8d"), // nothing shared
+      (9L, "s1 s2"),           // shorter than k: no shingles, no error
+      (10L, "a b c d e t10a t10b")
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(d, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 5L, 5L), (1L, 8L, 11L, 3L),
+      (2L, 2L, 7L, 5L),
+      (3L, 0L, 3L, 3L),
+      (6L, 0L, 5L, 5L),
+      (7L, 0L, 3L, 3L), (7L, 4L, 7L, 3L),
+      (10L, 0L, 5L, 5L)), out.toString)
+
+    // minDocs > 2 (agg+semi-join fallback): only the triple-shared
+    // "a b c d e" run survives; the pairwise shares all drop
+    val strict = TextOps.substringDedup(d, "doc_id", "text", k = 3, minDocs = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(strict == Seq(
+      (1L, 0L, 5L, 5L), (2L, 2L, 7L, 5L), (10L, 0L, 5L, 5L)), strict.toString)
+  }
+
   test("stratifiedSample is deterministic, nested across rates, and per-stratum") {
     val d = (0L until 2000L).map(i => (i, if (i % 2 == 0) "keep_all" else "rare"))
       .toDF("doc_id", "stratum")
