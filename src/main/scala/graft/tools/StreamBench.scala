@@ -74,7 +74,7 @@ object StreamBench {
     // identity-scan wall before vs after, with a bit-identity check
     // (count + order-independent row checksum) proving compaction is a
     // pure layout change.
-    val cStore = s"$work/out/rollup_1m"
+    var cStore = s"$work/out/rollup_1m"
     def storeFiles(): Int = {
       val root = new org.apache.hadoop.fs.Path(cStore)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -88,33 +88,50 @@ object StreamBench {
     }
     // min of 2 passes: the first read pays one-off file-index caches —
     // same discipline as Bench's min-of-k
-    def scanWall(): (Long, Long, Double) = {
-      def once(): (Long, Long, Double) = {
+    def scanWall(): (Long, java.math.BigDecimal, Double) = {
+      def once(): (Long, java.math.BigDecimal, Double) = {
         val t = System.nanoTime()
         val df = spark.read.parquet(cStore)
+        // decimal accumulate: a Long sum of hashes overflows under ANSI.
+        // batch_seq is excluded — it is layout metadata the fold
+        // rewrites by design; every DATA column must hash identical
+        val hashed = df.columns.sorted.filterNot(_ == "batch_seq")
         val r = df.agg(count(lit(1)),
-          sum(xxhash64(df.columns.sorted.map(c => col(c).cast("string")): _*))).head()
-        (r.getLong(0), r.getLong(1), (System.nanoTime() - t) / 1e9)
+          sum(xxhash64(hashed.map(c => col(c).cast("string")): _*)
+            .cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1), (System.nanoTime() - t) / 1e9)
       }
       val a = once(); val b = once()
       (b._1, b._2, math.min(a._3, b._3))
     }
-    val filesBefore = storeFiles()
-    val (nBefore, hBefore, wallBefore) = scanWall()
-    val months = {
+    def months(): Seq[String] = {
       val root = new org.apache.hadoop.fs.Path(cStore)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       fs.listStatus(root).map(_.getPath.getName)
         .filter(_.startsWith("bucket_month="))
         .map(_.stripPrefix("bucket_month=")).toSeq.sorted
     }
-    val tc = System.nanoTime()
-    graft.operators.RollupStore.compactPartitions(spark, cStore, months)
-    val compactWall = (System.nanoTime() - tc) / 1e9
-    val filesAfter = storeFiles()
-    val (nAfter, hAfter, wallAfter) = scanWall()
-    val cMismatch = if (nBefore == nAfter && hBefore == hAfter) 0L else 1L
-    println(s"""COMPACT_BENCH {"files_before":$filesBefore,"files_after":$filesAfter,"read_wall_before":$wallBefore,"read_wall_after":$wallAfter,"compact_wall":$compactWall,"rows":$nBefore,"months":${months.size},"mismatch":$cMismatch,"sf":"$sfDir"}""")
+    // two regimes on two equivalent stores: max-fold (the 1M-row/file
+    // default — minimal file count, the cluster-scale shape where a
+    // month holds >> 1M rows anyway) and a parallelism-preserving fold
+    // sized so the folded month still scans wide on this box
+    var cMismatch = 0L
+    Seq(("max_fold", s"$work/out/rollup_1m", 1000000L),
+        ("sized_fold", s"$work/out/rollup_5m", 125000L)).foreach {
+      case (label, store, target) =>
+        cStore = store
+        val filesBefore = storeFiles()
+        val (nBefore, hBefore, wallBefore) = scanWall()
+        val ms = months()
+        val tc = System.nanoTime()
+        graft.operators.RollupStore.compactPartitions(spark, cStore, ms, target)
+        val compactWall = (System.nanoTime() - tc) / 1e9
+        val filesAfter = storeFiles()
+        val (nAfter, hAfter, wallAfter) = scanWall()
+        val bad = if (nBefore == nAfter && hBefore.compareTo(hAfter) == 0) 0L else 1L
+        cMismatch += bad
+        println(s"""COMPACT_BENCH {"regime":"$label","files_before":$filesBefore,"files_after":$filesAfter,"read_wall_before":$wallBefore,"read_wall_after":$wallAfter,"compact_wall":$compactWall,"rows":$nBefore,"months":${ms.size},"mismatch":$bad,"sf":"$sfDir"}""")
+    }
 
     // ---- sketch store: streamed daily HLL parts ≡ batch build ------
     // The ingest path of the AggregatingMergeTree analog: the same

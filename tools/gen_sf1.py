@@ -22,7 +22,9 @@ key-universe offsets so distributions per replica match sf0.1:
 
 Deterministic (pure function of the inputs). Writes /tmp/sf1.
 
-Usage: python3 tools/gen_sf1.py [outdir]
+Usage: python3 tools/gen_sf1.py [outdir] [replicas]
+  replicas defaults to 10 (sf1); 30 -> sf3, 100 -> sf10 — the scaling
+  sweep's larger checkpoints reuse the same construction.
 """
 import shutil
 import sys
@@ -31,7 +33,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-R = 10
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
 def main():
