@@ -896,6 +896,11 @@ object SparkEntry {
       TextOps.substringDedup(Tables.documents(s, dir), "doc_id", "text",
         k = 6, minDocs = 2)),
 
+    // ----- ...and the removal half: cut those spans, reassemble -----
+    "q_substring_scrub" -> ((s, dir) =>
+      TextOps.substringScrub(Tables.documents(s, dir), "doc_id", "text",
+        k = 6, minDocs = 2)),
+
     // ----- Similarity-threshold tuning: decile histogram of exact
     // Jaccard over the adjacent-id pair sample ------------------------
     "q_jaccard_histogram" -> ((s, dir) => {
@@ -4654,6 +4659,35 @@ object SparkEntry {
                 CAST(max(pos) + 6 AS BIGINT) AS span_end,
                 CAST(max(pos) + 6 - min(pos) AS BIGINT) AS n_tokens
          FROM r GROUP BY doc_id, grp""",
+    "q_substring_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest([{'pos': i - 1, 'g': array_to_string(t[i : i + 5], ' ')}
+                          for i in generate_series(1, len(t) - 5)]) AS u
+                FROM toks WHERE len(t) >= 6),
+         s AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM sh),
+         dup AS (SELECT g FROM s GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         d AS (SELECT doc_id, pos FROM s WHERE g IN (SELECT g FROM dup)),
+         m AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+                      THEN 0 ELSE 1 END AS brk
+               FROM d),
+         r AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 6 AS e
+                FROM r GROUP BY doc_id, grp),
+         cutpos AS (SELECT doc_id, unnest(range(s, e)) AS p FROM sp),
+         tok AS (SELECT doc_id, unnest(t) AS tk, unnest(range(len(t))) AS p FROM toks),
+         kept AS (SELECT tok.doc_id, tok.tk, tok.p FROM tok
+                  ANTI JOIN cutpos ON tok.doc_id = cutpos.doc_id AND tok.p = cutpos.p)
+         SELECT toks.doc_id,
+                coalesce(string_agg(kept.tk, ' ' ORDER BY kept.p), '') AS text_clean,
+                CAST(count(kept.tk) AS BIGINT) AS n_tokens_kept,
+                CAST(len(toks.t) - count(kept.tk) AS BIGINT) AS n_tokens_dropped
+         FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+         GROUP BY toks.doc_id, len(toks.t)""",
     "q_jaccard_histogram" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          sets AS (SELECT doc_id,

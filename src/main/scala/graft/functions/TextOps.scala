@@ -629,6 +629,44 @@ object TextOps {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** The removal half of [[substringDedup]] (Lee et al. REMOVE the
+    * shared spans, they don't just flag them): cut every duplicated
+    * span's tokens out of each document and reassemble the survivors —
+    * [[spanDedup]]'s reassembly at arbitrary offsets instead of the
+    * block grid.
+    *
+    * Shape for scale: spans per doc collapse to one small array row;
+    * the corpus then moves through ONE doc_id join (the span side is
+    * already doc-partitioned from the run-merge, and AQE broadcasts it
+    * when small) and the token cut is a codegen'd higher-order filter
+    * over the token array — no per-token explode, no per-token
+    * shuffle.
+    */
+  def substringScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    val spans = substringDedup(docs, idCol, textCol, k, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))).as("__cuts"))
+    val noCuts = expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__cuts", coalesce(col("__cuts"), noCuts))
+      .withColumn("__kept", filter(col("__t"), (t, i) =>
+        !exists(col("__cuts"), c => i >= c("s") && i < c("e"))))
+      .select(
+        col("doc_id"),
+        array_join(col("__kept"), " ").as("text_clean"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_tokens_dropped"))
+  }
+
   /** Boilerplate mining — the analysis complement of [[spanDedup]]:
     * the k most widely-duplicated token blocks, ranked by distinct
     * documents touched then total occurrences. What a pipeline owner

@@ -898,6 +898,51 @@ object MicrostructureOps {
     }
   }
 
+  /** Band width from the key universe — the docstring's sizing rule
+    * (pick 2^bandBits ≳ universe) as a pure, unit-testable function,
+    * calibrated by the round-11 sf1→sf10 sweep (PERF.md: 8-bit bands
+    * measured exponent ~1.9 at a 150k universe, 16-bit 0.91 — 26×
+    * apart at sf10). Picks the narrowest band whose expected
+    * random-collision candidate volume, bands · U² / 2^bandBits,
+    * stays within `maxCandidatesPerKey` per key. Narrower bands =
+    * wider pigeonhole recall radius (64/bandBits − 1), so the
+    * smallest safe width wins.
+    */
+  def autoBandBits(universe: Long, maxCandidatesPerKey: Long = 64L): Int = {
+    require(universe >= 0 && maxCandidatesPerKey > 0)
+    Seq(8, 16).find { bits =>
+      val est = (BigInt(64 / bits) * BigInt(universe) * BigInt(universe)) >> bits
+      est <= BigInt(maxCandidatesPerKey) * BigInt(universe)
+    }.getOrElse(32)
+  }
+
+  /** [[corrScreen]] with the band width chosen from the MEASURED key
+    * universe: one approx_count_distinct aggregate over the rollup's
+    * key column — a deliberate, tiny eager job (keys only, no series)
+    * accepted here so an operator pointed at an unknown universe can't
+    * quietly run the 8-bit screen into its quadratic regime.
+    * `corrScreen` itself stays a pure plan-builder for callers who
+    * know their universe and pick the width per its docstring.
+    */
+  def corrScreenAuto(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      maxHamming: Int = 7,
+      bucketCap: Long = 10000L,
+      broadcastSeries: Boolean = true
+  ): DataFrame = {
+    val universe = rollup.agg(approx_count_distinct(col(keyCol))).head().getLong(0)
+    val bits = autoBandBits(universe)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"corrScreenAuto: ~$universe distinct '$keyCol' keys -> bandBits=$bits")
+    // maxHamming passes through unchanged: beyond the chosen width's
+    // pigeonhole radius (64/bits − 1) recall is probabilistic, which is
+    // corrScreen's documented standard-LSH semantics
+    corrScreen(rollup, keyCol, bucketCol, maxHamming = maxHamming,
+      bucketCap = bucketCap, bandBits = bits, broadcastSeries = broadcastSeries)
+  }
+
   def corrScreen(
       rollup: DataFrame,
       keyCol: String,

@@ -87,6 +87,26 @@ class CorrScreenFallbackSpec extends SparkSpec {
       "broadcast path must not pay the chunk-join machinery")
   }
 
+  test("autoBandBits follows the candidate-volume rule; corrScreenAuto equals the sized screen") {
+    import graft.operators.MicrostructureOps.autoBandBits
+    // rule: narrowest bits with bands*U^2/2^bits <= 64*U. Boundaries:
+    // 8-bit holds to U=2048 (U^2/32 <= 64U), 16-bit to U=2^20
+    assert(autoBandBits(0) == 8 && autoBandBits(1000) == 8)
+    assert(autoBandBits(2048) == 8 && autoBandBits(2049) == 16)
+    // the sweep's regimes: sf1's 15k and sf10's 150k universes -> 16
+    assert(autoBandBits(15000) == 16 && autoBandBits(150000) == 16)
+    assert(autoBandBits(1048576) == 16 && autoBandBits(1048577) == 32)
+    // a tighter candidate budget promotes earlier
+    assert(autoBandBits(2048, maxCandidatesPerKey = 1L) == 16)
+
+    val auto = rows(MicrostructureOps.corrScreenAuto(
+      fixture, "sym", "bucket_ts", maxHamming = 24))
+    val manual = rows(MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8))
+    assert(auto.sameElements(manual),
+      "auto at a 6-key universe must be the 8-bit screen, bit-identical")
+  }
+
   test("plan-statistics gate demotes an over-budget broadcast to the chunked path, same results") {
     val want = rows(MicrostructureOps.corrScreen(
       fixture, "sym", "bucket_ts", maxHamming = 24))

@@ -433,6 +433,20 @@ class TextVectorSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(strict == Seq(
       (1L, 0L, 5L, 5L), (2L, 2L, 7L, 5L), (10L, 0L, 5L, 5L)), strict.toString)
+
+    // the removal half: spans cut out, survivors reassembled in order,
+    // span-less docs pass through untouched
+    val scrub = TextOps.substringScrub(d, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(scrub == Seq(
+      (1L, "x1 y1 z1", 3L, 8L),
+      (2L, "w1 w2 w3", 3L, 5L),
+      (3L, "s1 s2 s3 s4 s5", 5L, 3L),
+      (6L, "l", 1L, 5L),
+      (7L, "zz", 1L, 6L),
+      (8L, "q8a q8b q8c q8d", 4L, 0L),
+      (9L, "s1 s2", 2L, 0L),
+      (10L, "t10a t10b", 2L, 5L)), scrub.toString)
   }
 
   test("stratifiedSample is deterministic, nested across rates, and per-stratum") {
