@@ -901,6 +901,14 @@ object SparkEntry {
       TextOps.substringScrub(Tables.documents(s, dir), "doc_id", "text",
         k = 6, minDocs = 2)),
 
+    // ----- ...and the incremental-ingest form: spans in a new batch
+    // already present in the standing corpus; batch-proportional ----
+    "q_substring_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.substringCrossSpans(syntheticBatch(docs), "doc_id", "text",
+        docs, "doc_id", "text", k = 6)
+    }),
+
     // ----- Similarity-threshold tuning: decile histogram of exact
     // Jaccard over the adjacent-id pair sample ------------------------
     "q_jaccard_histogram" -> ((s, dir) => {
@@ -4688,6 +4696,33 @@ object SparkEntry {
                 CAST(len(toks.t) - count(kept.tk) AS BIGINT) AS n_tokens_dropped
          FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
          GROUP BY toks.doc_id, len(toks.t)""",
+    "q_substring_incremental" ->
+      """WITH newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+                          FROM documents WHERE doc_id % 10 = 0),
+         tc AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+         gc AS (SELECT DISTINCT unnest([array_to_string(t[i : i + 5], ' ')
+                                        for i in generate_series(1, len(t) - 5)]) AS g
+                FROM tc WHERE len(t) >= 6),
+         tn AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM newdocs),
+         sn AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                  SELECT doc_id,
+                         unnest([{'pos': i - 1, 'g': array_to_string(t[i : i + 5], ' ')}
+                                 for i in generate_series(1, len(t) - 5)]) AS u
+                  FROM tn WHERE len(t) >= 6)),
+         d AS (SELECT doc_id, pos FROM sn WHERE g IN (SELECT g FROM gc)),
+         m AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+                      THEN 0 ELSE 1 END AS brk
+               FROM d),
+         r AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m)
+         SELECT doc_id,
+                CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 6 AS BIGINT) AS span_end,
+                CAST(max(pos) + 6 - min(pos) AS BIGINT) AS n_tokens
+         FROM r GROUP BY doc_id, grp""",
     "q_jaccard_histogram" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          sets AS (SELECT doc_id,

@@ -592,13 +592,7 @@ object TextOps {
   ): DataFrame = {
     require(k >= 2, s"shingle width must be >= 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
-    val hashes = transform(
-      sequence(lit(0), size(col("__t")) - k),
-      i => xxhash64(array_join(slice(col("__t"), i + 1, lit(k)), " ")))
-    val shingles = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= k)
-      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "__h")))
+    val shingles = shinglePositions(docs, idCol, textCol, k)
     val dupPos =
       if (minDocs == 2L) {
         val byHash = Window.partitionBy(col("__h"))
@@ -614,6 +608,31 @@ object TextOps {
           .select("__h")
         shingles.join(dup, Seq("__h")).select(col("doc_id"), col("pos"))
       }
+    mergeSpans(dupPos, k)
+  }
+
+  /** (doc_id, pos, __h): the xxhash64 of every k-token window, emitted
+    * at each 0-based start position. The shuffle currency of the
+    * substring-dedup family — 24-byte rows, never text.
+    */
+  private def shinglePositions(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val hashes = transform(
+      sequence(lit(0), size(col("__t")) - k),
+      i => xxhash64(array_join(slice(col("__t"), i + 1, lit(k)), " ")))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "__h")))
+  }
+
+  /** Run-merge duplicated shingle starts into maximal non-overlapping
+    * spans: starts whose k-token coverage overlaps or touches
+    * (gap <= k) collapse into one (doc_id, span_start, span_end,
+    * n_tokens) row, 0-based, end exclusive.
+    */
+  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
       .withColumn("__brk",
@@ -627,6 +646,38 @@ object TextOps {
         (max(col("pos")) + k).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
+  /** Incremental-ingest [[substringDedup]]: maximal spans in the NEW
+    * batch whose every k-token window already occurs in the standing
+    * CORPUS — the substring side of the incremental-crawl story
+    * ([[minhashCrossPairs]] / cross-SimHash are the near-dup sides).
+    *
+    * Work scales with the batch, never corpus²: the corpus reduces to
+    * its DISTINCT shingle-hash set (one map-side-combined aggregate —
+    * at scale this is the standing table you persist bucketed on the
+    * hash, exactly like the minhash signature store, so the semi-join
+    * reads it in place), the batch's shingles semi-join that set, and
+    * only batch positions run-merge. Within-batch shares are
+    * deliberately out of scope here — union the batch into the corpus
+    * and run [[substringDedup]] for the full view.
+    */
+  def substringCrossSpans(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusTextCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, s"shingle width must be >= 2 tokens, got $k")
+    val corpusHashes = shinglePositions(corpus, corpusIdCol, corpusTextCol, k)
+      .select("__h").distinct()
+    val dupPos = shinglePositions(newDocs, idCol, textCol, k)
+      .join(corpusHashes, Seq("__h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(dupPos, k)
   }
 
   /** The removal half of [[substringDedup]] (Lee et al. REMOVE the

@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_item_edges_incremental" -> "1-row max(l_orderkey) offset for the new-order batch",
     "q_dedup_incremental_rederive" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_minhash_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
+    "q_substring_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_simhash_incremental" -> "1-row max(doc_id) offset (syntheticBatch)",
     "q_drift_chi2" -> "1-row per-period totals for the chi-square",
     "q_cuped" -> "1-row global co-moment frame (theta) into the arm rows",

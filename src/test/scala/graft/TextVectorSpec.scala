@@ -449,6 +449,23 @@ class TextVectorSpec extends SparkSpec {
       (10L, "t10a t10b", 2L, 5L)), scrub.toString)
   }
 
+  test("substringCrossSpans: batch spans already in the corpus, within-batch shares ignored") {
+    val corpus = Seq(
+      (1L, "a b c d e x1 y1 z1"),
+      (2L, "p q r c2a c2b")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "n1a a b c d e n1b"),   // corpus run at offset 1 -> [1,6)
+      (12L, "p q r w1 w1b w1c"),    // corpus run at 0 -> [0,3)
+      (13L, "zz1 zz2 zz3 zz4"),     // shares "zz1 zz2 zz3" with doc 14
+      (14L, "zz1 zz2 zz3 zz5")      // ...but within-batch only: no rows
+    ).toDF("doc_id", "text")
+    val got = TextOps.substringCrossSpans(
+        batch, "doc_id", "text", corpus, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((11L, 1L, 6L, 5L), (12L, 0L, 3L, 3L)), got.toString)
+  }
+
   test("stratifiedSample is deterministic, nested across rates, and per-stratum") {
     val d = (0L until 2000L).map(i => (i, if (i % 2 == 0) "keep_all" else "rare"))
       .toDF("doc_id", "stratum")
