@@ -191,6 +191,12 @@ object PlanLab {
           time(s"fold aqe=$aqe")(println(q.count()))
         }
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+      case "plan" =>
+        // formatted physical plan of any SparkEntry query:
+        //   runMain graft.tools.PlanLab plan <query> [sfDir]
+        val name = args(1)
+        val sfDir = if (args.length > 2) args(2) else dir
+        graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       case "jobs" =>
         // per-Spark-job wall breakdown of one query execution
         val name = args(1)
