@@ -909,6 +909,18 @@ object SparkEntry {
         docs, "doc_id", "text", k = 6)
     }),
 
+    // ----- Span-level benchmark decontamination: WHERE each training
+    // doc overlaps the fixed eval panel (q_contamination's count flag,
+    // upgraded to exact spans a scrub can cut); panel side is the
+    // bounded set, so its hash set broadcasts and the corpus never
+    // moves twice ----------------------------------------------------
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isEval = col("doc_id") < 5000 && col("doc_id") % 50 === 0
+      TextOps.substringCrossSpans(docs.filter(!isEval), "doc_id", "text",
+        docs.filter(isEval), "doc_id", "text", k = 6)
+    }),
+
     // ----- Similarity-threshold tuning: decile histogram of exact
     // Jaccard over the adjacent-id pair sample ------------------------
     "q_jaccard_histogram" -> ((s, dir) => {
@@ -4710,6 +4722,32 @@ object SparkEntry {
                                  for i in generate_series(1, len(t) - 5)]) AS u
                   FROM tn WHERE len(t) >= 6)),
          d AS (SELECT doc_id, pos FROM sn WHERE g IN (SELECT g FROM gc)),
+         m AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+                      THEN 0 ELSE 1 END AS brk
+               FROM d),
+         r AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m)
+         SELECT doc_id,
+                CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 6 AS BIGINT) AS span_end,
+                CAST(max(pos) + 6 - min(pos) AS BIGINT) AS n_tokens
+         FROM r GROUP BY doc_id, grp""",
+    "q_decontaminate_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         ev AS (SELECT doc_id, t FROM toks WHERE doc_id < 5000 AND doc_id % 50 = 0),
+         co AS (SELECT doc_id, t FROM toks WHERE NOT (doc_id < 5000 AND doc_id % 50 = 0)),
+         ge AS (SELECT DISTINCT unnest([array_to_string(t[i : i + 5], ' ')
+                                        for i in generate_series(1, len(t) - 5)]) AS g
+                FROM ev WHERE len(t) >= 6),
+         sn AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                  SELECT doc_id,
+                         unnest([{'pos': i - 1, 'g': array_to_string(t[i : i + 5], ' ')}
+                                 for i in generate_series(1, len(t) - 5)]) AS u
+                  FROM co WHERE len(t) >= 6)),
+         d AS (SELECT doc_id, pos FROM sn WHERE g IN (SELECT g FROM ge)),
          m AS (SELECT doc_id, pos,
                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
                       THEN 0 ELSE 1 END AS brk
