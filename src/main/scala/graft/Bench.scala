@@ -40,23 +40,69 @@ object Bench {
     // charged 5-25 s of spin-up. Warmup runs at sf0.001 — same code
     // paths, ~1% of the data.
     val warmDir = "/root/testdata/sf0.001"
+    // The timed action hashes EVERY output column into one aggregate
+    // (not count()): under count() Catalyst legitimately eliminates
+    // row-neutral work — q_substring_scrub's unique-keyed left span
+    // join benched flat at every SF because the join it ships never
+    // ran — so the artifact measured a pruned twin of the committed
+    // plan. A full-column xxhash64 keeps every column (no pruning) and
+    // every operator feeding them live, and stays a 1-row driver
+    // result. Map-typed columns (hash-on-map is disallowed) ride
+    // through to_json first.
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
+      val cols = df.schema.fields.map { f =>
+        val c = col("`" + f.name + "`")
+        if (containsMap(f.dataType)) to_json(c) else c
+      }
+      if (cols.isEmpty) { df.count(); () }
+      else {
+        df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
+          .agg(expr("bit_xor(__h)")).head()
+        ()
+      }
+    }
     Seq("q_ohlcv_rollup_15m", "q_dedup_groups", "q_knn_kmeans_ivf",
       "q_simhash_neardup", "q_winnow_neardup", "q_copurchase").foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir).count()
+      try consume(SparkEntry.queries(q)(spark, warmDir))
       catch { case _: Throwable => () }
     }
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
     var errors = List.empty[(String, String)]
+    var skips = List.empty[(String, String)]
+    // a scale guard firing AS DESIGNED (graft.api.Guards.Marker in the
+    // message chain, e.g. q_corr_matrix's maxUniverse assert at sf1's
+    // 15k-key universe) is a skip, not a failure: it must not flip
+    // `ok` — BENCH_SF1_r11 reported ok:false for exactly this
+    def designedGuard(e: Throwable): Boolean = {
+      var c: Throwable = e
+      var hops = 0
+      while (c != null && hops < 20) {
+        if (Option(c.getMessage).exists(_.contains(graft.api.Guards.Marker)))
+          return true
+        c = if (c.getCause eq c) null else c.getCause
+        hops += 1
+      }
+      false
+    }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { consume(fn(spark, sfDir)) }
       catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-          errors ::= (name, msg)
+          if (designedGuard(e)) skips ::= (name, msg)
+          else errors ::= (name, msg)
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -76,15 +122,19 @@ object Bench {
     val benchK = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_K")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(3))
     val retimeFloor = 0.3
-    val errored = errors.map(_._1).toSet
+    val errored = errors.map(_._1).toSet ++ skips.map(_._1).toSet
     var spreads = List.empty[(String, Double)]
     val results = selected.zip(firstPass).map { case ((name, fn), (_, t1)) =>
       if (t1 >= retimeFloor && !errored(name)) {
         val ts = t1 +: (2 to benchK).map(_ => timeOne(name, fn))
         // the published spread is over the WARM passes only (the first
         // pass doubles as warm-up: codegen/JIT/page-cache cold starts
-        // inflated r10's anonymous 71x max) — t1 still feeds the min
-        val warm = if (ts.length >= 3) ts.tail else ts
+        // inflated r10's anonymous 71x max) — t1 still feeds the min.
+        // ts.tail whenever a warm pass exists: at k=2 the old >= 3
+        // bound fell back to the full list and published a "warm"
+        // spread that still included the cold pass (a single warm pass
+        // yields spread 1.0, which is honest)
+        val warm = if (ts.length >= 2) ts.tail else ts
         spreads ::= name -> (warm.max / warm.min)
         name -> ts.min
       } else name -> t1
@@ -105,6 +155,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val errJson = errors.reverse.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
+    val skipJson = skips.reverse.distinctBy(_._1)
+      .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ok = errors.isEmpty
     val sfLabel = new java.io.File(sfDir).getName
@@ -128,7 +180,7 @@ object Bench {
     val qs = top.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val contract =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","ok":$ok,"errors":$errJson,"queries":$qs,"nq":${results.length},"sf":"$sfLabel","variance":$varJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","ok":$ok,"errors":$errJson,"skipped_by_design":$skipJson,"queries":$qs,"nq":${results.length},"sf":"$sfLabel","variance":$varJson}"""
     println(contract)
     // Belt and braces: the stdout tail the driver captures has lost
     // the contract line three rounds running (prefix/trailer issues,

@@ -474,6 +474,25 @@ object SparkEntry {
       TextOps.minhashCandidatePairs(
         Tables.documents(s, dir), "doc_id", "text",
         bands = 4, rowsPerBand = 2, shingleSize = 3)),
+
+    // ----- Cap observability: every banded/clustered near-dup op
+    // drops over-cap buckets silently, so a capped run's pair set is
+    // indistinguishable from a clean one (r11 sf10: an empty pair set
+    // on a 100%-duplicate corpus). These one-row companion reports
+    // (CapReport.of) make the cap a queryable fact — gate on
+    // n_capped_buckets == 0 before trusting pairs. Caps here are set
+    // low enough that THIS fixture trips them (nonzero capped
+    // counts), proving the report distinguishes a capped run; the
+    // operators' own 10k default stays clean at this SF. -------------
+    "q_cap_report_minhash" -> ((s, dir) =>
+      TextOps.minhashCapReport(Tables.documents(s, dir), "doc_id", "text",
+        bands = 4, rowsPerBand = 2, shingleSize = 3, bucketCap = 2)),
+    "q_cap_report_simhash" -> ((s, dir) =>
+      TextOps.simhashCapReport(Tables.documents(s, dir), "doc_id", "text",
+        bucketCap = 2)),
+    "q_cap_report_clusters" -> ((s, dir) =>
+      VectorOps.clusterCapReport(Tables.embeddings(s, dir), "vec_id", "label",
+        clusterCap = 52)),
     // Full dedup resolution: LSH candidate pairs -> connected
     // components -> keeper per group (rows-only: iterative graph algo)
     "q_dedup_groups" -> ((s, dir) => {
@@ -3188,26 +3207,35 @@ object SparkEntry {
     // ----- Correlation SCREEN — the scale path the corrMatrix doc
     // routes large universes to (sf1 measured the exact matrix at
     // universe² = 164× for 10× keys): 64-bit sign-sketch per key,
-    // 8×8-bit banded candidate join, exact co-moment corr on the
-    // candidates only. corr values bit-match the full matrix's
-    // entries for the screened pairs. maxHamming 24 exercises the
-    // probabilistic-recall regime (guaranteed ≤ 7) because this
+    // banded candidate join at the AUTO-SIZED band width
+    // (autoBandBits from a measured approx_count_distinct of the key
+    // universe — the r11 sweep measured the old fixed 8-bit width at
+    // exponent 1.87 / 964 s on sf10's 150k universe vs 0.91 / 37 s
+    // sized), exact co-moment corr on the candidates only. corr
+    // values bit-match the full matrix's entries for the screened
+    // pairs. At the driver's universes (150 keys at sf0.01, 1500 at
+    // sf0.1 — both ≤ the 2048-key 8-bit boundary) auto picks 8-bit,
+    // which is exactly the width the DuckDB oracle bands at; sf1+
+    // universes auto-promote to 16/32-bit. maxHamming 24 exercises
+    // the probabilistic-recall regime (guaranteed ≤ 7) because this
     // fixture's keys are independent random walks — at ≤ 7 the
     // correct answer is zero pairs, which would hash-check trivially.
     "q_corr_screen" -> ((s, dir) => {
       val r1h = CandleOps.ohlcvRollup(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
-      MicrostructureOps.corrScreen(r1h, "user_id", "bucket_ts",
+      MicrostructureOps.corrScreenAuto(r1h, "user_id", "bucket_ts",
         maxHamming = 24)
     }),
 
     // ----- BOTH sides of the screen: co-moving AND anti-moving pairs
     // (complement-band candidates — the pairs-trading/hedge screen);
     // an anti pair's corr is the full matrix's negative entry bitwise.
+    // Auto-sized band width like q_corr_screen (8-bit at the driver's
+    // universes, matching the oracle's banding).
     "q_corr_screen_signed" -> ((s, dir) => {
       val r1h = CandleOps.ohlcvRollup(
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
-      MicrostructureOps.corrScreenSigned(r1h, "user_id", "bucket_ts",
+      MicrostructureOps.corrScreenSignedAuto(r1h, "user_id", "bucket_ts",
         maxHamming = 24)
     }),
 
@@ -4085,6 +4113,42 @@ object SparkEntry {
     "q_doc_minhash_pairs" ->
       s"""WITH ${minhashSigCtes()}
          $minhashPairsSelect""",
+    // Cap-report oracles: per-bucket counts over the UNCAPPED banded
+    // CTE, one-row summary at the query's deliberately-low cap.
+    // n_entities_affected = distinct entities holding >= 1 membership
+    // in an over-cap bucket.
+    "q_cap_report_minhash" ->
+      s"""WITH ${minhashSigCtes()},
+         bn AS (SELECT band, k0, k1, count(*) AS n FROM bands GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(count(CASE WHEN n > 2 THEN 1 END) AS BIGINT) AS n_capped_buckets,
+                CAST(coalesce(sum(CASE WHEN n > 2 THEN n END), 0) AS BIGINT) AS n_rows_dropped,
+                CAST((SELECT count(DISTINCT b.doc_id) FROM bands b JOIN bn x
+                        ON b.band = x.band AND b.k0 = x.k0 AND b.k1 = x.k1
+                      WHERE x.n > 2) AS BIGINT) AS n_entities_affected,
+                CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_n
+         FROM bn""",
+    "q_cap_report_simhash" ->
+      s"""WITH ${simhashBandCtes()},
+         bn AS (SELECT band, h, count(*) AS n FROM banded GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(count(CASE WHEN n > 2 THEN 1 END) AS BIGINT) AS n_capped_buckets,
+                CAST(coalesce(sum(CASE WHEN n > 2 THEN n END), 0) AS BIGINT) AS n_rows_dropped,
+                CAST((SELECT count(DISTINCT b.doc_id) FROM banded b JOIN bn x
+                        ON b.band = x.band AND b.h = x.h
+                      WHERE x.n > 2) AS BIGINT) AS n_entities_affected,
+                CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_n
+         FROM bn""",
+    "q_cap_report_clusters" ->
+      """WITH bn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(count(CASE WHEN n > 52 THEN 1 END) AS BIGINT) AS n_capped_buckets,
+                CAST(coalesce(sum(CASE WHEN n > 52 THEN n END), 0) AS BIGINT) AS n_rows_dropped,
+                CAST((SELECT count(DISTINCT e.vec_id) FROM embeddings e
+                        JOIN bn x ON e.label = x.label
+                      WHERE x.n > 52) AS BIGINT) AS n_entities_affected,
+                CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_n
+         FROM bn""",
     "q_minhash_incremental" ->
       s"""WITH newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
                            FROM documents WHERE doc_id % 10 = 0),

@@ -229,11 +229,18 @@ final class CandleTable private (
   def corrScreen(
       timeframe: String,
       maxHamming: Int = 7,
-      bandBits: Int = 8): DataFrame = {
+      bandBits: Option[Int] = None): DataFrame = {
     val r = rollup(timeframe)
       .withColumn("__key", concat_ws("|", rkeys.map(col): _*))
-    MicrostructureOps.corrScreen(r, "__key", "bucket_ts",
-      maxHamming = maxHamming, bandBits = bandBits)
+    // None = auto-size the band from the measured key universe (the
+    // safe default at any scale); Some(bits) for callers who know
+    // their universe and want the pure plan-builder path.
+    bandBits match {
+      case Some(bits) => MicrostructureOps.corrScreen(r, "__key", "bucket_ts",
+        maxHamming = maxHamming, bandBits = bits)
+      case None => MicrostructureOps.corrScreenAuto(r, "__key", "bucket_ts",
+        maxHamming = maxHamming)
+    }
   }
 
   /** Pack each key's series into per-column codec cells (DoubleDelta

@@ -117,6 +117,22 @@ object TextOps {
       shingleSize: Int,
       bucketCap: Long
   ): (DataFrame, Seq[String]) = {
+    val (banded, keyCols) =
+      minhashBandedRaw(docs, idCol, textCol, bands, rowsPerBand, shingleSize)
+    (capBuckets(banded, "band" +: keyCols, bucketCap), keyCols)
+  }
+
+  /** The band stage before the hot-bucket guard — shared by
+    * [[minhashBanded]] and [[minhashCapReport]].
+    */
+  private def minhashBandedRaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int
+  ): (DataFrame, Seq[String]) = {
     val sig = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand, shingleSize)
     val bandStructs = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r =>
@@ -128,7 +144,27 @@ object TextOps {
       .select(col(idCol), explode(array(bandStructs: _*)).as("__bh"))
       .select(col(idCol) +: col("__bh.band").as("band") +:
         keyCols.map(k => col(s"__bh.$k").as(k)): _*)
-    (capBuckets(banded, "band" +: keyCols, bucketCap), keyCols)
+    (banded, keyCols)
+  }
+
+  /** What `bucketCap` does to the MinHash band buckets on THIS corpus
+    * — the observability companion to [[minhashCandidatePairs]] /
+    * [[minhashCrossPairs]] ([[graft.operators.CapReport.of]]): gate on
+    * `n_capped_buckets == 0` before reading an empty pair set as "no
+    * near-duplicates".
+    */
+  def minhashCapReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    val (banded, keyCols) =
+      minhashBandedRaw(docs, idCol, textCol, bands, rowsPerBand, shingleSize)
+    graft.operators.CapReport.of(banded, "band" +: keyCols, idCol, bucketCap)
   }
 
   def minhashCandidatePairs(
@@ -566,6 +602,19 @@ object TextOps {
     * boundary or sits at an arbitrary offset; here a shingle is
     * emitted at EVERY position, so any shared run of >= k tokens is
     * caught wherever it starts.
+    *
+    * "Exact" is exact over 64-BIT SHINGLE HASHES, not shingle text:
+    * two different k-token windows colliding in xxhash64 flag (and
+    * [[substringScrub]] then removes) a span that was never
+    * duplicated. Expected false-positive collisions ~ n²/2^65 for n
+    * distinct shingles — nil at test scale, ~3 shingle pairs per
+    * 10^10 shingles (about 1 TB of text), and a real, quantifiable
+    * false-removal source at 100-TB corpora. That is the same
+    * birthday-bound trade the minhash/simhash ops document for their
+    * banding; a caller needing true-exact semantics at that scale
+    * should confirm flagged spans by text (join span tokens back on
+    * doc_id — batch-proportional, spans are a tiny subset) before
+    * scrubbing.
     *
     * Shape for scale: the corpus-wide shared test rides the shingle
     * shuffle itself — for the standard `minDocs = 2`, "appears in >= 2
@@ -1171,17 +1220,52 @@ object TextOps {
       idCol: String,
       hashCol: String,
       bucketCap: Long
+  ): DataFrame =
+    capBuckets(bandFp64Raw(fp, idCol, hashCol), Seq("band", "h"), bucketCap)
+
+  private def bandFp64Raw(
+      fp: DataFrame,
+      idCol: String,
+      hashCol: String
   ): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       struct(
         lit(b).as("band"),
         shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(65535L)).as("h"))
     }
-    val banded = fp
+    fp
       .select(col(idCol), col(hashCol), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col(hashCol), col("__b.band").as("band"), col("__b.h").as("h"))
-    capBuckets(banded, Seq("band", "h"), bucketCap)
   }
+
+  /** What `bucketCap` does to the 4×16-bit band buckets of ANY 64-bit
+    * fingerprint column (text SimHash, image/video dHash, audio
+    * energy hash) — the observability companion to every
+    * [[bandedHammingPairs]]-shaped operator
+    * ([[graft.operators.CapReport.of]]).
+    */
+  def fp64CapReport(
+      fp: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bucketCap: Long = 10000L
+  ): DataFrame =
+    graft.operators.CapReport.of(
+      bandFp64Raw(fp, idCol, hashCol), Seq("band", "h"), idCol, bucketCap)
+
+  /** [[fp64CapReport]] over the SimHash fingerprints of a text corpus
+    * — the companion to [[simhashNearDupPairs]].
+    */
+  def simhashCapReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketCap: Long = 10000L
+  ): DataFrame =
+    fp64CapReport(
+      docs.select(col(idCol),
+        SimHash64.simhash64(tokens(col(textCol))).as("simhash")),
+      idCol, "simhash", bucketCap)
 
   private[graft] def bandedHammingPairs(
       fp: DataFrame,

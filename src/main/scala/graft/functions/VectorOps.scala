@@ -480,6 +480,45 @@ object VectorOps {
     * Implemented as a count window over the join's own shuffle key, so
     * the guard adds no extra exchange. 0 = uncapped.
     */
+  /** What `clusterCap` does to the cluster sizes on THIS input — the
+    * observability companion to [[cosineNearDupPairs]] /
+    * [[lshNearDupPairs]] ([[graft.operators.CapReport.of]]). A capped
+    * run's pair output is indistinguishable from a clean run's (the
+    * round-11 sf10 pathological fixture returned an EMPTY pair set on
+    * a corpus that was 100% duplicates), so gate on
+    * `n_capped_buckets == 0` — or route the affected vectors through
+    * a finer bucketing (more LSH planes, re-cluster) — before
+    * trusting the pairs.
+    */
+  def clusterCapReport(
+      embeddings: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      clusterCap: Long = 10000L
+  ): DataFrame =
+    graft.operators.CapReport.of(
+      embeddings.select(col(idCol).as("id"), col(clusterCol).as("cluster")),
+      Seq("cluster"), "id", clusterCap)
+
+  /** [[clusterCapReport]] over the hyperplane-LSH buckets
+    * [[lshNearDupPairs]] joins within (same planes, same seed).
+    */
+  def lshCapReport(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int,
+      seed: Long = 42L,
+      clusterCap: Long = 10000L
+  ): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    clusterCapReport(
+      embeddings.select(col(idCol),
+        hyperplaneBucket(asDouble, dim, nPlanes, seed).as("cluster")),
+      idCol, "cluster", clusterCap)
+  }
+
   def cosineNearDupPairs(
       embeddings: DataFrame,
       idCol: String,

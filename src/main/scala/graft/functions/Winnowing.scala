@@ -155,4 +155,24 @@ object Winnowing {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** What `bucketCap` does to the fingerprint buckets on THIS corpus
+    * — the observability companion to [[winnowNearDupPairs]]
+    * ([[graft.operators.CapReport.of]]).
+    */
+  def winnowCapReport(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      bucketCap: Long = 10000L
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fps = docs.select(
+      col(idCol),
+      explode(winnow(TextOps.tokens(col(textCol)), k, w)).as("fp"))
+      .distinct()
+    graft.operators.CapReport.of(fps, Seq("fp"), idCol, bucketCap)
+  }
 }

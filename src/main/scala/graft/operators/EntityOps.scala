@@ -63,4 +63,22 @@ object EntityOps {
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .where(col("dist") <= maxDist)
   }
+
+  /** What `bucketCap` does to the blocking keys of both passes on
+    * THIS dictionary — the observability companion to
+    * [[fuzzyNamePairs]] ([[CapReport.of]]). Buckets are (pass, key):
+    * the first-token and last-token blocks report together.
+    */
+  def blockingCapReport(
+      df: DataFrame,
+      nameCol: String,
+      bucketCap: Int = 10000
+  ): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+    val blocks = names.select(col("name"), lit("first").as("pass"),
+        substring_index(col("name"), " ", 1).as("blk"))
+      .union(names.select(col("name"), lit("last").as("pass"),
+        substring_index(col("name"), " ", -1).as("blk")))
+    CapReport.of(blocks, Seq("pass", "blk"), "name", bucketCap.toLong)
+  }
 }

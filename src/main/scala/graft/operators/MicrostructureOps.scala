@@ -592,7 +592,8 @@ object MicrostructureOps {
     val guard = rollup
       .agg(count_distinct(col(keyCol)).as("__universe"))
       .select(assert_true(col("__universe") <= maxUniverse, concat(
-        lit("corrMatrix: "), col("__universe").cast("string"),
+        lit(graft.api.Guards.Marker + " corrMatrix: "),
+        col("__universe").cast("string"),
         lit(s" distinct '$keyCol' keys exceed maxUniverse=$maxUniverse; " +
           "the exact all-pairs matrix is quadratic in the universe. Route large " +
           "universes through corrScreen/corrScreenSigned (banded sign-fingerprint " +
@@ -720,6 +721,13 @@ object MicrostructureOps {
     */
   private def bandFingerprints(
       fp: DataFrame, keyCol: String, bandBits: Int, bucketCap: Long,
+      bandOf: Column): DataFrame =
+    graft.functions.TextOps.capBuckets(
+      bandFingerprintsRaw(fp, keyCol, bandBits, bandOf),
+      Seq("band", "h"), bucketCap)
+
+  private def bandFingerprintsRaw(
+      fp: DataFrame, keyCol: String, bandBits: Int,
       bandOf: Column): DataFrame = {
     val nBands = 64 / bandBits
     val bandMask = (1L << bandBits) - 1
@@ -727,12 +735,31 @@ object MicrostructureOps {
       struct(lit(b).as("band"),
         shiftrightunsigned(bandOf, b * bandBits).bitwiseAND(lit(bandMask)).as("h"))
     }
-    graft.functions.TextOps.capBuckets(
-      fp.select(col(keyCol), col("__fp"),
-          explode(array(bandStructs: _*)).as("__b"))
-        .select(col(keyCol), col("__fp"),
-          col("__b.band").as("band"), col("__b.h").as("h")),
-      Seq("band", "h"), bucketCap)
+    fp.select(col(keyCol), col("__fp"),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col(keyCol), col("__fp"),
+        col("__b.band").as("band"), col("__b.h").as("h"))
+  }
+
+  /** What `bucketCap` does to the sign-sketch band buckets at a given
+    * width on THIS rollup — the observability companion to
+    * [[corrScreen]] / [[corrScreenSigned]]
+    * ([[graft.operators.CapReport.of]]).
+    */
+  def corrScreenCapReport(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      bandBits: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits=$bandBits must be 8, 16, or 32 (64-bit fingerprint)")
+    val moves = screenMoves(rollup, keyCol, bucketCol)
+    val fp = signFingerprints(moves, keyCol)
+    graft.operators.CapReport.of(
+      bandFingerprintsRaw(fp, keyCol, bandBits, col("__fp")),
+      Seq("band", "h"), keyCol, bucketCap)
   }
 
   /** One week of epoch-µs: the time-chunk grain the non-broadcast
@@ -773,8 +800,14 @@ object MicrostructureOps {
     // spark.sql.defaultSizeInBytes (Long.MaxValue by default), which
     // would silently demote an explicitly requested broadcast on a
     // meaningless number. Unknown size → honor the caller's choice.
-    val unknown =
-      est == BigInt(moves.sparkSession.sessionState.conf.defaultSizeInBytes)
+    // >= rather than ==: a filter/project over an unsized leaf SCALES
+    // the sentinel (so it no longer equals it but is still
+    // meaningless), and anything at or past the sentinel — or past
+    // any physically plausible single-table size — is an absent
+    // estimate, not a measurement.
+    val sentinel =
+      BigInt(moves.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val unknown = est >= sentinel || est > (BigInt(1L) << 50) // > 1 PiB: absurd
     val ok = unknown || est <= cap
     if (unknown) org.slf4j.LoggerFactory.getLogger(getClass).info(
       "corrScreen: moves plan has no size estimate (defaultSizeInBytes) — " +
@@ -916,13 +949,28 @@ object MicrostructureOps {
     }.getOrElse(32)
   }
 
+  /** Measured-universe band width: one approx_count_distinct
+    * aggregate over the rollup's key column — a deliberate, tiny
+    * eager job (keys only, no series) accepted so an operator pointed
+    * at an unknown universe can't quietly run a too-narrow band into
+    * its quadratic regime. Shared by both Auto entrypoints.
+    */
+  private def measuredBandBits(rollup: DataFrame, keyCol: String): Int = {
+    val universe = rollup.agg(approx_count_distinct(col(keyCol))).head().getLong(0)
+    val bits = autoBandBits(universe)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"corrScreen auto-sizing: ~$universe distinct '$keyCol' keys -> bandBits=$bits")
+    bits
+  }
+
   /** [[corrScreen]] with the band width chosen from the MEASURED key
-    * universe: one approx_count_distinct aggregate over the rollup's
-    * key column — a deliberate, tiny eager job (keys only, no series)
-    * accepted here so an operator pointed at an unknown universe can't
-    * quietly run the 8-bit screen into its quadratic regime.
-    * `corrScreen` itself stays a pure plan-builder for callers who
-    * know their universe and pick the width per its docstring.
+    * universe ([[measuredBandBits]]). This is the entrypoint a caller
+    * with an unknown universe should use; `corrScreen` itself stays a
+    * pure plan-builder for callers who know their universe and pick
+    * the width per [[autoBandBits]]'s rule — it no longer offers a
+    * default width, because the round-11 sf10 sweep measured the old
+    * 8-bit default at exponent ~1.9 on a 150k universe (964 s) vs
+    * 0.91 for the sized 16-bit band (37 s).
     */
   def corrScreenAuto(
       rollup: DataFrame,
@@ -932,24 +980,43 @@ object MicrostructureOps {
       bucketCap: Long = 10000L,
       broadcastSeries: Boolean = true
   ): DataFrame = {
-    val universe = rollup.agg(approx_count_distinct(col(keyCol))).head().getLong(0)
-    val bits = autoBandBits(universe)
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"corrScreenAuto: ~$universe distinct '$keyCol' keys -> bandBits=$bits")
     // maxHamming passes through unchanged: beyond the chosen width's
     // pigeonhole radius (64/bits − 1) recall is probabilistic, which is
     // corrScreen's documented standard-LSH semantics
     corrScreen(rollup, keyCol, bucketCol, maxHamming = maxHamming,
-      bucketCap = bucketCap, bandBits = bits, broadcastSeries = broadcastSeries)
+      bucketCap = bucketCap, bandBits = measuredBandBits(rollup, keyCol),
+      broadcastSeries = broadcastSeries)
   }
 
+  /** [[corrScreenSigned]] with the band width measured the same way —
+    * the auto entrypoint for the co+anti screen.
+    */
+  def corrScreenSignedAuto(
+      rollup: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      maxHamming: Int = 7,
+      bucketCap: Long = 10000L,
+      broadcastSeries: Boolean = true
+  ): DataFrame =
+    corrScreenSigned(rollup, keyCol, bucketCol, maxHamming = maxHamming,
+      bucketCap = bucketCap, bandBits = measuredBandBits(rollup, keyCol),
+      broadcastSeries = broadcastSeries)
+
+  /** Sign-sketch correlation screen at an EXPLICIT band width.
+    * `bandBits` has no default by design: pick it with
+    * [[autoBandBits]] (or call [[corrScreenAuto]]) — 8-bit bands are
+    * only safe below ~2k keys (guaranteed recall to hamming 7), and
+    * leaving a default in place let committed callers ride a measured
+    * quadratic at 100× that universe.
+    */
   def corrScreen(
       rollup: DataFrame,
       keyCol: String,
       bucketCol: String,
       maxHamming: Int = 7,
       bucketCap: Long = 10000L,
-      bandBits: Int = 8,
+      bandBits: Int,
       broadcastSeries: Boolean = true
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
@@ -994,7 +1061,7 @@ object MicrostructureOps {
       bucketCol: String,
       maxHamming: Int = 7,
       bucketCap: Long = 10000L,
-      bandBits: Int = 8,
+      bandBits: Int,
       broadcastSeries: Boolean = true
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,

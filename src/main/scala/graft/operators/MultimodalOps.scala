@@ -682,6 +682,23 @@ object MultimodalOps {
     graft.functions.TextOps.bandedHammingPairs(
       hashes, "media_id", "ahash", maxHamming, bucketCap)
 
+  /** Cap observability companions ([[graft.operators.CapReport.of]]):
+    * what `bucketCap` does to the band buckets (image/audio) or
+    * frame-hash buckets (video) on THIS input — gate on
+    * `n_capped_buckets == 0` before reading an empty pair set as
+    * "no near-duplicate media".
+    */
+  def imageNearDupCapReport(hashes: DataFrame, bucketCap: Long = 10000L): DataFrame =
+    graft.functions.TextOps.fp64CapReport(hashes, "media_id", "dhash", bucketCap)
+
+  def audioNearDupCapReport(hashes: DataFrame, bucketCap: Long = 10000L): DataFrame =
+    graft.functions.TextOps.fp64CapReport(hashes, "media_id", "ahash", bucketCap)
+
+  def videoNearDupCapReport(frameHashes: DataFrame, bucketCap: Long = 10000L): DataFrame =
+    graft.operators.CapReport.of(
+      frameHashes.select(col("media_id"), col("dhash")).distinct(),
+      Seq("dhash"), "media_id", bucketCap)
+
   def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
     (((id * 3 + x * 5) % 256).toInt, ((id * 7 + y * 11) % 256).toInt,
       ((id + x * y) % 256).toInt)

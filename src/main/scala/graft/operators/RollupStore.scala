@@ -258,6 +258,15 @@ object RollupStore {
     * two-level layout (and the sink's replay contract: a live stream's
     * next micro-batch lands in its own fresh `batch_seq` partition,
     * disjoint from the compacted one).
+    *
+    * CONCURRENCY CONTRACT: at most ONE compactor per store root at a
+    * time (concurrent micro-batch WRITERS are fine — see the victim
+    * pinning in [[compactBatchSeqMonths]]). Two concurrent compactors
+    * on one store can interleave recovery with each other's staging
+    * writes; the orphan sweep's [[OrphanTmpMinAgeMs]] age gate keeps
+    * even that violation from deleting a live staging dir, but the
+    * fold itself offers no cross-process mutual exclusion — schedule
+    * compaction from a single maintenance job, as you would OPTIMIZE.
     */
   def compactPartitions(
       spark: SparkSession,
@@ -405,12 +414,38 @@ object RollupStore {
     // (step 3) leaves a `.compact_tmp_<gen>` with NO marker — hidden
     // from reads but leaking disk forever. Markers were all consumed
     // above, so any surviving tmp dir is such an orphan: reclaim it.
+    // AGE-GATED: compaction assumes one compactor per store (see
+    // [[compactPartitions]]), but deletion is the one step whose
+    // blast radius under a violated assumption is another call's
+    // in-flight staging dir (its step-2→3 window), so the sweep only
+    // reclaims tmp dirs whose last modification is older than
+    // [[OrphanTmpMinAgeMs]] — a genuinely crashed orphan is by
+    // definition not being written anymore, while a live staging dir
+    // is at most minutes old.
+    // age = newest mtime anywhere under the tmp dir, not the dir's
+    // own (a long write parks files in deep _temporary subdirs
+    // without touching the top-level dir, which would look stale
+    // while still very much in flight)
+    val now = System.currentTimeMillis()
+    def newestMtime(p: Path): Long = {
+      var newest = fs.getFileStatus(p).getModificationTime
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
     fs.listStatus(monthDir)
       .filter { st =>
-        st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_")
+        st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_") &&
+          now - newestMtime(st.getPath) > OrphanTmpMinAgeMs
       }
       .foreach(st => fs.delete(st.getPath, true))
   }
+
+  /** Minimum age before a marker-less `.compact_tmp_*` staging dir is
+    * treated as a crash orphan and reclaimed (test seam: specs lower
+    * it to exercise the sweep without a 15-minute fixture wait).
+    */
+  private[graft] var OrphanTmpMinAgeMs: Long = 15L * 60 * 1000
 
   /** R3 — verification: per key, distinct buckets observed in the
     * stored rollup within [rangeStart, rangeEnd) vs the expected count

@@ -168,12 +168,13 @@ object CorrLab {
 
     // end-to-end: the real operator, uncheckpointed DAG
     val e2e = graft.operators.MicrostructureOps.corrScreen(
-      r1h, keyCol, bucketCol, maxHamming = 24)
+      r1h, keyCol, bucketCol, maxHamming = 24, bandBits = 8)
     time("corrScreen-e2e")(
       println("  rows=" + e2e.queryExecution.executedPlan.execute().count()))
     time("corrScreen-e2e-again")(e2e.count())
     val e2eChunked = graft.operators.MicrostructureOps.corrScreen(
-      r1h, keyCol, bucketCol, maxHamming = 24, broadcastSeries = false)
+      r1h, keyCol, bucketCol, maxHamming = 24, bandBits = 8,
+      broadcastSeries = false)
     time("corrScreen-e2e-chunked")(println("  rows=" + e2eChunked.count()))
     time("corrScreen-e2e-chunked-again")(e2eChunked.count())
     val plan = e2e.queryExecution.executedPlan.toString

@@ -44,17 +44,19 @@ class CorrScreenFallbackSpec extends SparkSpec {
 
   test("broadcastSeries=false is bit-identical to the broadcast path (corrScreen + signed)") {
     val wide = MicrostructureOps.corrScreen(
-      fixture, "sym", "bucket_ts", maxHamming = 24)
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8)
     val chunked = MicrostructureOps.corrScreen(
-      fixture, "sym", "bucket_ts", maxHamming = 24, broadcastSeries = false)
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8,
+      broadcastSeries = false)
     val w = rows(wide); val c = rows(chunked)
     assert(w.nonEmpty, "fixture must surface candidate pairs")
     assert(c.sameElements(w), "chunked exact stage diverged from broadcast")
 
     val signedB = MicrostructureOps.corrScreenSigned(
-      fixture, "sym", "bucket_ts", maxHamming = 7)
+      fixture, "sym", "bucket_ts", maxHamming = 7, bandBits = 8)
     val signedC = MicrostructureOps.corrScreenSigned(
-      fixture, "sym", "bucket_ts", maxHamming = 7, broadcastSeries = false)
+      fixture, "sym", "bucket_ts", maxHamming = 7, bandBits = 8,
+      broadcastSeries = false)
     val sb = signedB.orderBy("key_a", "key_b", "side").collect()
     val sc = signedC.orderBy("key_a", "key_b", "side").collect()
     assert(sb.exists(_.getAs[String]("side") == "anti_moving"),
@@ -68,7 +70,8 @@ class CorrScreenFallbackSpec extends SparkSpec {
 
   test("the chunked plan joins on (key, week-chunk) and re-aggregates co-moments; no SMJ over series rows") {
     val chunked = MicrostructureOps.corrScreen(
-      fixture, "sym", "bucket_ts", maxHamming = 24, broadcastSeries = false)
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8,
+      broadcastSeries = false)
     val plan = chunked.queryExecution.executedPlan.toString()
     assert(plan.contains("__ck"), s"expected week-chunk join key in plan:\n$plan")
     assert(plan.contains("ShuffledHashJoin"),
@@ -81,7 +84,7 @@ class CorrScreenFallbackSpec extends SparkSpec {
       s"expected co-moment re-aggregation in plan:\n$plan")
 
     val broadcastPlan = MicrostructureOps.corrScreen(
-      fixture, "sym", "bucket_ts", maxHamming = 24)
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8)
       .queryExecution.executedPlan.toString()
     assert(!broadcastPlan.contains("__ck"),
       "broadcast path must not pay the chunk-join machinery")
@@ -105,15 +108,25 @@ class CorrScreenFallbackSpec extends SparkSpec {
       fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8))
     assert(auto.sameElements(manual),
       "auto at a 6-key universe must be the 8-bit screen, bit-identical")
+
+    val signedAuto = MicrostructureOps.corrScreenSignedAuto(
+      fixture, "sym", "bucket_ts", maxHamming = 7)
+      .orderBy("key_a", "key_b", "side").collect()
+    val signedManual = MicrostructureOps.corrScreenSigned(
+      fixture, "sym", "bucket_ts", maxHamming = 7, bandBits = 8)
+      .orderBy("key_a", "key_b", "side").collect()
+    assert(signedAuto.nonEmpty && signedAuto.sameElements(signedManual),
+      "signed auto must be the sized signed screen, bit-identical")
   }
 
   test("plan-statistics gate demotes an over-budget broadcast to the chunked path, same results") {
     val want = rows(MicrostructureOps.corrScreen(
-      fixture, "sym", "bucket_ts", maxHamming = 24))
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8))
     spark.conf.set(MicrostructureOps.MaxBroadcastSeriesBytesConf, "1")
     try {
       val demoted = MicrostructureOps.corrScreen(
-        fixture, "sym", "bucket_ts", maxHamming = 24) // broadcastSeries left at default
+        fixture, "sym", "bucket_ts", maxHamming = 24,
+        bandBits = 8) // broadcastSeries left at default
       val plan = demoted.queryExecution.executedPlan.toString()
       assert(plan.contains("__ck"), "gate must demote to the chunked path")
       assert(rows(demoted).sameElements(want), "demotion must not change results")

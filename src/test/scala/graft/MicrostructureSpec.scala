@@ -380,7 +380,7 @@ class MicrostructureSpec extends SparkSpec {
       series("n1", rnd(13)) ++ series("n2", rnd(29)))
       .toDF("sym", "bucket_ts", "open", "high", "low", "close", "trades", "volume")
     val out = MicrostructureOps.corrScreenSigned(
-      df, "sym", "bucket_ts", maxHamming = 7)
+      df, "sym", "bucket_ts", maxHamming = 7, bandBits = 8)
       .select("key_a", "key_b", "side", "hamming", "corr")
       .as[(String, String, String, Long, Option[Double])].collect()
       .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap

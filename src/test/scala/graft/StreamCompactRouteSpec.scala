@@ -178,9 +178,20 @@ class StreamCompactRouteSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$path/bucket_month=202403/.compact_tmp_99")
     assert(fs.exists(new org.apache.hadoop.fs.Path(monthDir, ".compact_tmp_99")))
 
+    // at the default age gate this dir is FRESH — recovery must leave
+    // it alone (it could be another compactor's live staging dir)
     RollupStore.compactPartitions(spark, path, Seq("202403"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(monthDir, ".compact_tmp_99")),
+      "a freshly-written staging dir must never be reclaimed")
+
+    // aged past the gate, it is a genuine crash orphan: reclaimed
+    val saved = RollupStore.OrphanTmpMinAgeMs
+    try {
+      RollupStore.OrphanTmpMinAgeMs = -1L
+      RollupStore.compactPartitions(spark, path, Seq("202403"))
+    } finally RollupStore.OrphanTmpMinAgeMs = saved
     assert(!fs.exists(new org.apache.hadoop.fs.Path(monthDir, ".compact_tmp_99")),
-      "recovery must reclaim marker-less staging dirs")
+      "recovery must reclaim aged marker-less staging dirs")
     val healed = spark.read.parquet(path)
       .select("symbol", "bucket_ts", "volume", "trades")
       .orderBy("symbol", "bucket_ts").collect()
