@@ -493,12 +493,16 @@ object SparkEntry {
     "q_cap_report_clusters" -> ((s, dir) =>
       VectorOps.clusterCapReport(Tables.embeddings(s, dir), "vec_id", "label",
         clusterCap = 52)),
-    // Full dedup resolution: LSH candidate pairs -> connected
-    // components -> keeper per group (rows-only: iterative graph algo)
+    // Full dedup resolution: LSH band buckets -> star edges ->
+    // connected components -> keeper per group (rows-only: iterative
+    // graph algo). CC consumes the bucket STARS, not the pair
+    // cliques: identical components, but edges stay linear in the
+    // corpus where clique pairs grow quadratically in duplicate-group
+    // size (the r11 sweep's 1.2-exponent tail).
     "q_dedup_groups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
-      graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
+      val edges = TextOps.minhashStarEdges(docs, "doc_id", "text", 4, 2, 3)
+      graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", edges)
     }),
     // Quality-aware keeper: the same LSH components as q_dedup_groups,
     // but each group keeps its HIGHEST-quality member (ties -> min id)
@@ -507,7 +511,7 @@ object SparkEntry {
     // bit-identical across engines.
     "q_dedup_keep_best" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      val pairs = TextOps.minhashStarEdges(docs, "doc_id", "text", 4, 2, 3)
       val scored = TextOps.textStats(docs, "doc_id", "text").select(
         col("doc_id"),
         TextOps.qualityScoreCol.as("qscore"))
@@ -519,7 +523,7 @@ object SparkEntry {
     // spot a degenerate mega-component at scale.
     "q_dedup_sizes" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      val pairs = TextOps.minhashStarEdges(docs, "doc_id", "text", 4, 2, 3)
       graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
         .groupBy(col("keeper_id")).agg(count(lit(1)).as("group_size"))
         .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
@@ -591,14 +595,29 @@ object SparkEntry {
         docs, "doc_id", "text", maxHamming = 3)
     }),
 
+    // ----- The signature store + standing-label BUILD, explicit (the
+    // q_item_edges pattern): runs the REBUILD path so the one-time
+    // bucketed-store materialization is its own bench line — at r11
+    // it hid inside q_dedup_incremental's first pass (sf10: 202.6 s
+    // cold vs 48.5 s warm for a query billed batch-proportional).
+    // Named to sort BEFORE q_dedup_incremental in Bench's name-ordered
+    // run, mirroring production where the store exists before the
+    // day's fold: the fold entry's cold pass reads the already-built
+    // store, so its cold ≡ warm. Output pins the standing label table
+    // against the global-closure oracle. ------------------------------
+    "q_dedup_build_store" -> ((s, dir) =>
+      graft.sources.Derived.minhashStoreRebuilt(s, dir).standing
+        .select(col("doc_id"), col("group_id"))),
+
     // ----- Incremental dedup resolution, PRODUCTION daily shape: the
     // corpus's banded signature keys and yesterday's standing labels
-    // are READ from the persisted store (Derived.minhashStore); the
-    // day pays only for banding the new batch, the candidate joins,
-    // and the touched-component fold — only touched components
-    // re-solve, and the standing label table is scanned, never
-    // shuffled. The in-query re-derivation of the store is the
-    // explicitly-named stress variant below. --------------------------
+    // are READ from the persisted store (Derived.minhashStore, built
+    // by q_dedup_build_store / at ingest time); the day pays only for
+    // banding the new batch, the candidate joins, and the
+    // touched-component fold — only touched components re-solve, and
+    // the standing label table is scanned, never shuffled. The
+    // in-query re-derivation of the store is the explicitly-named
+    // stress variant below. -------------------------------------------
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val newBatch = syntheticBatch(docs)
@@ -610,9 +629,13 @@ object SparkEntry {
       val cross = TextOps.minhashCrossFromBanded(
           bb, "doc_id", store.banded, "doc_id", store.keyCols)
         .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
-      val within = TextOps.minhashPairsFromBanded(bb, "doc_id", store.keyCols)
+      val within = TextOps.minhashStarFromBanded(bb, "doc_id", store.keyCols)
+      // day pairs are batch-bounded and consumed ~5x inside the fold
+      // (nodes, collapse, CC, new-id probe, remap) — materialize once,
+      // as production reads them from the candidate table it lands
+      val dayPairs = cross.unionByName(within).localCheckpoint(true)
       val inc = graft.operators.DedupGroups
-        .incrementalGroups(store.standing, cross.unionByName(within))
+        .incrementalGroups(store.standing, dayPairs)
       docs.select(col("doc_id"))
         .unionByName(newBatch.select(col("doc_id")))
         .join(inc, Seq("doc_id"), "left")
@@ -637,9 +660,13 @@ object SparkEntry {
       val cross = TextOps.minhashCrossFromBanded(
           bb, "doc_id", store.banded, "doc_id", store.keyCols)
         .select(col("new_id").as("doc_a"), col("known_id").as("doc_b"))
-      val within = TextOps.minhashPairsFromBanded(bb, "doc_id", store.keyCols)
+      val within = TextOps.minhashStarFromBanded(bb, "doc_id", store.keyCols)
+      // day pairs are batch-bounded and consumed ~5x inside the fold
+      // (nodes, collapse, CC, new-id probe, remap) — materialize once,
+      // as production reads them from the candidate table it lands
+      val dayPairs = cross.unionByName(within).localCheckpoint(true)
       val inc = graft.operators.DedupGroups
-        .incrementalGroups(store.standing, cross.unionByName(within))
+        .incrementalGroups(store.standing, dayPairs)
       docs.select(col("doc_id"))
         .unionByName(newBatch.select(col("doc_id")))
         .join(inc, Seq("doc_id"), "left")
@@ -4244,6 +4271,19 @@ object SparkEntry {
     // is the EQUIVALENT global statement — transitive closure over the
     // union of old and new candidate edges (star edges reproduce old
     // connectivity exactly, so the incremental result matches it).
+    // Store build: standing labels = CC over the corpus's own banded
+    // candidate pairs (docs in some duplicate group only).
+    "q_dedup_build_store" ->
+      s"""WITH RECURSIVE
+         ${minhashSigCtes()},
+         cand AS ($minhashPairsSelect),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst)
+         SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id""",
     "q_dedup_incremental" ->
       s"""WITH RECURSIVE
          newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text

@@ -245,6 +245,52 @@ object TextOps {
       .distinct()
   }
 
+  /** Connectivity-preserving STAR edges per band bucket — the
+    * CC-resolution twin of [[minhashPairsFromBanded]]. A band
+    * bucket's members are all mutual candidates, i.e. a clique; the
+    * pair form materializes C(n,2) edges per bucket, QUADRATIC in the
+    * bucket (= duplicate-group) size — the r11 sweep's 1.2-exponent
+    * tail on q_dedup_stages / the store build was exactly CC chewing
+    * clique edges that grow with corpus density (2.7M pairs from 150k
+    * docs at sf3). For connected components the clique and its star
+    * (bucket-min → member, n−1 edges) have IDENTICAL components, so
+    * resolution paths should feed CC this linear form and leave the
+    * pair form to callers whose PRODUCT is the pair list
+    * (q_doc_minhash_pairs). Window over the same key the hot-bucket
+    * cap already partitions by — no extra exchange.
+    */
+  /** [[minhashStarFromBanded]] end-to-end from text — what a
+    * CC-resolution caller (dedup groups / keeper election) should
+    * feed instead of [[minhashCandidatePairs]].
+    */
+  def minhashStarEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int,
+      bucketCap: Long = 10000L
+  ): DataFrame = {
+    val (banded, keyCols) = minhashBanded(
+      docs, idCol, textCol, bands, rowsPerBand, shingleSize, bucketCap)
+    minhashStarFromBanded(banded, idCol, keyCols)
+  }
+
+  def minhashStarFromBanded(
+      banded: DataFrame,
+      idCol: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(("band" +: keyCols).map(col): _*)
+    banded
+      .withColumn("__m", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("__m"))
+      .select(col("__m").as("doc_a"), col(idCol).as("doc_b"))
+      .distinct()
+  }
+
   /** Cross-join form over pre-banded keys (see [[minhashBanded]]). */
   def minhashCrossFromBanded(
       newBanded: DataFrame,
@@ -664,7 +710,7 @@ object TextOps {
     * at each 0-based start position. The shuffle currency of the
     * substring-dedup family — 24-byte rows, never text.
     */
-  private def shinglePositions(
+  private[graft] def shinglePositions(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val hashes = transform(
       sequence(lit(0), size(col("__t")) - k),
@@ -680,7 +726,7 @@ object TextOps {
     * (gap <= k) collapse into one (doc_id, span_start, span_end,
     * n_tokens) row, 0-based, end exclusive.
     */
-  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
+  private[graft] def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos

@@ -162,7 +162,10 @@ object Derived {
       .select(col("keeper_id").as("doc_id"))
     val exactKept = docs.join(exactKeepers, Seq("doc_id"))
       .localCheckpoint(eager = true)
-    val pairs = graft.functions.TextOps.minhashCandidatePairs(
+    // star edges, not pair cliques: identical CC components, edges
+    // linear in the corpus (clique pairs grow quadratically in
+    // duplicate-group size — the r11 1.2-exponent tail)
+    val pairs = graft.functions.TextOps.minhashStarEdges(
       exactKept, "doc_id", "text", bands = 4, rowsPerBand = 2, shingleSize = 3)
     val nearKeepers = graft.operators.DedupGroups
       .resolveKeepers(exactKept, "doc_id", pairs)
@@ -238,8 +241,11 @@ object Derived {
       bucketCols = "band" +: keyCols, numBuckets = 32,
       sortCols = "band" +: keyCols)
     val cb = s.table(table)
+    // star edges per bucket (not pair cliques): identical standing
+    // components, linear edge volume; the window partitions on the
+    // store's own bucket key, so the bucketed read stays in place
     val oldPairs = graft.functions.TextOps
-      .minhashPairsFromBanded(cb, "doc_id", keyCols)
+      .minhashStarFromBanded(cb, "doc_id", keyCols)
     // CC's result is already round-checkpointed internally
     val standing = graft.operators.DedupGroups.connectedComponents(oldPairs)
     MinhashStore(cb, keyCols, standing)

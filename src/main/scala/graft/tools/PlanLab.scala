@@ -265,6 +265,74 @@ object PlanLab {
         }
         if (times.nonEmpty)
           println(f"[planlab] $name min=${times.min}%.2f median=${times.sorted.apply(times.size / 2)}%.2f")
+
+      case "dedupwall" =>
+        // Stage walls for the two slowest suite queries at every SF
+        // (r11: q_dedup_stages 182 s / q_dedup_incremental_rederive
+        // 185 s at sf10, exponent ~1.2): each cascade stage is walled
+        // behind an eager localCheckpoint so the wall attributes to
+        // the stage that did the work, not the first downstream
+        // action. Usage: runMain graft.tools.PlanLab dedupwall [sfDir]
+        import org.apache.spark.sql.functions.col
+        import graft.functions.{TextOps, VectorOps}
+        import graft.operators.DedupGroups
+        import graft.sources.Tables
+        val sfDir = if (args.length > 1) args(1) else dir
+        val docs = Tables.documents(spark, sfDir)
+
+        // --- q_dedup_stages cascade ---
+        val exactKept = time("s1 exact dedup + keep") {
+          val keepers = TextOps.exactDedupGroups(docs, "doc_id", "text")
+            .select(col("keeper_id").as("doc_id"))
+          val k = docs.join(keepers, Seq("doc_id")).localCheckpoint(true)
+          println(s"  exactKept rows=${k.count()}"); k
+        }
+        val pairs = time("s2 minhash star edges") {
+          val p = TextOps.minhashStarEdges(
+            exactKept, "doc_id", "text", bands = 4, rowsPerBand = 2,
+            shingleSize = 3).localCheckpoint(true)
+          println(s"  edges=${p.count()}"); p
+        }
+        val nearKeepers = time("s3 near-dup CC + keepers") {
+          val n = DedupGroups.resolveKeepers(exactKept, "doc_id", pairs)
+            .filter(col("is_keeper")).select("doc_id").localCheckpoint(true)
+          println(s"  nearKeepers=${n.count()}"); n
+        }
+        val survEmb = time("s4 survivor embeddings join") {
+          val e = Tables.embeddings(spark, sfDir)
+            .join(nearKeepers.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+            .localCheckpoint(true)
+          println(s"  survEmb rows=${e.count()}"); e
+        }
+        val semPairs = time("s5 within-label cosine pairs") {
+          val p = VectorOps.cosineNearDupPairs(
+              survEmb, "vec_id", "embedding", "label", threshold = 0.30)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+            .localCheckpoint(true)
+          println(s"  semPairs=${p.count()}"); p
+        }
+        time("s6 semantic CC + keepers") {
+          println("  semKeepers=" + DedupGroups
+            .resolveKeepers(survEmb, "vec_id", semPairs)
+            .filter(col("is_keeper")).count())
+        }
+
+        // --- the rederive store build (the q_dedup_build_store cost) ---
+        val (storeBanded, storeKeys) = time("r1 corpus banding") {
+          val (b, k) = TextOps.minhashBanded(docs, "doc_id", "text",
+            bands = 4, rowsPerBand = 2, shingleSize = 3, bucketCap = 10000L)
+          val bb = b.localCheckpoint(true)
+          println(s"  banded rows=${bb.count()}"); (bb, k)
+        }
+        val storePairs = time("r2 standing star edges") {
+          val p = TextOps.minhashStarFromBanded(storeBanded, "doc_id", storeKeys)
+            .localCheckpoint(true)
+          println(s"  standing edges=${p.count()}"); p
+        }
+        time("r3 standing CC") {
+          println("  standing labels=" +
+            DedupGroups.connectedComponents(storePairs).count())
+        }
     }
     spark.stop()
   }

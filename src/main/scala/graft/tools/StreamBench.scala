@@ -309,9 +309,49 @@ object StreamBench {
     val eMissing = eWant.exceptAll(eGot).count()
     println(s"""EDGE_BENCH {"wall_sec":$edgeWall,"supports":${eGot.count()},"wrong_rows":$eWrong,"missing_rows":$eMissing,"sf":"$sfDir"}""")
 
+    // ---- streaming substring-dedup store fold ≡ batch cross-spans --
+    // The append-only distinct shingle-hash store: fold the document
+    // corpus in 4 deterministic micro-batches (foldBatch is the sink's
+    // exact body; the writer wiring is SubstringStreamSpec-covered)
+    // and compare every batch's landed spans against the BATCH
+    // operator run on the union of earlier batches, plus the store
+    // against the corpus's distinct shingle-hash set.
+    import graft.streaming.SubstringStream
+    val sDocs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val ssStore = s"$work/substr_store"
+    val ssSpans = s"$work/substr_spans"
+    val sKey = EdgeStream.streamKey(s"$work/substr_ckpt")
+    val sK = 6
+    val nSlices = 4
+    def slice(i: Int) = sDocs.filter(col("doc_id") % nSlices === i)
+    val t6 = System.nanoTime()
+    (0 until nSlices).foreach { i =>
+      SubstringStream.foldBatch(slice(i), "doc_id", "text", sK,
+        ssStore, ssSpans, batchId = i.toLong, key = sKey)
+    }
+    val ssWall = (System.nanoTime() - t6) / 1e9
+    val sCols = Seq("doc_id", "span_start", "span_end", "n_tokens")
+    val sGot = SubstringStream.readSpans(spark, ssSpans).select(sCols.map(col): _*)
+    val sWant = (1 until nSlices).map { i =>
+      val prefix = (0 until i).map(slice).reduce(_ unionByName _)
+      graft.functions.TextOps.substringCrossSpans(
+        slice(i), "doc_id", "text", prefix, "doc_id", "text", sK)
+        .select(sCols.map(col): _*)
+    }.reduce(_ unionByName _)
+    val sWrong = sGot.exceptAll(sWant).count()
+    val sMissing = sWant.exceptAll(sGot).count()
+    val sStoreRows = SubstringStream.readStoreHashes(spark, ssStore).count()
+    val sTruthHashes = graft.functions.TextOps
+      .shinglePositions(sDocs, "doc_id", "text", sK)
+      .agg(count_distinct(col("__h"))).head().getLong(0)
+    val sHashDiff = sStoreRows - sTruthHashes
+    println(s"""SUBSTRING_BENCH {"wall_sec":$ssWall,"spans":${sGot.count()},"wrong_rows":$sWrong,"missing_rows":$sMissing,"store_hashes":$sStoreRows,"hash_diff":$sHashDiff,"sf":"$sfDir"}""")
+
     spark.stop()
     if (wrong != 0 || missing != 0 || cMismatch != 0 || rowsDiff != 0 || estDiff != 0 ||
       sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0 ||
-      aWrong != 0 || aMissing != 0 || eWrong != 0 || eMissing != 0) sys.exit(1)
+      aWrong != 0 || aMissing != 0 || eWrong != 0 || eMissing != 0 ||
+      sWrong != 0 || sMissing != 0 || sHashDiff != 0L) sys.exit(1)
   }
 }
