@@ -402,8 +402,18 @@ object CandleOps {
     val hr = expr(s"unix_micros($bucketCol) div ${step}000000")
     val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the NEXT bracket as a RUNNING frame over the reversed ordering —
+    // `last(ignoreNulls)` up-to-current in descending bucket order IS
+    // "first non-null at-or-after" in ascending order, bit-identically.
+    // The naive frame (currentRow → unboundedFollowing) is Spark's
+    // shrinking UnboundedFollowing frame, which RECOMPUTES the
+    // aggregate per row — O(n²) per key; count()'s column pruning hid
+    // it until the bench action started hashing every output column
+    // (sf0.1: 21.6 s → linear after this rewrite). Running frames in
+    // both directions cost one extra in-partition sort, not a square.
+    val wNextRev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val presentCents = when(col("__raw").isNotNull,
       round(col("__raw") * 100).cast(LongType))
     val presentHr = when(col("__raw").isNotNull, hr)
@@ -411,8 +421,8 @@ object CandleOps {
       .withColumn("__t", hr)
       .withColumn("__pv", last(presentCents, ignoreNulls = true).over(wPrev))
       .withColumn("__pt", last(presentHr, ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(presentCents, ignoreNulls = true).over(wNext))
-      .withColumn("__nt", first(presentHr, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(presentCents, ignoreNulls = true).over(wNextRev))
+      .withColumn("__nt", last(presentHr, ignoreNulls = true).over(wNextRev))
     val interp =
       (col("__pv") * (col("__nt") - col("__t")) +
         col("__nv") * (col("__t") - col("__pt"))).cast(DoubleType) /
