@@ -540,7 +540,7 @@ object SparkEntry {
     // the resolved groups — the per-provider corpus health report -----
     "q_dedup_rate_by_source" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = TextOps.minhashCandidatePairs(docs, "doc_id", "text", 4, 2, 3)
+      val pairs = TextOps.minhashStarEdges(docs, "doc_id", "text", 4, 2, 3)
       val keepers = graft.operators.DedupGroups.resolveKeepers(docs, "doc_id", pairs)
       docs.select(col("doc_id"), col("source"))
         .join(keepers, Seq("doc_id"))
@@ -743,7 +743,7 @@ object SparkEntry {
         .select(col("doc_id").as("doc_a"), md5(col("text")).as("__h"))
         .join(docs.select(col("doc_id").as("doc_b"), md5(col("text")).as("__h")), "__h")
         .select(col("doc_a"), col("doc_b"))
-      val within = TextOps.minhashCandidatePairs(newBatch, "doc_id", "text",
+      val within = TextOps.minhashStarEdges(newBatch, "doc_id", "text",
         bands = 4, rowsPerBand = 2, shingleSize = 3)
       val dayPairs = cross.unionByName(within).localCheckpoint(true)
       val inc = graft.operators.DedupGroups.incrementalGroups(standing, dayPairs)
@@ -1220,7 +1220,9 @@ object SparkEntry {
       // the redaction+dedup prefix once instead of re-running the
       // regex-heavy scan per branch
       val exactKept = redacted.join(exactKeepers, Seq("doc_id")).localCheckpoint()
-      val pairs = TextOps.minhashCandidatePairs(exactKept, "doc_id", "text",
+      // CC consumes bucket stars, not pair cliques (same components,
+      // linear edge volume — the r12 dedup-family fix)
+      val pairs = TextOps.minhashStarEdges(exactKept, "doc_id", "text",
         bands = 4, rowsPerBand = 2, shingleSize = 3)
       val ndKeepers = graft.operators.DedupGroups
         .resolveKeepers(exactKept, "doc_id", pairs)
@@ -1370,20 +1372,28 @@ object SparkEntry {
     // sketch's ε, absorbing interpolation off-by-ones) is deterministic
     // and the oracle asserts it as a literal; the exact window edges
     // ride the already-proven percentile ≡ quantile_cont equality. ----
-    "q_approx_percentiles_audit" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
+    // Exact legs via RankOps.exactPercentilesCont (spillable
+    // sort-window rank selection, bit-identical to the builtin's
+    // interpolation) — the builtin percentile() aggregate buffers the
+    // whole group in one in-memory array and OOM'd the sf10 sweep on
+    // a 60M-row group; the window form spills.
+    "q_approx_percentiles_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("__a50"),
           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__a90"),
           expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("__a99"),
-          expr("percentile(l_quantity, 0.498)").as("p50_lo"),
-          expr("percentile(l_quantity, 0.502)").as("p50_hi"),
-          expr("percentile(l_extendedprice, 0.898)").as("p90_lo"),
-          expr("percentile(l_extendedprice, 0.902)").as("p90_hi"),
-          expr("percentile(l_extendedprice, 0.988)").as("p99_lo"),
-          expr("percentile(l_extendedprice, 0.992)").as("p99_hi"),
           count(lit(1)).as("n"))
+      val qty = graft.operators.RankOps.exactPercentilesCont(
+        li, Seq("l_returnflag"), "l_quantity",
+        Seq(0.498, 0.502), Seq("p50_lo", "p50_hi")).drop("n")
+      val prc = graft.operators.RankOps.exactPercentilesCont(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.898, 0.902, 0.988, 0.992),
+        Seq("p90_lo", "p90_hi", "p99_lo", "p99_hi")).drop("n")
+      approx.join(broadcast(qty), Seq("l_returnflag"))
+        .join(broadcast(prc), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           col("p50_lo"), col("p50_hi"),
           (col("__a50") >= col("p50_lo") && col("__a50") <= col("p50_hi"))
@@ -1394,7 +1404,8 @@ object SparkEntry {
           col("p99_lo"), col("p99_hi"),
           (col("__a99") >= col("p99_lo") && col("__a99") <= col("p99_hi"))
             .as("p99_in_bounds"),
-          col("n"))),
+          col("n"))
+    }),
 
     // ----- Moment statistics via exact cent sums ----------------------
     // stddev/avg computed from order-independent integer accumulations

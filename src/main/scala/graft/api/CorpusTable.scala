@@ -59,7 +59,9 @@ final class CorpusTable private (
       rowsPerBand: Int = 2,
       shingleSize: Int = 3
   ): CorpusTable = {
-    val pairs = TextOps.minhashCandidatePairs(df, idCol, textCol,
+    // star edges, not pair cliques: identical components, linear
+    // edge volume (see TextOps.minhashStarFromBanded)
+    val pairs = TextOps.minhashStarEdges(df, idCol, textCol,
       bands, rowsPerBand, shingleSize)
     val keepers = DedupGroups.resolveKeepers(df, idCol, pairs)
       .filter(col("is_keeper"))

@@ -147,6 +147,101 @@ object RankOps {
       .drop("__rk_pid", "__rk_lr", "__rk_off", "__rk_n")
   }
 
+  /** Exact INTERPOLATED percentiles (percentile_cont) per group via a
+    * spillable sort-window rank selection. Spark's builtin
+    * `percentile()` aggregate collects every group value into one
+    * in-memory aggregation array — it OOM'd the r12 sf10 sweep on a
+    * 60M-row group, and would OOM any executor handed a hot group at
+    * cluster scale. Here the sort is a range-partitioned SortExec
+    * (spills to disk, spreads each group across partitions), the
+    * needed ranks are computed from per-(partition, group) counts (a
+    * broadcastable frame), only the ≤ 2·|ps| bracketing
+    * rows per group survive the filter, and the interpolation repeats
+    * Spark's own Percentile formula term-for-term —
+    * `(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi` at
+    * pos = (n−1)·p — so results are bit-identical to the builtin (and
+    * to DuckDB's quantile_cont, which the builtin already hash-matched).
+    * Nulls are excluded, as the builtin does.
+    *
+    * Returns one row per group: groupCols ++ outNames ++ n.
+    */
+  def exactPercentilesCont(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double],
+      outNames: Seq[String]
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length,
+      s"ps (${ps.length}) and outNames (${outNames.length}) must align")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentiles $ps outside [0, 1]")
+    val keys = groupCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select((keys :+ col(valueCol)): _*)
+    // Per-group global rank, DISTRIBUTED: a plain per-group window sort
+    // hands each group to ONE task (3-way parallelism on lineitem's
+    // return flags, a dead stop on a hot group at 100 TB). Range-
+    // partition on (group, value) instead — each group's sort spreads
+    // across range partitions. A per-(partition, group) window would
+    // then RE-shuffle the full data (its hash clustering satisfies
+    // nothing the range exchange produced), so local ranks come
+    // shuffle-free from the sorted-iterator id: after
+    // sortWithinPartitions each group occupies a CONTIGUOUS
+    // monotonically_increasing_id span, so local rank = id − the
+    // group's first id in the partition, read off a
+    // (#partitions × #groups)-row min/count frame built by one partial
+    // aggregate. Global rank adds the broadcast cross-partition offset
+    // — exactly the [[distributedRank]] construction per group, one
+    // full-data exchange total. Ties split across a range boundary get
+    // arbitrary rank ORDER, which is immaterial here: tied rows carry
+    // the same value, and only the values at the bracketing ranks feed
+    // the interpolation.
+    val byRange = rows
+      .repartitionByRange((keys :+ col(valueCol)): _*)
+      .sortWithinPartitions((keys :+ col(valueCol)): _*)
+      .withColumn("__pc_pid", spark_partition_id())
+      .withColumn("__pc_mid", monotonically_increasing_id())
+    val partCounts = byRange.groupBy((col("__pc_pid") +: keys): _*)
+      .agg(min(col("__pc_mid")).as("__pc_m0"), count(lit(1)).as("__pc_c"))
+    // offsets over the (#partitions × #groups)-row counts frame — the
+    // windows here run over partition COUNTS, not data
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__pc_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(keys: _*)
+    val offsets = partCounts
+      .withColumn("__pc_off", coalesce(sum(col("__pc_c")).over(wOff), lit(0L)))
+      .withColumn("__pc_n", sum(col("__pc_c")).over(wTot))
+      .select((col("__pc_pid") +: keys :+ col("__pc_m0") :+
+        col("__pc_off") :+ col("__pc_n")): _*)
+    val ranked = byRange
+      .join(broadcast(offsets), ("__pc_pid" +: groupCols))
+      .withColumn("__pc_rn",
+        col("__pc_off") + (col("__pc_mid") - col("__pc_m0")) + 1L)
+    def pos(p: Double): Column = (col("__pc_n") - 1L).cast("double") * lit(p)
+    val needed = ps.map { p =>
+      (col("__pc_rn") === floor(pos(p)) + 1L) ||
+        (col("__pc_rn") === ceil(pos(p)) + 1L)
+    }.reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        max(when(col("__pc_rn") === floor(pos(p)) + 1L, col(valueCol)))
+          .as(s"__pc_lo_$i"),
+        max(when(col("__pc_rn") === ceil(pos(p)) + 1L, col(valueCol)))
+          .as(s"__pc_hi_$i"))
+    } :+ max(col("__pc_n")).as("__pc_nn")
+    val picked = ranked.filter(needed)
+      .groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      val po = (col("__pc_nn") - 1L).cast("double") * lit(p)
+      when(floor(po) === ceil(po), col(s"__pc_lo_$i"))
+        .otherwise(
+          (ceil(po).cast("double") - po) * col(s"__pc_lo_$i") +
+            (po - floor(po).cast("double")) * col(s"__pc_hi_$i"))
+        .as(outNames(i))
+    }
+    picked.select((keys ++ outs :+ col("__pc_nn").as("n")): _*)
+  }
+
   /** Exact grouped percentiles for BOUNDED-cardinality integer values
     * (latency days, delay buckets, retry counts): build the per-group
     * value histogram, cumulate over the DISTINCT values, and take the

@@ -115,6 +115,41 @@ class RankOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentilesCont is bit-identical to the builtin percentile() aggregate") {
+    // The spillable rank-selection form exists because the builtin
+    // buffers whole groups in one in-memory array (OOM at a 60M-row
+    // group); it must still reproduce the builtin's interpolation
+    // EXACTLY — same doubles, not approximately — across ties, uneven
+    // group sizes, integral positions (pos = (n-1)·p lands on a row),
+    // nulls (excluded), and single-row groups.
+    val ps = Seq(0.0, 0.25, 0.498, 0.5, 0.902, 1.0)
+    val names = ps.indices.map(i => s"p$i")
+    for (seed <- Seq(7, 8, 9)) {
+      val rnd = new scala.util.Random(seed * 31 + 2)
+      val rows = (1 to 400).map { i =>
+        val g = s"g${rnd.nextInt(4)}"
+        // heavy ties + an occasional null
+        val v: java.lang.Double =
+          if (rnd.nextInt(20) == 0) null
+          else (rnd.nextInt(15) * 0.5 + (if (rnd.nextBoolean()) 0.25 else 0.0))
+        (g, v, i.toLong)
+      } :+ (("solo", java.lang.Double.valueOf(42.5), 0L))
+      val df = rows.toDF("g", "v", "id").repartition(9)
+      val want = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
+        .select(col("g"), col("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val got = RankOps.exactPercentilesCont(df, Seq("g"), "v", ps, names)
+      val gotMap = got.collect()
+        .map(r => r.getString(0) -> names.map(n => r.getDouble(r.fieldIndex(n))))
+        .toMap
+      assert(gotMap.keySet == want.keySet, s"seed=$seed groups")
+      for ((g, qs) <- want; (w, i) <- qs.zipWithIndex)
+        assert(gotMap(g)(i) == w, // exact ==, not tolerance
+          s"seed=$seed group=$g p=${ps(i)}: got ${gotMap(g)(i)} want $w")
+    }
+  }
+
   test("abcClasses: exact cross-multiplied cuts, boundary values stay inside the class") {
     // shares 50/30/15/5: cum 50 (A), 80 (exactly the A cut -> A),
     // 95 (exactly the B cut -> B), 100 (C)
