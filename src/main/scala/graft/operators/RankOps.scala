@@ -161,7 +161,10 @@ object RankOps {
     * `(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi` at
     * pos = (n−1)·p — so results are bit-identical to the builtin (and
     * to DuckDB's quantile_cont, which the builtin already hash-matched).
-    * Nulls are excluded, as the builtin does.
+    * Nulls are excluded, as the builtin does — with one divergence: a
+    * group whose values are ALL null is absent from the output (the
+    * builtin keeps it with a null percentile). Callers joining the
+    * result back must treat a missing group as "no non-null values".
     *
     * Returns one row per group: groupCols ++ outNames ++ n.
     */
@@ -201,14 +204,32 @@ object RankOps {
       .sortWithinPartitions((keys :+ col(valueCol)): _*)
       .withColumn("__pc_pid", spark_partition_id())
       .withColumn("__pc_mid", monotonically_increasing_id())
-    val partCounts = byRange.groupBy((col("__pc_pid") +: keys): _*)
-      .agg(min(col("__pc_mid")).as("__pc_m0"), count(lit(1)).as("__pc_c"))
+    // The counts frame reads the SAME range shuffle (identical
+    // exchange, runtime-reused) but skips the sort: a plain partial
+    // aggregate needs no order. The group's first sorted-iterator id
+    // is then derived, not aggregated — monotonically_increasing_id's
+    // documented layout is (partitionId << 33) + recordIndex, and
+    // within a sorted partition the groups are contiguous in key
+    // order, so m0 = (pid << 33) + prefix-sum of the earlier groups'
+    // counts. (RankOpsSpec's bit-identity test goes red if either
+    // assumption ever breaks; partitions past 2^33 rows would too,
+    // but a single 8.6-billion-row task is far past any sane split.)
+    val partCounts = rows
+      .repartitionByRange((keys :+ col(valueCol)): _*)
+      .withColumn("__pc_pid", spark_partition_id())
+      .groupBy((col("__pc_pid") +: keys): _*)
+      .agg(count(lit(1)).as("__pc_c"))
     // offsets over the (#partitions × #groups)-row counts frame — the
     // windows here run over partition COUNTS, not data
+    val wIn = Window.partitionBy(col("__pc_pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.partitionBy(keys: _*).orderBy(col("__pc_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(keys: _*)
     val offsets = partCounts
+      .withColumn("__pc_m0",
+        shiftleft(col("__pc_pid").cast("long"), 33) +
+          coalesce(sum(col("__pc_c")).over(wIn), lit(0L)))
       .withColumn("__pc_off", coalesce(sum(col("__pc_c")).over(wOff), lit(0L)))
       .withColumn("__pc_n", sum(col("__pc_c")).over(wTot))
       .select((col("__pc_pid") +: keys :+ col("__pc_m0") :+
