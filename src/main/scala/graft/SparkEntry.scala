@@ -1341,14 +1341,22 @@ object SparkEntry {
           sum(when(col("event_type") === "error", 1).otherwise(0)).cast(LongType).as("n_error"))),
 
     // ----- Percentiles (exact, interpolated) --------------------------
-    "q_percentiles" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99_price"),
-          count(lit(1)).as("n"))),
+    // Exact interpolated percentiles via the spillable rank-selection
+    // operator (bit-identical to the builtin percentile(), which
+    // buffers whole groups in one in-memory array and OOMs on a hot
+    // group — see RankOps.exactPercentilesCont) -----------------------
+    "q_percentiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val qty = graft.operators.RankOps.exactPercentilesCont(
+        li, Seq("l_returnflag"), "l_quantity",
+        Seq(0.5), Seq("p50_qty"))
+      val prc = graft.operators.RankOps.exactPercentilesCont(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.9, 0.99), Seq("p90_price", "p99_price")).drop("n")
+      qty.join(broadcast(prc), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50_qty"),
+          col("p90_price"), col("p99_price"), col("n"))
+    }),
 
     // ----- Approximate percentiles (rows-only: sketch internals are
     // engine-defined). The 100 TB variant of q_percentiles: exact
