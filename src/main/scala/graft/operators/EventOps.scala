@@ -819,10 +819,17 @@ object EventOps {
           round(col(valueCol) * 100).cast("long").cast(dec))
           .otherwise(lit(0).cast(dec))).cast("long").as("monetary_cents"))
     val asOf = events.agg(max(unix_micros(col(tsCol))).as("__as_of"))
+    // Checkpoint the per-user frame ONCE before the quintile chain:
+    // each distributedNtile reads its input twice (ranks + counts
+    // branches), so three chained ntiles would otherwise re-run the
+    // events aggregation up to 2^3 times (the plan carried 43
+    // exchanges). The frame is one row per user — the cheap side to
+    // materialize.
     val withRec = perUser.join(broadcast(asOf))
       .withColumn("recency_days",
         floor((col("__as_of") - col("__last_us")) / lit(86400000000L)))
       .drop("__as_of", "__last_us")
+      .localCheckpoint(true)
     // three distributed exact quintiles — a plain un-partitioned
     // ntile window would drag the whole user frame into ONE task;
     // RankOps keeps the identical result range-partitioned

@@ -94,13 +94,31 @@ object RankOps {
   /** Range-partitioned local row_numbers plus the broadcastable
     * (#partitions)-row offset/total frame — the shared core of
     * [[distributedRank]] and [[distributedNtile]].
+    *
+    * Local rank comes from the sorted-iterator id, not a window: a
+    * `Window.partitionBy(pid)` would RE-shuffle the full data (hash on
+    * pid satisfies nothing the range exchange produced), while after
+    * sortWithinPartitions the local rank is just
+    * `monotonically_increasing_id`'s documented low 33 record-index
+    * bits (`id − (pid << 33) + 1`) — zero extra exchange. The counts
+    * branch reads the SAME range shuffle (identical exchange,
+    * runtime-reused) and partial-aggregates unsorted. Same
+    * construction as [[exactPercentilesCont]], whose RankOpsSpec
+    * bit-identity tests (with this suite's rank/ntile pins) go red if
+    * the id layout ever changes; partitions past 2^33 rows would
+    * break it too, but a single 8.6-billion-row task is far past any
+    * sane split.
     */
   private def localRanks(df: DataFrame, order: Seq[Column]): (DataFrame, DataFrame) = {
-    val byRange = df.repartitionByRange(order: _*)
+    val local = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("__rk_pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__rk_pid")).orderBy(order: _*)
-    val local = byRange.withColumn("__rk_lr", row_number().over(wLocal).cast("long"))
-    val counts = local.groupBy(col("__rk_pid")).agg(count(lit(1)).as("__rk_cnt"))
+      .withColumn("__rk_lr",
+        monotonically_increasing_id() -
+          shiftleft(col("__rk_pid").cast("long"), 33) + lit(1L))
+    val counts = df.repartitionByRange(order: _*)
+      .withColumn("__rk_pid", spark_partition_id())
+      .groupBy(col("__rk_pid")).agg(count(lit(1)).as("__rk_cnt"))
     // offsets and the grand total over the #partitions-row frame; the
     // un-partitioned window here is over partition COUNTS, not data
     val wOff = Window.orderBy(col("__rk_pid"))

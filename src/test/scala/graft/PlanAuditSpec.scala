@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_token_lift" -> "broadcast ONE-row doc-count frame into the pair aggregate",
     "q_ann_recall" -> "broadcast query set (brute-force exact side of the recall audit)",
     "q_bm25" -> "query-term doc-frequencies + 1-row corpus stats",
-    "q_rfm" -> "1-row dataset-max timestamp (recency as-of)",
+    // (q_rfm's 1-row dataset-max-timestamp BNLJ now runs inside the
+    // r12 per-user localCheckpoint, so it no longer appears in the
+    // final plan text this audit reads)
     "q_corr_matrix" -> "1-row lazy maxUniverse guard (assert_true over a distinct count)",
     "q22_wealthy_inactive" -> "1-row positive-balance (count, sum) totals",
     "q_five_number" -> "1-row grand count for the exact rank cuts",
