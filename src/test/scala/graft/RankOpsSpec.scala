@@ -150,6 +150,54 @@ class RankOpsSpec extends SparkSpec {
     }
   }
 
+  test("rank construction survives AQE partition coalescing on a skewed frame") {
+    // The sorted-iterator-id construction shared by localRanks and
+    // exactPercentilesCont reads the SAME range shuffle from two plan
+    // branches (ranks + counts) and joins them on spark_partition_id —
+    // it is only correct if AQE hands BOTH branches the same coalesced
+    // partition layout. Force coalescing that merges SOME partitions
+    // (advisory target sized between the skewed partitions and the
+    // small tail ones, parallelismFirst off) over a heavily skewed
+    // frame, so the range layout AQE hands downstream differs from the
+    // shuffle's own; then assert the results still equal the
+    // single-partition references.
+    val confs = Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rnd = new scala.util.Random(41)
+      // 90% of rows in one narrow value band, the rest spread wide
+      val rows = (1 to 5000).map { i =>
+        val v = if (rnd.nextInt(10) > 0) rnd.nextInt(3).toLong
+                else 100L + rnd.nextInt(1000)
+        (i.toLong, v, s"g${i % 3}")
+      }
+      val df = rows.toDF("id", "v", "g").repartition(11)
+      val order = Seq(col("v").asc, col("id").asc)
+      val wantRank = df.withColumn("r",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      val gotRank = RankOps.distributedRank(df, order, "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      assert(gotRank == wantRank)
+      val ps = Seq(0.1, 0.5, 0.9)
+      val want = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val got = RankOps.exactPercentilesCont(
+        df, Seq("g"), "v", ps, Seq("a", "b", "c"))
+        .collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      assert(got == want, s"got $got want $want")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("abcClasses: exact cross-multiplied cuts, boundary values stay inside the class") {
     // shares 50/30/15/5: cum 50 (A), 80 (exactly the A cut -> A),
     // 95 (exactly the B cut -> B), 100 (C)
