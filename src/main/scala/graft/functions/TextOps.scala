@@ -258,10 +258,11 @@ object TextOps {
     * pair form to callers whose PRODUCT is the pair list
     * (q_doc_minhash_pairs). Window over the same key the hot-bucket
     * cap already partitions by — no extra exchange.
-    */
-  /** [[minhashStarFromBanded]] end-to-end from text — what a
-    * CC-resolution caller (dedup groups / keeper election) should
-    * feed instead of [[minhashCandidatePairs]].
+    *
+    * This is the end-to-end form from text — what a CC-resolution
+    * caller (dedup groups / keeper election) should feed instead of
+    * [[minhashCandidatePairs]]; [[minhashStarFromBanded]] is the
+    * band-stage half for callers that already banded.
     */
   def minhashStarEdges(
       docs: DataFrame,
