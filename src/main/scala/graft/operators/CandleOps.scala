@@ -756,15 +756,28 @@ object CandleOps {
     val cents = round(col(closeCol) * 100).cast(LongType)
     val (numF, denF) = emaNumDen(cents, wOrd, fast)
     val (numS, denS) = emaNumDen(cents, wOrd, slow)
-    val macdCents = (numF * denS - numS * denF).cast(DoubleType) /
-      (denF * denS).cast(DoubleType)
-    val stage1 = rollup.select(
+    // Materialize the four convolution sums into columns before any
+    // expression references them twice: their per-term when(isNotNull)
+    // guards block codegen subexpression elimination, so an inline
+    // `macdCents` used by both outputs re-evaluates all fast+slow
+    // decimal terms per output (measured ~2x the window wall at sf1).
+    val sums = rollup.select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
+        numF.as("__nf") :+ denF.as("__df") :+
+        numS.as("__ns") :+ denS.as("__ds")): _*)
+    val macdCents = (col("__nf") * col("__ds") - col("__ns") * col("__df"))
+      .cast(DoubleType) / (col("__df") * col("__ds")).cast(DoubleType)
+    val stage1 = sums.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
         macdCents.as("macd_cents") :+
         floor(macdCents * lit(1000000.0)).cast(LongType).as("macd_micro")): _*)
     val (numSig, denSig) = emaNumDen(col("macd_micro"), wOrd, signalN)
-    val signal = numSig.cast(DoubleType) / denSig.cast(DoubleType)
-    stage1.select(
+    val sums2 = stage1.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+        col("macd_cents") :+ col("macd_micro") :+
+        numSig.as("__nsig") :+ denSig.as("__dsig")): _*)
+    val signal = col("__nsig").cast(DoubleType) / col("__dsig").cast(DoubleType)
+    sums2.select(
       (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
         col("macd_cents") :+ col("macd_micro") :+
         signal.as("signal_micro") :+
@@ -805,17 +818,31 @@ object CandleOps {
         floor(s1 * lit(1000000.0)).cast(LongType).as("s1_micro")): _*)
     val dec38 = DecimalType(38, 0)
     val (num2, den2) = emaNumDen(col("s1_micro"), wOrd, nWindow)
+    // Stage the second-pass sums into columns before the three outputs
+    // reference them: the convolution's when(isNotNull) guards block
+    // codegen subexpression elimination, so inlining num2/den2 into
+    // level+trend+forecast re-evaluated the n-term decimal sums up to
+    // six times per row (measured: this query cost MORE than macd's
+    // 24-lag triple despite half the lags).
+    val sums2 = stage1.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+        col("s1_micro") :+ num2.as("__n2") :+ den2.as("__d2")): _*)
     val s1d = col("s1_micro").cast(dec38)
-    val lvlNum = s1d * lit(2).cast(dec38) * den2 - num2
-    val trdNum = (s1d * den2 - num2) * lit(2).cast(dec38)
     val nm1 = lit(nWindow - 1).cast(dec38)
-    stage1.select(
+    val staged = sums2.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
+        col("s1_micro") :+ col("__d2") :+
+        (s1d * lit(2).cast(dec38) * col("__d2") - col("__n2")).as("__lvl_num") :+
+        ((s1d * col("__d2") - col("__n2")) * lit(2).cast(dec38)).as("__trd_num")): _*)
+    staged.select(
       (keys.map(col) :+ col(bucketCol) :+ col("close_cents") :+
         col("s1_micro") :+
-        (lvlNum.cast(DoubleType) / den2.cast(DoubleType)).as("level_micro") :+
-        (trdNum.cast(DoubleType) / (nm1 * den2).cast(DoubleType)).as("trend_micro") :+
-        ((lvlNum * nm1 + trdNum).cast(DoubleType) /
-          (nm1 * den2).cast(DoubleType)).as("forecast_micro")): _*)
+        (col("__lvl_num").cast(DoubleType) / col("__d2").cast(DoubleType))
+          .as("level_micro") :+
+        (col("__trd_num").cast(DoubleType) / (nm1 * col("__d2")).cast(DoubleType))
+          .as("trend_micro") :+
+        ((col("__lvl_num") * nm1 + col("__trd_num")).cast(DoubleType) /
+          (nm1 * col("__d2")).cast(DoubleType)).as("forecast_micro")): _*)
   }
 
   /** EWMA volatility (the RiskMetrics estimator): the truncated
@@ -843,8 +870,15 @@ object CandleOps {
       (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+
         (d * d).as("__d2")): _*)
     val (num, den) = emaNumDen(col("__d2"), wOrd, nWindow)
-    val varC = num.cast(DoubleType) / den.cast(DoubleType)
-    staged.select(
+    // Stage the sums once: inlining num/den into both outputs would
+    // re-run the n-term decimal convolution twice per row (the
+    // when(isNotNull) term guards block codegen subexpression
+    // elimination — see macd/holtBrown).
+    val sums = staged.select(
+      (keys.map(col) :+ col(bucketCol) :+ col("__d") :+
+        num.as("__num") :+ den.as("__den")): _*)
+    val varC = col("__num").cast(DoubleType) / col("__den").cast(DoubleType)
+    sums.select(
       (keys.map(col) :+ col(bucketCol) :+ col("__d").as("move_cents") :+
         when(col("__d").isNotNull, varC).as("ewma_var_cents2") :+
         when(col("__d").isNotNull, sqrt(varC)).as("ewma_vol_cents")): _*)
