@@ -50,6 +50,22 @@ object SparkEntry {
       .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
   }
 
+  /** Batch for the bloom-membership queries: exact re-sends of every
+    * 10th doc (duplicates of the standing corpus) plus revised copies
+    * of the docs 5 mod 10 (novel content — a suffix edit changes the
+    * content hash), so the gate sees both verdicts. Ids offset past
+    * the standing universe like [[syntheticBatch]].
+    */
+  private def bloomBatch(docs: DataFrame): DataFrame = {
+    val off = broadcast(docs.agg((max(col("doc_id")) + lit(1L)).as("__off")))
+    val dups = docs.filter(col("doc_id") % 10 === 0).crossJoin(off)
+      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+    val novel = docs.filter(col("doc_id") % 10 === 5).crossJoin(off)
+      .select((col("doc_id") + col("__off") * 2).as("doc_id"),
+        concat(col("text"), lit(" [rev2]")).as("text"))
+    dups.unionByName(novel)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_ohlcv_rollup_15m")(spark, "/root/testdata/sf0.001")
@@ -474,6 +490,63 @@ object SparkEntry {
       TextOps.minhashCandidatePairs(
         Tables.documents(s, dir), "doc_id", "text",
         bands = 4, rowsPerBand = 2, shingleSize = 3)),
+
+    // ----- Bloom-prefiltered exact membership: the zero-join scale
+    // path for "seen before?" against a 100-TB standing corpus. The
+    // standing content hashes fold once into an m-bit filter riding
+    // the plan as one array literal; each batch row answers in a pure
+    // projection, and only bloom positives (true dups + ~1% fpp) pay
+    // the confirm-join shuffle. is_dup is EXACT — no false negatives
+    // by construction, false positives removed by the confirm join —
+    // so the oracle is the plain membership SQL. ----------------------
+    "q_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = bloomBatch(docs)
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+      val standing = docs
+        .select(md5(col("text").cast("binary")).as("text_hash"))
+      graft.operators.BloomOps
+        .prefilteredFlag(batch, standing, "text_hash")
+        .select(col("doc_id"), col("is_dup"))
+    }),
+    // The gate's funnel as data (bloom positives / confirmed dups /
+    // false positives) — n_bloom_pos and n_false_pos depend on the
+    // filter's hash stream, so no SQL oracle; q_bloom_audit is the
+    // hash-green twin publishing the oracle-checkable invariants.
+    "q_bloom_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = bloomBatch(docs)
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+      val standing = docs
+        .select(md5(col("text").cast("binary")).as("text_hash"))
+      graft.operators.BloomOps.bloomFunnel(
+        graft.operators.BloomOps.prefilteredFlag(batch, standing, "text_hash"))
+    }),
+    // Audit twin: exact counts plus the two invariants the funnel
+    // rests on — zero false negatives (every confirmed duplicate was
+    // bloom-positive) and the false-positive count inside the sized
+    // filter's budget. A broken filter flips a boolean -> hash red.
+    "q_bloom_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = bloomBatch(docs)
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+      val standing = docs
+        .select(md5(col("text").cast("binary")).as("text_hash"))
+      val flagged = graft.operators.BloomOps
+        .prefilteredFlag(batch, standing, "text_hash")
+      flagged.agg(
+          count(lit(1)).as("n_batch"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L))
+            .as("__missed"),
+          sum(when(col("bloom_hit") && !col("is_dup"), 1L).otherwise(0L))
+            .as("__fp"))
+        .select(col("n_batch"), col("n_dup"),
+          (col("__missed") === 0L).as("no_false_negatives"),
+          (col("__fp") <= greatest(lit(10L),
+            ((col("n_batch") - col("n_dup")) / lit(20L)).cast(LongType)))
+            .as("fp_within_budget"))
+    }),
 
     // ----- Cap observability: every banded/clustered near-dup op
     // drops over-cap buckets silently, so a capped run's pair set is
@@ -4156,6 +4229,39 @@ object SparkEntry {
     "q_doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // Bloom membership: the published flag is EXACT (prefilter has no
+    // false negatives; the confirm join removes false positives), so
+    // the oracle is the plain content-membership predicate — derived
+    // on raw text equality, independent of the engine's md5 keying.
+    "q_bloom_dedup" ->
+      """WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+         batch AS (
+           SELECT doc_id + (SELECT off FROM o) AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2 * (SELECT off FROM o) AS doc_id,
+                  text || ' [rev2]' AS text
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT b.doc_id AS doc_id,
+                EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
+                  AS is_dup
+         FROM batch b""",
+    "q_bloom_audit" ->
+      """WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+         batch AS (
+           SELECT doc_id + (SELECT off FROM o) AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2 * (SELECT off FROM o) AS doc_id,
+                  text || ' [rev2]' AS text
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT CAST(count(*) AS BIGINT) AS n_batch,
+                CAST(count(CASE WHEN EXISTS (SELECT 1 FROM documents d
+                                             WHERE d.text = b.text)
+                           THEN 1 END) AS BIGINT) AS n_dup,
+                TRUE AS no_false_negatives,
+                TRUE AS fp_within_budget
+         FROM batch b""",
     "q_doc_minhash_pairs" ->
       s"""WITH ${minhashSigCtes()}
          $minhashPairsSelect""",
