@@ -50,6 +50,20 @@ object SparkEntry {
       .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
   }
 
+  /** Multi-line view of the documents fixture (its texts are single-
+    * line): a shared promo header on every doc, the body, and on even
+    * ids a repeated promo + body — so the in-doc line scrub sees
+    * within-row repeats and the cross-corpus scrub sees a corpus-wide
+    * boilerplate line, distinguishably.
+    */
+  private def multiLineDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat_ws("\n", lit("subscribe to our newsletter"), col("text"),
+          lit("subscribe to our newsletter"), col("text")))
+        .otherwise(concat_ws("\n", lit("subscribe to our newsletter"),
+          col("text"), lit("thanks for reading"))).as("text"))
+
   /** Batch for the bloom-membership queries: exact re-sends of every
     * 10th doc (duplicates of the standing corpus) plus revised copies
     * of the docs 5 mod 10 (novel content — a suffix edit changes the
@@ -1058,6 +1072,21 @@ object SparkEntry {
     "q_boilerplate_topk" -> ((s, dir) =>
       TextOps.boilerplateTopK(Tables.documents(s, dir), "doc_id", "text",
         blockTokens = 6, minDocs = 2, k = 20)),
+
+    // ----- Line-grain scrubs over the multi-line staging of the
+    // fixture (its texts are single-line): the in-doc pass keeps each
+    // line's first occurrence (C4-style self-repeat cleanup); the
+    // cross-corpus pass removes every copy of lines appearing in
+    // >= minDocs distinct docs (RefinedWeb template strip) — the
+    // staged promo header is corpus-wide boilerplate, the even-id
+    // docs' repeated body is an in-doc repeat only. -------------------
+    "q_line_scrub" -> ((s, dir) =>
+      TextOps.lineScrub(
+        multiLineDocs(Tables.documents(s, dir)), "doc_id", "text")),
+    "q_boilerplate_scrub" -> ((s, dir) =>
+      TextOps.boilerplateScrub(
+        multiLineDocs(Tables.documents(s, dir)), "doc_id", "text",
+        minDocs = 50L)),
 
     // ----- Composed: span dedup -> per-language corpus stats (how
     // much boilerplate removal changed the token budget) -------------
@@ -5017,6 +5046,54 @@ object SparkEntry {
          HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, n_occurrences DESC, blk
          LIMIT 20""",
+    // Line-scrub oracles re-derive the same multi-line staging; the
+    // in-doc pass keeps a line iff its first list position is its own
+    // (DuckDB lambda indexes are 1-based; Spark's filter index is
+    // 0-based, hence the +1 on the engine side).
+    "q_line_scrub" ->
+      """WITH staged AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN concat_ws(chr(10), 'subscribe to our newsletter', text,
+                              'subscribe to our newsletter', text)
+               ELSE concat_ws(chr(10), 'subscribe to our newsletter', text,
+                              'thanks for reading') END AS text
+           FROM documents),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM staged),
+         k AS (SELECT doc_id, lines,
+                 list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+               FROM l)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS scrubbed_text,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
+         FROM k""",
+    "q_boilerplate_scrub" ->
+      """WITH staged AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN concat_ws(chr(10), 'subscribe to our newsletter', text,
+                              'subscribe to our newsletter', text)
+               ELSE concat_ws(chr(10), 'subscribe to our newsletter', text,
+                              'thanks for reading') END AS text
+           FROM documents),
+         ln AS (SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS l,
+                  unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+                FROM staged),
+         freq AS (SELECT l FROM ln GROUP BY l
+                  HAVING count(DISTINCT doc_id) >= 50),
+         kept AS (SELECT doc_id, l, i FROM ln
+                  WHERE l NOT IN (SELECT l FROM freq)),
+         reb AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS scrubbed_text,
+                   count(*) AS n_lines_kept
+                 FROM kept GROUP BY doc_id),
+         base AS (SELECT doc_id,
+                    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                  FROM staged)
+         SELECT b.doc_id, coalesce(r.scrubbed_text, '') AS scrubbed_text,
+                b.n_lines,
+                b.n_lines - CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_removed
+         FROM base b LEFT JOIN reb r USING (doc_id)""",
     "q_span_quality" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          bl AS (SELECT doc_id,

@@ -838,6 +838,74 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("blk"))
       .limit(k)
 
+  /** In-document repeated-line scrub (the C4-style cleanup: a page
+    * that repeats its own nav/footer/promo lines keeps one copy):
+    * each line's FIRST occurrence survives, later repeats drop, and
+    * the text is rebuilt in original order. Row-local projection —
+    * zero shuffle; per-doc cost is O(n_lines²) compares via the
+    * first-occurrence probe, bounded by per-document line counts
+    * (cross-corpus frequency is [[boilerplateScrub]]'s job — this
+    * pass never looks outside the row).
+    */
+  def lineScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lines"), (x, i) =>
+        array_position(col("__lines"), x) === i.cast("long") + lit(1L)))
+      .select(
+        col(idCol),
+        array_join(col("__kept"), "\n").as("scrubbed_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+
+  /** Cross-corpus boilerplate-line scrub (the RefinedWeb template
+    * strip): a line that appears in >= `minDocs` DISTINCT documents is
+    * boilerplate and every copy is removed; all other lines survive in
+    * order. The frequency decision rides xxhash64 of the line — the
+    * substring-dedup discipline: the corpus-wide shuffle carries
+    * (doc, pos, 8-byte hash) rows, never line text (same ~n²/2^65
+    * false-positive note as [[substringDedup]]); the rebuilt text is a
+    * per-doc sorted re-assembly, and a doc whose every line was
+    * boilerplate survives with empty text (left join back, not lost to
+    * the groupBy). Two key-partitioned shuffles: line-hash frequency,
+    * per-doc re-assembly.
+    */
+  def boilerplateScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__i", "__l")))
+      .withColumn("__h", xxhash64(col("__l")))
+    val frequent = lines
+      .select(col(idCol), col("__h"))
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val rebuilt = lines
+      .join(frequent, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__i"), col("__l")))),
+            x => x.getField("__l")), "\n").as("scrubbed_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Deterministic per-stratum downsampling (training-mix construction:
     * "keep 100% of books, 10% of common-crawl"): a row survives iff its
     * id's 16-bit md5 bucket falls under its stratum's rate cutoff.
