@@ -1736,6 +1736,37 @@ object SparkEntry {
         .select(explode(col("top")).as("t"))
         .select(col("t.item").as("user_id"), col("t.cnt").as("n_events"))),
 
+    // ----- Count-min sketch: mergeable point-frequency estimation
+    // (HLL = distinct, bloom = membership, CMS = how often). Token
+    // frequencies over the document corpus; estimates are hash-stream
+    // values (rows-only), q_cms_audit publishes the two invariants —
+    // counters never undercount, min-of-depth stays inside the N/width
+    // collision budget — as oracle-checked booleans per token. --------
+    "q_cms_counts" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val cells = graft.operators.CmsOps
+        .cmsCells(toks, "token", width = 1024, depth = 4)
+      graft.operators.CmsOps
+        .estimateBatch(toks.distinct(), "token", cells, 1024, 4)
+        .orderBy(col("token"))
+    }),
+    "q_cms_audit" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val nTotal = toks.count()
+      val cells = graft.operators.CmsOps
+        .cmsCells(toks, "token", width = 1024, depth = 4)
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+      graft.operators.CmsOps
+        .estimateBatch(exact, "token", cells, 1024, 4)
+        .select(col("token"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("no_underestimate"),
+          (col("est") - col("exact_n") <= lit(3L * nTotal / 1024L + 1L))
+            .as("within_bound"))
+    }),
+
     // ----- Histogram: fixed-width value buckets -----------------------
     "q_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -5390,6 +5421,16 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n_events
          FROM events GROUP BY 1
          ORDER BY n_events DESC, user_id LIMIT 10""",
+    // CMS audit: exact per-token counts + literal booleans for the
+    // sketch invariants the engine computes (a broken sketch flips a
+    // boolean -> hash red); the estimates themselves are
+    // hash-stream-dependent, so q_cms_counts stays rows-only.
+    "q_cms_audit" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS exact_n,
+                TRUE AS no_underestimate, TRUE AS within_bound
+         FROM t GROUP BY token""",
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
          (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) AS bucket_sum

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.ShiftRight
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Count-min sketch over a key stream — mergeable point-frequency
+  * estimation, the counting sibling of [[BloomOps]]'s membership
+  * filter (HLL answers "how many distinct", the bloom answers "seen
+  * at all", CMS answers "roughly how often").
+  *
+  * The sketch is a depth·width counter matrix: each key increments
+  * one cell per depth row (cell chosen by Kirsch–Mitzenmacher double
+  * hashing, like the bloom's probes), and a point estimate is the MIN
+  * over the key's depth cells. Counters only ever increment, so the
+  * estimate NEVER undercounts — `est >= true` is an invariant, not a
+  * probability — and overshoot is bounded: each depth row's expected
+  * excess is N/width (colliding keys' mass spread over the row), so
+  * min-of-depth exceeds true + 3·depth·N/width with negligible
+  * probability. Both facts are what the audit query publishes as
+  * oracle-checked booleans.
+  *
+  * Build is the bloom's shape: one distributed explode→sum
+  * aggregation to ≤ depth·width sparse cells, collected dense under
+  * the same 16 MiB driver-state budget ([[MaxCells]], guard raises by
+  * design — shard the key space). Estimation is a pure projection
+  * against the cell array literal: zero shuffle, zero join. Unlike
+  * the bloom's OR, the SUM fold is NOT replay-idempotent by algebra —
+  * the streaming twin ([[graft.streaming.CmsStream]]) gets
+  * exactly-once from per-batch partition overwrite instead (a replay
+  * rewrites its own contribution, never double-counts).
+  */
+object CmsOps {
+  private val Salt = 0x9E3779B97F4A7C15L
+
+  /** Driver-state budget: 2^21 cells = 16 MiB of counters. */
+  val MaxCells: Int = 1 << 21
+
+  private def shr(v: Column, n: Column): Column =
+    GraftBridge.column(
+      ShiftRight(GraftBridge.expression(v), GraftBridge.expression(n)))
+
+  // The same masked double-hash stream as BloomOps: with width a
+  // power of two, (h1 + d·h2) mod width sees only the low bits, so
+  // masking up front is bit-identical and ANSI-overflow-safe.
+  private def h1Of(key: Column, width: Long): Column =
+    xxhash64(key).bitwiseAND(lit(width - 1L))
+  private def h2Of(key: Column, width: Long): Column =
+    xxhash64(key, lit(Salt)).bitwiseAND(lit(width - 1L)).bitwiseOR(lit(1L))
+
+  private def checkShape(width: Int, depth: Int): Unit = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"width=$width must be a power of two")
+    require(depth >= 1 && depth <= 8, s"depth=$depth outside [1, 8]")
+    require(width.toLong * depth <= MaxCells,
+      s"${graft.api.Guards.Marker}: a ${width}x$depth sketch needs " +
+        s"${width.toLong * depth} cells > MaxCells=$MaxCells (16 MiB " +
+        "driver-state budget) - shard the key space and sketch per shard")
+  }
+
+  /** The sketch as a RELATION — sparse (depth row, cell, count) rows
+    * from one explode→sum aggregation. Counts from disjoint key
+    * batches union and re-sum to the whole-stream sketch (mergeable);
+    * a `weightCol` turns occurrence counting into weighted mass.
+    */
+  def cmsRows(
+      df: DataFrame,
+      keyCol: String,
+      width: Int,
+      depth: Int,
+      weightCol: Option[String] = None
+  ): DataFrame = {
+    checkShape(width, depth)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df
+      .select(h1Of(col(keyCol), width).as("__h1"),
+        h2Of(col(keyCol), width).as("__h2"), w.as("__n"))
+      .select(col("__h1"), col("__h2"), col("__n"),
+        explode(sequence(lit(0L), lit((depth - 1).toLong))).as("__d"))
+      .select(col("__d").cast(IntegerType).as("__d"),
+        (col("__h1") + col("__d") * col("__h2"))
+          .bitwiseAND(lit(width - 1L)).cast(IntegerType).as("__c"),
+        col("__n"))
+      .groupBy(col("__d"), col("__c"))
+      .agg(sum(col("__n")).as("__count"))
+  }
+
+  /** Dense cell array (row-major depth×width) — bounded driver-held
+    * model state under [[MaxCells]].
+    */
+  def cellsArray(rows: DataFrame, width: Int, depth: Int): Array[Long] = {
+    checkShape(width, depth)
+    val cells = new Array[Long](width * depth)
+    rows.collect().foreach { r =>
+      cells(r.getInt(0) * width + r.getInt(1)) = r.getLong(2)
+    }
+    cells
+  }
+
+  /** Build the dense sketch from the key stream in one pass. */
+  def cmsCells(
+      df: DataFrame,
+      keyCol: String,
+      width: Int,
+      depth: Int,
+      weightCol: Option[String] = None
+  ): Array[Long] =
+    cellsArray(cmsRows(df, keyCol, width, depth, weightCol), width, depth)
+
+  /** Point-estimate column: min over the key's depth cells — a pure
+    * projection against ONE array literal (typedlit), zero shuffle.
+    * Stage the hashes via [[estimateBatch]] when estimating many rows
+    * (the inline form re-hashes per depth — the EMA-convolution
+    * lesson).
+    */
+  def estimateFromHashes(
+      h1: Column,
+      h2: Column,
+      cells: Array[Long],
+      width: Int,
+      depth: Int
+  ): Column = {
+    val cl = typedlit(cells)
+    (0 until depth).map { d =>
+      element_at(cl,
+        lit(d * width + 1) +
+          (h1 + lit(d.toLong) * h2).bitwiseAND(lit(width - 1L))
+            .cast(IntegerType))
+    }.reduce(least(_, _))
+  }
+
+  /** Keys + `est` — the estimate per input row, projection-only. */
+  def estimateBatch(
+      df: DataFrame,
+      keyCol: String,
+      cells: Array[Long],
+      width: Int,
+      depth: Int
+  ): DataFrame =
+    df
+      .withColumn("__h1", h1Of(col(keyCol), width))
+      .withColumn("__h2", h2Of(col(keyCol), width))
+      .withColumn("est",
+        estimateFromHashes(col("__h1"), col("__h2"), cells, width, depth))
+      .drop("__h1", "__h2")
+}

@@ -348,10 +348,40 @@ object StreamBench {
     val sHashDiff = sStoreRows - sTruthHashes
     println(s"""SUBSTRING_BENCH {"wall_sec":$ssWall,"spans":${sGot.count()},"wrong_rows":$sWrong,"missing_rows":$sMissing,"store_hashes":$sStoreRows,"hash_diff":$sHashDiff,"sf":"$sfDir"}""")
 
+    // ---- streaming bloom store fold ≡ whole-set batch filter -------
+    // Per-batch sparse word contributions OR-fold on read; the folded
+    // filter must be BIT-IDENTICAL to BloomOps.bloomWords over all
+    // keys at once (the OR algebra makes slicing and replays
+    // invisible), and every ingested key must probe positive.
+    import graft.streaming.BloomStream
+    val bKeys = graft.sources.Tables.documents(spark, sfDir)
+      .select(md5(col("text").cast("binary")).as("text_hash"))
+    val bN = bKeys.agg(approx_count_distinct(col("text_hash")))
+      .head().getLong(0)
+    val bWords = graft.operators.BloomOps.sizeWords(bN)
+    val bK = graft.operators.BloomOps.optimalK(10)
+    val bStore = s"$work/bloom_store"
+    val t7 = System.nanoTime()
+    (0 until nSlices).foreach { i =>
+      BloomStream.foldBatch(
+        bKeys.filter(pmod(xxhash64(col("text_hash")), lit(nSlices)) === i),
+        "text_hash", bWords, bK, bStore, f"sb-$i%09d")
+    }
+    val bWall = (System.nanoTime() - t7) / 1e9
+    val bFolded = BloomStream.readWords(spark, bStore, bWords)
+    val bBatch = graft.operators.BloomOps
+      .bloomWords(bKeys, "text_hash", bWords, bK)
+    val bWordDiff = bFolded.zip(bBatch).count { case (a, b) => a != b }
+    val bNeg = graft.operators.BloomOps
+      .flagBatch(bKeys, "text_hash", bFolded, bK)
+      .filter(!col("bloom_hit")).count()
+    println(s"""BLOOM_BENCH {"wall_sec":$bWall,"num_words":$bWords,"word_diff":$bWordDiff,"false_negatives":$bNeg,"sf":"$sfDir"}""")
+
     spark.stop()
     if (wrong != 0 || missing != 0 || cMismatch != 0 || rowsDiff != 0 || estDiff != 0 ||
       sessWrong != 0 || sessMissing != 0 || jWrong != 0 || jMissing != 0 ||
       aWrong != 0 || aMissing != 0 || eWrong != 0 || eMissing != 0 ||
-      sWrong != 0 || sMissing != 0 || sHashDiff != 0L) sys.exit(1)
+      sWrong != 0 || sMissing != 0 || sHashDiff != 0L ||
+      bWordDiff != 0 || bNeg != 0L) sys.exit(1)
   }
 }

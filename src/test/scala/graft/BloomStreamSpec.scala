@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomOps
+import graft.streaming.BloomStream
+
+case class BloomKey(k: String)
+
+/** Streaming bloom store: the read-side bit_or fold across per-batch
+  * contributions must equal the batch operator's filter over the
+  * whole key set — for ANY batch slicing — and a replayed batch must
+  * be bit-idempotent purely by the OR algebra (no manifest, no
+  * standing read in the fold).
+  */
+class BloomStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NumWords = 64
+  private val K = 7
+
+  test("folded filter == whole-set batch filter, for any slicing; flags agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 300).map(i => BloomKey(s"key-$i"))
+    val store = java.nio.file.Files.createTempDirectory("bloom-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bloom-ckpt").toString
+    val source = MemoryStream[BloomKey]
+    val writer = BloomStream.toBloomStore(
+      source.toDF(), "k", NumWords, K, store, ckpt)
+    Seq(all.take(100), all.slice(100, 120), all.drop(120)).foreach { s =>
+      source.addData(s: _*)
+      graft.streaming.StreamingRollup.runAvailableNow(writer)
+    }
+
+    val folded = BloomStream.readWords(spark, store, NumWords)
+    val batch = BloomOps.bloomWords(all.toDF(), "k", NumWords, K)
+    assert(folded.toSeq == batch.toSeq,
+      "stream-folded filter differs from the whole-set batch filter")
+
+    // and the probe side agrees: every ingested key tests positive
+    // against the folded filter
+    val flagged = BloomOps.flagBatch(all.toDF(), "k", folded, K)
+    assert(flagged.filter(!col("bloom_hit")).count() == 0L)
+  }
+
+  test("replayed batch is bit-idempotent by the OR algebra") {
+    val keys = (0 until 80).map(i => BloomKey(s"r-$i"))
+    val store = java.nio.file.Files.createTempDirectory("bloom-replay").toString
+    val aDF = keys.take(50).toDF()
+    val bDF = keys.drop(50).toDF()
+    BloomStream.foldBatch(aDF, "k", NumWords, K, store, "t-000000000")
+    BloomStream.foldBatch(bDF, "k", NumWords, K, store, "t-000000001")
+    val before = BloomStream.readWords(spark, store, NumWords).toSeq
+    // crash-replay of batch 0: same partition, same content, re-OR'd
+    BloomStream.foldBatch(aDF, "k", NumWords, K, store, "t-000000000")
+    val after = BloomStream.readWords(spark, store, NumWords).toSeq
+    assert(after == before, "replay changed the folded filter")
+    assert(after == BloomOps.bloomWords(keys.toDF(), "k", NumWords, K).toSeq)
+  }
+
+  test("empty store reads as the empty filter") {
+    val store = java.nio.file.Files.createTempDirectory("bloom-empty").toString
+    val words = BloomStream.readWords(spark, store, NumWords)
+    assert(words.forall(_ == 0L))
+  }
+}
