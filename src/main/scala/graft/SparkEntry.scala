@@ -523,6 +523,26 @@ object SparkEntry {
         .prefilteredFlag(batch, standing, "text_hash")
         .select(col("doc_id"), col("is_dup"))
     }),
+    // The SHARDED gate — the 100-TB path the 16 MiB literal guard
+    // points at: the filter stays a cluster-resident (shard, word,
+    // bits) relation, probes broadcast/shuffle-join it, nothing
+    // collects. Same EXACT is_dup semantics (no false negatives per
+    // shard either), so the same membership oracle shape.
+    "q_bloom_sharded" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = bloomBatch(docs)
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+      val standing = docs
+        .select(md5(col("text").cast("binary")).as("text_hash"))
+      val shardRows = graft.operators.BloomOps
+        .bloomShardRows(standing, "text_hash",
+          nShards = 4, wordsPerShard = 256, k = 7)
+      val flagged = graft.operators.BloomOps
+        .flagBatchSharded(batch, "text_hash", shardRows,
+          nShards = 4, wordsPerShard = 256, k = 7)
+      graft.operators.BloomOps.confirmFlag(flagged, standing, "text_hash")
+        .select(col("doc_id"), col("is_dup"))
+    }),
     // The gate's funnel as data (bloom positives / confirmed dups /
     // false positives) — n_bloom_pos and n_false_pos depend on the
     // filter's hash stream, so no SQL oracle; q_bloom_audit is the
@@ -4294,6 +4314,19 @@ object SparkEntry {
     // the oracle is the plain content-membership predicate — derived
     // on raw text equality, independent of the engine's md5 keying.
     "q_bloom_dedup" ->
+      """WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+         batch AS (
+           SELECT doc_id + (SELECT off FROM o) AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2 * (SELECT off FROM o) AS doc_id,
+                  text || ' [rev2]' AS text
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT b.doc_id AS doc_id,
+                EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
+                  AS is_dup
+         FROM batch b""",
+    "q_bloom_sharded" ->
       """WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents),
          batch AS (
            SELECT doc_id + (SELECT off FROM o) AS doc_id, text

@@ -213,7 +213,19 @@ object BloomOps {
     val words = bloomWords(
       standing.select(col(keyCol)).distinct(), keyCol,
       sizeWords(nKeys, bitsPerKey), k)
-    val flagged = flagBatch(batch, keyCol, words, k)
+    confirmFlag(flagBatch(batch, keyCol, words, k), standing, keyCol)
+  }
+
+  /** The confirm stage shared by the literal and sharded gates: bloom
+    * positives left-join the standing key set (removing false
+    * positives), bloom negatives are known-novel without touching the
+    * store.
+    */
+  def confirmFlag(
+      flagged: DataFrame,
+      standing: DataFrame,
+      keyCol: String
+  ): DataFrame = {
     val present = standing.select(col(keyCol)).distinct()
       .withColumn("__present", lit(true))
     val pos = flagged.filter(col("bloom_hit"))
@@ -223,6 +235,92 @@ object BloomOps {
     val neg = flagged.filter(!col("bloom_hit"))
       .withColumn("is_dup", lit(false))
     pos.unionByName(neg)
+  }
+
+  /** Shard id for the sharded (cluster-resident) filter path — a
+    * third independent xxhash64 draw, so shard choice is uncorrelated
+    * with the in-shard probe stream.
+    */
+  private val ShardSalt = 0xC2B2AE3D27D4EB4FL
+
+  def shardOf(key: Column, nShards: Int): Column =
+    pmod(xxhash64(key, lit(ShardSalt)), lit(nShards.toLong)).cast(IntegerType)
+
+  /** The SHARDED filter as one relation — (shard, word, bits) rows:
+    * the 100-TB path the [[sizeWords]] guard points at. The total
+    * filter never reaches the driver or the plan, so nShards ·
+    * wordsPerShard is bounded by cluster storage, not by the 16 MiB
+    * literal budget — a 10^10-key store at 10 bits/key is ~12 GB of
+    * word rows, built by the SAME one explode→bit_or aggregation and
+    * best persisted bucketed by (shard, word) so per-batch probes
+    * shuffle only the batch side.
+    */
+  def bloomShardRows(
+      standing: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      wordsPerShard: Int,
+      k: Int
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be positive")
+    require(wordsPerShard > 0 && (wordsPerShard & (wordsPerShard - 1)) == 0,
+      s"wordsPerShard=$wordsPerShard must be a power of two")
+    require(k >= 1 && k <= 16, s"k=$k outside [1, 16]")
+    val m = wordsPerShard.toLong * 64L
+    standing
+      .select(shardOf(col(keyCol), nShards).as("__shard"),
+        h1Of(col(keyCol), m).as("__h1"), h2Of(col(keyCol), m).as("__h2"))
+      .select(col("__shard"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("__i"))
+      .select(col("__shard"),
+        (col("__h1") + col("__i") * col("__h2"))
+          .bitwiseAND(lit(m - 1L)).as("__p"))
+      .select(col("__shard"),
+        shr(col("__p"), lit(6)).cast(IntegerType).as("__w"),
+        shl(lit(1L), col("__p").bitwiseAND(lit(63L)).cast(IntegerType))
+          .as("__mask"))
+      .groupBy(col("__shard"), col("__w"))
+      .agg(expr("bit_or(__mask)").as("__bits"))
+  }
+
+  /** Batch + `bloom_hit` against the SHARDED filter relation: per
+    * distinct batch key, the k probes join the word rows on
+    * (shard, word) and AND together — a key probing an absent word
+    * row is a miss (that bit was never set). Nothing collects: the
+    * probe volume is k rows per distinct batch key (batch-
+    * proportional), and with the word relation persisted bucketed on
+    * (shard, word) only the probe side shuffles. The verdict joins
+    * back to the batch on the key.
+    */
+  def flagBatchSharded(
+      batch: DataFrame,
+      keyCol: String,
+      shardRows: DataFrame,
+      nShards: Int,
+      wordsPerShard: Int,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k outside [1, 16]")
+    val m = wordsPerShard.toLong * 64L
+    val probes = batch.select(col(keyCol)).distinct()
+      .select(col(keyCol), shardOf(col(keyCol), nShards).as("__shard"),
+        h1Of(col(keyCol), m).as("__h1"), h2Of(col(keyCol), m).as("__h2"))
+      .select(col(keyCol), col("__shard"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("__i"))
+      .select(col(keyCol), col("__shard"),
+        (col("__h1") + col("__i") * col("__h2"))
+          .bitwiseAND(lit(m - 1L)).as("__p"))
+      .select(col(keyCol), col("__shard"),
+        shr(col("__p"), lit(6)).cast(IntegerType).as("__w"),
+        shl(lit(1L), col("__p").bitwiseAND(lit(63L)).cast(IntegerType))
+          .as("__mask"))
+    val verdict = probes
+      .join(shardRows, Seq("__shard", "__w"), "left")
+      .withColumn("__hit",
+        coalesce(col("__bits"), lit(0L)).bitwiseAND(col("__mask")) =!= lit(0L))
+      .groupBy(col(keyCol))
+      .agg(expr("bool_and(__hit)").as("bloom_hit"))
+    batch.join(verdict, Seq(keyCol), "left")
   }
 
   /** The gate's funnel as data (the cap-report convention): one row —

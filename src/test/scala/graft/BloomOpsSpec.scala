@@ -82,6 +82,40 @@ class BloomOpsSpec extends SparkSpec {
       s"bloom probe must not shuffle, found: ${exchanges.map(_.nodeName)}")
   }
 
+  test("sharded filter: per-shard rows == the unsharded filter of that shard's keys") {
+    val standing = (0 until 400).map(i => s"doc-$i").toDF("k")
+    val nShards = 4
+    val shardRows = BloomOps.bloomShardRows(standing, "k", nShards,
+      wordsPerShard = 64, k = 7)
+    (0 until nShards).foreach { s =>
+      val mine = standing.filter(BloomOps.shardOf(col("k"), nShards) === s)
+      val expect = BloomOps.bloomWords(mine, "k", numWords = 64, k = 7)
+      val got = BloomOps.wordsArray(
+        shardRows.filter(col("__shard") === s).select("__w", "__bits"), 64)
+      assert(got.toSeq == expect.toSeq, s"shard $s filter differs")
+    }
+  }
+
+  test("sharded gate: no false negatives; confirm makes is_dup exactly the join flag") {
+    val standing = (0 until 300).map(i => s"doc-$i").toDF("k")
+    val batch = ((0 until 100).map(i => s"doc-${i * 3}") ++
+      (0 until 100).map(i => s"novel-$i")).toDF("k")
+    val shardRows = BloomOps.bloomShardRows(standing, "k", nShards = 4,
+      wordsPerShard = 64, k = 7)
+    val flagged = BloomOps.flagBatchSharded(batch, "k", shardRows,
+      nShards = 4, wordsPerShard = 64, k = 7)
+    // no false negatives: every member key is bloom-positive
+    assert(flagged.filter(col("k").startsWith("doc-") && !col("bloom_hit"))
+      .count() == 0L)
+    val got = BloomOps.confirmFlag(flagged, standing, "k")
+      .select("k", "is_dup").as[(String, Boolean)].collect().toMap
+    val want = batch
+      .join(standing.distinct().withColumn("__p", lit(true)), Seq("k"), "left")
+      .select(col("k"), coalesce(col("__p"), lit(false)).as("is_dup"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got == want)
+  }
+
   test("bloomWords rejects non-power-of-two and oversized word counts") {
     val standing = Seq("a", "b").toDF("k")
     intercept[IllegalArgumentException] {
