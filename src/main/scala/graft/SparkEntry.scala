@@ -1301,6 +1301,14 @@ object SparkEntry {
       TextOps.sourceMixRates(Tables.documents(s, dir), "doc_id", "text", "source",
         weights = Seq("src0" -> 0.30, "src1" -> 0.20),
         defaultWeight = 0.025, budgetTokens = 50000L)),
+    // Counts-derived mixing: w ∝ tokens^(1/2) (temperature 2) —
+    // small sources oversampled relative to their natural share;
+    // weights micro-quantized so the rate is one exact-decimal
+    // division (sqrt is correctly rounded on every IEEE engine,
+    // which is why only power-of-two temperatures are offered).
+    "q_temperature_mix" -> ((s, dir) =>
+      TextOps.temperatureMixRates(Tables.documents(s, dir), "doc_id",
+        "text", "source", budgetTokens = 50000L)),
 
     // ----- The full training-data pipeline as ONE query: redact ->
     // exact-dedup keepers -> quality gates -> deterministic split ->
@@ -5969,6 +5977,20 @@ object SparkEntry {
                 least(CAST(1.0 AS DOUBLE),
                       CAST(50000 AS DOUBLE) * wt / CAST(n_tokens AS DOUBLE)) AS rate
          FROM w""",
+    "q_temperature_mix" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+                      sum(CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS n_tokens
+                    FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS weight_micro
+               FROM t),
+         s AS (SELECT sum(weight_micro) AS wsum FROM w)
+         SELECT source, n_docs, n_tokens, weight_micro,
+                least(CAST(1.0 AS DOUBLE),
+                      CAST(50000 * weight_micro AS DOUBLE)
+                        / CAST(wsum * n_tokens AS DOUBLE)) AS rate
+         FROM w, s""",
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),

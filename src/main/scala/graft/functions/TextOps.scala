@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Text-analysis and document-deduplication operators for the
   * training-data-pipeline surface (builder brief; SURVEY.md §7.2 M6):
@@ -1119,6 +1119,53 @@ object TextOps {
       .withColumn("target_tokens", lit(budgetTokens.toDouble) * w)
       .withColumn("rate",
         least(lit(1.0d), col("target_tokens") / col("n_tokens").cast(DoubleType)))
+  }
+
+  /** Temperature-based source mixing (the T5/multilingual recipe):
+    * weights DERIVED from the data, w_i ∝ tokens_i^(1/T), flattening
+    * the natural mix so small sources are oversampled relative to
+    * their share — the counts-driven complement of
+    * [[sourceMixRates]]' explicit weights. T = 2^sqrtTimes: the
+    * weight is sqrt applied `sqrtTimes` times (T=2, 4, 8), because
+    * IEEE requires sqrt correctly rounded on every engine while
+    * pow(x, α) inherits libm drift — arbitrary temperatures would
+    * break the oracle discipline, so they are deliberately not
+    * offered. Weights quantize to micro units (floor·1e6, exact
+    * BIGINT) so the normalizing sum is exact integer arithmetic and
+    * each published `rate` is ONE IEEE division of two exact
+    * decimal(38,0) products. One aggregation shuffle + a 1-row
+    * total broadcast.
+    */
+  def temperatureMixRates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      budgetTokens: Long,
+      sqrtTimes: Int = 1
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    require(sqrtTimes >= 1 && sqrtTimes <= 3,
+      s"sqrtTimes=$sqrtTimes outside [1, 3]: T = 2^sqrtTimes in {2, 4, 8}")
+    val dec = DecimalType(38, 0)
+    val perSrc = docs
+      .select(col(srcCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val wRaw = (1 to sqrtTimes)
+      .foldLeft(col("n_tokens").cast(DoubleType))((c, _) => sqrt(c))
+    val staged = perSrc.withColumn("weight_micro",
+      floor(wRaw * lit(1000000.0)).cast("long"))
+    val tot = staged.agg(sum(col("weight_micro")).as("__wsum"))
+    staged.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0d),
+        (lit(budgetTokens).cast(dec) * col("weight_micro").cast(dec))
+          .cast(DoubleType)
+          / (col("__wsum").cast(dec) * col("n_tokens").cast(dec))
+            .cast(DoubleType)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight_micro"), col("rate"))
   }
 
   /** Per-document top-k salient terms by TF-IDF with the raw idf

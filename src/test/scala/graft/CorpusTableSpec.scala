@@ -57,6 +57,32 @@ class CorpusTableSpec extends SparkSpec {
     assert(viaFacade == viaLiterals && viaFacade.nonEmpty)
   }
 
+  test("temperatureMixRates: exact sqrt-micro weights; flattening oversamples small sources") {
+    // src0: 160 docs x 10 tokens = 1600; src1: 40 docs x 10 = 400
+    val docs = (0L until 200L)
+      .map(i => (i, ("tok " * 10).trim, if (i < 160) "src0" else "src1"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.functions.TextOps
+      .temperatureMixRates(docs, "doc_id", "text", "source",
+        budgetTokens = 1000L)
+      .select("source", "n_tokens", "weight_micro", "rate")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // weight_micro = floor(sqrt(n_tokens) * 1e6), exactly
+    assert(got("src0")._3 == math.floor(math.sqrt(1600.0) * 1e6).toLong)
+    assert(got("src1")._3 == math.floor(math.sqrt(400.0) * 1e6).toLong)
+    // temperature flattening: the 4x-larger source gets only 2x the
+    // weight, so the smaller source's RATE (kept fraction) is higher
+    val r0 = got("src0")._4
+    val r1 = got("src1")._4
+    assert(r1 > r0, s"small source not oversampled: src0=$r0 src1=$r1")
+    // rate = budget * w / (wsum * n_tokens), capped at 1
+    val wsum = got("src0")._3 + got("src1")._3
+    assert(r0 == math.min(1.0,
+      (BigDecimal(1000L) * BigDecimal(got("src0")._3)).toDouble /
+        (BigDecimal(wsum) * BigDecimal(1600L)).toDouble))
+  }
+
   test("sampledByWeight delegates to weightedSample") {
     val docs = (0L until 200L)
       .map(i => (i, "tok tok tok", 1L + i % 100))
