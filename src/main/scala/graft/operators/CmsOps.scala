@@ -121,6 +121,9 @@ object CmsOps {
       width: Int,
       depth: Int
   ): Column = {
+    require(cells.length == width * depth,
+      s"cells.length=${cells.length} != width*depth=${width * depth} — " +
+        "the dense array must come from the same (width, depth) shape")
     val cl = typedlit(cells)
     (0 until depth).map { d =>
       element_at(cl,
