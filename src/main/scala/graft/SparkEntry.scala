@@ -1764,6 +1764,49 @@ object SparkEntry {
         .select(explode(col("top")).as("t"))
         .select(col("t.item").as("user_id"), col("t.cnt").as("n_events"))),
 
+    // ----- PCA over the embedding column: the dimensionality-
+    // reduction stage before LSH/IVF indexing. Components are
+    // engine-internal floats (one-pass moment sums + driver Jacobi),
+    // so the projection is rows-only; q_pca_audit publishes the
+    // model invariants as oracle-checked booleans. ---------------------
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.functions.PcaOps.fit(emb, "vec_id", "embedding", k = 8)
+      graft.functions.PcaOps.project(emb, "vec_id", "embedding", model)
+        .orderBy(col("vec_id"))
+    }),
+    "q_pca_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val k = 8
+      val model = graft.functions.PcaOps.fit(emb, "vec_id", "embedding", k)
+      val dim = model.mean.length
+      // W Wt ~= I (components are rows): max abs deviation
+      val maxDev = (0 until k).map { a =>
+        (0 until k).map { b =>
+          val dotAb = model.components(a).zip(model.components(b))
+            .map { case (x, y) => x * y }.sum
+          math.abs(dotAb - (if (a == b) 1.0 else 0.0))
+        }.max
+      }.max
+      val descending = model.eigenvalues.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      val topSum = model.eigenvalues.sum
+      val accounted = topSum <= model.trace + 1e-9 * math.max(1.0, model.trace) &&
+        topSum >= model.trace * k / dim - 1e-9
+      // the DISTRIBUTED projection's first-component variance must
+      // match the driver model's top eigenvalue (ties fit to project)
+      val pc0 = graft.functions.PcaOps
+        .project(emb, "vec_id", "embedding", model)
+        .agg(var_pop(col("pc0"))).head().getDouble(0)
+      val pc0Matches = math.abs(pc0 - model.eigenvalues(0)) <=
+        1e-6 * math.max(1.0, model.eigenvalues(0))
+      import s.implicits._
+      Seq((model.nRows, dim.toLong, k.toLong,
+          maxDev < 1e-8, descending, accounted, pc0Matches))
+        .toDF("n_rows", "dim", "k", "orthonormal", "eigs_descending",
+          "variance_accounted", "pc0_var_matches")
+    }),
+
     // ----- Count-min sketch: mergeable point-frequency estimation
     // (HLL = distinct, bloom = membership, CMS = how often). Token
     // frequencies over the document corpus; estimates are hash-stream
@@ -5466,6 +5509,18 @@ object SparkEntry {
     // sketch invariants the engine computes (a broken sketch flips a
     // boolean -> hash red); the estimates themselves are
     // hash-stream-dependent, so q_cms_counts stays rows-only.
+    // PCA audit: counts + literal booleans for the model invariants
+    // the engine verifies (orthonormal components, descending
+    // eigenvalues, variance accounting, distributed-projection
+    // variance == top eigenvalue); the component floats themselves
+    // are engine-internal, so q_pca_project stays rows-only.
+    "q_pca_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS BIGINT) AS dim,
+                CAST(8 AS BIGINT) AS k,
+                TRUE AS orthonormal, TRUE AS eigs_descending,
+                TRUE AS variance_accounted, TRUE AS pc0_var_matches
+         FROM embeddings""",
     "q_cms_audit" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                     FROM documents)

@@ -22,7 +22,7 @@ class EntryContractSpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "q_approx_distinct", "q_approx_percentiles",
       "q_ivfadc_topk", "q_bpe_tokens", "q_compress_ratio",
-      "q_sketch_store", "q_bloom_funnel", "q_cms_counts"),
+      "q_sketch_store", "q_bloom_funnel", "q_cms_counts", "q_pca_project"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
