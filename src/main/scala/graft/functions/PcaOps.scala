@@ -195,6 +195,30 @@ object PcaOps {
       idCol: String,
       vecCol: String,
       model: PcaModel
+  ): DataFrame = projectImpl(embeddings, idCol, vecCol, model, whiten = false)
+
+  /** [[project]] with each score divided by √eigenvalue — unit
+    * variance per component (the whitening normalization semantic-
+    * dedup recipes apply before cosine thresholds, so no direction
+    * dominates the similarity). Components with eigenvalue ≤ `floor`
+    * (numerically dead directions) publish 0 rather than amplifying
+    * noise by a huge 1/√λ.
+    */
+  def whiten(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PcaModel,
+      floor: Double = 1e-12
+  ): DataFrame = projectImpl(embeddings, idCol, vecCol, model, whiten = true, floor)
+
+  private def projectImpl(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PcaModel,
+      whiten: Boolean,
+      floor: Double = 1e-12
   ): DataFrame = {
     val centered = embeddings
       .withColumn("__c", zip_with(
@@ -202,7 +226,12 @@ object PcaOps {
         typedlit(model.mean),
         (x, m) => x - m))
     val scores = model.components.zipWithIndex.map { case (comp, j) =>
-      VectorOps.dot(col("__c"), typedlit(comp)).as(s"pc$j")
+      val raw = VectorOps.dot(col("__c"), typedlit(comp))
+      val out =
+        if (!whiten) raw
+        else if (model.eigenvalues(j) <= floor) lit(0.0)
+        else raw / lit(math.sqrt(model.eigenvalues(j)))
+      out.as(s"pc$j")
     }
     centered.select(col(idCol) +: scores.toIndexedSeq: _*)
   }

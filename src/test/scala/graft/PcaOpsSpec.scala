@@ -62,6 +62,22 @@ class PcaOpsSpec extends SparkSpec {
     assert(math.abs(vars.getDouble(1) - m.eigenvalues(1)) < 1e-8 * math.max(1e-9, m.eigenvalues(1)))
   }
 
+  test("whitened scores have unit variance; dead directions publish 0") {
+    val emb = planted(400, 6).toDF("vec_id", "embedding").coalesce(4)
+    val m = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
+    val vars = PcaOps.whiten(emb, "vec_id", "embedding", m)
+      .agg(var_pop(col("pc0")), var_pop(col("pc1"))).head()
+    assert(math.abs(vars.getDouble(0) - 1.0) < 1e-8)
+    assert(math.abs(vars.getDouble(1) - 1.0) < 1e-8)
+    // a constant (zero-variance) direction must not be amplified
+    val flat = (0 until 50).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val mf = PcaOps.fit(flat, "vec_id", "embedding", k = 2)
+    val w = PcaOps.whiten(flat, "vec_id", "embedding", mf)
+      .agg(max(abs(col("pc1")))).head().getDouble(0)
+    assert(w == 0.0, s"dead direction amplified: $w")
+  }
+
   test("projection is a pure projection: zero exchanges") {
     val emb = planted(50, 4).toDF("vec_id", "embedding")
     val m = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
