@@ -878,16 +878,38 @@ object TextOps {
       minDocs: Long
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
-    val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__i", "__l")))
-      .withColumn("__h", xxhash64(col("__l")))
+    val lines = lineRows(docs, idCol, textCol)
     val frequent = lines
       .select(col(idCol), col("__h"))
       .groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"))
-    val rebuilt = lines
+    scrubAgainst(docs, idCol, textCol, frequent)
+  }
+
+  /** One row per (doc, line): position `__i`, text `__l`, 8-byte
+    * xxhash64 `__h` — the shared explode of [[boilerplateScrub]] and
+    * the streaming line-frequency store.
+    */
+  private[graft] def lineRows(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__i", "__l")))
+      .withColumn("__h", xxhash64(col("__l")))
+
+  /** Rebuild each doc's text minus lines whose hash is in `frequent`
+    * (one `__h` column) — the removal half of [[boilerplateScrub]],
+    * shared with the streaming store's per-batch scrub. A doc whose
+    * every line was frequent survives with empty text.
+    */
+  private[graft] def scrubAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      frequent: DataFrame
+  ): DataFrame = {
+    val rebuilt = lineRows(docs, idCol, textCol)
       .join(frequent, Seq("__h"), "left_anti")
       .groupBy(col(idCol))
       .agg(
