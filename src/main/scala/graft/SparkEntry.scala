@@ -1837,6 +1837,27 @@ object SparkEntry {
           (col("est") - col("exact_n") <= lit(3L * nTotal / 1024L + 1L))
             .as("within_bound"))
     }),
+    // The SHARDED sketch path under the same oracle gate: the sketch
+    // stays a cluster-resident relation, estimates join it, and the
+    // per-shard no-undercount invariant is published the same way
+    // (each key's estimate comes from its own shard's sketch, so the
+    // within-shard bound is even tighter than the unsharded one).
+    "q_cms_sharded_audit" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val nTotal = toks.count()
+      val shardRows = graft.operators.CmsOps
+        .cmsShardRows(toks, "token", nShards = 4, width = 1024, depth = 4)
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+      graft.operators.CmsOps
+        .estimateBatchSharded(exact, "token", shardRows,
+          nShards = 4, width = 1024, depth = 4)
+        .select(col("token"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("no_underestimate"),
+          (col("est") - col("exact_n") <= lit(3L * nTotal / 1024L + 1L))
+            .as("within_bound"))
+    }),
 
     // ----- Histogram: fixed-width value buckets -----------------------
     "q_histogram" -> ((s, dir) =>
@@ -5522,6 +5543,12 @@ object SparkEntry {
                 TRUE AS variance_accounted, TRUE AS pc0_var_matches
          FROM embeddings""",
     "q_cms_audit" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS exact_n,
+                TRUE AS no_underestimate, TRUE AS within_bound
+         FROM t GROUP BY token""",
+    "q_cms_sharded_audit" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                     FROM documents)
          SELECT token, CAST(count(*) AS BIGINT) AS exact_n,

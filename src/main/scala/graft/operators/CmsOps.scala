@@ -108,6 +108,75 @@ object CmsOps {
   ): Array[Long] =
     cellsArray(cmsRows(df, keyCol, width, depth, weightCol), width, depth)
 
+  /** Shard id for the sharded (cluster-resident) sketch path — a
+    * third independent draw, uncorrelated with the in-shard cells.
+    */
+  private val ShardSalt = 0xC2B2AE3D27D4EB4FL
+  def shardOf(key: Column, nShards: Int): Column =
+    pmod(xxhash64(key, lit(ShardSalt)), lit(nShards.toLong)).cast(IntegerType)
+
+  /** The SHARDED sketch as one relation — (shard, depth row, cell,
+    * count): the past-[[MaxCells]] path, mirroring
+    * [[BloomOps.bloomShardRows]]. Total size is bounded by cluster
+    * storage, not the literal budget; estimates join instead of
+    * probing a literal.
+    */
+  def cmsShardRows(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      width: Int,
+      depth: Int,
+      weightCol: Option[String] = None
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be positive")
+    checkShape(width, depth)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df
+      .select(shardOf(col(keyCol), nShards).as("__shard"),
+        h1Of(col(keyCol), width).as("__h1"),
+        h2Of(col(keyCol), width).as("__h2"), w.as("__n"))
+      .select(col("__shard"), col("__h1"), col("__h2"), col("__n"),
+        explode(sequence(lit(0L), lit((depth - 1).toLong))).as("__d"))
+      .select(col("__shard"), col("__d").cast(IntegerType).as("__d"),
+        (col("__h1") + col("__d") * col("__h2"))
+          .bitwiseAND(lit(width - 1L)).cast(IntegerType).as("__c"),
+        col("__n"))
+      .groupBy(col("__shard"), col("__d"), col("__c"))
+      .agg(sum(col("__n")).as("__count"))
+  }
+
+  /** Keys + `est` against the SHARDED sketch relation: per distinct
+    * key, depth probes join the cell rows on (shard, depth, cell) and
+    * take the min — a probed absent cell counts 0 (nothing ever
+    * incremented it). Nothing collects; probe volume is depth rows
+    * per distinct key.
+    */
+  def estimateBatchSharded(
+      df: DataFrame,
+      keyCol: String,
+      shardRows: DataFrame,
+      nShards: Int,
+      width: Int,
+      depth: Int
+  ): DataFrame = {
+    checkShape(width, depth)
+    val probes = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), shardOf(col(keyCol), nShards).as("__shard"),
+        h1Of(col(keyCol), width).as("__h1"), h2Of(col(keyCol), width).as("__h2"))
+      .select(col(keyCol), col("__shard"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit((depth - 1).toLong))).as("__d"))
+      .select(col(keyCol), col("__shard"),
+        col("__d").cast(IntegerType).as("__d"),
+        (col("__h1") + col("__d") * col("__h2"))
+          .bitwiseAND(lit(width - 1L)).cast(IntegerType).as("__c"))
+    val verdict = probes
+      .join(shardRows, Seq("__shard", "__d", "__c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("__count"), lit(0L))).as("est"))
+    df.join(verdict, Seq(keyCol), "left")
+  }
+
   /** Point-estimate column: min over the key's depth cells — a pure
     * projection against ONE array literal (typedlit), zero shuffle.
     * Stage the hashes via [[estimateBatch]] when estimating many rows

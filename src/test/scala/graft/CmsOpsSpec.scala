@@ -81,6 +81,29 @@ class CmsOpsSpec extends SparkSpec {
     }
   }
 
+  test("sharded sketch: per-shard rows == unsharded sketch of that shard's keys; estimates agree") {
+    val data = skewed(50)
+    val nShards = 4
+    val shardRows = CmsOps.cmsShardRows(data.toDF(), "k", nShards, W, D)
+    (0 until nShards).foreach { s =>
+      val mine = data.toDF().filter(CmsOps.shardOf(col("k"), nShards) === s)
+      val expect = CmsOps.cmsCells(mine, "k", W, D)
+      val got = CmsOps.cellsArray(
+        shardRows.filter(col("__shard") === s).select("__d", "__c", "__count"),
+        W, D)
+      assert(got.toSeq == expect.toSeq, s"shard $s sketch differs")
+    }
+    // end-to-end: sharded estimates match the key's own shard's
+    // unsharded estimate, and still never undercount
+    val keys = data.map(_.k).distinct.toDF("k")
+    val est = CmsOps.estimateBatchSharded(keys, "k", shardRows, nShards, W, D)
+      .as[(String, Long)].collect().toMap
+    val exact = data.groupBy(_.k).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"sharded est undercounts $k: ${est(k)} < $n")
+    }
+  }
+
   test("stream store: fold of slices == whole-stream sketch; replay replaces") {
     val data = skewed(50)
     val store = java.nio.file.Files.createTempDirectory("cms-store").toString
