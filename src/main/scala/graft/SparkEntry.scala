@@ -1771,14 +1771,14 @@ object SparkEntry {
     // model invariants as oracle-checked booleans. ---------------------
     "q_pca_project" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.functions.PcaOps.fit(emb, "vec_id", "embedding", k = 8)
+      val model = graft.functions.PcaOps.fit(emb, "embedding", k = 8)
       graft.functions.PcaOps.project(emb, "vec_id", "embedding", model)
         .orderBy(col("vec_id"))
     }),
     "q_pca_audit" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val k = 8
-      val model = graft.functions.PcaOps.fit(emb, "vec_id", "embedding", k)
+      val model = graft.functions.PcaOps.fit(emb, "embedding", k)
       val dim = model.mean.length
       // W Wt ~= I (components are rows): max abs deviation
       val maxDev = (0 until k).map { a =>
@@ -1830,12 +1830,25 @@ object SparkEntry {
         .cmsCells(toks, "token", width = 1024, depth = 4)
       val exact = toks.groupBy(col("token"))
         .agg(count(lit(1)).as("exact_n"))
-      graft.operators.CmsOps
+      // no_underestimate is a TRUE invariant of the sketch (min over
+      // cells that each counted the token), published per token. The
+      // 3N/width excess bound is only probabilistic (~(1/3)^depth per
+      // token by Markov), so it is published in AGGREGATE: the count
+      // of over-bound tokens must stay within a 5%+8 allowance — a
+      // broken sketch blows the bound on most tokens, a hash-unlucky
+      // token no longer flips the oracle red.
+      val est = graft.operators.CmsOps
         .estimateBatch(exact, "token", cells, 1024, 4)
+        .localCheckpoint(true) // consumed twice: rows + excess tally
+      val excess = est.agg(
+        sum(when(col("est") - col("exact_n") > lit(3L * nTotal / 1024L + 1L),
+          lit(1L)).otherwise(lit(0L))).as("__n_over"),
+        count(lit(1)).as("__n_tok"))
+      est.crossJoin(broadcast(excess))
         .select(col("token"), col("exact_n"),
           (col("est") >= col("exact_n")).as("no_underestimate"),
-          (col("est") - col("exact_n") <= lit(3L * nTotal / 1024L + 1L))
-            .as("within_bound"))
+          (col("__n_over") * lit(20L) <= col("__n_tok") + lit(160L))
+            .as("bound_excess_ok"))
     }),
     // The SHARDED sketch path under the same oracle gate: the sketch
     // stays a cluster-resident relation, estimates join it, and the
@@ -1850,13 +1863,21 @@ object SparkEntry {
         .cmsShardRows(toks, "token", nShards = 4, width = 1024, depth = 4)
       val exact = toks.groupBy(col("token"))
         .agg(count(lit(1)).as("exact_n"))
-      graft.operators.CmsOps
+      val est = graft.operators.CmsOps
         .estimateBatchSharded(exact, "token", shardRows,
           nShards = 4, width = 1024, depth = 4)
+        .localCheckpoint(true) // consumed twice: rows + excess tally
+      // same aggregate-excess publication as q_cms_audit (the bound
+      // is probabilistic per token; only its mass is an invariant)
+      val excess = est.agg(
+        sum(when(col("est") - col("exact_n") > lit(3L * nTotal / 1024L + 1L),
+          lit(1L)).otherwise(lit(0L))).as("__n_over"),
+        count(lit(1)).as("__n_tok"))
+      est.crossJoin(broadcast(excess))
         .select(col("token"), col("exact_n"),
           (col("est") >= col("exact_n")).as("no_underestimate"),
-          (col("est") - col("exact_n") <= lit(3L * nTotal / 1024L + 1L))
-            .as("within_bound"))
+          (col("__n_over") * lit(20L) <= col("__n_tok") + lit(160L))
+            .as("bound_excess_ok"))
     }),
 
     // ----- Histogram: fixed-width value buckets -----------------------
@@ -5546,13 +5567,13 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                     FROM documents)
          SELECT token, CAST(count(*) AS BIGINT) AS exact_n,
-                TRUE AS no_underestimate, TRUE AS within_bound
+                TRUE AS no_underestimate, TRUE AS bound_excess_ok
          FROM t GROUP BY token""",
     "q_cms_sharded_audit" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
                     FROM documents)
          SELECT token, CAST(count(*) AS BIGINT) AS exact_n,
-                TRUE AS no_underestimate, TRUE AS within_bound
+                TRUE AS no_underestimate, TRUE AS bound_excess_ok
          FROM t GROUP BY token""",
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
@@ -6070,8 +6091,10 @@ object SparkEntry {
          s AS (SELECT sum(weight_micro) AS wsum FROM w)
          SELECT source, n_docs, n_tokens, weight_micro,
                 least(CAST(1.0 AS DOUBLE),
-                      CAST(50000 * weight_micro AS DOUBLE)
-                        / CAST(wsum * n_tokens AS DOUBLE)) AS rate
+                      CAST(CAST(50000 AS HUGEINT) * CAST(weight_micro AS HUGEINT)
+                        AS DOUBLE)
+                        / CAST(CAST(wsum AS HUGEINT) * CAST(n_tokens AS HUGEINT)
+                        AS DOUBLE)) AS rate
          FROM w, s""",
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -49,7 +49,6 @@ object PcaOps {
 
   def fit(
       embeddings: DataFrame,
-      idCol: String,
       vecCol: String,
       k: Int
   ): PcaModel = {
@@ -58,36 +57,49 @@ object PcaOps {
     val vecs = embeddings
       .select(transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Array[Double]]
-    val dim = vecs.head().length
-    require(dim >= 1 && dim <= MaxDim,
-      s"${graft.api.Guards.Marker}: dim=$dim outside [1, $MaxDim] — " +
-        "use a randomized sketching method past MaxDim")
-    require(k >= 1 && k <= dim, s"k=$k outside [1, dim=$dim]")
-    // one pass: (count, sum_d, upper-tri gram) per partition, tiny
-    // driver-side combine (<= 32 partials of ~d^2/2 doubles)
+    require(k >= 1, s"k=$k must be positive")
+    // ONE pass: (dim, count, sum_d, upper-tri gram) per partition,
+    // tiny driver-side combine (<= 32 partials of ~d^2/2 doubles).
+    // Dimensionality comes from the first vector each partition sees
+    // (no separate head() job); the driver combine validates that all
+    // partitions agreed.
     val partials = vecs.mapPartitions { iter =>
-      var n = 0L
-      val s = new Array[Double](dim)
-      val g = new Array[Double](dim * (dim + 1) / 2)
-      iter.foreach { v =>
-        require(v.length == dim, s"ragged vector: ${v.length} != $dim")
-        n += 1
-        var i = 0
-        var t = 0
-        while (i < dim) {
-          s(i) += v(i)
-          var j = i
-          while (j < dim) { g(t) += v(i) * v(j); j += 1; t += 1 }
-          i += 1
+      if (!iter.hasNext) Iterator.empty
+      else {
+        val first = iter.next()
+        val dim = first.length
+        require(dim >= 1 && dim <= MaxDim,
+          s"${graft.api.Guards.Marker}: dim=$dim outside [1, $MaxDim] — " +
+            "use a randomized sketching method past MaxDim")
+        var n = 0L
+        val s = new Array[Double](dim)
+        val g = new Array[Double](dim * (dim + 1) / 2)
+        def add(v: Array[Double]): Unit = {
+          require(v.length == dim, s"ragged vector: ${v.length} != $dim")
+          n += 1
+          var i = 0
+          var t = 0
+          while (i < dim) {
+            s(i) += v(i)
+            var j = i
+            while (j < dim) { g(t) += v(i) * v(j); j += 1; t += 1 }
+            i += 1
+          }
         }
+        add(first)
+        iter.foreach(add)
+        Iterator.single((dim, n, s, g))
       }
-      if (n == 0) Iterator.empty else Iterator.single((n, s, g))
     }.collect()
     require(partials.nonEmpty, "cannot fit PCA on an empty frame")
-    val n = partials.map(_._1).sum
+    val dim = partials.head._1
+    require(partials.forall(_._1 == dim),
+      s"ragged vectors across partitions: dims ${partials.map(_._1).distinct.mkString(",")}")
+    require(k <= dim, s"k=$k outside [1, dim=$dim]")
+    val n = partials.map(_._2).sum
     val sum = new Array[Double](dim)
     val gram = new Array[Double](dim * (dim + 1) / 2)
-    partials.foreach { case (_, s, g) =>
+    partials.foreach { case (_, _, s, g) =>
       var i = 0
       while (i < sum.length) { sum(i) += s(i); i += 1 }
       var t = 0

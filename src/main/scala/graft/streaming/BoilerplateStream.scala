@@ -97,17 +97,23 @@ object BoilerplateStream {
 
   /** Scrub a batch against the STANDING store (earlier batches only —
     * exclusive, like the substring trio): same output shape as the
-    * batch operator ([[TextOps.boilerplateScrub]]).
+    * batch operator ([[TextOps.boilerplateScrub]]). A caller
+    * recovering a REPLAYED batch (crash between fold and scrub, or a
+    * fold-then-scrub ordering) must pass its own `batch_seq` as
+    * `except` so the batch's already-folded lines do not count toward
+    * `minDocs` against themselves — the [[SubstringStream]]
+    * self-exclusion contract.
     */
   def scrubBatch(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       storePath: String,
-      minDocs: Long
+      minDocs: Long,
+      except: String = null
   ): DataFrame =
     TextOps.scrubAgainst(batch, idCol, textCol,
-      frequentHashes(batch.sparkSession, storePath, minDocs))
+      frequentHashes(batch.sparkSession, storePath, minDocs, except))
 
   private def exists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -81,6 +81,32 @@ class BoilerplateStreamSpec extends SparkSpec {
     assert(excl == bOnly)
   }
 
+  test("replayed scrub with self-exclusion == scrub before the batch's own fold") {
+    // crash between fold and scrub: batch b's fold already landed, so
+    // a recovering scrub must pass except=b's batch_seq — otherwise
+    // b's own lines count toward minDocs against themselves
+    val docs = mkDocs(40)
+    val store = java.nio.file.Files.createTempDirectory("bp-selfex").toString
+    val a = docs.take(25).toDF()
+    val b = docs.drop(25).toDF()
+    BoilerplateStream.foldBatch(a, "doc_id", "text", store, "t-000000000")
+    val beforeFold = BoilerplateStream
+      .scrubBatch(b, "doc_id", "text", store, minDocs = 30L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    BoilerplateStream.foldBatch(b, "doc_id", "text", store, "t-000000001")
+    val replayed = BoilerplateStream
+      .scrubBatch(b, "doc_id", "text", store, minDocs = 30L,
+        except = "t-000000001")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(replayed.toSeq == beforeFold.toSeq)
+    // and WITHOUT the exclusion the replay is visibly wrong here:
+    // "promo" reaches 40 >= 30 only when b counts itself
+    val wrong = BoilerplateStream
+      .scrubBatch(b, "doc_id", "text", store, minDocs = 30L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(wrong.toSeq != beforeFold.toSeq)
+  }
+
   test("empty store: nothing frequent, scrub is a no-op") {
     val store = java.nio.file.Files.createTempDirectory("bp-empty").toString
     val batch = Seq(Doc(1L, "a\nb")).toDF()

@@ -38,7 +38,7 @@ class PcaOpsSpec extends SparkSpec {
 
   test("fit recovers the planted dominant axis; components orthonormal; eigs ordered") {
     val emb = planted(500, 8).toDF("vec_id", "embedding").coalesce(4)
-    val m = PcaOps.fit(emb, "vec_id", "embedding", k = 3)
+    val m = PcaOps.fit(emb, "embedding", k = 3)
     // component 0 aligns with e0 (up to sign)
     assert(math.abs(m.components(0)(0)) > 0.999,
       s"pc0 not aligned with the planted axis: ${m.components(0).toSeq}")
@@ -55,7 +55,7 @@ class PcaOpsSpec extends SparkSpec {
 
   test("distributed projection variance matches the driver eigenvalues") {
     val emb = planted(400, 6).toDF("vec_id", "embedding").coalesce(4)
-    val m = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
+    val m = PcaOps.fit(emb, "embedding", k = 2)
     val vars = PcaOps.project(emb, "vec_id", "embedding", m)
       .agg(var_pop(col("pc0")), var_pop(col("pc1"))).head()
     assert(math.abs(vars.getDouble(0) - m.eigenvalues(0)) < 1e-8 * m.eigenvalues(0))
@@ -64,7 +64,7 @@ class PcaOpsSpec extends SparkSpec {
 
   test("whitened scores have unit variance; dead directions publish 0") {
     val emb = planted(400, 6).toDF("vec_id", "embedding").coalesce(4)
-    val m = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
+    val m = PcaOps.fit(emb, "embedding", k = 2)
     val vars = PcaOps.whiten(emb, "vec_id", "embedding", m)
       .agg(var_pop(col("pc0")), var_pop(col("pc1"))).head()
     assert(math.abs(vars.getDouble(0) - 1.0) < 1e-8)
@@ -72,7 +72,7 @@ class PcaOpsSpec extends SparkSpec {
     // a constant (zero-variance) direction must not be amplified
     val flat = (0 until 50).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
       .toDF("vec_id", "embedding")
-    val mf = PcaOps.fit(flat, "vec_id", "embedding", k = 2)
+    val mf = PcaOps.fit(flat, "embedding", k = 2)
     val w = PcaOps.whiten(flat, "vec_id", "embedding", mf)
       .agg(max(abs(col("pc1")))).head().getDouble(0)
     assert(w == 0.0, s"dead direction amplified: $w")
@@ -80,7 +80,7 @@ class PcaOpsSpec extends SparkSpec {
 
   test("projection is a pure projection: zero exchanges") {
     val emb = planted(50, 4).toDF("vec_id", "embedding")
-    val m = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
+    val m = PcaOps.fit(emb, "embedding", k = 2)
     val plan = PcaOps.project(emb, "vec_id", "embedding", m)
       .queryExecution.executedPlan
     assert(plan.collect { case e: Exchange => e }.isEmpty)
@@ -88,17 +88,22 @@ class PcaOpsSpec extends SparkSpec {
 
   test("fit is deterministic for a fixed partitioning") {
     val emb = planted(300, 5).toDF("vec_id", "embedding").coalesce(3)
-    val m1 = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
-    val m2 = PcaOps.fit(emb, "vec_id", "embedding", k = 2)
+    val m1 = PcaOps.fit(emb, "embedding", k = 2)
+    val m2 = PcaOps.fit(emb, "embedding", k = 2)
     assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
     assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
   }
 
   test("dim guard raises BY DESIGN past MaxDim") {
     val emb = Seq((1L, Array.fill(300)(1.0f))).toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      PcaOps.fit(emb, "vec_id", "embedding", k = 2)
+    // the guard now fires inside the single fit pass (executor side),
+    // so it surfaces wrapped in Spark's task-failure exception
+    val e = intercept[Throwable] {
+      PcaOps.fit(emb, "embedding", k = 2)
     }
-    assert(e.getMessage.contains(graft.api.Guards.Marker))
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains(graft.api.Guards.Marker)))
   }
 }
