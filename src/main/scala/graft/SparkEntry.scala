@@ -582,14 +582,15 @@ object SparkEntry {
             .as("fp_within_budget"))
     }),
 
-    // ----- Cap observability: every banded/clustered near-dup op
-    // drops over-cap buckets silently, so a capped run's pair set is
-    // indistinguishable from a clean one (r11 sf10: an empty pair set
-    // on a 100%-duplicate corpus). These one-row companion reports
-    // (CapReport.of) make the cap a queryable fact — gate on
-    // n_capped_buckets == 0 before trusting pairs. Caps here are set
-    // low enough that THIS fixture trips them (nonzero capped
-    // counts), proving the report distinguishes a capped run; the
+    // ----- Cap observability. Text band joins still DROP over-cap
+    // buckets, so their pair sets need the CapReport.of gate
+    // (n_capped_buckets == 0) before being trusted. The vector cosine
+    // family is EXACT since r13 (over-cap clusters sub-shard into
+    // block pairs instead of dropping), so its report
+    // (CapReport.ofBlocked) is a cost gauge: split-task fan-out and
+    // the quadratic comparison bill. Caps here are set low enough
+    // that THIS fixture trips them (nonzero split/capped counts),
+    // proving the reports distinguish a hot-bucket run; the
     // operators' own 10k default stays clean at this SF. -------------
     "q_cap_report_minhash" -> ((s, dir) =>
       TextOps.minhashCapReport(Tables.documents(s, dir), "doc_id", "text",
@@ -4480,12 +4481,11 @@ object SparkEntry {
     "q_cap_report_clusters" ->
       """WITH bn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
          SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-                CAST(count(CASE WHEN n > 52 THEN 1 END) AS BIGINT) AS n_capped_buckets,
-                CAST(coalesce(sum(CASE WHEN n > 52 THEN n END), 0) AS BIGINT) AS n_rows_dropped,
-                CAST((SELECT count(DISTINCT e.vec_id) FROM embeddings e
-                        JOIN bn x ON e.label = x.label
-                      WHERE x.n > 52) AS BIGINT) AS n_entities_affected,
-                CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_n
+                CAST(count(CASE WHEN n > 52 THEN 1 END) AS BIGINT) AS n_split_buckets,
+                CAST(coalesce(sum(CASE WHEN n > 52 THEN (n + 51) // 52 END), 0) AS BIGINT)
+                  AS n_split_blocks,
+                CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_n,
+                CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_pair_comparisons
          FROM bn""",
     "q_minhash_incremental" ->
       s"""WITH newdocs AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
@@ -4522,8 +4522,7 @@ object SparkEntry {
          near AS (SELECT k.doc_id FROM kdocs k LEFT JOIN grp g USING (doc_id)
                   WHERE coalesce(g.group_id, k.doc_id) = k.doc_id),
          se AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb
-                FROM embeddings e JOIN near n ON n.doc_id = e.vec_id
-                QUALIFY count(*) OVER (PARTITION BY e.label) <= 10000),
+                FROM embeddings e JOIN near n ON n.doc_id = e.vec_id),
          scand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
                    FROM se a JOIN se b ON a.label = b.label AND a.vec_id < b.vec_id
                    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30),
@@ -4560,8 +4559,7 @@ object SparkEntry {
          near AS (SELECT k.doc_id FROM kdocs k LEFT JOIN grp g USING (doc_id)
                   WHERE coalesce(g.group_id, k.doc_id) = k.doc_id),
          se AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb
-                FROM embeddings e JOIN near n ON n.doc_id = e.vec_id
-                QUALIFY count(*) OVER (PARTITION BY e.label) <= 10000),
+                FROM embeddings e JOIN near n ON n.doc_id = e.vec_id),
          scand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
                    FROM se a JOIN se b ON a.label = b.label AND a.vec_id < b.vec_id
                    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30),
@@ -5996,14 +5994,12 @@ object SparkEntry {
            (2, [2.2242953580982188, 0.8358482078498958, -1.1933022979733765, 0.1188051459900597, 0.5580410346433533, -1.9527104650970353, 1.4960553383489514, -0.7625821886812193, 0.8951776489120974, -0.18267090292344199, 0.9297634639960395, -0.4374803598273085, -0.10491093903022966, -0.6114382438880094, 0.35276466448456023, -1.1445166107986677, -0.6538317989304822, 2.677097108514281, 0.15132171644246425, 1.8470372001182738, 0.4407433149811739, 0.8773090852445982, 0.946980694388772, -0.6997736460145386, -2.315207227451069, 0.09480020117496452, 0.1920371028231238, -1.0081308322886091, -2.150717205632501, 1.6170416083849217, 0.5473509656354903, 1.6230096333098776, 0.36966929887014705, 1.2240526315272633, 0.8751209163514154, -0.29000442763399675, 0.4333345396190892, 1.0069743967645715, 1.7830081455237958, 1.356870316505785, 0.4459302415658664, 1.3915127940536753, 0.03295541525474264, -0.8018248798505966, -0.017182633216773876, -1.3164854365297216, -0.027818555215940465, 1.9719833390831583, 1.3758681039407463, -1.2706898498985282, 0.2920337802284907, 1.533319271731563, 0.10462042588973046, -1.3131603671758911, 1.7799964944316888, 0.3952547694086232, -0.5004628323242984, -2.0407393926238933, 1.0869289165797924, -1.0408491311776968, 1.9616582572418195, 0.9258632212977318, 1.361656934659277, 2.8896525506477344]),
            (3, [-0.4910136707454713, -0.710198583176802, 1.5704667206621972, -0.842408497299511, -0.3319307686020679, -1.698847669879108, -0.5311415117921071, -2.5875629832762232, 0.3015645247761741, -1.1528052896236403, -1.7133285086762593, 0.08131975803507514, -1.3278612176303164, 0.6965862080356764, -1.2876713313576322, 1.2509059068665722, 0.012552200267459757, 0.6566974914450203, -1.321353005901397, 0.8149172295041944, 0.6110409277400992, 0.12348089487854173, 0.38840257501965103, -0.5821272380571016, 0.43343568884177824, -0.7960431045019911, 0.06399529912314222, -0.7421110756691232, 1.1806635961066305, 0.9198186083780134, 1.2380051788351232, -0.07088550150391275, -0.5658960602508907, 1.0508212282447211, 0.9441165305261189, -0.6911609067777333, 0.8859638093504211, -2.533371339542391, 0.4163203752064485, 0.4062903984061704, 0.8418616457792908, -0.3480736064260179, 1.0703545150299583, -0.23477690871527593, 0.15572639860723536, 0.6683095785190067, 0.3685121432402299, 0.09709933719650744, -1.2388537517698515, -0.2653296755913956, -0.6031387254158636, -0.14638328860844366, 1.8821103658250251, 1.8435869679890158, -0.7743715896031117, -0.15335007392100358, 0.13720880703462834, -0.9119325994640678, 0.1906821021913211, 0.7232172113039873, -0.43633626572057416, -0.18091541708210968, 0.8037789293095281, 1.3862531407675853])) AS t(j, plane)) p
                GROUP BY e.vec_id),
-         ec AS (SELECT e.vec_id, e.emb, b.cluster FROM e JOIN b USING (vec_id)
-                QUALIFY count(*) OVER (PARTITION BY cluster) <= 10000)
+         ec AS (SELECT e.vec_id, e.emb, b.cluster FROM e JOIN b USING (vec_id))
          SELECT a.vec_id AS id_a, c.vec_id AS id_b
          FROM ec a JOIN ec c ON a.cluster = c.cluster AND a.vec_id < c.vec_id
          WHERE list_cosine_similarity(a.emb, c.emb) >= 0.45""",
     "q_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-                    QUALIFY count(*) OVER (PARTITION BY label) <= 10000)
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45""",
@@ -6036,8 +6032,7 @@ object SparkEntry {
     // cosine candidate graph instead of the MinHash one.
     "q_semantic_dedup" ->
       """WITH RECURSIVE
-         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-               QUALIFY count(*) OVER (PARTITION BY label) <= 10000),
+         e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
                   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
                   WHERE list_cosine_similarity(a.emb, b.emb) >= 0.30),

@@ -115,22 +115,29 @@ class CapReportSpec extends SparkSpec {
       vid.getAs[Long]("n_entities_affected") == 3L)
   }
 
-  test("cluster cap report mirrors cosineNearDupPairs' silent-empty trap") {
-    // 4 vectors in one cluster, all identical: a cap of 3 empties the
-    // pair set — the r11 sf10 trap — and the report exposes it
+  test("cluster cap report gauges the blocked (exact) cosine path") {
+    // 4 vectors in one cluster, all identical: through r12 a cap of 3
+    // EMPTIED the pair set (the r11 sf10 trap); since r13 the cluster
+    // sub-shards into block pairs instead, so all 6 pairs survive and
+    // the report reads as a cost gauge, not a recall alarm
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "c1"), (2L, Array(1.0f, 0.0f), "c1"),
       (3L, Array(1.0f, 0.0f), "c1"), (4L, Array(1.0f, 0.0f), "c1"),
       (5L, Array(0.0f, 1.0f), "c2")).toDF("vec_id", "embedding", "label")
     val pairs = VectorOps.cosineNearDupPairs(
-      emb, "vec_id", "embedding", "label", threshold = 0.9, clusterCap = 3L)
-    assert(pairs.count() == 0L, "capped cluster must silently empty the pairs")
+        emb, "vec_id", "embedding", "label", threshold = 0.9, clusterCap = 3L)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"blocked path must keep every within-cluster pair: $pairs")
     val r = row(VectorOps.clusterCapReport(emb, "vec_id", "label", clusterCap = 3L))
-    assert(r.getAs[Long]("n_capped_buckets") == 1L &&
-      r.getAs[Long]("n_entities_affected") == 4L &&
-      r.getAs[Long]("n_rows_dropped") == 4L)
+    assert(r.getAs[Long]("n_buckets") == 2L &&
+      r.getAs[Long]("n_split_buckets") == 1L &&
+      r.getAs[Long]("n_split_blocks") == 2L && // ceil(4/3)
+      r.getAs[Long]("max_bucket_n") == 4L &&
+      r.getAs[Long]("n_pair_comparisons") == 6L)
     val clean = row(VectorOps.clusterCapReport(emb, "vec_id", "label", clusterCap = 10L))
-    assert(clean.getAs[Long]("n_capped_buckets") == 0L)
+    assert(clean.getAs[Long]("n_split_buckets") == 0L &&
+      clean.getAs[Long]("n_split_blocks") == 0L)
   }
 
   test("corrScreen cap report windows on the same band key as the screen") {

@@ -292,23 +292,65 @@ class TextVectorSpec extends SparkSpec {
     assert(nd == Set((0L, 1L)))
   }
 
-  test("cosineNearDupPairs clusterCap drops a planted mega-cluster, keeps the rest") {
+  test("cosineNearDupPairs sub-shards a planted mega-cluster: pairs == uncapped") {
     import graft.functions.VectorOps
     // cluster 0: 6 mutually-identical vectors (a planted degenerate
-    // cluster that would go quadratic); cluster 1: one near-dup pair
+    // cluster — through r12 the cap DROPPED it and its 15 pairs);
+    // cluster 1: one near-dup pair. The r13 blocked path splits
+    // cluster 0 into ceil(6/5)=2 shards and recovers every pair.
     val mega = (0L to 5L).map(i => (i, Array(1.0f, 0f, 0f), 0))
     val small = Seq((10L, Array(0f, 1.0f, 0f), 1), (11L, Array(0f, 0.99f, 0.1f), 1))
     val vecs = (mega ++ small).toDF("vec_id", "embedding", "label")
-    val capped = VectorOps.cosineNearDupPairs(
-        vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 5L)
-      .as[(Long, Long)].collect().toSet
-    assert(capped == Set((10L, 11L)),
-      s"over-cap cluster 0 must contribute no pairs: $capped")
-    // uncapped finds all 15 mega pairs plus the small one
     val uncapped = VectorOps.cosineNearDupPairs(
         vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 0L)
       .as[(Long, Long)].collect().toSet
     assert(uncapped.size == 16)
+    val blocked = VectorOps.cosineNearDupPairs(
+        vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 5L)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked == uncapped,
+      s"blocked path must recover the capped path's dropped pairs: $blocked")
+  }
+
+  test("blocked cosine pairs == uncapped for every block size (planted over-cap)") {
+    import graft.functions.VectorOps
+    // 3 replica families of 20 near-identical vectors + 30 noise
+    // vectors, all in ONE cluster (the duplicate-dense sf10 shape):
+    // every block size from deep-split to single-block must produce
+    // the identical exact pair set — each unordered pair exactly once
+    val rnd = new scala.util.Random(7)
+    def fam(base: Array[Float], idOff: Long) = (0 until 20).map { i =>
+      val v = base.clone(); v(0) = v(0) + i * 1e-4f
+      (idOff + i, v, 0)
+    }
+    val noise = (0 until 30).map { i =>
+      (1000L + i, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }
+    val vecs = (fam(Array(1f, 0, 0, 0, 0, 0, 0, 0), 0L) ++
+      fam(Array(0, 1f, 0, 0, 0, 0, 0, 0), 100L) ++
+      fam(Array(0, 0, 1f, 0, 0, 0, 0, 0), 200L) ++ noise)
+      .toDF("vec_id", "embedding", "label")
+    val expect = VectorOps.cosineNearDupPairs(
+        vecs, "vec_id", "embedding", "label", 0.98, clusterCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(expect.size >= 3 * 190, s"families must pair: ${expect.size}")
+    for (cap <- Seq(1L, 7L, 13L, 90L, 100000L)) {
+      val got = VectorOps.cosineNearDupPairs(
+          vecs, "vec_id", "embedding", "label", 0.98, clusterCap = cap)
+        .as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"cap=$cap emitted a pair twice")
+      assert(got.toSet == expect, s"cap=$cap pair set diverged")
+    }
+    // and the LSH wrapper inherits exactness under tiny caps
+    val lshFree = VectorOps.lshNearDupPairs(
+        vecs, "vec_id", "embedding", dim = 8, nPlanes = 2,
+        threshold = 0.98, clusterCap = 0L)
+      .as[(Long, Long)].collect().toSet
+    val lshBlocked = VectorOps.lshNearDupPairs(
+        vecs, "vec_id", "embedding", dim = 8, nPlanes = 2,
+        threshold = 0.98, clusterCap = 5L)
+      .as[(Long, Long)].collect().toSet
+    assert(lshBlocked == lshFree)
   }
 
   test("multi-probe IVF recovers the boundary neighbor single-probe misses") {
