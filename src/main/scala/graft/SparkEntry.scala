@@ -3544,6 +3544,30 @@ object SparkEntry {
         maxHamming = 24, bandBits = 16)
     }),
 
+    // ----- The AUTO screen at a >2048-key universe: 20 replicas of
+    // the event stream under offset user_ids push the measured
+    // universe to ~3000 keys at sf0.01, so measuredBandBits COMMITS
+    // the 16-bit decision under the oracle (through r12 only the
+    // 8-bit branch ran end-to-end; 16/32 were spec-only). maxHamming
+    // 24 sits in the probabilistic-recall regime, where the candidate
+    // set depends on the band width — the hash only matches if the
+    // oracle bands at exactly the width the engine chose, so the
+    // DECISION itself is what this query pins (at radius-guaranteed
+    // hammings 8- and 16-bit banding would coincide). Replica
+    // families are identical series: corr exactly 1.0 at hamming 0,
+    // one IEEE division of equal exact co-moments on both engines.
+    "q_corr_screen_hicard" -> ((s, dir) => {
+      val reps = s.range(0, 20).select(col("id").as("__r"))
+      val wide = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .crossJoin(broadcast(reps))
+        .select((col("user_id") + col("__r") * lit(1000000L)).as("user_id"),
+          col("ts"), col("value"))
+      val r1h = CandleOps.ohlcvRollup(wide, Seq("user_id"), "ts", "value", "1 hour")
+      MicrostructureOps.corrScreenAuto(r1h, "user_id", "bucket_ts",
+        maxHamming = 24)
+    }),
+
     // ----- Lead-lag cross-correlation vs the benchmark key: who moves
     // first — co-moment longs per (key, lag), broadcast lag-exploded
     // benchmark, one division -------------------------------------------
@@ -8264,6 +8288,60 @@ object SparkEntry {
       """WITH r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close
             FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, bucket_ts,
+                 CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
+         m AS (SELECT user_id, epoch_us(bucket_ts) AS us, dd FROM (
+                 SELECT user_id, bucket_ts, cl - lag(cl) OVER
+                   (PARTITION BY user_id ORDER BY bucket_ts) AS dd FROM c)
+               WHERE dd IS NOT NULL),
+         ax AS (SELECT user_id,
+                  CAST(('0x' || substr(md5(CAST(us AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS j,
+                  dd AS s
+                FROM m WHERE dd <> 0),
+         votes AS (SELECT user_id, j, sum(s) AS vote FROM ax GROUP BY 1, 2),
+         fp AS (SELECT user_id,
+                  bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS sh
+                FROM votes GROUP BY 1),
+         banded AS (SELECT user_id, sh, bs.band,
+                      (sh >> (bs.band * 16)) & 65535 AS h
+                    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs(band)),
+         kept AS (SELECT band, h FROM banded GROUP BY band, h HAVING count(*) <= 10000),
+         guarded AS (SELECT banded.* FROM banded JOIN kept USING (band, h)),
+         pairs AS (SELECT DISTINCT a.user_id AS key_a, b.user_id AS key_b,
+                     CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                   FROM guarded a JOIN guarded b USING (band, h)
+                   WHERE a.user_id < b.user_id
+                     AND bit_count(xor(a.sh, b.sh)) <= 24),
+         al AS (SELECT p.key_a, p.key_b, p.hamming, a.dd AS da, b.dd AS db
+                FROM pairs p
+                JOIN m a ON a.user_id = p.key_a
+                JOIN m b ON b.user_id = p.key_b AND b.us = a.us),
+         g AS (SELECT key_a, key_b, max(hamming) AS hamming, count(*) AS n,
+                 CAST(sum(da) AS BIGINT) AS sa, CAST(sum(db) AS BIGINT) AS sb,
+                 CAST(sum(da * db) AS BIGINT) AS sab,
+                 CAST(sum(da * da) AS BIGINT) AS saa,
+                 CAST(sum(db * db) AS BIGINT) AS sbb
+               FROM al GROUP BY 1, 2)
+         SELECT key_a, key_b, hamming, n AS n_aligned,
+                CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+                  CAST(n * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                         * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS corr
+         FROM g""",
+    // Auto-width screen at a ~3000-key universe: the oracle bands at
+    // 16 bits because that is what autoBandBits commits for this
+    // replica fixture — a hash match at maxHamming 24 (probabilistic
+    // regime) certifies the engine's measured decision, not just the
+    // pair math.
+    "q_corr_screen_hicard" ->
+      """WITH ev AS (SELECT user_id + 1000000 * r.i AS user_id, ts, value
+                     FROM events CROSS JOIN
+                       (SELECT unnest(generate_series(0, 19)) AS i) r(i)),
+         r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                arg_max(value, ts) AS close
+            FROM ev GROUP BY 1, 2),
          c AS (SELECT user_id, bucket_ts,
                  CAST(round(close * 100) AS BIGINT) AS cl FROM r1h),
          m AS (SELECT user_id, epoch_us(bucket_ts) AS us, dd FROM (

@@ -569,7 +569,13 @@ object VectorOps {
       col("cluster"), col("nrm").as("norm_b"),
       explode(sequence(lit(0L), col("__s"))).as("__i"),
       col("__s").as("__j"))
-    a.join(b, Seq("cluster", "__i", "__j"))
+    // MERGE hint: the block key (cluster, __i, __j) must actually
+    // partition the join — left to itself Catalyst broadcasts the
+    // whole right side (vectors included) when the size estimate
+    // allows, which both bypasses the task-size bound and walks one
+    // giant hash chain per probe row. Sort-merge over ~|clusters|·m²
+    // block keys gives each block pair its own task.
+    a.hint("merge").join(b, Seq("cluster", "__i", "__j"))
       .filter(col("__i") =!= col("__j") || col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)

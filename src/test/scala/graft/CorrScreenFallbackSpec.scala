@@ -119,6 +119,22 @@ class CorrScreenFallbackSpec extends SparkSpec {
       "signed auto must be the sized signed screen, bit-identical")
   }
 
+  test("q_corr_screen_hicard auto-commits the 16-BIT banding at its sf0.01 universe") {
+    // the committed replica fixture pushes the measured universe to
+    // ~3000 keys (> the 2048 8-bit boundary), so corrScreenAuto must
+    // band at 16 bits — the width the query's oracle replays. The
+    // 16-bit mask (65535) appears in the banding projection; the
+    // 8-bit screen's 255 mask must not drive the band columns.
+    assert(graft.operators.MicrostructureOps.autoBandBits(3000) == 16)
+    val df = graft.SparkEntry.queries("q_corr_screen_hicard")(
+      spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("65535"),
+      "hicard screen must band at 16 bits (mask 65535 in the plan)")
+    assert(!plan.contains("& 255)"),
+      "hicard screen must not band at 8 bits")
+  }
+
   test("plan-statistics gate demotes an over-budget broadcast to the chunked path, same results") {
     val want = rows(MicrostructureOps.corrScreen(
       fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 8))

@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bloom_sharded" -> "1-row doc-id offset into the synthetic batch",
     "q_temperature_mix" -> "1-row weight-sum normalizer into the per-source rates",
     "q_cms_audit" -> "1-row over-bound-token tally (aggregate excess invariant)",
+    "q_corr_screen_hicard" -> "20-row replica frame (hicard universe synthesizer)",
     "q_cms_sharded_audit" -> "1-row over-bound-token tally (aggregate excess invariant)",
     "q_bloom_funnel" -> "1-row doc-id offset into the synthetic batch",
     "q_bloom_audit" -> "1-row doc-id offset into the synthetic batch",
