@@ -3467,9 +3467,11 @@ object SparkEntry {
       TextOps.textrankKeywords(Tables.documents(s, dir), "doc_id", "text", topK = 25)),
 
     // ----- Per-column codecs (reference CODEC(DoubleDelta)/CODEC(
-    // Gorilla), clickhouse_schema.py:128-138) exercised end-to-end:
-    // each user's hourly series packs into one DoubleDelta binary
-    // (epoch grid) and one Gorilla binary (closes); the engine
+    // Gorilla)/CODEC(T64), clickhouse_schema.py:128-138) exercised
+    // end-to-end: each user's hourly series packs into one
+    // DoubleDelta binary (epoch grid), one Gorilla binary (closes),
+    // and one T64 binary (per-bucket trade counts — the reference's
+    // T64 columns are exactly the count-like ones); the engine
     // publishes the decode==original VERDICTS as columns, so the
     // oracle row hash-checks the round-trip identity — a broken codec
     // flips a boolean and goes red. Sizes/ratios are measured in
@@ -3479,12 +3481,15 @@ object SparkEntry {
         Tables.events(s, dir), Seq("user_id"), "ts", "value", "1 hour")
       import graft.functions.Codecs
       val packed = r1h
-        .select(col("user_id"), unix_micros(col("bucket_ts")).as("__us"), col("close"))
+        .select(col("user_id"), unix_micros(col("bucket_ts")).as("__us"),
+          col("close"), col("trades"))
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("__us"), col("close")))).as("__s"))
+        .agg(sort_array(collect_list(
+          struct(col("__us"), col("close"), col("trades")))).as("__s"))
         .select(col("user_id"),
           expr("transform(__s, x -> x.__us)").as("__ts"),
-          expr("transform(__s, x -> x.close)").as("__px"))
+          expr("transform(__s, x -> x.close)").as("__px"),
+          expr("transform(__s, x -> x.trades)").as("__tr"))
       packed.select(
         col("user_id"),
         size(col("__ts")).cast(LongType).as("n_buckets"),
@@ -3492,9 +3497,14 @@ object SparkEntry {
           .as("ts_roundtrip_ok"),
         (Codecs.gorilla_decode(Codecs.gorilla_encode(col("__px"))) === col("__px"))
           .as("px_roundtrip_ok"),
+        (Codecs.t64_decode(Codecs.t64_encode(col("__tr"))) === col("__tr"))
+          .as("tr_roundtrip_ok"),
         (size(col("__ts")) < 3 ||
           length(Codecs.dd_encode(col("__ts"))) < size(col("__ts")) * 8)
-          .as("dd_compresses"))
+          .as("dd_compresses"),
+        (size(col("__tr")) < 3 ||
+          length(Codecs.t64_encode(col("__tr"))) < size(col("__tr")) * 8)
+          .as("t64_compresses"))
     }),
 
     // ----- Correlation SCREEN — the scale path the corrMatrix doc
@@ -8168,7 +8178,8 @@ object SparkEntry {
             FROM events GROUP BY 1, 2)
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
                 TRUE AS ts_roundtrip_ok, TRUE AS px_roundtrip_ok,
-                TRUE AS dd_compresses
+                TRUE AS tr_roundtrip_ok,
+                TRUE AS dd_compresses, TRUE AS t64_compresses
          FROM r1h GROUP BY 1""",
     // Sign-sketch screen: md5-derived 64-axis majority-sign
     // fingerprint, 8x8-bit banded candidates at hamming <= 7, exact
