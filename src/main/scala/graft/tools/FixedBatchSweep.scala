@@ -158,31 +158,45 @@ object FixedBatchSweep {
           "fb-000000001"))
     }
 
-    // ---- 5. bloom membership probe ----------------------------------
-    // the filter is sized for the STORE corpus (as production would),
-    // folded from 8 slices untimed; timed: read+OR-fold the word rows,
-    // flag the fixed batch, confirm positives against the persisted
-    // signature table.
+    // ---- 5. bloom membership probe (sharded, cluster-resident) -----
+    // the 100-TB filter shape: the (shard, word, bits) relation is
+    // sized for the STORE corpus and persisted BUCKETED on its probe
+    // key untimed (production maintains it alongside the store);
+    // timed: (a) bloom_flag — the pure filter probe, which must be
+    // flat (probe volume = k rows per distinct batch key); (b)
+    // bloom_probe — flag + the semantic confirm join against the
+    // bucketed signature table (store-scan-bound by design: the
+    // confirm IS the exact-membership contract).
     locally {
-      import graft.streaming.BloomStream
       import graft.operators.BloomOps
       val keys = storeDocs.select(md5(col("text").cast("binary")).as("text_hash"))
       val n = keys.agg(approx_count_distinct(col("text_hash"))).head().getLong(0)
-      val numWords = BloomOps.sizeWords(n)
+      val wordsPerShard = 4096
+      val nShards = math.max(1, BloomOps.sizeWords(n) / wordsPerShard)
       val k = BloomOps.optimalK(10)
-      val st = s"$work/bloom_store"
-      (0 until 8).foreach { i =>
-        BloomStream.foldBatch(
-          keys.filter(pmod(xxhash64(col("text_hash")), lit(8)) === i),
-          "text_hash", numWords, k, st, f"fb-$i%09d")
-      }
-      val sig = keys.localCheckpoint(true)
+      val tag = sfLabel.replace('.', '_')
+      val shardRows = BloomOps
+        .bloomShardRows(keys, "text_hash", nShards, wordsPerShard, k)
+      graft.sources.BucketedStore.writeBucketedAt(
+        shardRows, s"fb_bloom_$tag", s"$work/bloom_bucketed",
+        bucketCols = Seq("__shard", "__w"), numBuckets = 32,
+        sortCols = Seq("__shard", "__w"))
+      val storedRows = spark.table(s"fb_bloom_$tag")
+      graft.sources.BucketedStore.writeBucketedAt(
+        keys.distinct(), s"fb_sig_$tag", s"$work/sig_bucketed",
+        bucketCols = Seq("text_hash"), numBuckets = 32,
+        sortCols = Seq("text_hash"))
+      val sig = spark.table(s"fb_sig_$tag")
       val batchKeys = fixedBatch
         .withColumn("text_hash", md5(col("text").cast("binary")))
         .localCheckpoint(true)
+      report("bloom_flag", () =>
+        consume(BloomOps.flagBatchSharded(batchKeys, "text_hash",
+          storedRows, nShards, wordsPerShard, k)
+          .select(col("doc_id"), col("bloom_hit"))))
       report("bloom_probe", () => {
-        val words = BloomStream.readWords(spark, st, numWords)
-        val flagged = BloomOps.flagBatch(batchKeys, "text_hash", words, k)
+        val flagged = BloomOps.flagBatchSharded(batchKeys, "text_hash",
+          storedRows, nShards, wordsPerShard, k)
         consume(BloomOps.confirmFlag(flagged, sig, "text_hash")
           .select(col("doc_id"), col("is_dup")))
       })
