@@ -3566,9 +3566,14 @@ object SparkEntry {
     // hammings 8- and 16-bit banding would coincide). Replica
     // families are identical series: corr exactly 1.0 at hamming 0,
     // one IEEE division of equal exact co-moments on both engines.
+    // user_id < 1000 makes the fixture a FIXED panel past sf0.1 (the
+    // q_contamination convention): the replica blow-up exists to pin
+    // a band-width decision, not to scale — unbounded it multiplied
+    // the whole corpus 20x and benched 264 s at sf1.
     "q_corr_screen_hicard" -> ((s, dir) => {
       val reps = s.range(0, 20).select(col("id").as("__r"))
       val wide = Tables.events(s, dir)
+        .filter(col("user_id") < 1000)
         .select(col("user_id"), col("ts"), col("value"))
         .crossJoin(broadcast(reps))
         .select((col("user_id") + col("__r") * lit(1000000L)).as("user_id"),
@@ -8347,9 +8352,10 @@ object SparkEntry {
     // regime) certifies the engine's measured decision, not just the
     // pair math.
     "q_corr_screen_hicard" ->
-      """WITH ev AS (SELECT user_id + 1000000 * r.i AS user_id, ts, value
+      """WITH ev AS (SELECT events.user_id + 1000000 * r.i AS user_id, ts, value
                      FROM events CROSS JOIN
-                       (SELECT unnest(generate_series(0, 19)) AS i) r(i)),
+                       (SELECT unnest(generate_series(0, 19)) AS i) r(i)
+                     WHERE events.user_id < 1000),
          r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close
             FROM ev GROUP BY 1, 2),
