@@ -3566,14 +3566,15 @@ object SparkEntry {
     // hammings 8- and 16-bit banding would coincide). Replica
     // families are identical series: corr exactly 1.0 at hamming 0,
     // one IEEE division of equal exact co-moments on both engines.
-    // user_id < 1000 makes the fixture a FIXED panel past sf0.1 (the
+    // user_id < 200 makes the fixture a FIXED panel past sf0.01 (the
     // q_contamination convention): the replica blow-up exists to pin
     // a band-width decision, not to scale — unbounded it multiplied
-    // the whole corpus 20x and benched 264 s at sf1.
+    // the whole corpus 20x and benched 264 s at sf1; the decision
+    // needs ~3-4k keys, not 20k.
     "q_corr_screen_hicard" -> ((s, dir) => {
       val reps = s.range(0, 20).select(col("id").as("__r"))
       val wide = Tables.events(s, dir)
-        .filter(col("user_id") < 1000)
+        .filter(col("user_id") < 200)
         .select(col("user_id"), col("ts"), col("value"))
         .crossJoin(broadcast(reps))
         .select((col("user_id") + col("__r") * lit(1000000L)).as("user_id"),
@@ -8355,7 +8356,7 @@ object SparkEntry {
       """WITH ev AS (SELECT events.user_id + 1000000 * r.i AS user_id, ts, value
                      FROM events CROSS JOIN
                        (SELECT unnest(generate_series(0, 19)) AS i) r(i)
-                     WHERE events.user_id < 1000),
+                     WHERE events.user_id < 200),
          r1h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
                 arg_max(value, ts) AS close
             FROM ev GROUP BY 1, 2),
