@@ -1656,7 +1656,12 @@ object SparkEntry {
     // connected components -> keeper per semantic group. The looser
     // 0.30 threshold grows a real graph (0.45 leaves ~2 pairs at
     // sf0.01); the label column plays the coarse cluster, exactly as
-    // k-means/LSH buckets would at scale.
+    // k-means/LSH buckets would at scale. Since r13 the within-
+    // cluster pairs are EXACT at any cluster size (blocked
+    // sub-sharding) — the cost is the all-pairs bill Σ n²/2, which
+    // q_cap_report_clusters prices up front; at 100 TB you size the
+    // clustering (k-means cells ≈ corpus/target-cell) so cells stay
+    // near the cap, you don't shed members.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val pairs = VectorOps.cosineNearDupPairs(
