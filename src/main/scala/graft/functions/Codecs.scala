@@ -122,14 +122,17 @@ object Codecs {
 
   def ddDecode(bytes: Array[Byte]): GenericArrayData = {
     val r = new ByteReader(bytes)
-    val n = r.readVarLong().toInt
     // Corruption guard: each element costs >= 1 payload byte (varint),
     // so a count past bytes.length can only come from a corrupt or
     // truncated cell — fail descriptively instead of attempting a
-    // multi-GB allocation or walking off the buffer.
-    require(n >= 0 && n <= bytes.length,
-      s"dd_decode: corrupt payload — element count $n exceeds the " +
+    // multi-GB allocation or walking off the buffer. Validate the FULL
+    // 64-bit count before narrowing: a corrupt varint like 2^32 would
+    // truncate to 0 and silently decode as an empty array.
+    val nL = r.readVarLong()
+    require(nL >= 0L && nL <= bytes.length.toLong,
+      s"dd_decode: corrupt payload — element count $nL exceeds the " +
         s"${bytes.length}-byte cell's capacity")
+    val n = nL.toInt
     val out = new Array[Long](n)
     if (n > 0) {
       out(0) = unzigzag(r.readVarLong())
@@ -229,13 +232,15 @@ object Codecs {
 
   def gorillaDecode(bytes: Array[Byte]): GenericArrayData = {
     val r = new ByteReader(bytes)
-    val n = r.readVarLong().toInt
     // Corruption guard: each element costs >= 1 bit after the 64-bit
     // header, so n can never exceed 8*bytes — a larger count means a
-    // corrupt or truncated cell.
-    require(n >= 0 && n <= 8L * bytes.length,
-      s"gorilla_decode: corrupt payload — element count $n exceeds the " +
+    // corrupt or truncated cell. Full-width check before narrowing
+    // (a 2^32 varint must not truncate to an innocuous 0).
+    val nL = r.readVarLong()
+    require(nL >= 0L && nL <= 8L * bytes.length,
+      s"gorilla_decode: corrupt payload — element count $nL exceeds the " +
         s"${bytes.length}-byte cell's capacity")
+    val n = nL.toInt
     val out = new Array[Double](n)
     if (n > 0) {
       val bits = new BitReader(bytes, r.pos)
@@ -340,13 +345,17 @@ object Codecs {
 
   def t64Decode(bytes: Array[Byte]): GenericArrayData = {
     val r = new ByteReader(bytes)
-    val n = r.readVarLong().toInt
     // corruption guard (dd_decode discipline): every 64-value block
     // costs at least 2 payload bytes, so a count beyond 64x the cell
-    // size is impossible for a well-formed cell
-    require(n >= 0 && n <= bytes.length.toLong * T64Block,
-      s"t64_decode: corrupt payload — element count $n exceeds the " +
+    // size is impossible for a well-formed cell. Range-check the raw
+    // 64-bit varint BEFORE narrowing — a corrupt count like 2^32 would
+    // otherwise truncate to 0 and silently decode as an empty array
+    // instead of raising.
+    val nL = r.readVarLong()
+    require(nL >= 0L && nL <= bytes.length.toLong * T64Block,
+      s"t64_decode: corrupt payload — element count $nL exceeds the " +
         s"${bytes.length}-byte cell's capacity")
+    val n = nL.toInt
     val out = new Array[Long](n)
     var b0 = 0
     while (b0 < n) {

@@ -454,13 +454,15 @@ object VectorOps {
       nPlanes: Int,
       threshold: Double,
       seed: Long = 42L,
-      clusterCap: Long = 10000L
+      clusterCap: Long = 10000L,
+      maxComparisons: Long = 10000000000L
   ): DataFrame = {
     val asDouble = transform(col(vecCol), x => x.cast("double"))
     val bucketed = embeddings
       .select(col(idCol).as("id"), asDouble.as("vec"))
       .withColumn("cluster", hyperplaneBucket(col("vec"), dim, nPlanes, seed))
-    cosineNearDupPairs(bucketed, "id", "vec", "cluster", threshold, clusterCap)
+    cosineNearDupPairs(bucketed, "id", "vec", "cluster", threshold, clusterCap,
+      maxComparisons)
   }
 
   /** Embedding-cosine near-duplicate pairs within a coarse partition:
@@ -484,6 +486,27 @@ object VectorOps {
     * need groups should take the star-edge / connected-components
     * path ([[graft.operators.DedupGroups]]) instead. 0 = single
     * block (same pairs, no task bound).
+    *
+    * `maxComparisons` is the LAUNCH budget on that contract: the
+    * builder prices the bill Σ n·(n−1)/2 from the one-row-per-cluster
+    * size frame (the frame the blocked path broadcasts anyway) BEFORE
+    * the quadratic join is planned, and raises with
+    * [[graft.api.Guards.Marker]] past the budget — on a
+    * duplicate-dense corpus the bill grows ~sf² (1.25e9 at sf10 on
+    * the replica fixture), so at 100 TB an unguarded launch would be
+    * a ~1e13-comparison join nobody priced. The message points at the
+    * pre-flight gauge (`clusterCapReport`'s `n_pair_comparisons`) and
+    * the escape hatches (finer clustering; an explicit raised budget;
+    * the linear star-edge route for group-only consumers). <= 0
+    * disables the budget. The same eager size pass picks the plan:
+    * when NO cluster exceeds `clusterCap` (m = 1 everywhere — the
+    * common case) the operator is a plain within-cluster self-join
+    * with no shard columns and no join-strategy pin, so Catalyst may
+    * broadcast the small side; the sort-merge MERGE pin is applied
+    * only when an over-cap cluster actually exists and the task-size
+    * bound must hold (the unconditional r13 pin taxed exactly the
+    * small-scale queries that never split — sf0.1 dedup family
+    * regressions in BENCH_r13).
     */
   /** Cluster-size observability for [[cosineNearDupPairs]] /
     * [[lshNearDupPairs]] ([[graft.operators.CapReport.ofBlocked]]):
@@ -530,58 +553,103 @@ object VectorOps {
       vecCol: String,
       clusterCol: String,
       threshold: Double,
-      clusterCap: Long = 10000L
+      clusterCap: Long = 10000L,
+      maxComparisons: Long = 10000000000L
   ): DataFrame = {
     val base = embeddings.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       col(clusterCol).as("cluster"))
-    // Block the within-cluster self-join instead of dropping over-cap
-    // clusters (the r12 cap SHED memberships — at sf10 that read as
-    // "no duplicates" on a 100%-duplicate corpus). A cluster of n
-    // members splits into m = ceil(n/cap) hash shards; block pair
-    // (i, j), i <= j, compares shard i against shard j, so every
-    // unordered pair is produced EXACTLY once (same-shard blocks
-    // order by id; a cross-shard pair (a in i, b in j) appears only
-    // in block (i, j)) and no join task ever holds more than ~cap
-    // rows per side. m = 1 degenerates to the plain within-cluster
-    // join, so under-cap clusters pay only the size lookup — a
-    // broadcast of the one-row-per-cluster size frame (the cluster
-    // column is coarse by contract: LSH buckets, k-means cells,
-    // labels — never O(rows)).
-    val m: Column =
-      if (clusterCap <= 0L) lit(1L)
-      else expr(s"(__cn + ${clusterCap - 1L}) div ${clusterCap}")
     val sizes = base.groupBy(col("cluster"))
       .agg(count(lit(1)).as("__cn"))
-    val withShard = base
-      .join(broadcast(sizes), Seq("cluster"))
-      .withColumn("__m", m)
-      .withColumn("__s", pmod(xxhash64(col("id")), col("__m")))
-      .withColumn("nrm", norm(col("vec")))
-    val a = withShard.select(
-      col("id").as("id_a"), col("vec").as("vec_a"),
-      col("cluster"), col("nrm").as("norm_a"),
-      col("__s").as("__i"),
-      explode(sequence(col("__s"), col("__m") - lit(1L))).as("__j"))
-    val b = withShard.select(
-      col("id").as("id_b"), col("vec").as("vec_b"),
-      col("cluster"), col("nrm").as("norm_b"),
-      explode(sequence(lit(0L), col("__s"))).as("__i"),
-      col("__s").as("__j"))
-    // MERGE hint: the block key (cluster, __i, __j) must actually
-    // partition the join — left to itself Catalyst broadcasts the
-    // whole right side (vectors included) when the size estimate
-    // allows, which both bypasses the task-size bound and walks one
-    // giant hash chain per probe row. Sort-merge over ~|clusters|·m²
-    // block keys gives each block pair its own task.
-    a.hint("merge").join(b, Seq("cluster", "__i", "__j"))
-      .filter(col("__i") =!= col("__j") || col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
-      .filter(col("sim") >= threshold)
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // ONE eager pass over the one-row-per-cluster size frame (the
+    // frame the blocked path broadcasts anyway — only the id and
+    // cluster columns are read, everything else prunes away): the
+    // exact comparison bill Σ n·(n−1)/2 for the launch budget, and
+    // the worst cluster size for the plan choice. Bounded driver
+    // state: two longs.
+    val stats = sizes.agg(
+      coalesce(sum(expr("__cn * (__cn - 1) div 2")), lit(0L)).as("__cmp"),
+      coalesce(max(col("__cn")), lit(0L)).as("__mx")).head()
+    val bill = stats.getLong(0)
+    val worst = stats.getLong(1)
+    if (maxComparisons > 0L && bill > maxComparisons)
+      throw new IllegalStateException(
+        s"${graft.api.Guards.Marker} cosineNearDupPairs: the exact all-pairs " +
+        s"contract on this input costs $bill similarity comparisons, over the " +
+        s"launch budget maxComparisons=$maxComparisons. The bill is quadratic in " +
+        "duplicate-cluster size by contract; price it pre-flight with " +
+        "clusterCapReport/lshCapReport (n_pair_comparisons), cluster finer (more " +
+        "LSH planes / more k-means cells) so clusters shrink, raise " +
+        "maxComparisons explicitly for a bill you intend to pay, or — if you " +
+        "only need duplicate GROUPS, not every pair — take the linear star-edge " +
+        "route (TextOps.minhashStarEdges + DedupGroups.resolveKeepers).")
+    val sim =
+      dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))
+    if (clusterCap <= 0L || worst <= clusterCap) {
+      // No cluster splits (m = 1 everywhere, the common case) — the
+      // blocked machinery degenerates to a plain within-cluster
+      // self-join, so build exactly that: no size broadcast, no shard
+      // explode, and NO join-strategy pin — Catalyst is free to
+      // broadcast the small side, which is legitimately cheap here
+      // because every join task is bounded by the (under-cap) worst
+      // cluster, not by the pin. Same pair set: a < b within cluster.
+      val withN = base.withColumn("nrm", norm(col("vec")))
+      val a = withN.select(
+        col("id").as("id_a"), col("vec").as("vec_a"),
+        col("cluster"), col("nrm").as("norm_a"))
+      val b = withN.select(
+        col("id").as("id_b"), col("vec").as("vec_b"),
+        col("cluster"), col("nrm").as("norm_b"))
+      a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", sim)
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      // Block the within-cluster self-join instead of dropping over-cap
+      // clusters (the r12 cap SHED memberships — at sf10 that read as
+      // "no duplicates" on a 100%-duplicate corpus). A cluster of n
+      // members splits into m = ceil(n/cap) hash shards; block pair
+      // (i, j), i <= j, compares shard i against shard j, so every
+      // unordered pair is produced EXACTLY once (same-shard blocks
+      // order by id; a cross-shard pair (a in i, b in j) appears only
+      // in block (i, j)) and no join task ever holds more than ~cap
+      // rows per side. Under-cap clusters pay only the size lookup — a
+      // broadcast of the one-row-per-cluster size frame (the cluster
+      // column is coarse by contract: LSH buckets, k-means cells,
+      // labels — never O(rows)).
+      val m: Column = expr(s"(__cn + ${clusterCap - 1L}) div ${clusterCap}")
+      val withShard = base
+        .join(broadcast(sizes), Seq("cluster"))
+        .withColumn("__m", m)
+        .withColumn("__s", pmod(xxhash64(col("id")), col("__m")))
+        .withColumn("nrm", norm(col("vec")))
+      val a = withShard.select(
+        col("id").as("id_a"), col("vec").as("vec_a"),
+        col("cluster"), col("nrm").as("norm_a"),
+        col("__s").as("__i"),
+        explode(sequence(col("__s"), col("__m") - lit(1L))).as("__j"))
+      val b = withShard.select(
+        col("id").as("id_b"), col("vec").as("vec_b"),
+        col("cluster"), col("nrm").as("norm_b"),
+        explode(sequence(lit(0L), col("__s"))).as("__i"),
+        col("__s").as("__j"))
+      // MERGE hint: the block key (cluster, __i, __j) must actually
+      // partition the join — left to itself Catalyst broadcasts the
+      // whole right side (vectors included) when the size estimate
+      // allows, which both bypasses the task-size bound and walks one
+      // giant hash chain per probe row. Sort-merge over ~|clusters|·m²
+      // block keys gives each block pair its own task. Applied only on
+      // this branch — an over-cap cluster exists, so the bound matters.
+      a.hint("merge").join(b, Seq("cluster", "__i", "__j"))
+        .filter(col("__i") =!= col("__j") || col("id_a") < col("id_b"))
+        .withColumn("sim", sim)
+        .filter(col("sim") >= threshold)
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }
   }
 
   /** Symmetric int8 quantization summary per vector — the storage move

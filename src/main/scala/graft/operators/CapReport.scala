@@ -73,14 +73,19 @@ object CapReport {
   def ofBlocked(banded: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
     val sizes = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"))
+    // cap <= 0 is documented single-block mode: nothing splits, so the
+    // split columns are identically 0 (without the guard the `__n > cap`
+    // predicates would count every non-empty bucket as split).
+    val isSplit: Column =
+      if (cap <= 0L) lit(false) else col("__n") > cap
     val blocks =
       if (cap <= 0L) lit(1L)
       else expr(s"(__n + ${cap - 1L}) div ${cap}")
     sizes.agg(
       count(lit(1)).cast("long").as("n_buckets"),
-      coalesce(sum(when(col("__n") > cap, lit(1L)).otherwise(lit(0L))), lit(0L))
+      coalesce(sum(when(isSplit, lit(1L)).otherwise(lit(0L))), lit(0L))
         .cast("long").as("n_split_buckets"),
-      coalesce(sum(when(col("__n") > cap, blocks)), lit(0L))
+      coalesce(sum(when(isSplit, blocks)), lit(0L))
         .cast("long").as("n_split_blocks"),
       coalesce(max(col("__n")), lit(0L)).cast("long").as("max_bucket_n"),
       coalesce(sum(expr("__n * (__n - 1) div 2")), lit(0L))

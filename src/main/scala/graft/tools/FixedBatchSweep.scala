@@ -58,10 +58,13 @@ object FixedBatchSweep {
     val storeDocs = Tables.documents(spark, storeDir)
     val storeMaxId = storeDocs.agg(max(col("doc_id"))).head().getLong(0)
     // the FIXED batch: every 10th batchDir doc under ids disjoint from
-    // any store scale (offset past the largest store swept)
+    // any store scale — offset past max(this store's ids, 1e9) so the
+    // batch stays id-disjoint even against a store past 1e9 docs while
+    // keeping the historic 1e9 floor (sweep points stay comparable)
+    val batchIdOffset = math.max(storeMaxId + 1L, 1000000000L)
     val fixedBatch = Tables.documents(spark, batchDir)
       .filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(batchIdOffset)).as("doc_id"), col("text"))
       .localCheckpoint(true)
 
     def multiLine(docs: DataFrame): DataFrame =

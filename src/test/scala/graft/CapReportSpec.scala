@@ -138,6 +138,15 @@ class CapReportSpec extends SparkSpec {
     val clean = row(VectorOps.clusterCapReport(emb, "vec_id", "label", clusterCap = 10L))
     assert(clean.getAs[Long]("n_split_buckets") == 0L &&
       clean.getAs[Long]("n_split_blocks") == 0L)
+    // cap <= 0 is documented single-block mode: NOTHING splits, so the
+    // split columns must read 0 (not count every non-empty bucket),
+    // while the cost gauge still prices the all-pairs bill
+    val single = row(VectorOps.clusterCapReport(emb, "vec_id", "label", clusterCap = 0L))
+    assert(single.getAs[Long]("n_buckets") == 2L &&
+      single.getAs[Long]("n_split_buckets") == 0L &&
+      single.getAs[Long]("n_split_blocks") == 0L &&
+      single.getAs[Long]("max_bucket_n") == 4L &&
+      single.getAs[Long]("n_pair_comparisons") == 6L)
   }
 
   test("corrScreen cap report windows on the same band key as the screen") {

@@ -367,6 +367,51 @@ class TextVectorSpec extends SparkSpec {
     assert(lshBlocked == lshFree)
   }
 
+  test("cosineNearDupPairs raises by design past the comparisons budget") {
+    import graft.functions.VectorOps
+    // 10 identical vectors in one cluster: the exact all-pairs
+    // contract costs 45 comparisons — past a planted budget of 10 the
+    // builder must refuse to LAUNCH (pre-flight, from the size frame,
+    // before the quadratic join plans), carrying the by-design marker
+    // so blind drivers (Bench) classify it as a skip, and pointing at
+    // the gauge + the linear group-only route.
+    val vecs = (0L to 9L).map(i => (i, Array(1.0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalStateException] {
+      VectorOps.cosineNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9,
+        clusterCap = 5L, maxComparisons = 10L)
+    }
+    assert(e.getMessage.contains(graft.api.Guards.Marker))
+    assert(e.getMessage.contains("45"))
+    assert(e.getMessage.contains("clusterCapReport"))
+    assert(e.getMessage.contains("minhashStarEdges"))
+    // the budget is a launch guard, not a semantic knob: disabled
+    // (<= 0) or raised, the same input yields the full exact pair set
+    val ok = VectorOps.cosineNearDupPairs(vecs, "vec_id", "embedding", "label",
+      0.9, clusterCap = 5L, maxComparisons = 0L).count()
+    assert(ok == 45L)
+    val raised = VectorOps.cosineNearDupPairs(vecs, "vec_id", "embedding", "label",
+      0.9, clusterCap = 5L, maxComparisons = 45L).count()
+    assert(raised == 45L)
+  }
+
+  test("under-cap clusters skip the shard machinery (no merge pin)") {
+    import graft.functions.VectorOps
+    // when NO cluster exceeds the cap the operator must degenerate to
+    // a plain within-cluster self-join: no SortMergeJoin pin (Catalyst
+    // may broadcast), and no shard/explode columns in the plan — the
+    // r13 unconditional pin taxed exactly these small-scale inputs
+    val vecs = (0L to 30L).map(i => (i, Array(1.0f, 0f, 0f), i % 8))
+      .toDF("vec_id", "embedding", "label")
+    val plan = VectorOps.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"under-cap input must not pay the sort-merge pin:\n$plan")
+    assert(!plan.contains("explode"),
+      s"under-cap input must not build shard explodes:\n$plan")
+  }
+
   test("multi-probe IVF recovers the boundary neighbor single-probe misses") {
     import graft.functions.VectorOps
     val vecs = Seq(
