@@ -74,20 +74,41 @@ object OracleCrossCheck {
       rd(spark, sfDir).createOrReplaceTempView(name)
     }
     var nMatch = 0
+    var nMatchShim = 0
     var nMismatch = 0
     var nUnsupported = 0
+    def clip(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\\n\\r\\t]", " ").take(120)
     graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      val status =
-        try {
-          val oracle = canon(spark.sql(sql))
+      // raw replay first (the strongest claim: untranspiled dialect
+      // overlap); on failure, retry through the mechanical DuckDialect
+      // shim and tag the result so the two tiers stay distinguishable.
+      def replay(q: String): Either[Throwable, Seq[Seq[String]]] =
+        try Right(canon(spark.sql(q))) catch { case e: Throwable => Left(e) }
+      val raw = replay(sql)
+      val oracle = raw match {
+        case Right(_) => raw
+        case Left(_) =>
+          val shimSql = DuckDialect.toSpark(sql)
+          if (shimSql != sql) replay(shimSql) else raw
+      }
+      val viaShim = raw.isLeft && oracle.isRight
+      val status = oracle match {
+        case Left(e) =>
+          nUnsupported += 1
+          s"UNSUPPORTED ${clip(e)}"
+        case Right(o) =>
           try {
             val engine = canon(graft.SparkEntry.queries(name)(spark, sfDir))
-            if (oracle == engine) { nMatch += 1; "MATCH" }
-            else {
+            if (o == engine) {
+              if (viaShim) { nMatchShim += 1; "MATCH_SHIM" }
+              else { nMatch += 1; "MATCH" }
+            } else {
               nMismatch += 1
-              val diff = oracle.zipAll(engine, Seq("<none>"), Seq("<none>"))
+              val diff = o.zipAll(engine, Seq("<none>"), Seq("<none>"))
                 .find { case (a, b) => a != b }
-              s"MISMATCH rows=${oracle.size}/${engine.size} first_diff=" +
+              s"MISMATCH${if (viaShim) "_SHIM" else ""} rows=${o.size}/${engine.size} first_diff=" +
                 diff.map { case (a, b) =>
                   s"oracle=${a.mkString("|").take(120)} engine=${b.mkString("|").take(120)}"
                 }.getOrElse("")
@@ -95,19 +116,14 @@ object OracleCrossCheck {
           } catch {
             case e: Throwable =>
               nUnsupported += 1
-              val m = Option(e.getMessage).getOrElse(e.getClass.getName)
-              s"UNSUPPORTED engine_error ${m.replaceAll("[\\n\\r\\t]", " ").take(120)}"
+              s"UNSUPPORTED engine_error ${clip(e)}"
           }
-        } catch {
-          case e: Throwable =>
-            nUnsupported += 1
-            val m = Option(e.getMessage).getOrElse(e.getClass.getName)
-            s"UNSUPPORTED ${m.replaceAll("[\\n\\r\\t]", " ").take(120)}"
-        }
+      }
       println(s"CROSSCHECK $name $status")
     }
     println(s"CROSSCHECK_SUMMARY engines=[duckdb-sql-replayed-on-spark] " +
-      s"match=$nMatch mismatch=$nMismatch unsupported=$nUnsupported " +
+      s"match=${nMatch + nMatchShim} (raw=$nMatch shim=$nMatchShim) " +
+      s"mismatch=$nMismatch unsupported=$nUnsupported " +
       s"total=${graft.SparkEntry.oracleSql.size}")
     spark.stop()
   }
