@@ -46,6 +46,7 @@ object DuckDialect {
     // that does modular arithmetic needs the unsigned VALUE (decimal).
     val hexSigned = sql.contains(">>")
     var s = sql
+    s = rewriteZippedUnnest(s)
     s = rewriteFromGenerateSeries(s)
     s = rewriteQualify(s)
     s = fixpoint(s) { t =>
@@ -111,6 +112,8 @@ object DuckDialect {
       u = rewriteCall(u, "encode", 1)(a => s"encode(${a(0)}, 'UTF-8')")
       u = rewriteCall(u, "grouping", 2)(a => s"grouping_id(${a(0)}, ${a(1)})")
       u = rewriteCall(u, "to_hex", 1)(a => s"lower(hex(${a(0)}))")
+      // DuckDB dayofweek: 0=Sunday..6; Spark: 1=Sunday..7
+      u = rewriteCall(u, "dayofweek", 1)(a => s"(dayofweek__spark(${a(0)}) - 1)")
       u = rewriteCall(u, "json_extract", 2)(a => s"get_json_object(${a(0)}, ${a(1)})")
       u = rewriteCall(u, "array_to_string", 2)(a => s"array_join(${a(0)}, ${a(1)})")
       u = rewriteCall(u, "generate_subscripts", 2) { a =>
@@ -129,6 +132,7 @@ object DuckDialect {
       u
     }
     s = s.replace("regexp_extract_all__2(", "regexp_extract_all(")
+      .replace("dayofweek__spark(", "dayofweek(")
     s = rewriteBrackets(s)
     s = rewriteWords(s)
     s = rewriteIntDiv(s)
@@ -724,6 +728,50 @@ object DuckDialect {
       }
     }
     out.toString
+  }
+
+  /** DuckDB ZIPS multiple `unnest`s in one select list. The idiom the
+    * oracles use — a value unnest zipped with its own index series —
+    * is exactly `posexplode`:
+    * `unnest(A) AS x, unnest(generate_series(1, len(A))) AS i`
+    *   → `posexplode(A) AS (__zp, x), (__zp + 1) AS i` (1-based), and
+    * `unnest(A) AS x, unnest(range(len(A))) AS i`
+    *   → `posexplode(A) AS (i, x)` (0-based). Other zip shapes are
+    * left alone (Spark then reports them unsupported rather than
+    * silently cross-joining the generators).
+    */
+  private def rewriteZippedUnnest(s0: String): String = {
+    var s = s0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 20) {
+      changed = false
+      guard += 1
+      val one = """(?is)unnest\((.+?)\)\s+AS\s+(\w+)\s*,\s*unnest\(\s*(generate_series\(\s*1\s*,\s*len\(\s*(.+?)\s*\)\s*\)|range\(\s*len\(\s*(.+?)\s*\)\s*\))\s*\)\s+AS\s+(\w+)""".r
+      one.findFirstMatchIn(s) match {
+        case Some(m) =>
+          val a = m.group(1).trim
+          val series = m.group(3)
+          val aInSeries = Option(m.group(4)).getOrElse(m.group(5)).trim
+          val x = m.group(2)
+          val i = m.group(6)
+          def norm(t: String) = t.replaceAll("\\s+", "")
+          if (norm(a) == norm(aInSeries)) {
+            val rep =
+              if (series.startsWith("generate_series"))
+                s"posexplode($a) AS (__zp, $x), (__zp + 1) AS $i"
+              else s"posexplode($a) AS ($i, $x)"
+            s = s.substring(0, m.start) + rep + s.substring(m.end)
+            changed = true
+          } else {
+            // not the self-indexing idiom — leave it (and stop: the
+            // regex would keep finding the same site)
+            changed = false
+          }
+        case None =>
+      }
+    }
+    s
   }
 
   /** `struct_pack(k := v, ...)` → `named_struct('k', v, ...)`. */

@@ -86,21 +86,11 @@ object OracleCrossCheck {
       // shim and tag the result so the two tiers stay distinguishable.
       def replay(q: String): Either[Throwable, Seq[Seq[String]]] =
         try Right(canon(spark.sql(q))) catch { case e: Throwable => Left(e) }
-      val raw = replay(sql)
-      val oracle = raw match {
-        case Right(_) => raw
-        case Left(_) =>
-          val shimSql = DuckDialect.toSpark(sql)
-          if (shimSql != sql) replay(shimSql) else raw
-      }
-      val viaShim = raw.isLeft && oracle.isRight
-      val status = oracle match {
-        case Left(e) =>
-          nUnsupported += 1
-          s"UNSUPPORTED ${clip(e)}"
-        case Right(o) =>
-          try {
-            val engine = canon(graft.SparkEntry.queries(name)(spark, sfDir))
+      lazy val shimSql = DuckDialect.toSpark(sql)
+      val status =
+        try {
+          val engine = canon(graft.SparkEntry.queries(name)(spark, sfDir))
+          def compare(o: Seq[Seq[String]], viaShim: Boolean): String =
             if (o == engine) {
               if (viaShim) { nMatchShim += 1; "MATCH_SHIM" }
               else { nMatch += 1; "MATCH" }
@@ -113,12 +103,33 @@ object OracleCrossCheck {
                   s"oracle=${a.mkString("|").take(120)} engine=${b.mkString("|").take(120)}"
                 }.getOrElse("")
             }
-          } catch {
-            case e: Throwable =>
-              nUnsupported += 1
-              s"UNSUPPORTED engine_error ${clip(e)}"
+          replay(sql) match {
+            case Right(o) if o == engine => compare(o, viaShim = false)
+            case Right(o) =>
+              // raw replays but diverges — a raw-parsable dialect
+              // collision (e.g. dayofweek origin) may still be
+              // shimmable; report the SHIM leg only if it matches,
+              // else the raw mismatch (the more conservative claim)
+              if (shimSql != sql) replay(shimSql) match {
+                case Right(o2) if o2 == engine => compare(o2, viaShim = true)
+                case _ => compare(o, viaShim = false)
+              } else compare(o, viaShim = false)
+            case Left(e) =>
+              if (shimSql != sql) replay(shimSql) match {
+                case Right(o2) => compare(o2, viaShim = true)
+                case Left(e2) =>
+                  nUnsupported += 1
+                  s"UNSUPPORTED ${clip(e2)}"
+              } else {
+                nUnsupported += 1
+                s"UNSUPPORTED ${clip(e)}"
+              }
           }
-      }
+        } catch {
+          case e: Throwable =>
+            nUnsupported += 1
+            s"UNSUPPORTED engine_error ${clip(e)}"
+        }
       println(s"CROSSCHECK $name $status")
     }
     println(s"CROSSCHECK_SUMMARY engines=[duckdb-sql-replayed-on-spark] " +

@@ -119,6 +119,29 @@ class CorrScreenFallbackSpec extends SparkSpec {
       "signed auto must be the sized signed screen, bit-identical")
   }
 
+  test("the 32-bit screen (the >2^20-key width) runs end-to-end and keeps the planted pair") {
+    // The 32-bit branch of autoBandBits cannot be committed under the
+    // driver's DuckDB oracle at tolerable cost: >2^20 distinct keys
+    // each need ~64 informative deltas (sparser fingerprints birthday-
+    // collide the banded buckets into quadratic candidate sets), so
+    // the minimal sound fixture is ~88M generated rows — measured at
+    // 378 s for the candidate stage alone in DuckDB at sf0.01 (round
+    // 14), ~60x the whole per-query oracle budget. This spec is the
+    // documented substitute: the width=32 screen end-to-end on the
+    // planted fixture — 2 bands, the 32-bit mask in the plan, and
+    // identical recall of the hamming-0 copycats (pigeonhole: radius
+    // 64/32 - 1 = 1 still guarantees hamming <= 1).
+    val w32 = MicrostructureOps.corrScreen(
+      fixture, "sym", "bucket_ts", maxHamming = 24, bandBits = 32)
+    val plan = w32.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("4294967295"),
+      s"expected the 32-bit band mask in the plan:\n${plan.take(2000)}")
+    val pair = rows(w32.filter(col("key_a") === "cp1" && col("key_b") === "cp2"))
+    assert(pair.length == 1 && pair.head.getAs[Double]("corr") == 1.0,
+      "32-bit screen must recall the identical copycats with exact corr 1.0")
+    assert(pair.head.getAs[Long]("hamming") == 0L)
+  }
+
   test("q_corr_screen_hicard auto-commits the 16-BIT banding at its sf0.01 universe") {
     // the committed replica fixture pushes the measured universe to
     // ~3000 keys (> the 2048 8-bit boundary), so corrScreenAuto must

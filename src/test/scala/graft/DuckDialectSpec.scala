@@ -134,6 +134,28 @@ class DuckDialectSpec extends SparkSpec {
     assert(kept == Seq("a", "b"))
   }
 
+  test("dayofweek shifts to DuckDB's 0=Sunday origin") {
+    assert(toSpark("dayofweek(ts) IN (0, 6)") == "(dayofweek(ts) - 1) IN (0, 6)")
+    // 2024-01-07 is a Sunday: DuckDB dayofweek = 0
+    assert(run1("SELECT " + toSpark("dayofweek(DATE '2024-01-07')")) == 0)
+  }
+
+  test("zipped unnests become posexplode — executed, both index origins") {
+    // 1-based: unnest(A), unnest(generate_series(1, len(A)))
+    val t1 = toSpark(
+      "SELECT unnest(l) AS x, unnest(generate_series(1, len(l))) AS i " +
+        "FROM (SELECT ['a', 'b'] AS l)")
+    val r1 = spark.sql(t1).select("x", "i").collect()
+      .map(r => (r.getString(0), r.get(1).toString.toLong)).toSet
+    assert(r1 == Set(("a", 1L), ("b", 2L)), s"got $r1 via\n$t1")
+    // 0-based: unnest(A), unnest(range(len(A)))
+    val t0 = toSpark(
+      "SELECT unnest(l) AS x, unnest(range(len(l))) AS i FROM (SELECT ['a', 'b'] AS l)")
+    val r0 = spark.sql(t0).select("x", "i").collect()
+      .map(r => (r.getString(0), r.get(1).toString.toLong)).toSet
+    assert(r0 == Set(("a", 0L), ("b", 1L)), s"got $r0 via\n$t0")
+  }
+
   test("list folds: reduce seeds with first element; inner product folds left") {
     assert(run1("SELECT " + toSpark("list_reduce(array(5, 2, 1), (a, b) -> a - b)")) == 2)
     assert(run1("SELECT " + toSpark(
