@@ -455,14 +455,15 @@ object VectorOps {
       threshold: Double,
       seed: Long = 42L,
       clusterCap: Long = 10000L,
-      maxComparisons: Long = 10000000000L
+      maxComparisons: Long = 10000000000L,
+      mergePinMinComparisons: Long = 10000000L
   ): DataFrame = {
     val asDouble = transform(col(vecCol), x => x.cast("double"))
     val bucketed = embeddings
       .select(col(idCol).as("id"), asDouble.as("vec"))
       .withColumn("cluster", hyperplaneBucket(col("vec"), dim, nPlanes, seed))
     cosineNearDupPairs(bucketed, "id", "vec", "cluster", threshold, clusterCap,
-      maxComparisons)
+      maxComparisons, mergePinMinComparisons)
   }
 
   /** Embedding-cosine near-duplicate pairs within a coarse partition:
@@ -498,15 +499,18 @@ object VectorOps {
     * pre-flight gauge (`clusterCapReport`'s `n_pair_comparisons`) and
     * the escape hatches (finer clustering; an explicit raised budget;
     * the linear star-edge route for group-only consumers). <= 0
-    * disables the budget. The same eager size pass picks the plan:
-    * when NO cluster exceeds `clusterCap` (m = 1 everywhere — the
-    * common case) the operator is a plain within-cluster self-join
-    * with no shard columns and no join-strategy pin, so Catalyst may
-    * broadcast the small side; the sort-merge MERGE pin is applied
-    * only when an over-cap cluster actually exists and the task-size
-    * bound must hold (the unconditional r13 pin taxed exactly the
-    * small-scale queries that never split — sf0.1 dedup family
-    * regressions in BENCH_r13).
+    * disables the budget. The same eager size pass picks the plan —
+    * three regimes by the bill and the worst cluster:
+    *  - bill <= `mergePinMinComparisons` and nothing over cap: plain
+    *    within-cluster self-join, no shard columns, no join-strategy
+    *    pin (the unconditional r13 pin taxed exactly these small
+    *    inputs — sf0.1 dedup-family regressions in BENCH_r13);
+    *  - bill past the threshold but nothing over cap: the same plain
+    *    join under a MERGE pin — a dense under-cap clustering is
+    *    where Catalyst's broadcast walked giant per-cluster hash
+    *    chains (sf3 re-measured 4.5x slower unpinned, r14);
+    *  - an over-cap cluster exists: the blocked sub-shard machinery,
+    *    MERGE-pinned, so the task-size bound holds.
     */
   /** Cluster-size observability for [[cosineNearDupPairs]] /
     * [[lshNearDupPairs]] ([[graft.operators.CapReport.ofBlocked]]):
@@ -554,7 +558,8 @@ object VectorOps {
       clusterCol: String,
       threshold: Double,
       clusterCap: Long = 10000L,
-      maxComparisons: Long = 10000000000L
+      maxComparisons: Long = 10000000000L,
+      mergePinMinComparisons: Long = 10000000L
   ): DataFrame = {
     val base = embeddings.select(
       col(idCol).as("id"),
@@ -590,14 +595,20 @@ object VectorOps {
       // No cluster splits (m = 1 everywhere, the common case) — the
       // blocked machinery degenerates to a plain within-cluster
       // self-join, so build exactly that: no size broadcast, no shard
-      // explode, and NO join-strategy pin — Catalyst is free to
-      // broadcast the small side, which is legitimately cheap here
-      // because every join task is bounded by the (under-cap) worst
-      // cluster, not by the pin. Same pair set: a < b within cluster.
+      // explode. Same pair set: a < b within cluster. The join
+      // STRATEGY still follows the bill: past mergePinMinComparisons
+      // the MERGE pin applies even though nothing splits — a dense
+      // under-cap clustering (sf3's 6.5k-row labels, 2e8 comparisons)
+      // regressed 4.5x when Catalyst broadcast the whole vector side
+      // (the r13 sf3 pathology, re-measured r14); under the pin each
+      // cluster sorts once and pairs stream. Below the threshold the
+      // pin would only tax a small input (the r13 sf0.1 regression),
+      // so Catalyst stays free to broadcast.
       val withN = base.withColumn("nrm", norm(col("vec")))
-      val a = withN.select(
+      val a0 = withN.select(
         col("id").as("id_a"), col("vec").as("vec_a"),
         col("cluster"), col("nrm").as("norm_a"))
+      val a = if (bill > mergePinMinComparisons) a0.hint("merge") else a0
       val b = withN.select(
         col("id").as("id_b"), col("vec").as("vec_b"),
         col("cluster"), col("nrm").as("norm_b"))

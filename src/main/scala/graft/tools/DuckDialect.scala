@@ -136,8 +136,33 @@ object DuckDialect {
     s = rewriteBrackets(s)
     s = rewriteWords(s)
     s = rewriteIntDiv(s)
+    s = mapUnquoted(s) { seg =>
+      // bare ANTI/SEMI JOIN: Spark parses `a ANTI JOIN b` as table a
+      // aliased ANTI inner-joined to b — silently INVERTING the filter
+      seg.replaceAll("(?i)(?<!LEFT )\\bANTI\\s+JOIN\\b", "LEFT ANTI JOIN")
+        .replaceAll("(?i)(?<!LEFT )\\bSEMI\\s+JOIN\\b", "LEFT SEMI JOIN")
+    }
     s = doubleBackslashes(s)
     s
+  }
+
+  /** Apply `f` to the non-quoted segments of `s` only. */
+  private def mapUnquoted(s0: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var segStart = 0
+    while (i < s0.length) {
+      s0.charAt(i) match {
+        case '\'' | '"' =>
+          out.append(f(s0.substring(segStart, i)))
+          val j = skipQuoted(s0, i)
+          out.append(s0.substring(i, j))
+          i = j; segStart = j
+        case _ => i += 1
+      }
+    }
+    out.append(f(s0.substring(segStart)))
+    out.toString
   }
 
   /** DuckDB string literals are escape-free (a backslash is a

@@ -14,10 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * syntax-independent cross-check: a hash that only DuckDB can
   * reproduce (an engine-owned rounding policy, an implicit type
   * widening) shows up here as a MISMATCH even though the driver's
-  * single-engine gate stays green. DuckDB-specific constructs
-  * (list_*, QUALIFY, epoch_us, generate_series table functions, //)
-  * fail Spark's parser/analyzer and are reported UNSUPPORTED — the
-  * documented subset boundary, not silently skipped.
+  * single-engine gate stays green.
+  *
+  * Two-tier protocol (round 14): the RAW oracle SQL replays first —
+  * a raw MATCH is the strongest claim (untranspiled dialect overlap).
+  * When the raw replay fails to parse/analyze OR parses but diverges,
+  * the [[DuckDialect]] mechanical transpile replays instead and a
+  * match is reported as MATCH_SHIM (the shim handles dialect-only
+  * divergence like the dayofweek origin, literal escape semantics,
+  * 1-based lambdas). Only constructs the shim cannot faithfully
+  * rewrite remain UNSUPPORTED — the documented boundary, not silently
+  * skipped: recursive-CTE connected components (Spark's recursion
+  * lacks UNION-distinct; the dedup-family oracles), ASOF JOIN (no
+  * Spark SQL equivalent; the engine's as-of trio is spec-covered
+  * stream≡batch), generator zips beyond the posexplode idiom, and a
+  * handful of runtime-divergent constructs (conv() overflow regimes,
+  * reduce-over-decimal typing).
   *
   * Canonicalization mirrors the driver's compare: columns sorted by
   * NAME, rows sorted as string tuples, doubles by bits (canonical
@@ -26,8 +38,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * different rendering).
   *
   * Usage: runMain graft.tools.OracleCrossCheck [sfDir]
-  * Prints one `CROSSCHECK <name> MATCH|MISMATCH|UNSUPPORTED …` line
-  * per oracle plus a summary line; assemble into ORACLE_MATRIX_r{N}.
+  * Prints one `CROSSCHECK <name> MATCH|MATCH_SHIM|MISMATCH[_SHIM]|
+  * UNSUPPORTED …` line per oracle plus a summary line; assemble into
+  * ORACLE_MATRIX_r{N}.
   */
 object OracleCrossCheck {
 

@@ -134,6 +134,19 @@ class DuckDialectSpec extends SparkSpec {
     assert(kept == Seq("a", "b"))
   }
 
+  test("bare ANTI/SEMI JOIN gain the LEFT Spark requires — executed") {
+    assert(toSpark("FROM a ANTI JOIN b ON a.x = b.x") ==
+      "FROM a LEFT ANTI JOIN b ON a.x = b.x")
+    assert(toSpark("FROM a LEFT ANTI JOIN b ON a.x = b.x") ==
+      "FROM a LEFT ANTI JOIN b ON a.x = b.x")
+    // without the rewrite Spark parses `a ANTI` as an alias and the
+    // join turns INNER — the opposite rows
+    val t = toSpark(
+      "SELECT count(*) AS n FROM (SELECT 1 AS x UNION ALL SELECT 2) a " +
+        "ANTI JOIN (SELECT 2 AS x) b ON a.x = b.x")
+    assert(run1(t) == 1L)
+  }
+
   test("dayofweek shifts to DuckDB's 0=Sunday origin") {
     assert(toSpark("dayofweek(ts) IN (0, 6)") == "(dayofweek(ts) - 1) IN (0, 6)")
     // 2024-01-07 is a Sunday: DuckDB dayofweek = 0

@@ -397,10 +397,11 @@ class TextVectorSpec extends SparkSpec {
 
   test("under-cap clusters skip the shard machinery (no merge pin)") {
     import graft.functions.VectorOps
-    // when NO cluster exceeds the cap the operator must degenerate to
-    // a plain within-cluster self-join: no SortMergeJoin pin (Catalyst
-    // may broadcast), and no shard/explode columns in the plan — the
-    // r13 unconditional pin taxed exactly these small-scale inputs
+    // when NO cluster exceeds the cap AND the bill is small the
+    // operator must degenerate to a plain within-cluster self-join:
+    // no SortMergeJoin pin (Catalyst may broadcast), and no
+    // shard/explode columns in the plan — the r13 unconditional pin
+    // taxed exactly these small-scale inputs
     val vecs = (0L to 30L).map(i => (i, Array(1.0f, 0f, 0f), i % 8))
       .toDF("vec_id", "embedding", "label")
     val plan = VectorOps.cosineNearDupPairs(
@@ -408,6 +409,25 @@ class TextVectorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       s"under-cap input must not pay the sort-merge pin:\n$plan")
+    assert(!plan.contains("explode"),
+      s"under-cap input must not build shard explodes:\n$plan")
+  }
+
+  test("a dense under-cap clustering pins MERGE without shard machinery") {
+    import graft.functions.VectorOps
+    // the sf3 shape (re-measured r14): the worst cluster is UNDER the
+    // cap but the bill is past mergePinMinComparisons — unpinned,
+    // Catalyst broadcast the whole vector side and walked one giant
+    // per-cluster hash chain (4.5x slower). The plan must sort-merge
+    // but still skip the shard explodes (m = 1 everywhere).
+    val vecs = (0L to 30L).map(i => (i, Array(1.0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val plan = VectorOps.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", "label", 0.9, clusterCap = 100L,
+      mergePinMinComparisons = 100L) // bill = 31*30/2 = 465 > 100
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"dense under-cap input must pay the sort-merge pin:\n$plan")
     assert(!plan.contains("explode"),
       s"under-cap input must not build shard explodes:\n$plan")
   }
