@@ -141,6 +141,10 @@ object DuckDialect {
       // aliased ANTI inner-joined to b — silently INVERTING the filter
       seg.replaceAll("(?i)(?<!LEFT )\\bANTI\\s+JOIN\\b", "LEFT ANTI JOIN")
         .replaceAll("(?i)(?<!LEFT )\\bSEMI\\s+JOIN\\b", "LEFT SEMI JOIN")
+        // the all-ones UBIGINT mask (already UBIGINT→BIGINT-mapped by
+        // now): same 64-bit pattern as signed -1, and the literal
+        // itself overflows BIGINT under ANSI
+        .replace("CAST(18446744073709551615 AS BIGINT)", "CAST(-1 AS BIGINT)")
     }
     s = doubleBackslashes(s)
     s
@@ -689,21 +693,30 @@ object DuckDialect {
   }
 
   private def rewriteHexCast(s0: String, signed: Boolean): String =
-    rewriteCall(s0, "CAST", 1) { a =>
+    // rewriteCallRaw, not rewriteCall: a CAST that does NOT match must
+    // be left in place with the scan DESCENDING into its argument —
+    // the oracles nest hex casts inside arithmetic casts
+    // (CAST(CAST(('0x'||x) AS UBIGINT) % 7 - 3 AS DOUBLE))
+    rewriteCallRaw(s0, "CAST") { raw =>
       val hex = """(?is)^\(\s*'0x'\s*\|\|\s*(.+)\)\s+AS\s+(UBIGINT|HUGEINT)$""".r
+      // narrower targets (≤ 8 hex digits in the oracles): the value
+      // fits signed 64 whatever the sign convention, so conv + BIGINT
+      val hexInt = """(?is)^\(\s*'0x'\s*\|\|\s*(.+)\)\s+AS\s+(BIGINT|INT|INTEGER|UINTEGER|SMALLINT|USMALLINT)$""".r
       // Spark forbids generators nested in expressions — push the cast
       // inside: CAST(explode(X) AS T) → explode(transform(X, c -> CAST(c AS T)))
       val gen = """(?is)^(explode|unnest)\s*\((.+)\)\s+AS\s+(\w+(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)$""".r
-      a(0).trim match {
-        case hex(inner, _) =>
+      raw.trim match {
+        case hex(inner, _) if balanced(inner) =>
           if (signed)
             // conv(x, 16, -10): same 64 bits, signed reinterpretation —
             // shiftable, and (h >> j) & 1 reads the same bit
-            s"CAST(conv(${inner.trim}, 16, -10) AS BIGINT)"
-          else s"CAST(conv(${inner.trim}, 16, 10) AS DECIMAL(20,0))"
-        case gen(_, inner, typ) =>
-          s"explode(transform(${inner.trim}, __c -> CAST(__c AS $typ)))"
-        case _ => s"CAST(${a(0)})"
+            Some(s"CAST(conv(${inner.trim}, 16, -10) AS BIGINT)")
+          else Some(s"CAST(conv(${inner.trim}, 16, 10) AS DECIMAL(20,0))")
+        case hexInt(inner, _) if balanced(inner) =>
+          Some(s"CAST(conv(${inner.trim}, 16, 10) AS BIGINT)")
+        case gen(_, inner, typ) if balanced(inner) =>
+          Some(s"explode(transform(${inner.trim}, __c -> CAST(__c AS $typ)))")
+        case _ => None
       }
     }
 
@@ -768,35 +781,58 @@ object DuckDialect {
   private def rewriteZippedUnnest(s0: String): String = {
     var s = s0
     var guard = 0
-    var changed = true
-    while (changed && guard < 20) {
-      changed = false
+    var from = 0
+    val one = """(?is)unnest\((.+?)\)\s+AS\s+(\w+)\s*,\s*unnest\(\s*(generate_series\(\s*1\s*,\s*len\(\s*(.+?)\s*\)\s*\)|range\(\s*len\(\s*(.+?)\s*\)\s*\))\s*\)\s+AS\s+(\w+)""".r
+    while (guard < 50) {
       guard += 1
-      val one = """(?is)unnest\((.+?)\)\s+AS\s+(\w+)\s*,\s*unnest\(\s*(generate_series\(\s*1\s*,\s*len\(\s*(.+?)\s*\)\s*\)|range\(\s*len\(\s*(.+?)\s*\)\s*\))\s*\)\s+AS\s+(\w+)""".r
-      one.findFirstMatchIn(s) match {
-        case Some(m) =>
-          val a = m.group(1).trim
-          val series = m.group(3)
-          val aInSeries = Option(m.group(4)).getOrElse(m.group(5)).trim
-          val x = m.group(2)
-          val i = m.group(6)
+      one.findFirstMatchIn(s.substring(from)) match {
+        case Some(m0) =>
+          val start = from + m0.start
+          val end = from + m0.end
+          val a = m0.group(1).trim
+          val series = m0.group(3)
+          val aInSeries = Option(m0.group(4)).getOrElse(m0.group(5)).trim
+          val x = m0.group(2)
+          val i = m0.group(6)
           def norm(t: String) = t.replaceAll("\\s+", "")
-          if (norm(a) == norm(aInSeries)) {
+          // the lazy dotall group can span CTE boundaries and land on
+          // a false candidate — require the self-indexing idiom AND a
+          // balanced first argument, else keep scanning from the next
+          // position instead of giving up
+          if (norm(a) == norm(aInSeries) && balanced(a)) {
             val rep =
               if (series.startsWith("generate_series"))
                 s"posexplode($a) AS (__zp, $x), (__zp + 1) AS $i"
               else s"posexplode($a) AS ($i, $x)"
-            s = s.substring(0, m.start) + rep + s.substring(m.end)
-            changed = true
-          } else {
-            // not the self-indexing idiom — leave it (and stop: the
-            // regex would keep finding the same site)
-            changed = false
-          }
-        case None =>
+            s = s.substring(0, start) + rep + s.substring(end)
+            from = start + rep.length
+          } else from = start + 7
+        case None => return s
       }
     }
     s
+  }
+
+  /** Balanced parens/brackets and quotes — a sanity gate for regex-
+    * captured argument spans. */
+  private def balanced(t: String): Boolean = {
+    var depth = 0
+    var i = 0
+    while (i < t.length) {
+      t.charAt(i) match {
+        case '\'' | '"' =>
+          val j = skipQuoted(t, i)
+          if (j <= i) return false
+          i = j - 1
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' =>
+          depth -= 1
+          if (depth < 0) return false
+        case _ =>
+      }
+      i += 1
+    }
+    depth == 0
   }
 
   /** `struct_pack(k := v, ...)` → `named_struct('k', v, ...)`. */

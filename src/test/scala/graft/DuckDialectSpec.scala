@@ -96,6 +96,11 @@ class DuckDialectSpec extends SparkSpec {
       "SELECT (CAST(('0x' || 'ffffffffffffffff') AS UBIGINT) >> 63) & 1 AS b")
     assert(signedQ.contains("conv('ffffffffffffffff', 16, -10)"))
     assert(run1(signedQ) == 1L)
+    // narrow targets (<= 8 hex digits): plain unsigned conv into BIGINT
+    assert(run1(toSpark("SELECT CAST(('0x' || 'cfcd') AS INT) AS v")) == 53197L)
+    // the all-ones UBIGINT complement mask survives ANSI as signed -1
+    assert(run1(toSpark(
+      "SELECT xor(CAST(5 AS UBIGINT), CAST(18446744073709551615 AS UBIGINT)) AS m")) == -6L)
   }
 
   test("qualify unrolls into a filtered subquery — executed") {
