@@ -103,6 +103,16 @@ object DuckDialect {
       u = rewriteScalarSeries(u)
       u = rewriteIgnoreNulls(u)
       u = rewriteBitShift(u)
+      // projected correlated EXISTS trips a Spark analyzer bug under a
+      // UNION ALL outer ("key not found: text#N"); the correlated
+      // scalar count is the same boolean and analyzes fine
+      u = rewriteCallRaw(u, "EXISTS") { inner =>
+        val m = """(?is)^\s*SELECT\s+(?:1|\*)\s+(FROM\s.+)$""".r
+        inner match {
+          case m(rest) if balanced(rest) => Some(s"((SELECT count(1) $rest) > 0)")
+          case _ => None
+        }
+      }
       u = rewriteOrderedAgg(u)
       u = rewriteWindowList(u)
       u = rewriteCall(u, "list_sum", 1) { a =>

@@ -93,7 +93,9 @@ object OracleCrossCheck {
     def clip(e: Throwable): String =
       Option(e.getMessage).getOrElse(e.getClass.getName)
         .replaceAll("[\\n\\r\\t]", " ").take(120)
-    graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+    val prefix = args.drop(1).headOption.getOrElse("")
+    graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix)).foreach { case (name, sql) =>
       // raw replay first (the strongest claim: untranspiled dialect
       // overlap); on failure, retry through the mechanical DuckDialect
       // shim and tag the result so the two tiers stay distinguishable.
