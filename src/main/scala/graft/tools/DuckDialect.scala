@@ -95,9 +95,19 @@ object DuckDialect {
       u = rewriteIndexedLambda(u)
       u = rewriteCall(u, "list_prepend", 2)(a => s"concat(array(${a(0)}), ${a(1)})")
       u = rewriteCall(u, "list_reduce", 2) { a =>
-        // DuckDB seeds the fold with the FIRST element
-        s"reduce(slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0)), " +
-          s"try_element_at(${a(0)}, 1), ${a(1)})"
+        // DuckDB seeds the fold with the FIRST element. On a HUGEINT
+        // list (mapped to DECIMAL(38,0)) Spark's reduce needs the
+        // accumulator and merge-result types pinned — wrap both.
+        val lam = """(?s)^\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.+)$""".r
+        a(1).trim match {
+          case lam(x, y, body) if sql.contains("HUGEINT") =>
+            s"reduce(slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0)), " +
+              s"CAST(try_element_at(${a(0)}, 1) AS DECIMAL(38,0)), " +
+              s"($x, $y) -> CAST(($body) AS DECIMAL(38,0)))"
+          case _ =>
+            s"reduce(slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0)), " +
+              s"try_element_at(${a(0)}, 1), ${a(1)})"
+        }
       }
       u = rewriteStructPack(u)
       u = rewriteScalarSeries(u)
