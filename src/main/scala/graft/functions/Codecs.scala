@@ -237,7 +237,10 @@ object Codecs {
     // corrupt or truncated cell. Full-width check before narrowing
     // (a 2^32 varint must not truncate to an innocuous 0).
     val nL = r.readVarLong()
-    require(nL >= 0L && nL <= 8L * bytes.length,
+    // the Int.MaxValue clause keeps the nL.toInt narrowing exact even
+    // for cells past ~268 MB, where 8*len alone would admit a 33-bit
+    // count that truncates silently
+    require(nL >= 0L && nL <= 8L * bytes.length && nL <= Int.MaxValue,
       s"gorilla_decode: corrupt payload — element count $nL exceeds the " +
         s"${bytes.length}-byte cell's capacity")
     val n = nL.toInt
@@ -352,7 +355,11 @@ object Codecs {
     // otherwise truncate to 0 and silently decode as an empty array
     // instead of raising.
     val nL = r.readVarLong()
-    require(nL >= 0L && nL <= bytes.length.toLong * T64Block,
+    // the Int.MaxValue clause keeps the nL.toInt narrowing exact even
+    // for cells past ~67 MB, where 64*len alone would admit a 33-bit
+    // count that truncates silently
+    require(nL >= 0L && nL <= bytes.length.toLong * T64Block &&
+      nL <= Int.MaxValue,
       s"t64_decode: corrupt payload — element count $nL exceeds the " +
         s"${bytes.length}-byte cell's capacity")
     val n = nL.toInt

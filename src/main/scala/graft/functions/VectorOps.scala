@@ -499,8 +499,13 @@ object VectorOps {
     * pre-flight gauge (`clusterCapReport`'s `n_pair_comparisons`) and
     * the escape hatches (finer clustering; an explicit raised budget;
     * the linear star-edge route for group-only consumers). <= 0
-    * disables the budget. The same eager size pass picks the plan —
-    * three regimes by the bill and the worst cluster:
+    * disables the budget. CONSTRUCTION IS EAGER: calling this method
+    * runs one Spark job (the pruned cluster-size scan,
+    * localCheckpointed and reused by the blocked branch's broadcast)
+    * before any result is consumed — even explain/plan-only callers
+    * pay it, because the bill decides the plan. The same eager size
+    * pass picks the plan — three regimes by the bill and the worst
+    * cluster:
     *  - bill <= `mergePinMinComparisons` and nothing over cap: plain
     *    within-cluster self-join, no shard columns, no join-strategy
     *    pin (the unconditional r13 pin taxed exactly these small
@@ -565,14 +570,18 @@ object VectorOps {
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       col(clusterCol).as("cluster"))
+    // NOTE: building this DataFrame runs ONE eager Spark job (an
+    // id+cluster-pruned scan into the one-row-per-cluster size frame,
+    // localCheckpointed so the blocked branch's broadcast reuses it
+    // instead of re-scanning): the exact comparison bill Σ n·(n−1)/2
+    // for the launch budget, and the worst cluster size for the plan
+    // choice. Bounded cluster-resident state (one row per cluster) +
+    // two longs of driver state; plan-only consumers (explain, plan
+    // tests) pay the same scan — the plan choice snapshots the input
+    // at build time by design (the bill IS the plan input).
     val sizes = base.groupBy(col("cluster"))
       .agg(count(lit(1)).as("__cn"))
-    // ONE eager pass over the one-row-per-cluster size frame (the
-    // frame the blocked path broadcasts anyway — only the id and
-    // cluster columns are read, everything else prunes away): the
-    // exact comparison bill Σ n·(n−1)/2 for the launch budget, and
-    // the worst cluster size for the plan choice. Bounded driver
-    // state: two longs.
+      .localCheckpoint(true)
     val stats = sizes.agg(
       coalesce(sum(expr("__cn * (__cn - 1) div 2")), lit(0L)).as("__cmp"),
       coalesce(max(col("__cn")), lit(0L)).as("__mx")).head()

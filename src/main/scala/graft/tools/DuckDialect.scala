@@ -48,6 +48,7 @@ object DuckDialect {
     var s = sql
     s = rewriteZippedUnnest(s)
     s = rewriteFromGenerateSeries(s)
+    s = rewriteAsof(s)
     s = rewriteQualify(s)
     s = fixpoint(s) { t =>
       var u = t
@@ -114,11 +115,25 @@ object DuckDialect {
       u = rewriteIgnoreNulls(u)
       u = rewriteBitShift(u)
       // projected correlated EXISTS trips a Spark analyzer bug under a
-      // UNION ALL outer ("key not found: text#N"); the correlated
-      // scalar count is the same boolean and analyzes fine
+      // UNION ALL outer ("key not found: text#N") — and so does the
+      // correlated scalar count (r14's first rewrite; same
+      // decorrelation path). For the single-equality correlation
+      // `EXISTS (SELECT 1 FROM t a WHERE a.c = b.c)` the faithful
+      // Spark spelling is a null-safe IN: `coalesce(b.c IN (SELECT c
+      // FROM t), false)` — IN yields NULL exactly where EXISTS yields
+      // FALSE (outer NULL, or an inner NULL with no match), so the
+      // coalesce restores EXISTS's two-valued result, and Spark
+      // decorrelates the uncorrelated IN-list fine. Other EXISTS
+      // shapes keep the scalar-count rewrite (good in WHERE position).
       u = rewriteCallRaw(u, "EXISTS") { inner =>
+        val oneEq =
+          """(?is)^\s*SELECT\s+(?:1|\*)\s+FROM\s+(\w+)\s+(\w+)\s+WHERE\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
         val m = """(?is)^\s*SELECT\s+(?:1|\*)\s+(FROM\s.+)$""".r
         inner match {
+          case oneEq(tbl, al, q1, c1, q2, c2) if (q1 == al) != (q2 == al) =>
+            val (innerCol, outerRef) =
+              if (q1 == al) (c1, s"$q2.$c2") else (c2, s"$q1.$c1")
+            Some(s"coalesce($outerRef IN (SELECT $innerCol FROM $tbl), false)")
           case m(rest) if balanced(rest) => Some(s"((SELECT count(1) $rest) > 0)")
           case _ => None
         }
@@ -228,10 +243,10 @@ object DuckDialect {
   // ---- scanning utilities (single-quote strings with '' escapes,
   // ---- double-quoted identifiers) --------------------------------
 
-  private def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+  private[tools] def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** Index just past a string/quoted-identifier literal starting at i. */
-  private def skipQuoted(s: String, i: Int): Int = {
+  private[tools] def skipQuoted(s: String, i: Int): Int = {
     val q = s.charAt(i)
     var j = i + 1
     while (j < s.length) {
@@ -244,7 +259,7 @@ object DuckDialect {
   }
 
   /** Index of the ')' matching the '(' at `open` (quote-aware), or -1. */
-  private def matchParen(s: String, open: Int): Int = {
+  private[tools] def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
@@ -343,7 +358,7 @@ object DuckDialect {
   /** Find the next occurrence of identifier `word` at or after `from`,
     * outside quotes, as a whole word; -1 if none.
     */
-  private def findWord(s: String, word: String, from: Int,
+  private[tools] def findWord(s: String, word: String, from: Int,
       caseInsensitive: Boolean = false): Int = {
     var i = from
     val w = if (caseInsensitive) word.toLowerCase else word
@@ -448,6 +463,189 @@ object DuckDialect {
     s
   }
 
+  /** DuckDB `ASOF [LEFT] JOIN` — Spark has no ASOF syntax. The
+    * canonical form `FROM L la ASOF LEFT JOIN R ra ON <eq-keys> AND
+    * la.ts >= ra.ts` (or <=, either operand order) rewrites to a
+    * plain join + per-left-row best-match pick:
+    *
+    *   FROM (SELECT *, monotonically_increasing_id() AS __lrid
+    *         FROM L) la [LEFT] JOIN R ra ON <same condition>
+    *   QUALIFY row_number() OVER (PARTITION BY la.__lrid
+    *           ORDER BY ra.ts DESC|ASC) = 1
+    *
+    * — the synthetic row id identifies each left ROW (no uniqueness
+    * assumption on left columns), the window keeps the single match
+    * with max ts <= (backward, DESC) / min ts >= (forward, ASC), and
+    * a matchless left row survives as its lone all-null join row
+    * (LEFT). The QUALIFY then lowers through [[rewriteQualify]].
+    * Conservative boundaries (returns input unchanged): a `SELECT *`
+    * head (the row id would leak into the output), anything but a
+    * single plain relation on each side, extra clauses between the ON
+    * condition and the block end (a WHERE would filter match
+    * CANDIDATES here but filters match RESULTS in DuckDB), or no
+    * single left-vs-right timestamp inequality in the condition.
+    */
+  private def rewriteAsof(s0: String): String = {
+    var s = s0
+    var guard = 0
+    while (guard < 20) {
+      guard += 1
+      val aPos = findWord(s, "ASOF", 0, caseInsensitive = true)
+      if (aPos < 0) return s
+      rewriteOneAsof(s, aPos) match {
+        case Some(next) => s = next
+        case None => return s0 // unsupported shape: leave the raw SQL
+      }
+    }
+    s
+  }
+
+  /** Words that may NOT appear at depth 0 between the ASOF ON
+    * condition and the block end (they would change the QUALIFY
+    * placement semantics or signal a multi-join FROM).
+    */
+  private val AsofBail = Set("where", "group", "order", "having", "limit",
+    "union", "intersect", "except", "qualify", "join", "left", "right",
+    "inner", "full", "cross", "asof", "window", "offset")
+
+  /** (relation core without alias, alias) for a simple FROM item:
+    * `(subquery) [AS] a`, `name [AS] a`, or bare `name`.
+    */
+  private def parseRel(rel: String): Option[(String, String)] = {
+    val t = rel.trim
+    if (t.isEmpty) None
+    else if (t.startsWith("(")) {
+      val close = matchParen(t, 0)
+      if (close < 0) None
+      else {
+        val rest = t.substring(close + 1).trim
+        val alias =
+          if (rest.toLowerCase.startsWith("as ")) rest.substring(3).trim
+          else rest
+        if (alias.nonEmpty && alias.forall(isIdent))
+          Some((t.substring(0, close + 1), alias))
+        else None
+      }
+    } else t.split("\\s+").toSeq match {
+      case Seq(n) if n.forall(isIdent) => Some((n, n))
+      case Seq(n, a) if n.forall(isIdent) && a.forall(isIdent) &&
+        a.toLowerCase != "as" => Some((n, a))
+      case Seq(n, as, a) if n.forall(isIdent) && as.equalsIgnoreCase("as") &&
+        a.forall(isIdent) => Some((n, a))
+      case _ => None
+    }
+  }
+
+  /** Next occurrence of `word` at depth 0 of s[from..until), outside
+    * quotes; -1 if none.
+    */
+  private[tools] def findWordAtDepth0(
+      s: String, word: String, from: Int, until: Int): Int = {
+    var i = from
+    val w = word.toLowerCase
+    var depth = 0
+    while (i < until) {
+      s.charAt(i) match {
+        case '\'' | '"' => i = skipQuoted(s, i)
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case c if isIdent(c) =>
+          var j = i
+          while (j < s.length && isIdent(s.charAt(j))) j += 1
+          if (depth == 0 && j <= until && s.substring(i, j).toLowerCase == w)
+            return i
+          i = j
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  private def rewriteOneAsof(s: String, aPos: Int): Option[String] = {
+    // enclosing block: nearest unmatched '(' before ASOF .. its ')'
+    val mask = quoteMask(s)
+    var depth = 0
+    var i = aPos - 1
+    var blockStart = 0
+    while (i >= 0 && blockStart == 0) {
+      if (mask(i)) { while (i >= 0 && mask(i)) i -= 1 }
+      else {
+        s.charAt(i) match {
+          case ')' => depth += 1
+          case '(' => if (depth == 0) blockStart = i + 1 else depth -= 1
+          case _ =>
+        }
+        i -= 1
+      }
+    }
+    var j = aPos
+    var d2 = 0
+    var blockEnd = s.length
+    var done = false
+    while (j < s.length && !done) {
+      s.charAt(j) match {
+        case '\'' | '"' => j = skipQuoted(s, j) - 1
+        case '(' => d2 += 1
+        case ')' => if (d2 == 0) { blockEnd = j; done = true } else d2 -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    val block = s.substring(blockStart, blockEnd)
+    val aRel = aPos - blockStart
+    // a SELECT * head would leak the synthetic row id into the output
+    val selPos = findWordAtDepth0(block, "SELECT", 0, aRel)
+    if (selPos >= 0 && block.substring(selPos + 6).trim.startsWith("*"))
+      return None
+    // the owning FROM: last depth-0 FROM before ASOF
+    var fromPos = -1
+    var f = findWordAtDepth0(block, "FROM", 0, aRel)
+    while (f >= 0) { fromPos = f; f = findWordAtDepth0(block, "FROM", f + 4, aRel) }
+    if (fromPos < 0) return None
+    val leftRel = block.substring(fromPos + 4, aRel)
+    if (findWordAtDepth0(leftRel, "JOIN", 0, leftRel.length) >= 0) return None
+    val (leftCore, leftAlias) = parseRel(leftRel).getOrElse(return None)
+    // ASOF [LEFT] JOIN
+    var k = aRel + 4
+    while (k < block.length && block.charAt(k).isWhitespace) k += 1
+    var kw = { var e = k; while (e < block.length && isIdent(block.charAt(e))) e += 1
+      block.substring(k, e) }
+    val isLeft = kw.equalsIgnoreCase("LEFT")
+    if (isLeft) {
+      k += kw.length
+      while (k < block.length && block.charAt(k).isWhitespace) k += 1
+      val e2 = { var e = k; while (e < block.length && isIdent(block.charAt(e))) e += 1; e }
+      kw = block.substring(k, e2)
+    }
+    if (!kw.equalsIgnoreCase("JOIN")) return None
+    val joinEnd = k + kw.length
+    val onPos = findWordAtDepth0(block, "ON", joinEnd, block.length)
+    if (onPos < 0) return None
+    val rightRel = block.substring(joinEnd, onPos)
+    val (_, rightAlias) = parseRel(rightRel).getOrElse(return None)
+    val cond = block.substring(onPos + 2)
+    // nothing but the condition may follow (QUALIFY placement safety)
+    if (AsofBail.exists(w => findWordAtDepth0(cond, w, 0, cond.length) >= 0))
+      return None
+    // the timestamp inequality decides direction and the pick column
+    val ineq = """(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)""".r
+    val hit = ineq.findAllMatchIn(cond).find { m =>
+      m.group(1) != m.group(4) &&
+        Set(m.group(1), m.group(4)) == Set(leftAlias, rightAlias)
+    }.getOrElse(return None)
+    val (rightTs, dir) =
+      if (hit.group(1) == leftAlias)
+        (hit.group(5), if (hit.group(3) == ">=") "DESC" else "ASC")
+      else
+        (hit.group(2), if (hit.group(3) == ">=") "ASC" else "DESC")
+    val newBlock = block.substring(0, fromPos) +
+      s"FROM (SELECT *, monotonically_increasing_id() AS __lrid FROM " +
+      s"$leftCore) $leftAlias ${if (isLeft) "LEFT JOIN" else "JOIN"} " +
+      s"${rightRel.trim} ON ${cond.trim} QUALIFY row_number() OVER " +
+      s"(PARTITION BY $leftAlias.__lrid ORDER BY $rightAlias.$rightTs $dir) = 1"
+    Some(s.substring(0, blockStart) + newBlock + s.substring(blockEnd))
+  }
+
   /** `SELECT <list> FROM <mid> QUALIFY <pred>` (pred runs to the
     * enclosing unmatched ')' or end of statement) →
     * `SELECT * EXCEPT (__q) FROM (SELECT <list>, (<pred>) AS __q FROM <mid>) WHERE __q`.
@@ -493,14 +691,27 @@ object DuckDialect {
         }
         j += 1
       }
-      val head = s.substring(start, q) // SELECT <list> FROM <mid>
+      val head = s.substring(start, q) // [WITH ...] SELECT <list> FROM <mid>
       val pred = s.substring(q + "QUALIFY".length, predEnd).trim
-      val fromIdx = findWord(head, "FROM", 0, caseInsensitive = true)
+      // the owning SELECT is the LAST depth-0 one in head — a WITH
+      // prefix (top-level QUALIFY after CTEs) stays OUTSIDE the
+      // wrapper; CTE bodies sit inside parens so they never match
+      val selPos = {
+        var p = -1
+        var f = findWordAtDepth0(head, "SELECT", 0, head.length)
+        while (f >= 0) { p = f; f = findWordAtDepth0(head, "SELECT", f + 6, head.length) }
+        p
+      }
+      if (selPos < 0) return s // not the shape we handle
+      val prefix = head.substring(0, selPos)
+      val body = head.substring(selPos)
+      val fromIdx = findWordAtDepth0(body, "FROM", 0, body.length)
       if (fromIdx < 0) return s // not the shape we handle
-      val selList = head.substring(0, fromIdx)
+      val selList = body.substring(0, fromIdx)
         .trim.replaceFirst("(?i)^SELECT\\s+", "")
-      val mid = head.substring(fromIdx + 4)
-      val rep = s"SELECT * EXCEPT (__q) FROM (SELECT $selList, ($pred) AS __q FROM $mid) WHERE __q "
+      val mid = body.substring(fromIdx + 4)
+      val rep = prefix +
+        s"SELECT * EXCEPT (__q) FROM (SELECT $selList, ($pred) AS __q FROM $mid) WHERE __q "
       s = s.substring(0, start) + rep + s.substring(predEnd)
     }
     s

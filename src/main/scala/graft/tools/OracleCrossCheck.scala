@@ -61,7 +61,7 @@ object OracleCrossCheck {
           case v => v.toString
         }
       }
-    }.sortBy(_.mkString(""))
+    }.sortBy(_.mkString("\u0001"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,14 +88,16 @@ object OracleCrossCheck {
     }
     var nMatch = 0
     var nMatchShim = 0
+    var nMatchFix = 0
     var nMismatch = 0
     var nUnsupported = 0
     def clip(e: Throwable): String =
       Option(e.getMessage).getOrElse(e.getClass.getName)
         .replaceAll("[\\n\\r\\t]", " ").take(120)
     val prefix = args.drop(1).headOption.getOrElse("")
-    graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
-      .filter(_._1.startsWith(prefix)).foreach { case (name, sql) =>
+    val replaySet = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix))
+    replaySet.foreach { case (name, sql) =>
       // raw replay first (the strongest claim: untranspiled dialect
       // overlap); on failure, retry through the mechanical DuckDialect
       // shim and tag the result so the two tiers stay distinguishable.
@@ -130,15 +132,35 @@ object OracleCrossCheck {
                 case _ => compare(o, viaShim = false)
               } else compare(o, viaShim = false)
             case Left(e) =>
+              // third tier: WITH RECURSIVE oracles execute by
+              // fixpoint iteration (RecursiveReplay) — same oracle
+              // text, Spark executor, loop-until-converged semantics
+              def fixpointLeg(fallback: Throwable): String =
+                try RecursiveReplay.replay(spark, sql) match {
+                  case Some(df) =>
+                    val o = canon(df)
+                    if (o == engine) { nMatchFix += 1; "MATCH_FIX" }
+                    else {
+                      nMismatch += 1
+                      val diff = o.zipAll(engine, Seq("<none>"), Seq("<none>"))
+                        .find { case (x, y) => x != y }
+                      s"MISMATCH_FIX rows=${o.size}/${engine.size} first_diff=" +
+                        diff.map { case (x, y) =>
+                          s"oracle=${x.mkString("|").take(120)} engine=${y.mkString("|").take(120)}"
+                        }.getOrElse("")
+                    }
+                  case None =>
+                    nUnsupported += 1
+                    s"UNSUPPORTED ${clip(fallback)}"
+                } catch {
+                  case e3: Throwable =>
+                    nUnsupported += 1
+                    s"UNSUPPORTED ${clip(fallback)} fix_leg=${clip(e3)}"
+                }
               if (shimSql != sql) replay(shimSql) match {
                 case Right(o2) => compare(o2, viaShim = true)
-                case Left(e2) =>
-                  nUnsupported += 1
-                  s"UNSUPPORTED ${clip(e2)}"
-              } else {
-                nUnsupported += 1
-                s"UNSUPPORTED ${clip(e)}"
-              }
+                case Left(e2) => fixpointLeg(e2)
+              } else fixpointLeg(e)
           }
         } catch {
           case e: Throwable =>
@@ -148,9 +170,10 @@ object OracleCrossCheck {
       println(s"CROSSCHECK $name $status")
     }
     println(s"CROSSCHECK_SUMMARY engines=[duckdb-sql-replayed-on-spark] " +
-      s"match=${nMatch + nMatchShim} (raw=$nMatch shim=$nMatchShim) " +
+      s"match=${nMatch + nMatchShim + nMatchFix} " +
+      s"(raw=$nMatch shim=$nMatchShim fixpoint=$nMatchFix) " +
       s"mismatch=$nMismatch unsupported=$nUnsupported " +
-      s"total=${graft.SparkEntry.oracleSql.size}")
+      s"replayed=${replaySet.size} total=${graft.SparkEntry.oracleSql.size}")
     spark.stop()
   }
 }

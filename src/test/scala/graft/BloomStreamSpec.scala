@@ -64,4 +64,67 @@ class BloomStreamSpec extends SparkSpec {
     val words = BloomStream.readWords(spark, store, NumWords)
     assert(words.forall(_ == 0L))
   }
+
+  private val NShards = 4
+  private val WordsPerShard = 16
+
+  test("sharded store: folded relation == whole-set batch relation for any slicing; join probe has zero false negatives") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 300).map(i => BloomKey(s"skey-$i"))
+    val store = java.nio.file.Files.createTempDirectory("bloom-shard").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bloom-shard-ckpt").toString
+    val source = MemoryStream[BloomKey]
+    val writer = BloomStream.toShardedStore(
+      source.toDF(), "k", NShards, WordsPerShard, K, store, ckpt)
+    Seq(all.take(40), all.slice(40, 170), all.drop(170)).foreach { s =>
+      source.addData(s: _*)
+      graft.streaming.StreamingRollup.runAvailableNow(writer)
+    }
+    def rel(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val folded = rel(BloomStream.readShardRows(spark, store))
+    val batch = rel(BloomOps.bloomShardRows(
+      all.toDF(), "k", NShards, WordsPerShard, K))
+    assert(folded == batch,
+      "stream-folded sharded relation differs from the whole-set batch relation")
+    // every ingested key probes positive — by JOIN, no driver literal
+    val flagged = BloomStream.probeBatch(
+      all.toDF(), "k", store, NShards, WordsPerShard, K)
+    assert(flagged.filter(!col("bloom_hit")).count() == 0L)
+    // and the probe plan carries no multi-megabyte literal: the store
+    // side is a scan + fold, confirmed by the join showing up at all
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), s"probe must read the store as a relation:\n$plan")
+  }
+
+  test("sharded store: replay is bit-idempotent; compaction preserves the filter exactly and bounds partitions") {
+    val keys = (0 until 120).map(i => BloomKey(s"sr-$i"))
+    val store = java.nio.file.Files.createTempDirectory("bloom-shard-compact").toString
+    val aDF = keys.take(70).toDF()
+    val bDF = keys.drop(70).toDF()
+    BloomStream.foldBatchSharded(aDF, "k", NShards, WordsPerShard, K, store, "t-000000000")
+    BloomStream.foldBatchSharded(bDF, "k", NShards, WordsPerShard, K, store, "t-000000001")
+    def rel = BloomStream.readShardRows(spark, store)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val before = rel
+    // crash-replay of batch 0: same partition, same content, re-OR'd
+    BloomStream.foldBatchSharded(aDF, "k", NShards, WordsPerShard, K, store, "t-000000000")
+    assert(rel == before, "replay changed the folded sharded filter")
+    // compaction: bit-identical relation, one surviving partition
+    BloomStream.compact(spark, store)
+    assert(rel == before, "compaction changed the folded sharded filter")
+    def parts = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_seq=")).toSeq
+    assert(parts == Seq("batch_seq=compact-000000000"), parts.mkString(","))
+    // a post-compaction fold + second compaction still folds exactly
+    // (the compact-N partition is itself an input to the next compact)
+    BloomStream.foldBatchSharded(aDF, "k", NShards, WordsPerShard, K, store, "t-000000002")
+    BloomStream.compact(spark, store)
+    assert(rel == before, "second compaction cycle changed the filter")
+    assert(parts == Seq("batch_seq=compact-000000001"), parts.mkString(","))
+    // zero false negatives against the whole ingested set
+    val flagged = BloomStream.probeBatch(
+      keys.toDF(), "k", store, NShards, WordsPerShard, K)
+    assert(flagged.filter(!col("bloom_hit")).count() == 0L)
+  }
 }

@@ -50,7 +50,7 @@ class EdgeStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.values.exists(_ >= 2))
   }
 
-  test("generation flip: each fold leaves the previous store generation intact until commit") {
+  test("delta fold: each trigger writes ONLY its batch partition; replay replaces, never double-counts") {
     val store = java.nio.file.Files.createTempDirectory("edge-store2").toString
     val b1 = Seq(BasketFact(1, 10), BasketFact(1, 11)).toDF()
     val b2 = Seq(BasketFact(2, 10), BasketFact(2, 11)).toDF()
@@ -62,32 +62,141 @@ class EdgeStreamSpec extends SparkSpec {
     val after2 = EdgeStream.readStore(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(after2 == Map((10L, 11L) -> 2L))
-    // both generation dirs exist; the manifest decides which is live
-    assert(new java.io.File(s"$store/gen=0").exists())
-    assert(new java.io.File(s"$store/gen=1").exists())
-    // a replayed batchId (crash after manifest flip, before the
+    // per-trigger writes are delta partitions — the store-proportional
+    // generation rewrite is gone from the trigger path (no base until
+    // a compaction absorbs the deltas)
+    val deltaParts = new java.io.File(s"$store/delta").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_seq=")).sorted
+    assert(deltaParts.length == 2, deltaParts.mkString(","))
+    assert(!new java.io.File(s"$store/gen=0").exists() &&
+      !new java.io.File(s"$store/gen=1").exists())
+    // a replayed batchId (crash after manifest write, before the
     // checkpoint commit) is a no-op — no double-count
     EdgeStream.foldBatch(b2, "order_id", "part_id", store, batchId = 1L)
     val after2b = EdgeStream.readStore(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(after2b == after2)
-    // the standing side of the next fold's join reads the bucketed
-    // generation in place: one exchange total (the delta side), and
-    // the scan carries bucket metadata — the delta-bound contract
-    val delta = Seq((3L, 10L, 1L)).toDF("x", "y", "__ds")
+    // crash BEFORE the manifest write: the replay's dynamic partition
+    // overwrite REPLACES the half-written delta (simulate by rolling
+    // the manifest back one batch and re-folding)
+    val m = java.nio.file.Paths.get(store, "CURRENT")
+    val committed = java.nio.file.Files.readString(m)
+    java.nio.file.Files.writeString(m,
+      committed.trim.split("\\s+") match {
+        case Array(g, _, k, e) => s"$g 0 $k $e"
+      })
+    EdgeStream.foldBatch(b2, "order_id", "part_id", store, batchId = 1L)
+    val after2c = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after2c == after2, "pre-manifest-crash replay double-counted")
+  }
+
+  test("compaction absorbs deltas into the bucketed base: totals exact, epoch sweeps, base reads in place") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store7").toString
+    val all = facts(23, 30)
+    val slices = Seq(all.filter(_.order_id < 10), all.filter(f => f.order_id >= 10 && f.order_id < 20),
+      all.filter(_.order_id >= 20))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      EdgeStream.foldBatch(s.toDF(), "order_id", "part_id", store, batchId = i.toLong)
+    }
+    val expect = GraphOps.itemEdgeSupports(all.toDF(), "order_id", "part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def supports = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(supports == expect)
+    EdgeStream.compact(spark, store)
+    // exact totals survive the absorb; absorbed partitions are swept
+    assert(supports == expect)
+    val leftover = Option(new java.io.File(s"$store/delta").listFiles())
+      .map(_.map(_.getName).filter(_.startsWith("batch_seq=")).toSeq)
+      .getOrElse(Seq.empty)
+    assert(leftover.isEmpty, s"absorbed deltas not swept: $leftover")
+    // compaction is idempotent: a retry with no open deltas is a no-op
+    EdgeStream.compact(spark, store)
+    assert(supports == expect)
+    // post-compaction fold lands in the NEW epoch and merges on read
+    val extra = Seq(BasketFact(900, 10), BasketFact(900, 11)).toDF()
+    EdgeStream.foldBatch(extra, "order_id", "part_id", store, batchId = 3L)
+    val bumped = supports
+    assert(bumped((10L, 11L)) == expect.getOrElse((10L, 11L), 0L) + 1L)
+    // the read-side merge reads the bucketed base IN PLACE: one
+    // exchange total (the open-delta fold), bucket metadata on the scan
     val plan = EdgeStream.readStore(spark, store)
-      .withColumnRenamed("support", "__ss")
-      .join(delta, Seq("x", "y"), "full_outer")
       .queryExecution.executedPlan.toString
     assert(graft.tools.ExchangeAudit.shuffleExchanges(plan) == 1,
-      s"standing side must not reshuffle:\n$plan")
-    assert(plan.contains("SelectedBucketsCount"), s"standing scan not bucketed:\n$plan")
+      s"base side must not reshuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"base scan not bucketed:\n$plan")
+  }
+
+  test("crash mid-compaction: a retry before the flip re-merges; after the flip, stale epochs are invisible") {
+    val store = java.nio.file.Files.createTempDirectory("edge-store8").toString
+    val b1 = Seq(BasketFact(1, 10), BasketFact(1, 11)).toDF()
+    val b2 = Seq(BasketFact(2, 10), BasketFact(2, 11)).toDF()
+    EdgeStream.foldBatch(b1, "order_id", "part_id", store, batchId = 0L)
+    EdgeStream.foldBatch(b2, "order_id", "part_id", store, batchId = 1L)
+    def supports = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = Map((10L, 11L) -> 2L)
+    assert(supports == expect)
+    // crash AFTER the merged base was written but BEFORE the manifest
+    // flip: in that window the old manifest and the old epoch's delta
+    // partitions are both still present (the sweep only runs after a
+    // successful flip) — simulate by snapshotting both, compacting,
+    // then restoring them around the now-written generation
+    val m = java.nio.file.Paths.get(store, "CURRENT")
+    val preFlip = java.nio.file.Files.readString(m)
+    val deltaDir = java.nio.file.Paths.get(store, "delta")
+    val snap = java.nio.file.Files.createTempDirectory("edge-delta-snap")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      deltaDir.toFile, snap.toFile)
+    EdgeStream.compact(spark, store)
+    assert(supports == expect)
+    java.nio.file.Files.writeString(m, preFlip) // roll back the flip
+    org.apache.commons.io.FileUtils.copyDirectory(
+      snap.toFile, deltaDir.toFile) // restore the not-yet-swept deltas
+    EdgeStream.foldBatch(b1, "order_id", "part_id", store, batchId = 2L,
+      streamKey = null, compactEvery = 16)
+    // the rolled-back epoch still counts its (re-written) deltas, and
+    // the dead half-written generation is invisible
+    assert(supports == Map((10L, 11L) -> 3L))
+    // the retry's compact overwrites the dead generation from
+    // unchanged inputs — totals stay exact
+    EdgeStream.compact(spark, store)
+    assert(supports == Map((10L, 11L) -> 3L))
+  }
+
+  test("auto-compaction at compactEvery keeps stream == batch and bounds the open-delta set") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = facts(31, 40)
+    val store = java.nio.file.Files.createTempDirectory("edge-store9").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("edge-ckpt9").toString
+    val source = MemoryStream[BasketFact]
+    val writer = EdgeStream.toSupportStore(
+      source.toDF(), "order_id", "part_id", store, ckpt, compactEvery = 2)
+    val slices = (0 until 5).map(i => all.filter(_.order_id % 5 == i))
+    slices.foreach { s =>
+      source.addData(s: _*)
+      EdgeStream.runAvailableNow(writer)
+    }
+    val streamed = EdgeStream.readStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = GraphOps.itemEdgeSupports(all.toDF(), "order_id", "part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // with compactEvery=2 the open-delta set never exceeds 1 after a
+    // trigger that compacted; 5 slices → at most 1 open partition left
+    val open = Option(new java.io.File(s"$store/delta").listFiles())
+      .map(_.map(_.getName).count(_.startsWith("batch_seq="))).getOrElse(0)
+    assert(open <= 1, s"open deltas not bounded: $open")
+    assert(new java.io.File(s"$store/gen=0").exists() ||
+      new java.io.File(s"$store/gen=1").exists())
   }
 
   test("fresh-session recovery: a dropped catalog entry re-registers with bucket metadata intact") {
     val store = java.nio.file.Files.createTempDirectory("edge-store4").toString
     val b = Seq(BasketFact(1, 10), BasketFact(1, 11), BasketFact(2, 10), BasketFact(2, 11)).toDF()
     EdgeStream.foldBatch(b, "order_id", "part_id", store, batchId = 0L)
+    EdgeStream.compact(spark, store) // materialize the bucketed base
     val before = EdgeStream.readStore(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // simulate a fresh session: the files + manifest survive, the
@@ -161,7 +270,7 @@ class EdgeStreamSpec extends SparkSpec {
     assert(supports == Map((10L, 11L) -> 2L))
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(store, "CURRENT")).trim
-    assert(manifest.endsWith(s" $k1"), s"manifest not adopted: '$manifest'")
+    assert(manifest.split("\\s+")(2) == k1, s"manifest not adopted: '$manifest'")
     // proof the adoption has teeth: a DIFFERENT sequence arriving
     // mid-stream now fails fast — under the keyless manifest it would
     // have silently folded (sameSeq defaulted true)

@@ -41,8 +41,12 @@ def parse(advice_text):
             continue
         toks = re.findall(r"`([^`]{3,80})`", bullet)
         # drop the path itself and prose-like tokens
-        toks = [t for t in toks if "/" not in t and " " not in t.strip()
-                or re.search(r"[(){}<>=.]", t)]
+        # keep a token if it is path-free AND (a bare identifier, or
+        # structural code with parens/braces/operators); the previous
+        # `A and B or C` precedence kept prose containing "=" and
+        # dropped slash-free identifiers next to structural ones
+        toks = [t for t in toks if "/" not in t
+                and (" " not in t.strip() or re.search(r"[(){}<>=.]", t))]
         yield bullet, m.group(1), int(m.group(2)), toks
 
 
