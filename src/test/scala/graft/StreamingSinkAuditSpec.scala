@@ -227,11 +227,20 @@ class StreamingSinkAuditSpec extends SparkSpec {
       intercept[Exception] { q.processAllAvailable() }
       q.stop()
     }
+    // QueryTerminated is delivered on the async listener bus — poll for
+    // arrival before detaching, or a loaded machine loses the race
+    def awaitFailureAlert(l: AlertStream.Listener): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!l.alerts.exists(_.alert_type == "stream_failed") &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+    }
     val l1 = AlertStream.attach(spark)
-    try { failOnce() } finally AlertStream.detach(spark, l1)
+    try { failOnce(); awaitFailureAlert(l1) }
+    finally AlertStream.detach(spark, l1)
     spark.streams.resetTerminated()
     val l2 = AlertStream.attach(spark) // "restarted" listener, fresh state
-    try { failOnce() } finally AlertStream.detach(spark, l2)
+    try { failOnce(); awaitFailureAlert(l2) }
+    finally AlertStream.detach(spark, l2)
     assert(l1.alerts.exists(_.alert_type == "stream_failed"))
     assert(l2.alerts.exists(_.alert_type == "stream_failed"),
       "restarted listener suppressed a still-failing query")
