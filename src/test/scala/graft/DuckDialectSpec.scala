@@ -1,5 +1,6 @@
 package graft
 
+import graft.tools.DuckDialect
 import graft.tools.DuckDialect.toSpark
 
 /** The DuckDB→Spark oracle transpiler (dev tooling for the
@@ -179,5 +180,69 @@ class DuckDialectSpec extends SparkSpec {
     assert(run1("SELECT " + toSpark(
       "list_inner_product(array(1.0, 2.0), array(3.0, 4.0))")) == 11.0)
     assert(run1("SELECT " + toSpark("list_sum(array(1, 2, 3))")) == 6L)
+  }
+
+  test("2-arg regexp_extract defaults to group 0 — executed") {
+    // DuckDB's 2-arg form returns the whole match; Spark's default
+    // idx=1 is a RUNTIME ERROR on a group-less pattern
+    assert(run1("SELECT " + toSpark("regexp_extract('big ship', '[^ ]+$')")) ==
+      "ship")
+    // the 3-arg form passes through untouched
+    assert(toSpark("regexp_extract(s, '(a)(b)', 2)") ==
+      "regexp_extract(s, '(a)(b)', 2)")
+  }
+
+  test("nested generate_subscripts/unnest zip hoists to one posexplode — executed") {
+    // the q_embed_drift idiom: BOTH generators nested inside
+    // expressions in one select list, zipped by DuckDB
+    val t = toSpark(
+      "SELECT CAST(generate_subscripts(CAST(l AS DOUBLE[]), 1) - 1 AS BIGINT) AS pos, " +
+        "CAST(round(unnest(CAST(l AS DOUBLE[])) * 10) AS BIGINT) AS m " +
+        "FROM (SELECT [0.1, 0.2, 0.7] AS l)")
+    assert(t.contains("LATERAL VIEW posexplode"), s"no hoist in\n$t")
+    val got = spark.sql(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 2L), (2L, 7L)), s"got $got via\n$t")
+    // an expression-nested subscripts with NO matching unnest stays
+    // put (and fails analysis loudly downstream, never silently zips)
+    val lone = toSpark("SELECT generate_subscripts(a, 1) - 1 FROM t")
+    assert(!lone.contains("LATERAL VIEW"), lone)
+  }
+
+  test("FLOAT/FLOAT division renders in single precision — executed") {
+    // DuckDB computes and PRINTS float division in single precision;
+    // Spark promotes to double, so the string cast must round back
+    assert(run1("SELECT " + toSpark(
+      "CAST(CAST(108 AS FLOAT) / CAST(255 AS FLOAT) AS VARCHAR)")) ==
+      "0.42352942")
+    // a double division's string cast is untouched
+    assert(toSpark("CAST(a / b AS VARCHAR)") == "CAST(a / b AS STRING)")
+  }
+
+  test("HUGEINT statements floor-divide identifiers in decimal space — executed") {
+    // sum-space value ≥ 2^63: `u // 2^k % 256` must extract the
+    // UNSIGNED byte — the plain `div` (IntegralDivide → BIGINT)
+    // wraps negative and extracts the signed residue
+    val t = toSpark(
+      "WITH x AS (SELECT CAST(9223372036854775808 AS HUGEINT) + 300 AS u) " +
+        "SELECT CAST(u // 256 % 256 AS BIGINT) AS b FROM x")
+    assert(run1(t) == ((java.math.BigInteger.TWO.pow(63)
+      .add(java.math.BigInteger.valueOf(300))
+      .divide(java.math.BigInteger.valueOf(256))
+      .mod(java.math.BigInteger.valueOf(256))).longValue))
+    // parenthesized integer `//` (UBIGINT grid space) keeps div
+    assert(toSpark("(gx * 16) // 9").contains(" div "))
+  }
+
+  test("widenSums maps sum to DuckDB's HUGEINT aggregate typing") {
+    assert(DuckDialect.toSpark("SELECT sum(x * y) AS s FROM t", widenSums = true) ==
+      "SELECT sum(CAST(x * y AS DECIMAL(38,0))) AS s FROM t")
+    // off by default
+    assert(toSpark("SELECT sum(x) AS s FROM t") == "SELECT sum(x) AS s FROM t")
+    // executed: the q_price_elasticity overflow shape survives widened
+    val wide = DuckDialect.toSpark(
+      "SELECT CAST(sum(x) * sum(x) AS DOUBLE) AS p " +
+        "FROM (SELECT 4000000000 AS x UNION ALL SELECT 4000000000)",
+      widenSums = true)
+    assert(run1(wide) == 6.4e19)
   }
 }
