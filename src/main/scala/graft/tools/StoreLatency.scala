@@ -242,7 +242,7 @@ object StoreLatency {
     val tComp = System.nanoTime()
     EdgeStream.compact(spark, eStore)
     val compactWall = (System.nanoTime() - tComp) / 1e9
-    emit("edge_generation_fold", eWalls,
+    emit("edge_delta_fold", eWalls,
       s""","store_supports":$eSupports,"batch_facts":${factRows.length}""" +
         f""","read_merge_wall_sec":$readMergeWall%.3f""" +
         f""","compact_wall_sec":$compactWall%.3f""")
