@@ -602,7 +602,24 @@ object MicrostructureOps {
         .as("__guard"))
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    val moves = rollup.select(
+    // Par.spread on the KEY replaces the move window's own exchange
+    // with a user-specified one at the session's full shuffle
+    // parallelism (same exchange count). The payoff is downstream: the
+    // probe side of the pair join stays clustered on keyCol (= key_a),
+    // which satisfies the (key_a, key_b) aggregate's required
+    // distribution, so the planner elides the pair aggregate's
+    // exchange entirely — window → hash probe → COMPLETE pair
+    // aggregation fuse into one stage with ZERO pair-row shuffle, each
+    // task owning its keys' full pair set. AQE had left that fused
+    // stage at the width of the move series' BYTES (1-2 tasks carrying
+    // 14 s of task time at sf0.1 — round-15 profile); the pin runs it
+    // cores-wide. Round-15 experiments that spread on the BUCKET
+    // instead measured WORSE than baseline: the key_a clustering broke
+    // (the pair aggregate gained a 272 MB partial-row exchange), and
+    // pinning both sides demoted the join to sort-merge (48× the task
+    // time — buffered per-bucket group iteration where the hash probe
+    // streams).
+    val moves = graft.api.Par.spread(rollup, Seq(col(keyCol))).select(
       col(keyCol), col(bucketCol).as("__b"), d.as("__d"))
       .filter(col("__d").isNotNull)
     // guard join on the STREAMED side only: one broadcast row, and the
@@ -615,16 +632,31 @@ object MicrostructureOps {
       .join(broadcast(guard))
       .filter(col("__guard").isNull)
       .select(col(keyCol).as("key_a"), col("__b"), col("__d").as("__da"))
+    // (No broadcast HINT on the build side: Catalyst's size-based
+    // choice must stay free to fall back to a shuffle join when the
+    // move series outgrows the broadcast threshold — the hint would
+    // force a potentially multi-GB broadcast at a long time range.)
     val right = moves.select(
       col(keyCol).as("key_b"), col("__b").as("__b2"), col("__d").as("__db"))
     val joined = left.join(right,
       col("__b") === col("__b2") && col("key_a") < col("key_b"))
+    // Co-moments via ExactSum.splitSum: same exact integers as the
+    // previous sum(·.cast(decimal(38,0))) form (equal decimals, equal
+    // long casts — the per-pair row count sits astronomically under
+    // the 2³¹ bound), but accumulated as plain long codegen aggregates
+    // instead of per-row Decimal allocations. The decimal form made
+    // this stage GC-BOUND once it ran cores-wide: round-15 measured
+    // 4-16 s erratic walls for the decimal aggregate vs a stable ~1 s
+    // for the long equivalent on identical pair volume (CorrMatrixLab,
+    // min-observed at every width), and it explains the query's
+    // historical cross-round spread (1.97-7.6 s for an unchanged plan).
     val n = count(lit(1))
-    val sa = sum(col("__da").cast(dec)).cast(LongType)
-    val sb = sum(col("__db").cast(dec)).cast(LongType)
-    val sab = sum((col("__da") * col("__db")).cast(dec)).cast(LongType)
-    val saa = sum((col("__da") * col("__da")).cast(dec)).cast(LongType)
-    val sbb = sum((col("__db") * col("__db")).cast(dec)).cast(LongType)
+    val E = graft.functions.ExactSum
+    val sa = E.splitSum(col("__da")).cast(LongType)
+    val sb = E.splitSum(col("__db")).cast(LongType)
+    val sab = E.splitSum(col("__da") * col("__db")).cast(LongType)
+    val saa = E.splitSum(col("__da") * col("__da")).cast(LongType)
+    val sbb = E.splitSum(col("__db") * col("__db")).cast(LongType)
     joined.groupBy(col("key_a"), col("key_b"))
       .agg(
         n.as("n_aligned"),
