@@ -44,18 +44,39 @@ object BasketOps {
       topN: Int,
       maxBasketItems: Long = 0L
   ): DataFrame = {
-    val baskets = facts
+    // Par.spread on the basket key replaces the basket aggregate's own
+    // exchange (same exchange count) with one AQE cannot coalesce: the
+    // fused stage downstream of it — complete basket aggregate + the
+    // C(items,2) posexplode/explode pair expansion + partial pair
+    // count — is the query's compute bill, and AQE had been sizing it
+    // by its INPUT bytes (a few MB of basket sets → 1 task carrying
+    // ~1 s of task time at sf0.1 on 32 cores, round-15 profile).
+    // Trade-off, measured and accepted: the exchange now carries the
+    // projected raw (basket, item) rows instead of map-side partial
+    // sets (~2-3x the bytes here — lineitem clusters a basket's rows
+    // inside one scan split, so partial collect_set was an effective
+    // combiner). The pair stage's per-byte work is ~10-20x a plain
+    // aggregate's, so stage width dominates the byte delta at every
+    // width; the projection keeps the exchange at two columns.
+    val baskets = graft.api.Par
+      .spread(facts.select(col(basketCol), col(itemCol)), Seq(col(basketCol)))
       .groupBy(col(basketCol).as("__b"))
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
     val guarded =
       if (maxBasketItems <= 0L) baskets
       else baskets.filter(size(col("__items")) <= maxBasketItems)
-    guarded
+    val pairs = guarded
       .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "item_a")))
       // slice is 1-based and tolerates over-long lengths, so
       // (i+2, size) is exactly the strict tail after position __i
       .select(col("item_a"),
         explode(slice(col("__items"), col("__i") + lit(2), size(col("__items")))).as("item_b"))
+    // Second spread: the pair-count aggregate's merge stage is equally
+    // compute-dense (a hash merge over every distinct pair) and was
+    // the single remaining 1-task stage after the first spread
+    // (~0.7 s at sf0.1, round-15 profile). Pinning its exchange keys
+    // it by the pair itself, so the count below completes in-place.
+    graft.api.Par.spread(pairs, Seq(col("item_a"), col("item_b")))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .orderBy(col("n_baskets").desc, col("item_a").asc, col("item_b").asc)

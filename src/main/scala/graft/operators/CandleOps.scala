@@ -24,6 +24,21 @@ object CandleOps {
     */
   def moneySum(c: Column): Column = graft.functions.Cents.moneySum(c)
 
+  /** [[graft.api.Par.spread]] on the operator's own partition keys —
+    * pins the indicator window's exchange at the session's configured
+    * shuffle parallelism (see Par doc). AQE sizes these exchanges by
+    * their few-MB input and was serializing the compute-dense window
+    * stages into 1-2 tasks (round-15 profile: macd's lag-convolution
+    * window 0.95 s in ONE task at sf0.1 on 32 cores); a window
+    * exchange has no partial-aggregation to lose and window stages get
+    * no AQE skew-split, so the pin costs nothing at any scale while
+    * letting the stage track the session's width. Empty keys = a
+    * global window, single-partition by semantics — left alone.
+    */
+  private def spreadByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df else graft.api.Par.spread(df, keys.map(col))
+
+
   // ---------------------------------------------------------------------
   // B2 — last-writer-wins dedup ("FINAL" over ReplacingMergeTree,
   // reference: app/clickhouse_schema.py:143,145).
@@ -287,7 +302,7 @@ object CandleOps {
     val mid = sx.cast(DoubleType) / n.cast(DoubleType)
     val delta = lit(k) *
       sqrt((n * sxx - sx * sx).cast(DoubleType) / (n * n).cast(DoubleType))
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
         n.as("n_in_frame") :+ mid.as("mid_cents") :+
         (mid + delta).as("upper_cents") :+ (mid - delta).as("lower_cents")): _*)
@@ -311,7 +326,7 @@ object CandleOps {
     val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
     val cents = round(col(closeCol) * 100).cast(LongType)
     val d = cents - lag(cents, 1).over(wOrd)
-    val withD = rollup.select(
+    val withD = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ d.as("__d")): _*)
     val gains = sum(when(col("__d") > 0, col("__d")).otherwise(0L)).over(w)
     val losses = sum(when(col("__d") < 0, -col("__d")).otherwise(0L)).over(w)
@@ -464,7 +479,7 @@ object CandleOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val cents = round(col(closeCol) * 100).cast(LongType)
     val (num, den) = emaNumDen(cents, wOrd, nWindow)
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
         (num.cast(DoubleType) / den.cast(DoubleType)).as("ema_cents")): _*)
   }
@@ -517,7 +532,7 @@ object CandleOps {
     val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
     val ws = wOrd.rowsBetween(-(smoothN - 1), Window.currentRow)
     def cts(c: String) = round(col(c) * 100).cast(LongType)
-    val withBounds = rollup.select(
+    val withBounds = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+
         (cts("close") - min(cts("low")).over(w)).as("__num") :+
         (max(cts("high")).over(w) - min(cts("low")).over(w)).as("__den")): _*)
@@ -554,7 +569,7 @@ object CandleOps {
     val hl = cts("high") - cts("low")
     val tr = when(pc.isNull, hl).otherwise(
       greatest(hl, abs(cts("high") - pc), abs(cts("low") - pc)))
-    val withTr = rollup.select(
+    val withTr = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ tr.as("__tr")): _*)
     withTr.select(
       (keys.map(col) :+ col(bucketCol) :+ col("__tr").as("tr_cents") :+
@@ -594,7 +609,7 @@ object CandleOps {
     val tr = when(pc.isNull, hl).otherwise(
       greatest(hl, abs(cts("high") - pc), abs(cts("low") - pc)))
     val (numE, denE) = emaNumDen(cts("close"), wOrd, emaN)
-    val staged = rollup.select(
+    val staged = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cts("close").as("close_cents") :+
         tr.as("__tr") :+ numE.as("__ne") :+ denE.as("__de")): _*)
     staged
@@ -630,7 +645,7 @@ object CandleOps {
     def cts(c: String) = round(col(c) * 100).cast(LongType)
     val upper = max(cts("high")).over(w)
     val lower = min(cts("low")).over(w)
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cts("close").as("close_cents") :+
         upper.as("upper_cents") :+ lower.as("lower_cents") :+
         ((upper + lower).cast(DoubleType) / lit(2.0)).as("mid_cents") :+
@@ -659,7 +674,7 @@ object CandleOps {
     val volCents = volCentsCol(rollup, volumeCol)
     val d = cents - lag(cents, 1).over(wOrd)
     val signed = when(d > 0, volCents).when(d < 0, -volCents).otherwise(lit(0L))
-    val withSigned = rollup.select(
+    val withSigned = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
         signed.as("__sv")): _*)
     withSigned.select(
@@ -687,7 +702,7 @@ object CandleOps {
     val pc = lag(cts("close"), 1).over(wOrd)
     val p = (ph + pl + pc).cast(DoubleType) / lit(3.0)
     val range = (ph - pl).cast(DoubleType)
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cts("close").as("close_cents") :+
         ph.as("prev_high_cents") :+ pl.as("prev_low_cents") :+
         pc.as("prev_close_cents") :+ p.as("pivot") :+
@@ -716,7 +731,7 @@ object CandleOps {
     val cents = round(col(closeCol) * 100).cast(LongType)
     val volCents = volCentsCol(rollup, volumeCol)
     val bucket = floor(cents.cast(DoubleType) / lit(bucketCents.toDouble)).cast(LongType)
-    val profile = rollup
+    val profile = spreadByKeys(rollup, keys)
       .select((keys.map(col) :+ bucket.as("price_bucket") :+
         volCents.as("__v")): _*)
       .groupBy((keys.map(col) :+ col("price_bucket")): _*)
@@ -761,7 +776,7 @@ object CandleOps {
     // guards block codegen subexpression elimination, so an inline
     // `macdCents` used by both outputs re-evaluates all fast+slow
     // decimal terms per output (measured ~2x the window wall at sf1).
-    val sums = rollup.select(
+    val sums = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
         numF.as("__nf") :+ denF.as("__df") :+
         numS.as("__ns") :+ denS.as("__ds")): _*)
@@ -813,7 +828,7 @@ object CandleOps {
     val cents = round(col(closeCol) * 100).cast(LongType)
     val (num1, den1) = emaNumDen(cents, wOrd, nWindow)
     val s1 = num1.cast(DoubleType) / den1.cast(DoubleType)
-    val stage1 = rollup.select(
+    val stage1 = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ cents.as("close_cents") :+
         floor(s1 * lit(1000000.0)).cast(LongType).as("s1_micro")): _*)
     val dec38 = DecimalType(38, 0)
@@ -866,7 +881,7 @@ object CandleOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val cents = round(col(closeCol) * 100).cast(LongType)
     val d = cents - lag(cents, 1).over(wOrd)
-    val staged = rollup.select(
+    val staged = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+
         (d * d).as("__d2")): _*)
     val (num, den) = emaNumDen(col("__d2"), wOrd, nWindow)
@@ -907,7 +922,7 @@ object CandleOps {
     val cents = round(col(closeCol) * 100).cast(LongType)
     val peak = max(cents).over(w)
     val dd = peak - cents
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ cents.as("__cents") :+ peak.as("__peak") :+ dd.as("__dd")): _*)
       .groupBy(keys.map(col): _*)
       .agg(
@@ -940,7 +955,7 @@ object CandleOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val cents = round(col(closeCol) * 100).cast(LongType)
     val d = cents - lag(cents, 1).over(wOrd)
-    val withD = rollup.select((keys.map(col) :+ d.as("__d")): _*)
+    val withD = spreadByKeys(rollup, keys).select((keys.map(col) :+ d.as("__d")): _*)
       .filter(col("__d").isNotNull)
     val n = count(lit(1))
     val sd = sum(col("__d").cast(dec))
@@ -983,7 +998,7 @@ object CandleOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val cents = round(col(closeCol) * 100).cast(LongType)
     val d = cents - lag(cents, 1).over(wOrd)
-    val moves = rollup.select(
+    val moves = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ d.as("__dx")): _*)
       .filter(col("__dx").isNotNull)
     val bench = moves.filter(benchmark)
@@ -1035,7 +1050,7 @@ object CandleOps {
     val hammer = lowerShadow >= body * 2 && upperShadow <= body && body > 0
     val bullEngulf = pc.isNotNull && pc < po && c > o && c >= po && o <= pc
     val bearEngulf = pc.isNotNull && pc > po && c < o && c <= po && o >= pc
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ o.as("open_cents") :+
         h.as("high_cents") :+ l.as("low_cents") :+ c.as("close_cents") :+
         doji.as("doji") :+ hammer.as("hammer") :+
@@ -1160,7 +1175,7 @@ object CandleOps {
     val haClose = hc4.cast(DoubleType) / lit(400.0)
     val haOpen = when(wsum === 0, (oc + cc).cast(DoubleType) / lit(200.0))
       .otherwise(num.cast(DoubleType) / (wsum * lit(400L)).cast(DoubleType))
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+
         haOpen.as("ha_open") :+ haClose.as("ha_close") :+
         col("high") :+ col("low")): _*)
@@ -1205,7 +1220,7 @@ object CandleOps {
     val tenkan2 = max(hc).over(frame(pTenkan)) + min(lc).over(frame(pTenkan))
     val kijun2 = max(hc).over(frame(pKijun)) + min(lc).over(frame(pKijun))
     val senkouB2 = max(hc).over(frame(pSenkouB)) + min(lc).over(frame(pSenkouB))
-    rollup
+    spreadByKeys(rollup, keys)
       .select((keys.map(col) :+ col(bucketCol) :+ col("close") :+
         tenkan2.as("__t2") :+ kijun2.as("__k2") :+ senkouB2.as("__b2")): _*)
       .select((keys.map(col) :+ col(bucketCol) :+
@@ -1247,10 +1262,17 @@ object CandleOps {
       round(col(closeCol) * 100).cast(LongType).as("__y")): _*)
     val a = pts.select((keyCols :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
     val b = pts.select((keyCols :+ col("__x").as("__x2") :+ col("__y").as("__y2")): _*)
-    val slopes = a.join(b, keys).filter(col("__x1") < col("__x2"))
-      .select((keyCols :+
-        ((col("__y2") - col("__y1")).cast(DoubleType) /
-          (col("__x2") - col("__x1")).cast(DoubleType)).as("__s")): _*)
+    // Spread the JOIN OUTPUT, not `pts`: the pair join is broadcast
+    // (one side ships whole), so a pre-join repartition would add an
+    // exchange on the broadcast side for nothing; pinned here it
+    // REPLACES the median window's own exchange (same count) and runs
+    // the O(n²)-slope rank stage cores-wide.
+    val slopes = spreadByKeys(
+      a.join(b, keys).filter(col("__x1") < col("__x2"))
+        .select((keyCols :+
+          ((col("__y2") - col("__y1")).cast(DoubleType) /
+            (col("__x2") - col("__x1")).cast(DoubleType)).as("__s")): _*),
+      keys)
     val w = Window.partitionBy(keyCols: _*).orderBy(col("__s"))
     val wAll = Window.partitionBy(keyCols: _*)
     slopes
@@ -1278,7 +1300,7 @@ object CandleOps {
       closeCol: String
   ): DataFrame = {
     val keyCols = keys.map(col)
-    val pts = rollup.select((keyCols :+
+    val pts = spreadByKeys(rollup, keys).select((keyCols :+
       datediff(col(bucketCol).cast("date"), to_date(lit("1970-01-01")))
         .cast(LongType).as("__x") :+
       round(col(closeCol) * 100).cast(LongType).as("__y")): _*)
@@ -1328,7 +1350,7 @@ object CandleOps {
     val sgn = when(cents > lag(cents, 1).over(w), 1)
       .when(cents < lag(cents, 1).over(w), -1).otherwise(0)
     val wSgnOrd = Window.partitionBy(keyCols: _*).orderBy(col(bucketCol))
-    val moves = rollup
+    val moves = spreadByKeys(rollup, keys)
       .select((keyCols :+ col(bucketCol) :+ sgn.as("__sgn")): _*)
       .filter(col("__sgn") =!= 0)
       .withColumn("__prev", lag(col("__sgn"), 1).over(wSgnOrd))
@@ -1387,7 +1409,7 @@ object CandleOps {
     val keyCols = keys.map(col)
     val cents = round(col(closeCol) * 100).cast(LongType)
     val wDesc = Window.partitionBy(keyCols: _*).orderBy(col(bucketCol).desc)
-    val recent = rollup
+    val recent = spreadByKeys(rollup, keys)
       .select((keyCols :+ col(bucketCol) :+ cents.as("__c")): _*)
       .withColumn("__rn", row_number().over(wDesc))
       .filter(col("__rn") <= nDays)
@@ -1439,7 +1461,7 @@ object CandleOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val y = round(col(closeCol) * 100).cast(LongType)
     val keyCols = keys.map(col)
-    val pairs = rollup
+    val pairs = spreadByKeys(rollup, keys)
       .select((keyCols :+ col(bucketCol) :+ y.as("__y")): _*)
       .withColumn("__x", lag(col("__y"), k).over(wOrd))
       .filter(col("__x").isNotNull)

@@ -25,13 +25,30 @@ object GraphOps {
       basketCol: String,
       itemCol: String
   ): DataFrame = {
-    val baskets = facts
+    // Par.spread on the basket key: same rationale and trade-off as
+    // [[BasketOps.coOccurrence]] — the fused complete-aggregate +
+    // C(items,2) pair-expansion + partial-count stage is the compute
+    // bill, and AQE sizes it by its few-MB input (1 task at sf0.1 on
+    // 32 cores, round-15 profile). The exchange carries projected raw
+    // (basket, item) rows instead of partial sets; the pair stage's
+    // per-byte amplification dominates that 2-3x byte delta.
+    val baskets = graft.api.Par
+      .spread(facts.select(col(basketCol), col(itemCol)), Seq(col(basketCol)))
       .groupBy(col(basketCol).as("__b"))
       .agg(sort_array(collect_set(col(itemCol).cast(LongType))).as("__items"))
     baskets
       .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "x")))
       .select(col("x"),
         explode(slice(col("__items"), col("__i") + lit(2), size(col("__items")))).as("y"))
+      // Deliberately NOT spread (unlike [[BasketOps.coOccurrence]]'s
+      // pair count): this aggregate's output feeds the Derived
+      // checkpoint that the iterative graph consumers (pagerank, label
+      // propagation, triangles) re-read once per iteration — a
+      // 32-partition checkpoint multiplied their per-iteration
+      // scheduling cost past the whole win (q_pagerank 1.0 → 3.6 s
+      // wall, round-15 measured) while the support merge it would have
+      // widened costs well under a second. AQE's byte-sized coalescing
+      // is the right currency for an iteration-fanout carrier.
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("support"))
   }

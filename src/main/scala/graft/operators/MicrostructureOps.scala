@@ -25,6 +25,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object MicrostructureOps {
 
+  /** [[graft.api.Par.spread]] on the operator's partition keys — same
+    * pin as CandleOps.spreadByKeys (see that doc and graft.api.Par):
+    * replaces the per-key window/aggregate exchange with one AQE will
+    * not coalesce, so the compute-dense stage runs at the session's
+    * configured width instead of the 1-2 tasks byte-sized coalescing
+    * left it (round-15 profile).
+    */
+  private def spreadByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df else graft.api.Par.spread(df, keys.map(col))
+
+
   private val dec = DecimalType(38, 0)
   private def cts(c: String) = round(col(c) * 100).cast(LongType)
 
@@ -47,7 +58,7 @@ object MicrostructureOps {
     val ll = min(cts("low")).over(w)
     val num = hh - cts("close")
     val den = hh - ll
-    rollup.select(
+    spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+
         num.as("hh_minus_close_cents") :+ den.as("range_cents") :+
         when(den > 0, (num * -100).cast(DoubleType) / den.cast(DoubleType))
@@ -87,7 +98,7 @@ object MicrostructureOps {
         lit(s" exceeds the pack-exact bound $maxCents; rescale prices"))))
     }
     val rn = row_number().over(wOrd).cast(LongType)
-    val base = rollup.select(
+    val base = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ rn.as("__rn") :+
         (guarded("high") * P + rn).as("__ph") :+
         (guarded("low") * P + (lit(P - 1) - rn)).as("__pl")): _*)
@@ -123,7 +134,7 @@ object MicrostructureOps {
     val volC = CandleOps.volCentsCol(rollup, "volume")
     val dir = tp3 - lag(tp3, 1).over(wOrd)
     val mf = tp3 * volC
-    val base = rollup.select(
+    val base = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+
         when(dir > 0, mf).otherwise(lit(0L)).as("__pos") :+
         when(dir < 0, mf).otherwise(lit(0L)).as("__neg")): _*)
@@ -159,7 +170,7 @@ object MicrostructureOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val w = wOrd.rowsBetween(-(nWindow - 1), Window.currentRow)
     val tp3 = cts("high") + cts("low") + cts("close")
-    val base = rollup.select(
+    val base = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ tp3.as("__tp3")): _*)
     val m = count(lit(1)).over(w)
     val s = sum(col("__tp3")).over(w)
@@ -196,7 +207,7 @@ object MicrostructureOps {
   ): DataFrame = {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    val withPair = rollup.select(
+    val withPair = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ d.as("__dt")): _*)
       .select((keys.map(col) :+ col("__dt") :+
         lag(col("__dt"), 1).over(
@@ -234,7 +245,7 @@ object MicrostructureOps {
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
     val volC = CandleOps.volCentsCol(rollup, "volume")
     val sv = signum(d).cast(LongType) * volC
-    val base = rollup.select(
+    val base = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ d.as("__y") :+ sv.as("__x")): _*)
       .filter(col("__y").isNotNull)
     val n = count(lit(1))
@@ -271,7 +282,7 @@ object MicrostructureOps {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
     val volC = CandleOps.volCentsCol(rollup, "volume")
-    val base = rollup.select(
+    val base = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+ to_date(col(bucketCol)).as("day") :+
         d.as("__d") :+ volC.as("__v")): _*)
       .filter(col("__d").isNotNull)
@@ -340,7 +351,7 @@ object MicrostructureOps {
     require(bucketVolumeCents > 0, s"bucketVolumeCents=$bucketVolumeCents must be positive")
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val d = col(closeCentsCol) - lag(col(closeCentsCol), 1).over(wOrd)
-    val base = pre.select(
+    val base = spreadByKeys(pre, keys).select(
       (keys.map(col) :+ col(bucketCol) :+ d.as("__d") :+
         col(volCentsCol).cast(LongType).as("__v")): _*)
       .filter(col("__d").isNotNull && col("__v") > 0)
@@ -389,7 +400,7 @@ object MicrostructureOps {
     require(q >= 2 && q <= 240, s"q=$q outside [2, 240]")
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
     val c = cts("close")
-    val base = rollup.select(
+    val base = spreadByKeys(rollup, keys).select(
       (keys.map(col) :+
         (c - lag(c, 1).over(wOrd)).as("__d1") :+
         (c - lag(c, q).over(wOrd)).as("__dq")): _*)
