@@ -46,4 +46,47 @@ object Par {
     */
   def spread(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
+  /** [[spread]] on named key columns, UNLESS the frame is a
+    * projection/filter over a table bucketed on (a subset of) those
+    * keys — a bucketed scan already provides the hash clustering, the
+    * downstream window/aggregate elides its exchange entirely (the
+    * zero-exchange contract EventBucketingSpec pins for the
+    * bucketed-store monitoring paths), and an unconditional
+    * repartition would both add the exchange back and make the planner
+    * abandon the bucketed read. Guide §2.4: never shuffle what the
+    * storage layout already clusters.
+    *
+    * The walk only descends operators that provably preserve the key
+    * columns (Project passing the keys through as bare attributes,
+    * Filter, aliasing wrappers); anything else conservatively answers
+    * "not bucketed" and spreads.
+    */
+  def spreadKeyed(df: DataFrame, keyNames: Seq[String]): DataFrame =
+    if (keyNames.isEmpty || bucketedOn(df.queryExecution.analyzed, keyNames)) df
+    else spread(df, keyNames.map(org.apache.spark.sql.functions.col))
+
+  private def bucketedOn(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      keyNames: Seq[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    plan match {
+      case p: Project =>
+        val passedThrough = keyNames.forall(k =>
+          p.projectList.exists {
+            case a: AttributeReference => a.name == k
+            case _ => false
+          })
+        passedThrough && bucketedOn(p.child, keyNames)
+      case f: Filter => bucketedOn(f.child, keyNames)
+      case s: SubqueryAlias => bucketedOn(s.child, keyNames)
+      case l: LogicalRelation =>
+        l.catalogTable.flatMap(_.bucketSpec).exists(bs =>
+          bs.bucketColumnNames.nonEmpty &&
+            bs.bucketColumnNames.toSet.subsetOf(keyNames.toSet))
+      case _ => false
+    }
+  }
 }

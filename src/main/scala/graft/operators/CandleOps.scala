@@ -36,7 +36,7 @@ object CandleOps {
     * global window, single-partition by semantics — left alone.
     */
   private def spreadByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
-    if (keys.isEmpty) df else graft.api.Par.spread(df, keys.map(col))
+    graft.api.Par.spreadKeyed(df, keys)
 
 
   // ---------------------------------------------------------------------

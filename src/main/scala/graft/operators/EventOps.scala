@@ -27,6 +27,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object EventOps {
 
+  /** [[graft.api.Par.spread]] on the window's partition key — the same
+    * pin as CandleOps/MicrostructureOps.spreadByKeys (see
+    * graft.api.Par): replaces the per-key window exchange with one AQE
+    * will not coalesce, so the window stage runs at the session's
+    * configured width instead of the 1 task byte-sized coalescing left
+    * it (round-15 profile: q_rolling_outliers' window stage 0.58 s in
+    * ONE task at sf0.1 on 32 cores). Window exchanges have no partial
+    * aggregation to lose and get no AQE skew-split, so the pin costs
+    * nothing at any scale. Post-aggregate call sites spread the
+    * AGGREGATED frame, preserving the upstream map-side combine.
+    */
+  private def spreadBy(df: DataFrame, keys: String*): DataFrame =
+    graft.api.Par.spreadKeyed(df, keys)
+
+
   /** Conversion funnel anchored at each user's EARLIEST step-1 event:
     * step i (i>1) completes at the first step-i event strictly after
     * step i-1 and within `windowUs` microseconds of the anchor.
@@ -340,7 +355,7 @@ object EventOps {
   ): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    events
+    spreadBy(events, userCol)
       .select(
         col(typeCol).as("__t0"),
         lead(col(typeCol), 1).over(w).as("__t1"),
@@ -368,7 +383,7 @@ object EventOps {
   ): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(idCol))
     val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
-    events
+    spreadBy(events, groupCol)
       .select(col(groupCol), gap.as("__gap"))
       .where(col("__gap").isNotNull)
       .select(col(groupCol),
@@ -532,7 +547,7 @@ object EventOps {
     val sx = sum(cents).over(w)
     val sxx = sum(cents * cents).over(w)
     val dev = n * cents - sx
-    events
+    spreadBy(events, keyCol)
       .where(col(valueCol).isNotNull) // null metric: n would count, sums skip
       .withColumn("__flag",
         dev * dev > lit(k.toLong * k) * (n * sxx - sx * sx))
@@ -576,7 +591,7 @@ object EventOps {
   ): DataFrame = {
     require(lookbackUs > 0, s"lookbackUs=$lookbackUs must be positive")
     val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val base = events
+    val base = spreadBy(events, userCol)
       .select(col(userCol), col(typeCol), col(tsCol), col(idCol), col(valueCol))
       .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("__epoch", coalesce(
@@ -635,7 +650,7 @@ object EventOps {
       idCol: String
   ): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val counts = events
+    val counts = spreadBy(events, userCol)
       .select(col(typeCol).as("from_type"),
         lead(col(typeCol), 1).over(w).as("to_type"))
       .where(col("to_type").isNotNull)
@@ -901,10 +916,11 @@ object EventOps {
           round(col(valueCol) * 100).cast(LongType).cast(dec))
           .otherwise(lit(0).cast(dec))).cast(LongType).as("__pc"))
     val byDay = Window.partitionBy(col(userCol)).orderBy(col("day_idx"))
+    val dailySpread = spreadBy(daily, userCol)
     val w7 = byDay.rangeBetween(-6, 0)
     val w30 = byDay.rangeBetween(-29, 0)
     val wNext7 = byDay.rangeBetween(1, 7)
-    daily.select(
+    dailySpread.select(
       col(userCol), col("day_idx"), col("n_events"),
       sum(col("n_events")).over(w7).as("n_events_7d"),
       sum(col("__np")).over(w30).as("n_purchases_30d"),
@@ -947,7 +963,7 @@ object EventOps {
       .agg(sum(col("__cents").cast(dec)).cast(LongType).as("revenue_cents"))
     val wCum = Window.partitionBy(col("cohort_month")).orderBy(col("months_since"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cells
+    spreadBy(cells, "cohort_month")
       .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(wCum))
       .join(broadcast(cohortSizes), "cohort_month")
       .select(col("cohort_month"), col("months_since"), col("revenue_cents"),
@@ -1005,7 +1021,7 @@ object EventOps {
     val w = Window.partitionBy(col(typeCol))
       .orderBy(round(col(valueCol) * 100).cast(LongType), col(idCol))
     val wAll = Window.partitionBy(col(typeCol))
-    val ranked = events
+    val ranked = spreadBy(events, typeCol)
       .filter(col(valueCol).isNotNull)
       .select(col(typeCol),
         round(col(valueCol) * 100).cast(LongType).as("__cents"),
@@ -1107,7 +1123,7 @@ object EventOps {
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(typeCol))
     val y = round(col(valueCol) * 100).cast(LongType)
-    val p = events
+    val p = spreadBy(events, typeCol)
       .filter(col(valueCol).isNotNull)
       .select(col(typeCol), col(tsCol), col(idCol), y.as("__y"))
       .withColumn("__i", row_number().over(wOrd).cast(LongType))

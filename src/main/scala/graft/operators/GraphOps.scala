@@ -23,7 +23,8 @@ object GraphOps {
   def itemEdgeSupports(
       facts: DataFrame,
       basketCol: String,
-      itemCol: String
+      itemCol: String,
+      pinWidth: Boolean = true
   ): DataFrame = {
     // Par.spread on the basket key: same rationale and trade-off as
     // [[BasketOps.coOccurrence]] — the fused complete-aggregate +
@@ -32,8 +33,16 @@ object GraphOps {
     // 32 cores, round-15 profile). The exchange carries projected raw
     // (basket, item) rows instead of partial sets; the pair stage's
     // per-byte amplification dominates that 2-3x byte delta.
-    val baskets = graft.api.Par
-      .spread(facts.select(col(basketCol), col(itemCol)), Seq(col(basketCol)))
+    // pinWidth=false on the DELTA paths (incremental fold, streaming
+    // per-batch): a day/trigger batch is orders of magnitude under the
+    // corpus and the pinned 32-wide stage's fixed per-task costs beat
+    // its win there (q_item_edges_incremental 0.82 -> 1.20 s when the
+    // delta was pinned, round-15 measured) — AQE keeps sizing those.
+    val projected = facts.select(col(basketCol), col(itemCol))
+    val spread =
+      if (pinWidth) graft.api.Par.spread(projected, Seq(col(basketCol)))
+      else projected
+    val baskets = spread
       .groupBy(col(basketCol).as("__b"))
       .agg(sort_array(collect_set(col(itemCol).cast(LongType))).as("__items"))
     baskets
@@ -86,7 +95,7 @@ object GraphOps {
       basketCol: String,
       itemCol: String
   ): DataFrame = {
-    val delta = itemEdgeSupports(newFacts, basketCol, itemCol)
+    val delta = itemEdgeSupports(newFacts, basketCol, itemCol, pinWidth = false)
       .withColumnRenamed("support", "__ds")
     standing.withColumnRenamed("support", "__ss")
       .join(delta, Seq("x", "y"), "full_outer")

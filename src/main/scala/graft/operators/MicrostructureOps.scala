@@ -33,7 +33,7 @@ object MicrostructureOps {
     * left it (round-15 profile).
     */
   private def spreadByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
-    if (keys.isEmpty) df else graft.api.Par.spread(df, keys.map(col))
+    graft.api.Par.spreadKeyed(df, keys)
 
 
   private val dec = DecimalType(38, 0)

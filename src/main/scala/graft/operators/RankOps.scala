@@ -109,14 +109,41 @@ object RankOps {
     * break it too, but a single 8.6-billion-row task is far past any
     * sane split.
     */
-  private def localRanks(df: DataFrame, order: Seq[Column]): (DataFrame, DataFrame) = {
-    val local = df.repartitionByRange(order: _*)
+
+  /** The session's configured shuffle parallelism — the explicit
+    * numPartitions for every range exchange here. A bare
+    * `repartitionByRange(order)` resolves to the same number but is
+    * AQE-coalescible (REPARTITION_BY_COL origin), and byte-sized
+    * coalescing was folding the rank/percentile compute stages into
+    * ONE task at sf0.1 (round-15 profile: q_equidepth_hist's 8 MB
+    * range stage single-task at 0.53 s on 32 cores). An explicit count
+    * pins the width; correctness is partitioning-independent by
+    * construction (any contiguous range split works — the pid
+    * offset/count frames adapt, RankOpsSpec bit-identity pins it).
+    */
+  private def rangeWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  private def localRanks(
+      df: DataFrame,
+      order: Seq[Column],
+      pinWidth: Boolean): (DataFrame, DataFrame) = {
+    // pinWidth: explicit session-width range exchange (uncoalescible)
+    // for RAW-FACT inputs where the rank stage is the compute bill;
+    // default off — on small post-aggregate frames (q_rfm's per-user
+    // quintiles: ~1k rows at sf0.1) the 32-wide fixed per-task costs
+    // measured SLOWER than AQE's coalesced single task
+    // (0.93 -> 1.79 s, round-15), so AQE keeps sizing those.
+    def part(d: DataFrame): DataFrame =
+      if (pinWidth) d.repartitionByRange(rangeWidth(d), order: _*)
+      else d.repartitionByRange(order: _*)
+    val local = part(df)
       .sortWithinPartitions(order: _*)
       .withColumn("__rk_pid", spark_partition_id())
       .withColumn("__rk_lr",
         monotonically_increasing_id() -
           shiftleft(col("__rk_pid").cast("long"), 33) + lit(1L))
-    val counts = df.repartitionByRange(order: _*)
+    val counts = part(df)
       .withColumn("__rk_pid", spark_partition_id())
       .groupBy(col("__rk_pid")).agg(count(lit(1)).as("__rk_cnt"))
     // offsets and the grand total over the #partitions-row frame; the
@@ -135,8 +162,12 @@ object RankOps {
     * order `order` — identical to the single-partition window result,
     * computed distributed.
     */
-  def distributedRank(df: DataFrame, order: Seq[Column], outCol: String): DataFrame = {
-    val (local, offsets) = localRanks(df, order)
+  def distributedRank(
+      df: DataFrame,
+      order: Seq[Column],
+      outCol: String,
+      pinWidth: Boolean = false): DataFrame = {
+    val (local, offsets) = localRanks(df, order, pinWidth)
     local.join(broadcast(offsets), "__rk_pid")
       .withColumn(outCol, col("__rk_off") + col("__rk_lr"))
       .drop("__rk_pid", "__rk_lr", "__rk_off", "__rk_n")
@@ -146,10 +177,11 @@ object RankOps {
       df: DataFrame,
       order: Seq[Column],
       buckets: Int,
-      outCol: String
+      outCol: String,
+      pinWidth: Boolean = false
   ): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be positive")
-    val (local, offsets) = localRanks(df, order)
+    val (local, offsets) = localRanks(df, order, pinWidth)
     val rank = col("__rk_off") + col("__rk_lr")
     // ntile: q = N / n, rem = N % n; first rem buckets hold q+1 rows.
     // The divisions run as IEEE doubles + floor — exact for any
@@ -218,7 +250,7 @@ object RankOps {
     // the same value, and only the values at the bracketing ranks feed
     // the interpolation.
     val byRange = rows
-      .repartitionByRange((keys :+ col(valueCol)): _*)
+      .repartitionByRange(rangeWidth(rows), (keys :+ col(valueCol)): _*)
       .sortWithinPartitions((keys :+ col(valueCol)): _*)
       .withColumn("__pc_pid", spark_partition_id())
       .withColumn("__pc_mid", monotonically_increasing_id())
@@ -233,7 +265,7 @@ object RankOps {
     // assumption ever breaks; partitions past 2^33 rows would too,
     // but a single 8.6-billion-row task is far past any sane split.)
     val partCounts = rows
-      .repartitionByRange((keys :+ col(valueCol)): _*)
+      .repartitionByRange(rangeWidth(rows), (keys :+ col(valueCol)): _*)
       .withColumn("__pc_pid", spark_partition_id())
       .groupBy((col("__pc_pid") +: keys): _*)
       .agg(count(lit(1)).as("__pc_c"))

@@ -349,7 +349,7 @@ object EdgeStream {
     // the per-trigger work: ONLY the batch's aggregated pair supports
     // (delta-proportional), landing as this batch's own partition — a
     // replay's dynamic overwrite REPLACES it, never double-counts
-    val delta = GraphOps.itemEdgeSupports(batch, basketCol, itemCol)
+    val delta = GraphOps.itemEdgeSupports(batch, basketCol, itemCol, pinWidth = false)
       .select(col("x").cast(LongType), col("y").cast(LongType),
         col("support").cast(LongType))
     delta
