@@ -1308,8 +1308,23 @@ object TextOps {
     val queries = scored.filter(queryPred)
       .select(col("doc_id").as("query_id"), col("bucket"),
         col("c").as("__qc"), col("__n2").as("__qn2"))
-    scored.join(broadcast(queries), Seq("bucket"))
+    // Two pinned exchanges (graft.api.Par.spread), same count as the
+    // previous plan's (pair-aggregate + top-k window), placed so every
+    // compute stage runs cores-wide instead of the 1-task stages AQE's
+    // byte-sized coalescing produced (round-15 profile: 1.2 s TF+join
+    // stage, 0.7 s agg+window stage, both single-task at sf0.1):
+    //  1. postings by doc_id — the candidate join (broadcast queries)
+    //     and the dot-product partial aggregation spread over the
+    //     session width; postings are fixed-size (doc, bucket, count)
+    //     rows, never text (guide §8's lightweight-proxy rule);
+    //  2. candidates by query_id — hash(query_id) satisfies both the
+    //     (query_id, doc_id) pair aggregate and the top-k window, so
+    //     the two previous exchanges collapse into this one and the
+    //     whole tail completes in-place.
+    val postings = graft.api.Par.spread(scored, Seq(col("doc_id")))
+    val candidates = postings.join(broadcast(queries), Seq("bucket"))
       .filter(col("doc_id") =!= col("query_id"))
+    graft.api.Par.spread(candidates, Seq(col("query_id")))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c") * col("__qc")).as("__dot"),
         max(col("__n2")).as("__dn2"), max(col("__qn2")).as("__qn2m"))
@@ -1912,12 +1927,23 @@ object TextOps {
       sourceCol: String = "source",
       shingleSize: Int = 3
   ): DataFrame = {
-    val h = docs
-      .select(col(sourceCol).as("__src"),
-        explode(array_distinct(
-          shingles(tokens(col(textCol)), shingleSize))).as("__s"))
-      .select(col("__src"), md5(col("__s")).as("__h"))
-      .distinct()
+    // Digest-keyed distinct (graft.api.Par.spread on __h): hash(__h)
+    // satisfies the distinct's (src, h) clustering AND is exactly the
+    // self-join's required distribution, so ONE pinned exchange —
+    // reused by both join sides (identical subtree) — replaces the
+    // previous three (distinct on (src, h) + a per-side __h exchange),
+    // and the distinct/join/count stages run cores-wide instead of the
+    // single task AQE's byte-sized coalescing left them (round-15
+    // profile: 0.5 s 1-task join stage at sf0.1). Trade-off: the
+    // exchange carries pre-distinct digest rows (per-doc shingles are
+    // already array_distinct'd, so the lost map-side combine is only
+    // cross-doc duplicates within a source).
+    val h = graft.api.Par.spread(
+      docs.select(col(sourceCol).as("__src"),
+          explode(array_distinct(
+            shingles(tokens(col(textCol)), shingleSize))).as("__s"))
+        .select(col("__src"), md5(col("__s")).as("__h")),
+      Seq(col("__h"))).distinct()
     h.select(col("__src").as("source_a"), col("__h"))
       .join(h.select(col("__src").as("source_b"), col("__h")), "__h")
       .filter(col("source_a") < col("source_b"))

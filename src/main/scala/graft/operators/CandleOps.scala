@@ -366,7 +366,15 @@ object CandleOps {
     val spans = rollup
       .groupBy(keys.map(col): _*)
       .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
-    val grid = spans.select(
+    // spreadByKeys on the SPANS frame (one row per key — negligible
+    // bytes at any scale): the downstream fused stage — grid explode,
+    // left join (rollup side broadcasts), fill window — clusters on
+    // the keys, so this one added exchange runs the whole fill
+    // cores-wide where AQE had coalesced it to ONE task carrying the
+    // entire grid generation + window (round-15 profile:
+    // q_gap_fill_linear 1.16 s single-task stage at sf0.1). The
+    // +1 exchange is pinned in ExchangeBudgetSpec with this rationale.
+    val grid = spreadByKeys(spans, keys).select(
       keys.map(col) :+ explode(
         sequence(col("__mn"), col("__mx"),
           expr(s"INTERVAL $step seconds"))).as(bucketCol): _*)
@@ -406,7 +414,8 @@ object CandleOps {
     val spans = rollup
       .groupBy(keys.map(col): _*)
       .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
-    val grid = spans.select(
+    // spans spread, same rationale as [[resampleFfill]].
+    val grid = spreadByKeys(spans, keys).select(
       keys.map(col) :+ explode(
         sequence(col("__mn"), col("__mx"),
           expr(s"INTERVAL $step seconds"))).as(bucketCol): _*)

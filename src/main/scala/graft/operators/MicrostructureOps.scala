@@ -729,7 +729,12 @@ object MicrostructureOps {
       rollup: DataFrame, keyCol: String, bucketCol: String): DataFrame = {
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
     val d = cts("close") - lag(cts("close"), 1).over(wOrd)
-    rollup.select(
+    // Pinned move-window exchange (graft.api.Par): the whole screen
+    // chain downstream — move window, sign-vote aggregate, fingerprint
+    // fold — clusters on the key, so this one pinned exchange runs the
+    // sketch side cores-wide where AQE had coalesced it to 1-2 tasks
+    // at sf0.1 (round-15 profile: every corr_screen stage single-task).
+    spreadByKeys(rollup, Seq(keyCol)).select(
       col(keyCol), unix_micros(col(bucketCol)).as("__us"), d.as("__d"))
       .filter(col("__d").isNotNull)
   }
