@@ -2022,8 +2022,16 @@ object TextOps {
             .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("__p"))
       .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    // Materialized once: perDoc feeds both the LM tables (bi → uni)
+    // and the final scoring join, and the planner did NOT reuse the
+    // aggregate's exchange across the two consumers — the round-15
+    // profile showed the whole tokenize + bigram-explode + partial-agg
+    // map stage running TWICE (2 × 0.44 s identical stages at sf0.1).
+    // The checkpoint pays one write of the per-(doc, bigram) counts to
+    // collapse the doubled text pass.
     val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
     val bi = perDoc.groupBy(col("w1"), col("w2"))
       .agg(sum(col("__m")).as("__n_pair"))
     val uni = bi.groupBy(col("w1")).agg(sum(col("__n_pair")).as("__n_prefix"))

@@ -33,6 +33,13 @@ object DedupGroups {
     // are NOT distinct'd: every consumer is a min() aggregate or a
     // min-feeding join, both insensitive to duplicate edges, so the
     // dedup shuffle bought nothing.
+    // (Tried round-15: caching PRE-PARTITIONED on dst so each round's
+    // edges⋈labels join reads the cache in place. Helped the clique-
+    // shaped single-round consumers ~0.2 s each, but cached plans pin
+    // their partitioning — AQE cannot re-coalesce inside a cache — so
+    // the chain-shaped semantic CC (many rounds over a tiny edge set)
+    // paid the un-coalesced width every round: q_semantic_dedup
+    // 1.93 → 3.16 s. Reverted; the cache stays AQE-sized.)
     val edges = pairs
       .select(col("doc_a").cast("long").as("__a"), col("doc_b").cast("long").as("__b"))
       .select(explode(array(
