@@ -508,13 +508,70 @@ object CandleOps {
     val weights = (0 until nWindow).map { j =>
       BigInt(nWindow - 1).pow(j) * BigInt(nWindow + 1).pow(nWindow - 1 - j)
     }
-    val terms = weights.zipWithIndex.map { case (wj, j) =>
-      val xj = if (j == 0) x else lag(x, j).over(wOrd)
-      val wLit = lit(BigDecimal(wj)).cast(dec)
-      (when(xj.isNotNull, xj.cast(dec) * wLit).otherwise(lit(0).cast(dec)),
-        when(xj.isNotNull, wLit).otherwise(lit(0).cast(dec)))
+    val wMax = weights.max
+    if (wMax.bitLength <= 52) emaNumDenLong(x, wOrd, weights, dec)
+    else {
+      // wide-weight fallback (nWindow 17-20): the per-term decimal
+      // products genuinely need >63-bit headroom
+      val terms = weights.zipWithIndex.map { case (wj, j) =>
+        val xj = if (j == 0) x else lag(x, j).over(wOrd)
+        val wLit = lit(BigDecimal(wj)).cast(dec)
+        (when(xj.isNotNull, xj.cast(dec) * wLit).otherwise(lit(0).cast(dec)),
+          when(xj.isNotNull, wLit).otherwise(lit(0).cast(dec)))
+      }
+      (terms.map(_._1).reduce(_ + _).cast(dec), terms.map(_._2).reduce(_ + _).cast(dec))
     }
-    (terms.map(_._1).reduce(_ + _).cast(dec), terms.map(_._2).reduce(_ + _).cast(dec))
+  }
+
+  /** Allocation-free [[emaNumDen]] core for weights under 53 bits
+    * (every engine call site: fast/slow ≤ 13, signal/Brown ≤ 6): the
+    * SAME exact integers, accumulated as plain long codegen arithmetic
+    * instead of per-row java.math.BigDecimal allocations — the decimal
+    * form was the EMA-family windows' hot loop (q_macd: 23.5 s of task
+    * time across 32 tasks at sf0.1 for ~66k rows, round-15 profile;
+    * the [[graft.functions.ExactSum]] precedent measured the same
+    * decimal-aggregate pathology 4-16x). Each weight splits at bit S
+    * into w = wh·2^S + wl, so Σw_j·x_j = (Σwh_j·x_j)·2^S + Σwl_j·x_j
+    * with every partial product and partial sum bounded by
+    * n · 2^max(S, wBits−S) · |x| ≤ 2^62 under the |x| guard below; the
+    * ONE decimal reconstruction per row rebuilds the identical
+    * decimal(38,0) numerator. The guard raises (never wraps) past the
+    * bound — the aroon/heikinAshi rescale-your-prices discipline; at
+    * n ≤ 13 the bound is ≥ 2^35 cents (a $343M close), far past any
+    * priced series, and micro-cent signal lines (n ≤ 6) get ≥ 2^48.
+    */
+  private def emaNumDenLong(
+      x: Column, wOrd: WindowSpec, weights: Seq[BigInt],
+      dec: DecimalType): (Column, Column) = {
+    val n = weights.length
+    val wBits = weights.max.bitLength
+    val s = if (wBits > 31) (wBits + 1) / 2 else 0
+    val partMax = weights.map { w =>
+      ((w >> s).max(w & ((BigInt(1) << s) - 1))).max(BigInt(1))
+    }.max
+    val xBound = ((BigInt(1) << 62) / (BigInt(n) * partMax)).toLong
+    val xg = when(x.isNull || abs(x) <= xBound, x)
+      .otherwise(raise_error(concat(
+        lit(s"emaNumDen: |x| "), x.cast("string"),
+        lit(s" exceeds the long-exact bound $xBound at nWindow=$n;"
+          + " rescale the metric"))))
+    val terms = weights.zipWithIndex.map { case (wj, j) =>
+      val xj = if (j == 0) xg else lag(xg, j).over(wOrd)
+      // s == 0: no split — the whole weight rides the lo sum
+      val wh = if (s == 0) 0L else (wj >> s).toLong
+      val wl = if (s == 0) wj.toLong else (wj & ((BigInt(1) << s) - 1)).toLong
+      (when(xj.isNotNull, xj * lit(wh)).otherwise(lit(0L)),
+        when(xj.isNotNull, xj * lit(wl)).otherwise(lit(0L)),
+        when(xj.isNotNull, lit(wj.toLong)).otherwise(lit(0L)))
+    }
+    val hi = terms.map(_._1).reduce(_ + _)
+    val lo = terms.map(_._2).reduce(_ + _)
+    val den = terms.map(_._3).reduce(_ + _)
+    val num =
+      if (s == 0) lo.cast(dec)
+      else (hi.cast(dec) * lit(BigDecimal(BigInt(1) << s)).cast(dec) +
+        lo.cast(dec)).cast(dec)
+    (num, den.cast(dec))
   }
 
   /** Stochastic oscillator in the full-stochastic smoothing that stays
