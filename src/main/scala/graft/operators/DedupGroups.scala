@@ -137,11 +137,18 @@ object DedupGroups {
         .localCheckpoint(true)
       var probed: Option[Boolean] = None
       var waitedMs = 0
-      while (probed.isEmpty && waitedMs < 1000) {
+      // Poll budget 150 ms (was 1000): the observation rides the
+      // async listener bus, which lags by whole fractions of a second
+      // when the session is busy (round-15: the CC-heavy queries'
+      // walls swung 1.9-3.2 s with near-zero task time — driver waits,
+      // ~rounds × poll). The fallback aggregate over the checkpointed
+      // blocks costs ~0.1 s deterministically, so a short budget
+      // bounds the worst case instead of sleeping toward it.
+      while (probed.isEmpty && waitedMs < 150) {
         obs.future.value match {
           case Some(scala.util.Success(row)) =>
             probed = Some(!row.isNullAt(0) && row.getBoolean(0))
-          case Some(scala.util.Failure(_)) => waitedMs = 1000
+          case Some(scala.util.Failure(_)) => waitedMs = 150
           case None => Thread.sleep(2); waitedMs += 2
         }
       }
