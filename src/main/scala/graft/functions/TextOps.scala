@@ -2080,10 +2080,16 @@ object TextOps {
     require(topK > 0, s"topK=$topK must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
+    // The run-grouping window's exchange already carries the exploded
+    // token rows (fixed-size (doc, pos, tok) — never the text column);
+    // the pin (graft.api.Par) only sets its width, which AQE had
+    // coalesced to one task at sf0.1.
+    val toks = graft.api.Par.spread(
+      docs
+        .select(col(idCol).as("doc_id"),
+          posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0),
+      Seq(col("doc_id")))
     val runs = toks
       .filter(!col("tok").isInCollection(RakeStopwords))
       .withColumn("grp", col("pos") - row_number().over(w))

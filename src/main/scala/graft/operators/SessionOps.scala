@@ -75,7 +75,11 @@ object SessionOps {
     require(gapSeconds > 0, s"gapSeconds=$gapSeconds must be positive")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
+    // layout-aware width pin on the session window's exchange (see
+    // graft.api.Par): a window exchange has no partial aggregation to
+    // lose, and spreadKeyed leaves bucketed-store inputs untouched
+    // (EventBucketingSpec's zero-exchange sessionization contract).
+    graft.api.Par.spreadKeyed(events, keys)
       .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
       .withColumn("__new",
         when(col("__prev_us").isNull ||
