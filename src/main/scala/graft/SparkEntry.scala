@@ -1316,8 +1316,16 @@ object SparkEntry {
     // per-(split, lang) counts. Every stage is an operator above; the
     // composition is what a real corpus build runs. ------------------
     "q_pipeline_e2e" -> ((s, dir) => {
+      // redacted feeds four plan branches (dedup digests, both stats
+      // passes, the final keeper join) and the planner re-runs the
+      // regex-heavy redaction scan per branch — the r16 profile showed
+      // one 1.8 s single-task stage plus two ~0.3 s twins, all
+      // re-redacting the same corpus. Materialize the redaction once
+      // (the q_pipeline_neardup precedent); the three token passes
+      // then read the checkpointed blocks.
       val redacted = Tables.documents(s, dir).select(
         col("doc_id"), col("lang"), TextOps.redactPii(col("text")).as("text"))
+        .localCheckpoint()
       val keepers = TextOps.exactDedupGroups(redacted, "doc_id", "text")
         .select(col("keeper_id").as("doc_id"))
       val stats = TextOps.textStats(redacted, "doc_id", "text")

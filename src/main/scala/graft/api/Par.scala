@@ -61,10 +61,41 @@ object Par {
     * columns (Project passing the keys through as bare attributes,
     * Filter, aliasing wrappers); anything else conservatively answers
     * "not bucketed" and spreads.
+    *
+    * Known boundary (r15 advice): only bucketed SCANS are recognized.
+    * A frame already hash-partitioned on the keys by an upstream
+    * repartition/aggregate still gets the explicit exchange — correct,
+    * and for the engine's call sites budget-pinned, but a library
+    * caller should NOT pre-partition before a spreadKeyed call site
+    * (the pin would add one exchange where the window previously
+    * reused the upstream partitioning). Checking the physical output
+    * partitioning instead would require planning the frame here and
+    * racing AQE's re-planning; documented rather than guessed.
     */
   def spreadKeyed(df: DataFrame, keyNames: Seq[String]): DataFrame =
     if (keyNames.isEmpty || bucketedOn(df.queryExecution.analyzed, keyNames)) df
     else spread(df, keyNames.map(org.apache.spark.sql.functions.col))
+
+  /** [[spread]] via RANGE partitioning — for frames whose upstream
+    * operator already hash-partitioned them on exactly `cols` (e.g.
+    * the output of a groupBy on the same keys). There a hash
+    * repartition is ELIMINATED outright: its spec equals the child's
+    * partitioning, so the planner drops it and the surviving
+    * aggregate exchange keeps its AQE-coalescible ENSURE_REQUIREMENTS
+    * origin — the r15 spans spread in resampleFfill/Interpolate
+    * silently no-op'd exactly this way (r16 profile: the whole grid
+    * explode + fill-window chain ran in ONE task, 1.1 s at sf0.1).
+    * RangePartitioning is a different partitioning class, so the
+    * explicit exchange survives with its uncoalescible
+    * REPARTITION_BY_NUM origin, while still satisfying a downstream
+    * window/aggregate/join clustered on `cols` (equal keys share a
+    * partition). Costs one boundary-sampling pass of `df` — meant for
+    * the one-row-per-key frames where that is negligible (the
+    * RankOps.exactPercentilesCont precedent).
+    */
+  def spreadRange(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.repartitionByRange(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
 
   private def bucketedOn(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

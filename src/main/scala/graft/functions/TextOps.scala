@@ -2029,6 +2029,14 @@ object TextOps {
     // map stage running TWICE (2 × 0.44 s identical stages at sf0.1).
     // The checkpoint pays one write of the per-(doc, bigram) counts to
     // collapse the doubled text pass.
+    // Fault-tolerance trade-off (r15 advice): an EAGER localCheckpoint
+    // truncates lineage onto executor-local storage — an executor loss
+    // mid-query makes the downstream stages unrecoverable (no
+    // recompute path), and the checkpoint job runs at DataFrame
+    // construction even if the caller never executes the result.
+    // Acceptable for this engine's bounded single-tenant sessions
+    // (the DedupGroups precedent); a long multi-tenant deployment
+    // would gate it behind the session's checkpoint policy.
     val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("__m"))
       .localCheckpoint(true)

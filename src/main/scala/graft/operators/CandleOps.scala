@@ -366,7 +366,7 @@ object CandleOps {
     val spans = rollup
       .groupBy(keys.map(col): _*)
       .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
-    // spreadByKeys on the SPANS frame (one row per key — negligible
+    // RANGE-spread on the SPANS frame (one row per key — negligible
     // bytes at any scale): the downstream fused stage — grid explode,
     // left join (rollup side broadcasts), fill window — clusters on
     // the keys, so this one added exchange runs the whole fill
@@ -374,7 +374,10 @@ object CandleOps {
     // entire grid generation + window (round-15 profile:
     // q_gap_fill_linear 1.16 s single-task stage at sf0.1). The
     // +1 exchange is pinned in ExchangeBudgetSpec with this rationale.
-    val grid = spreadByKeys(spans, keys).select(
+    // Range, not hash (r16): spans is the groupBy(keys) output, so a
+    // hash spread on the same keys was ELIMINATED by the planner and
+    // the fill still ran single-task — see Par.spreadRange.
+    val grid = graft.api.Par.spreadRange(spans, keys.map(col)).select(
       keys.map(col) :+ explode(
         sequence(col("__mn"), col("__mx"),
           expr(s"INTERVAL $step seconds"))).as(bucketCol): _*)
@@ -414,8 +417,9 @@ object CandleOps {
     val spans = rollup
       .groupBy(keys.map(col): _*)
       .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
-    // spans spread, same rationale as [[resampleFfill]].
-    val grid = spreadByKeys(spans, keys).select(
+    // spans RANGE-spread, same rationale as [[resampleFfill]] (a hash
+    // spread on the groupBy's own keys is planner-eliminated).
+    val grid = graft.api.Par.spreadRange(spans, keys.map(col)).select(
       keys.map(col) :+ explode(
         sequence(col("__mn"), col("__mx"),
           expr(s"INTERVAL $step seconds"))).as(bucketCol): _*)
@@ -511,8 +515,9 @@ object CandleOps {
     val wMax = weights.max
     if (wMax.bitLength <= 52) emaNumDenLong(x, wOrd, weights, dec)
     else {
-      // wide-weight fallback (nWindow 17-20): the per-term decimal
-      // products genuinely need >63-bit headroom
+      // wide-weight fallback (nWindow 15-20: 16^14 is 57 bits, 17^15
+      // is 62 — both past the 52-bit long-split gate): the per-term
+      // decimal products genuinely need >63-bit headroom
       val terms = weights.zipWithIndex.map { case (wj, j) =>
         val xj = if (j == 0) x else lag(x, j).over(wOrd)
         val wLit = lit(BigDecimal(wj)).cast(dec)
@@ -531,32 +536,46 @@ object CandleOps {
     * time across 32 tasks at sf0.1 for ~66k rows, round-15 profile;
     * the [[graft.functions.ExactSum]] precedent measured the same
     * decimal-aggregate pathology 4-16x). Each weight splits at bit S
-    * into w = wh·2^S + wl, so Σw_j·x_j = (Σwh_j·x_j)·2^S + Σwl_j·x_j
-    * with every partial product and partial sum bounded by
-    * n · 2^max(S, wBits−S) · |x| ≤ 2^62 under the |x| guard below; the
-    * ONE decimal reconstruction per row rebuilds the identical
-    * decimal(38,0) numerator. The guard raises (never wraps) past the
-    * bound — the aroon/heikinAshi rescale-your-prices discipline; at
-    * n ≤ 13 the bound is ≥ 2^35 cents (a $343M close), far past any
-    * priced series, and micro-cent signal lines (n ≤ 6) get ≥ 2^48.
+    * (ALWAYS at the midpoint — r15 advice: an unsplit sub-32-bit
+    * weight profile left the long domain far below the consumers'
+    * decimal budgets) into w = wh·2^S + wl, so Σw_j·x_j =
+    * (Σwh_j·x_j)·2^S + Σwl_j·x_j with every partial product and
+    * partial sum bounded by n · 2^max(S, wBits−S) · |x| ≤ 2^62 inside
+    * the per-row bound below; the ONE decimal reconstruction per row
+    * rebuilds the identical decimal(38,0) numerator.
+    *
+    * Rows whose trailing frame holds a value past the long bound do
+    * NOT raise (the r15 guard narrowed the domain below the
+    * documented decimal budgets — holtBrown's s1µ ≤ 1e15, ewmaVol's
+    * d² ≤ 2^60): the numerator falls back per row to the SAME-valued
+    * decimal convolution, lazily — CaseWhen evaluates only the taken
+    * branch, and the lag expressions are shared by both branches and
+    * the bound predicate, so in-bound rows (any priced series: the
+    * n ≤ 13 bound is ≥ 2^35 cents even pre-split, and the split
+    * raises n = 6 to ~3.2e15) pay pure long arithmetic and only
+    * past-bound rows pay BigDecimal. The full decimal(38,0) domain of
+    * the pre-r15 implementation is restored; the denominator is
+    * x-free (n · wMax < 2^56) and always rides the long path.
     */
   private def emaNumDenLong(
       x: Column, wOrd: WindowSpec, weights: Seq[BigInt],
       dec: DecimalType): (Column, Column) = {
     val n = weights.length
     val wBits = weights.max.bitLength
-    val s = if (wBits > 31) (wBits + 1) / 2 else 0
+    val s = if (wBits >= 2) (wBits + 1) / 2 else 0
     val partMax = weights.map { w =>
       ((w >> s).max(w & ((BigInt(1) << s) - 1))).max(BigInt(1))
     }.max
     val xBound = ((BigInt(1) << 62) / (BigInt(n) * partMax)).toLong
-    val xg = when(x.isNull || abs(x) <= xBound, x)
-      .otherwise(raise_error(concat(
-        lit(s"emaNumDen: |x| "), x.cast("string"),
-        lit(s" exceeds the long-exact bound $xBound at nWindow=$n;"
-          + " rescale the metric"))))
-    val terms = weights.zipWithIndex.map { case (wj, j) =>
-      val xj = if (j == 0) xg else lag(xg, j).over(wOrd)
+    // one lag expression per offset, shared by the bound predicate and
+    // both numerator branches (the Window operator computes distinct
+    // window expressions once)
+    val xjs = weights.indices.map(j => if (j == 0) x else lag(x, j).over(wOrd))
+    // no abs(): abs(Long.MinValue) wraps negative and would misroute
+    // that (absurd) input onto the long branch
+    val inBound = xjs.map(xj =>
+      xj.isNull || (xj >= lit(-xBound) && xj <= lit(xBound))).reduce(_ && _)
+    val terms = weights.zip(xjs).map { case (wj, xj) =>
       // s == 0: no split — the whole weight rides the lo sum
       val wh = if (s == 0) 0L else (wj >> s).toLong
       val wl = if (s == 0) wj.toLong else (wj & ((BigInt(1) << s) - 1)).toLong
@@ -567,11 +586,15 @@ object CandleOps {
     val hi = terms.map(_._1).reduce(_ + _)
     val lo = terms.map(_._2).reduce(_ + _)
     val den = terms.map(_._3).reduce(_ + _)
-    val num =
+    val longNum =
       if (s == 0) lo.cast(dec)
       else (hi.cast(dec) * lit(BigDecimal(BigInt(1) << s)).cast(dec) +
         lo.cast(dec)).cast(dec)
-    (num, den.cast(dec))
+    val decNum = weights.zip(xjs).map { case (wj, xj) =>
+      when(xj.isNotNull, xj.cast(dec) * lit(BigDecimal(wj)).cast(dec))
+        .otherwise(lit(0).cast(dec))
+    }.reduce(_ + _).cast(dec)
+    (when(inBound, longNum).otherwise(decNum), den.cast(dec))
   }
 
   /** Stochastic oscillator in the full-stochastic smoothing that stays

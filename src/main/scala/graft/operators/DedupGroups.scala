@@ -80,6 +80,17 @@ object DedupGroups {
     // deletes. Probing the PRE-doubling state is sound: at a
     // propagation fixpoint every neighbor pair shares a label, so each
     // label is its component min and doubling is the identity.
+    // (Tried round-16: PROBE-FIRST — a take(1) over
+    // edges⋈labels⋈labels asking "∃ edge with label(dst) <
+    // label(src)" BEFORE each round, so a converged graph skips the
+    // confirmation round entirely. The probe plan reused the edges
+    // cache (InMemoryTableScan verified), but each probe still cost
+    // 0.27-0.43 s of driver choreography — two BroadcastExchange jobs
+    // plus the take — vs ~0.6 s for a whole fused round, and every
+    // CHANGING round paid it on top. Only converge-at-init graphs
+    // won; the engine's star/cosine graphs run 1-2 changing rounds,
+    // and the dedup family regressed (stage counts +25-40%).
+    // Reverted to the observe-rides-the-checkpoint form below.)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {

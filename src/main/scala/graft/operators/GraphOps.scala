@@ -24,7 +24,7 @@ object GraphOps {
       facts: DataFrame,
       basketCol: String,
       itemCol: String,
-      pinWidth: Boolean = true
+      pinWidth: Boolean = false
   ): DataFrame = {
     // Par.spread on the basket key: same rationale and trade-off as
     // [[BasketOps.coOccurrence]] — the fused complete-aggregate +
@@ -33,11 +33,13 @@ object GraphOps {
     // 32 cores, round-15 profile). The exchange carries projected raw
     // (basket, item) rows instead of partial sets; the pair stage's
     // per-byte amplification dominates that 2-3x byte delta.
-    // pinWidth=false on the DELTA paths (incremental fold, streaming
-    // per-batch): a day/trigger batch is orders of magnitude under the
-    // corpus and the pinned 32-wide stage's fixed per-task costs beat
-    // its win there (q_item_edges_incremental 0.82 -> 1.20 s when the
-    // delta was pinned, round-15 measured) — AQE keeps sizing those.
+    // pinWidth default FALSE (r15 advice — RankOps' convention): the
+    // pinned 32-wide stage's fixed per-task costs beat its win on
+    // small inputs (q_item_edges_incremental 0.82 -> 1.20 s when the
+    // delta was pinned, round-15 measured), so AQE sizes every caller
+    // that doesn't opt in; the corpus-scale call sites ([[itemEdges]],
+    // Derived's standing-store derivations, EdgeLab/StreamBench's
+    // full-corpus legs) pass pinWidth = true explicitly.
     val projected = facts.select(col(basketCol), col(itemCol))
     val spread =
       if (pinWidth) graft.api.Par.spread(projected, Seq(col(basketCol)))
@@ -73,7 +75,7 @@ object GraphOps {
       itemCol: String,
       minSupport: Long
   ): DataFrame =
-    itemEdgeSupports(facts, basketCol, itemCol)
+    itemEdgeSupports(facts, basketCol, itemCol, pinWidth = true)
       .filter(col("support") >= minSupport)
       .select(col("x"), col("y"))
 

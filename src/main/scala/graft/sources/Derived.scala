@@ -69,7 +69,7 @@ object Derived {
 
   private def deriveSupports(s: SparkSession, dir: String): DataFrame =
     graft.operators.GraphOps.itemEdgeSupports(
-      Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey", pinWidth = true)
       .localCheckpoint(eager = true)
 
   /** The co-purchase pair-support table over `lineitem` (x, y,

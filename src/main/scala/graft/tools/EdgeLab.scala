@@ -24,7 +24,8 @@ object EdgeLab {
     }
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     time("warm-scan")(li.count())
-    val supports = graft.operators.GraphOps.itemEdgeSupports(li, "l_orderkey", "l_partkey")
+    val supports = graft.operators.GraphOps.itemEdgeSupports(
+      li, "l_orderkey", "l_partkey", pinWidth = true)
     time("agg-only-count")(println("rows=" + supports.count()))
     time("agg-again")(supports.count())
     val cp = time("localCheckpoint")(supports.localCheckpoint(true))

@@ -26,6 +26,32 @@ object PlanLab {
     }
 
     what match {
+      case "ccprobe" =>
+        // r16 scratch: does the probe-first CC convergence check reuse
+        // the edges cache (InMemoryTableScan) or re-run pair lineage?
+        import org.apache.spark.sql.functions._
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val pairs = graft.functions.TextOps.minhashStarEdges(docs, "doc_id", "text", 4, 2, 3)
+        val edges = pairs
+          .select(col("doc_a").cast("long").as("__a"), col("doc_b").cast("long").as("__b"))
+          .select(explode(array(
+            struct(col("__a").as("src"), col("__b").as("dst")),
+            struct(col("__b").as("src"), col("__a").as("dst")))).as("__e"))
+          .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+          .cache()
+        val labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+          .select(col("src").as("doc_id"), least(col("src"), col("__m")).as("group_id"))
+          .localCheckpoint(true)
+        time("init done")(())
+        val probe = edges
+          .join(labels.select(col("doc_id").as("src"), col("group_id").as("__ls")), "src")
+          .join(labels.select(col("doc_id").as("dst"), col("group_id").as("__ld")), "dst")
+          .filter(col("__ld") < col("__ls"))
+        time("probe isEmpty")(println(probe.isEmpty))
+        time("probe isEmpty 2nd")(println(probe.isEmpty))
+        val plan = probe.queryExecution.executedPlan.toString
+        println("probe plan contains InMemoryTableScan: " + plan.contains("InMemoryTableScan"))
+        println(plan.take(3000))
       case "minhash" =>
         import graft.functions.TextOps
         import graft.sources.Tables

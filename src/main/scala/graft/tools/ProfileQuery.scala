@@ -118,7 +118,8 @@ object ProfileQuery {
               val df = fn(spark, sfDir)
               val txt = df.queryExecution.explainString(
                 org.apache.spark.sql.execution.FormattedMode)
-              val dir = java.nio.file.Paths.get("plans", "r15")
+              val dir = java.nio.file.Paths.get(
+                "plans", sys.env.getOrElse("GRAFT_PLANS_ROUND", "r16"))
               java.nio.file.Files.createDirectories(dir)
               java.nio.file.Files.writeString(dir.resolve(s"${name}_$tag.txt"), txt)
             }

@@ -304,7 +304,8 @@ object StreamBench {
     EdgeStream.runAvailableNow(eq)
     val edgeWall = (System.nanoTime() - t5) / 1e9
     val eGot = EdgeStream.readStore(spark, edgeStore)
-    val eWant = graft.operators.GraphOps.itemEdgeSupports(li, "l_orderkey", "l_partkey")
+    val eWant = graft.operators.GraphOps.itemEdgeSupports(
+      li, "l_orderkey", "l_partkey", pinWidth = true)
     val eWrong = eGot.exceptAll(eWant).count()
     val eMissing = eWant.exceptAll(eGot).count()
     println(s"""EDGE_BENCH {"wall_sec":$edgeWall,"supports":${eGot.count()},"wrong_rows":$eWrong,"missing_rows":$eMissing,"sf":"$sfDir"}""")
