@@ -535,14 +535,19 @@ object CandleOps {
     * form was the EMA-family windows' hot loop (q_macd: 23.5 s of task
     * time across 32 tasks at sf0.1 for ~66k rows, round-15 profile;
     * the [[graft.functions.ExactSum]] precedent measured the same
-    * decimal-aggregate pathology 4-16x). Each weight splits at bit S
-    * (ALWAYS at the midpoint — r15 advice: an unsplit sub-32-bit
-    * weight profile left the long domain far below the consumers'
-    * decimal budgets) into w = wh·2^S + wl, so Σw_j·x_j =
+    * decimal-aggregate pathology 4-16x). A weight profile past 31
+    * bits splits at the midpoint into w = wh·2^S + wl, so Σw_j·x_j =
     * (Σwh_j·x_j)·2^S + Σwl_j·x_j with every partial product and
     * partial sum bounded by n · 2^max(S, wBits−S) · |x| ≤ 2^62 inside
     * the per-row bound below; the ONE decimal reconstruction per row
-    * rebuilds the identical decimal(38,0) numerator.
+    * rebuilds the identical decimal(38,0) numerator. Sub-32-bit
+    * profiles do NOT split (r16, measured): always-splitting was
+    * tried per the r15 advice and REVERTED — the hi·2^S + lo
+    * reconstruction adds two decimal ops per row per pass, and
+    * q_holt_brown (two n=6 passes) ran a consistent 1.35-1.48x its
+    * suite-normalized wall across two full benches; the per-row
+    * decimal FALLBACK below already restores the full domain, so the
+    * split's wider long window bought nothing the fallback doesn't.
     *
     * Rows whose trailing frame holds a value past the long bound do
     * NOT raise (the r15 guard narrowed the domain below the
@@ -551,9 +556,9 @@ object CandleOps {
     * decimal convolution, lazily — CaseWhen evaluates only the taken
     * branch, and the lag expressions are shared by both branches and
     * the bound predicate, so in-bound rows (any priced series: the
-    * n ≤ 13 bound is ≥ 2^35 cents even pre-split, and the split
-    * raises n = 6 to ~3.2e15) pay pure long arithmetic and only
-    * past-bound rows pay BigDecimal. The full decimal(38,0) domain of
+    * bound is ~4.6e13 at n = 6 and ≥ 2^35 cents at n ≤ 13) pay pure
+    * long arithmetic and only past-bound rows pay BigDecimal. The
+    * full decimal(38,0) domain of
     * the pre-r15 implementation is restored; the denominator is
     * x-free (n · wMax < 2^56) and always rides the long path.
     */
@@ -562,7 +567,7 @@ object CandleOps {
       dec: DecimalType): (Column, Column) = {
     val n = weights.length
     val wBits = weights.max.bitLength
-    val s = if (wBits >= 2) (wBits + 1) / 2 else 0
+    val s = if (wBits > 31) (wBits + 1) / 2 else 0
     val partMax = weights.map { w =>
       ((w >> s).max(w & ((BigInt(1) << s) - 1))).max(BigInt(1))
     }.max

@@ -112,7 +112,12 @@ object Derived {
       val path = java.nio.file.Files.createTempDirectory("graft-edge-store")
       BucketedStore.writeBucketedAt(
         itemEdgeSupports(s, dir), name, path.toString,
-        bucketCols = Seq("x", "y"), numBuckets = 32, sortCols = Seq("x", "y"))
+        // bucket count rides the session's own scale knob (r16: was a
+        // bare 32 that only coincidentally matched local[32]; a
+        // cluster session's tuned width flows through automatically)
+        bucketCols = Seq("x", "y"),
+        numBuckets = s.sessionState.conf.numShufflePartitions,
+        sortCols = Seq("x", "y"))
       name
     }
     s.table(table)
@@ -238,7 +243,8 @@ object Derived {
     val path = java.nio.file.Files.createTempDirectory("graft-minhash-sig")
     BucketedStore.writeBucketedAt(
       banded, table, path.toString,
-      bucketCols = "band" +: keyCols, numBuckets = 32,
+      bucketCols = "band" +: keyCols,
+      numBuckets = s.sessionState.conf.numShufflePartitions,
       sortCols = "band" +: keyCols)
     val cb = s.table(table)
     // star edges per bucket (not pair cliques): identical standing

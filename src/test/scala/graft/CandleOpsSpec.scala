@@ -349,6 +349,69 @@ class CandleOpsSpec extends SparkSpec {
     }
   }
 
+  test("emaNumDen hybrid: values past the long-split bound take the exact decimal branch") {
+    // n=3 weights [16, 8, 4] split at s=3 -> partMax 4, long bound
+    // 2^62/12 ~ 3.8e17 cents. A close of 2^55 dollars (cents 2^57*25,
+    // double-exact) is far past it: the r15 guard RAISED here; the
+    // hybrid must compute the same exact decimal value per row.
+    val huge = math.pow(2, 55) // dollars; cents = 2^55*100, exact
+    val c1 = BigInt(2).pow(55) * 100
+    val rows = Seq(
+      ("S", ts("2024-03-01 10:00:00"), huge),
+      ("S", ts("2024-03-01 11:00:00"), 1.0),
+      ("S", ts("2024-03-01 12:00:00"), 2.0)
+    ).toDF("sym", "bucket_ts", "close")
+    val got = CandleOps.ema(rows, Seq("sym"), "bucket_ts", "close", nWindow = 3)
+      .select("bucket_ts", "ema_cents")
+      .as[(Timestamp, Double)].collect().sortBy(_._1.getTime).toSeq
+    def emaOf(num: BigInt, den: Long): Double = num.toDouble / den.toDouble
+    assert(got(0)._2 == emaOf(c1 * 16, 16))
+    assert(got(1)._2 == emaOf(BigInt(16L * 100) + c1 * 8, 24))
+    assert(got(2)._2 == emaOf(BigInt(16L * 200 + 8L * 100) + c1 * 4, 28))
+
+    // holtBrown at a constant $40M close: s1_micro = 4e15 exceeds the
+    // n=6 second-pass long bound (~3.2e15); the constant-series
+    // identity (level == s1, trend == 0) must hold via the decimal
+    // branch instead of raising (the r15-advice domain restoration).
+    val big = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 4.0e7),
+      ("S", ts("2024-03-01 11:00:00"), 4.0e7),
+      ("S", ts("2024-03-01 12:00:00"), 4.0e7)
+    ).toDF("sym", "bucket_ts", "close")
+    val hb = CandleOps.holtBrown(big, Seq("sym"), "bucket_ts", "close")
+      .select("s1_micro", "level_micro", "trend_micro")
+      .as[(Long, Double, Double)].collect()
+    assert(hb.forall { case (s1, lvl, tr) =>
+      s1 == 4000000000000000L && lvl == 4.0e15 && tr == 0.0 })
+
+    // ewmaVolatility at a $10M one-bar move: d^2 = 1e18 is inside the
+    // documented 2^60 decimal budget but past the long bound (~3.2e15)
+    // -> decimal branch, vol = |d| exactly.
+    val mv = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 0.0),
+      ("S", ts("2024-03-01 11:00:00"), 1.0e7)
+    ).toDF("sym", "bucket_ts", "close")
+    val ev = CandleOps.ewmaVolatility(mv, Seq("sym"), "bucket_ts", "close")
+      .select("ewma_vol_cents").as[Option[Double]].collect().flatten
+    assert(ev.toSeq == Seq(1.0e9))
+  }
+
+  test("resample spans spread survives as a RANGE exchange (a hash spread is planner-elided)") {
+    val rollup = Seq(
+      ("S", ts("2024-03-01 10:00:00"), 1.0),
+      ("S", ts("2024-03-01 13:00:00"), 4.0)
+    ).toDF("sym", "bucket_ts", "close")
+    for (df <- Seq(
+      CandleOps.resampleInterpolate(rollup, Seq("sym"), "bucket_ts", "close", "1h"),
+      CandleOps.resampleFfill(rollup, Seq("sym"), "bucket_ts", "close", "1h"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning"),
+        s"spans spread must be a range exchange, got:\n${plan.take(2000)}")
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        "the spans exchange must keep the uncoalescible REPARTITION_BY_NUM origin")
+    }
+  }
+
   test("saxWords: hand-computed word on an ascending series; short series omitted") {
     // user A: 24 daily closes 0.01..0.24 -> cents 1..24. Quartiles at
     // sorted ranks 6/12/18 = 6,12,18. Oldest-first segment sums:
